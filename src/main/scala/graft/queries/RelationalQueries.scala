@@ -1,0 +1,440 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Det._
+
+/** The relational/SQL surface of the reference engine (SURVEY.md §2a).
+  *
+  * The reference executes arbitrary SQL by handing pruned Arrow blocks
+  * to DuckDB (reference: query_enginev5.py:236-304); graft declares the
+  * same queries as Catalyst plans so Spark plans the scan, pushdown,
+  * join strategy, and shuffle. Each query is written for scale: filters
+  * and projections sit directly on the parquet scan (pushdown/pruning),
+  * dimension joins are broadcast, fact-side aggregations are partial
+  * (map-side) before the shuffle.
+  *
+  * Determinism rules (driver hash-compares against DuckDB): double SUMs
+  * go through exact DECIMAL (see [[Det]]), timestamps are output as
+  * DATE or ints, every result has a total-order ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // q1: TPC-H Q1-style pricing summary — groupBy agg with partial
+    // aggregation; filter pushed to the scan.
+    QueryDef.sql(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg2(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // q2: the reference's own benchmark query shape — BETWEEN range
+    // scan (reference: benchmark.py "where column1 between 18 and 24").
+    // Zone-map-prunable: the predicate reaches the parquet scan.
+    QueryDef.sql(
+      "q2_filter_between",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag, CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem WHERE l_quantity BETWEEN 18 AND 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(18, 24))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // q3: comparison operators + AND/OR — the exact predicate algebra
+    // the reference's pruner understands (query_enginev5.py:107-233).
+    QueryDef.sql(
+      "q3_filter_compare",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE (o_totalprice >= 450000.0 AND o_orderstatus = 'O')
+        |   OR (o_totalprice < 2000.0 AND o_orderstatus <> 'O')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(
+          (col("o_totalprice") >= 450000.0 && col("o_orderstatus") === "O") ||
+          (col("o_totalprice") < 2000.0 && col("o_orderstatus") =!= "O"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // q4: IN-list filter (query_enginev5.py:137-166).
+    QueryDef.sql(
+      "q4_filter_in",
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // q5: projection — ReadSchema must shrink to exactly these columns.
+    QueryDef.sql(
+      "q5_projection",
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey") { (s, dir) =>
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice").orderBy("p_partkey")
+    },
+
+    // q6: COUNT(*) — answerable from parquet footer row counts alone
+    // (metadata-only, like the reference's index).
+    QueryDef.sql(
+      "q6_count_star",
+      "SELECT COUNT(*) AS n_rows FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // q7: global MIN/MAX/SUM/AVG.
+    QueryDef.sql(
+      "q7_agg_minmax",
+      """SELECT MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(MIN(l_shipdate) AS DATE) AS first_ship, CAST(MAX(l_shipdate) AS DATE) AS last_ship
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        dsum2(col("l_extendedprice")).as("sum_price"),
+        davg2(col("l_extendedprice")).as("avg_price"),
+        min(col("l_shipdate")).cast("date").as("first_ship"),
+        max(col("l_shipdate")).cast("date").as("last_ship"))
+    },
+
+    // q8: DISTINCT (hash aggregate, map-side partial).
+    QueryDef.sql(
+      "q8_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // q9: ORDER BY + LIMIT → Spark plans TakeOrderedAndProject (top-k
+    // per partition, merge on driver — no full sort at scale).
+    QueryDef.sql(
+      "q9_orderby_limit",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // q10: GROUP BY + HAVING.
+    QueryDef.sql(
+      "q10_groupby_having",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    },
+
+    // q11: fact ⋈ small dim — explicitly broadcast: no shuffle of the
+    // fact table at any scale.
+    QueryDef.sql(
+      "q11_join_inner",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // q12: multi-table join chain (TPC-H Q5 shape): two fact-fact
+    // shuffle joins + broadcast dims; aggregation keyed by region/nation.
+    QueryDef.sql(
+      "q12_join_multi",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") >= "1996-01-01 00:00:00"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // q13: LEFT OUTER join with null-producing side + COALESCE.
+    QueryDef.sql(
+      "q13_join_left",
+      """SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers,
+        |  COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+          count(col("s_suppkey")).as("n_suppliers"),
+          coalesce(dsum2(col("s_acctbal")), lit(0.0)).as("total_bal"))
+        .orderBy("n_nationkey")
+    },
+
+    // q14: LEFT SEMI join (EXISTS) — only keys cross the shuffle.
+    QueryDef.sql(
+      "q14_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // q15: LEFT ANTI join (NOT EXISTS).
+    QueryDef.sql(
+      "q15_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // q16: COUNT(DISTINCT) — expands to a two-stage distinct aggregate.
+    QueryDef.sql(
+      "q16_count_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // q17: CASE WHEN conditional aggregation (pivot-style).
+    QueryDef.sql(
+      "q17_case_when",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS heavy_rev,
+        |  CAST(SUM(CASE WHEN l_quantity <= 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS light_rev,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_quantity") > 25, dec2(col("l_extendedprice")))
+            .otherwise(dec2(lit(0)))).cast("double").as("heavy_rev"),
+          sum(when(col("l_quantity") <= 25, dec2(col("l_extendedprice")))
+            .otherwise(dec2(lit(0)))).cast("double").as("light_rev"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"))
+        .orderBy("l_returnflag")
+    },
+
+    // q18: string functions — LIKE, UPPER, SUBSTRING, LENGTH, concat.
+    QueryDef.sql(
+      "q18_string_funcs",
+      """SELECT p_partkey, UPPER(p_name) AS name_u, SUBSTRING(p_type, 1, 4) AS type_pfx,
+        |  LENGTH(p_name) AS name_len, p_brand || '/' || p_type AS brand_type
+        |FROM part WHERE p_name LIKE '%ring%' ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%ring%"))
+        .select(
+          col("p_partkey"), upper(col("p_name")).as("name_u"),
+          substring(col("p_type"), 1, 4).as("type_pfx"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    },
+
+    // q19: date/time extraction + grouping.
+    QueryDef.sql(
+      "q19_date_funcs",
+      """SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+        |ORDER BY yr, mo""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total"))
+        .orderBy("yr", "mo")
+    },
+
+    // q20: window rank — top-3 orders per customer.
+    QueryDef.sql(
+      "q20_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // q21: running window aggregate + LAG. Running SUM goes through
+    // DECIMAL so the prefix sums are exact on both engines.
+    QueryDef.sql(
+      "q21_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // q22: scalar subquery — orders above the global mean. Implemented
+    // as a broadcast cross-join of the 1-row aggregate (no collect).
+    QueryDef.sql(
+      "q22_subquery_scalar",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val avgDf = o.agg((sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("mean_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("mean_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // q23: CTE + UNION ALL of two branches over the same scan.
+    QueryDef.sql(
+      "q23_cte_union",
+      """WITH big AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'big' AS tag
+        |  FROM orders WHERE o_totalprice > 450000.0),
+        |late AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'late' AS tag
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |SELECT o_orderkey, o_custkey, o_totalprice, tag FROM big
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, tag FROM late
+        |ORDER BY o_orderkey, tag""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit("big").as("tag"))
+      val late = o.filter(col("o_orderdate") >= "2001-06-01 00:00:00")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit("late").as("tag"))
+      big.unionAll(late).orderBy("o_orderkey", "tag")
+    },
+
+    // q24: null semantics — nulls from an outer join, IS NULL, COALESCE,
+    // and explicit NULLS-FIRST ordering parity.
+    QueryDef.sql(
+      "q24_null_handling",
+      """SELECT n_nationkey, n_name, COALESCE(s_name, 'NO_SUPPLIER') AS supp,
+        |  CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END AS missing
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |ORDER BY n_nationkey, supp""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left")
+        .select(
+          col("n_nationkey"), col("n_name"),
+          coalesce(col("s_name"), lit("NO_SUPPLIER")).as("supp"),
+          when(col("s_suppkey").isNull, 1).otherwise(0).as("missing"))
+        .orderBy("n_nationkey", "supp")
+    },
+
+    // q25: row-level arithmetic expression evaluation (all codegen'd).
+    // charge is computed in exact decimal end-to-end: prices/discounts/
+    // taxes carry ≤2 decimals, so decimal(·,2) casts are tie-free and
+    // the triple product (scale 6) never rounds — double→decimal casts
+    // of the *product* would hit genuine half-way ties that Spark
+    // (HALF_UP) and DuckDB (rint, half-even) break differently.
+    QueryDef.sql(
+      "q25_arithmetic",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2)) AS DOUBLE) AS charge,
+        |  l_orderkey % 7 AS bucket7,
+        |  CAST(l_quantity AS BIGINT) * l_linenumber AS qty_line
+        |FROM lineitem WHERE l_quantity <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) *
+            (lit(1) - col("l_discount")).cast(org.apache.spark.sql.types.DecimalType(8, 2)) *
+            (lit(1) + col("l_tax")).cast(org.apache.spark.sql.types.DecimalType(8, 2)))
+            .cast("double").as("charge"),
+          (col("l_orderkey") % 7).as("bucket7"),
+          (col("l_quantity").cast("bigint") * col("l_linenumber")).as("qty_line"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // q26: JSON field extraction from the events.props payload.
+    QueryDef.sql(
+      "q26_json_extract",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+        .orderBy("event_type")
+    }
+  )
+}
