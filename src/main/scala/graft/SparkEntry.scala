@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All implemented capabilities (SURVEY.md §2), in registration order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ MicroBlockQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

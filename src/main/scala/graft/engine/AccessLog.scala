@@ -1,0 +1,43 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+
+/** One logged query access: which blocks a query touched. */
+final case class Access(queryIdx: Long, table: String, blocks: Seq[Int])
+
+/** Append-only access log + bounded global history.
+  *
+  * Mirrors the reference's `AccessLogger` (JSON file of per-query block
+  * lists) and `GlobalHistory` (rolling window of recently touched block
+  * ids) — access_logger.py:1-61. The JSONL file is Spark-readable, so
+  * the prefetch model trains *from the log* as a distributed job.
+  */
+final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) {
+
+  private val accesses = mutable.ArrayBuffer.empty[Access]
+  private val history = mutable.ArrayDeque.empty[Int]
+  private var nextIdx = 0L
+
+  def log(table: String, blocks: Seq[Int]): Access = synchronized {
+    val a = Access(nextIdx, table, blocks)
+    nextIdx += 1
+    accesses += a
+    blocks.foreach { b =>
+      history.append(b)
+      while (history.size > historyWindow) history.removeHead()
+    }
+    logPath.foreach { p =>
+      val line = s"""{"queryIdx":${a.queryIdx},"table":"${a.table}","blocks":[${a.blocks.mkString(",")}]}\n"""
+      Files.write(Paths.get(p), line.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    a
+  }
+
+  def all: Seq[Access] = synchronized(accesses.toSeq)
+
+  /** Most recent `n` block ids, oldest→newest (the model's input). */
+  def recent(n: Int): Seq[Int] = synchronized(history.takeRight(n).toSeq)
+}

@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.plans.{Pred, ZoneMapPruner}
+import graft.sources.{BlockStat, MicroBlockIndex}
+
+/** The cache-aware micro-block engine — graft's counterpart of the
+  * reference's `StorageEngineV5` (query_enginev5.py:17-304).
+  *
+  * Orchestration per query, same as the reference:
+  *   1. zone-map pruning from the stats index → candidate blocks
+  *   2. access logged (log + rolling history + scheduler signal)
+  *   3. candidate blocks served from the LRU cache, misses loaded
+  *   4. execution — here Catalyst/Tungsten instead of DuckDB
+  *
+  * Two serve paths:
+  *   - `query` — reference-parity: per-block cached DataFrames unioned.
+  *     Right when a hot working set should stay pinned in executor
+  *     memory across queries (the reference's whole point).
+  *   - `queryDirect` — one pruned multi-file scan, no cache. Right for
+  *     cold one-offs and very large candidate sets (a union of
+  *     thousands of cached scans would bloat the plan).
+  */
+final class GraftEngine(
+    val spark: SparkSession,
+    val tablePath: String,
+    val table: String,
+    cacheCapacity: Int = 64,
+    markovOrder: Int = 1,
+    logPath: Option[String] = None) {
+
+  /** Metadata only — the full stats live distributed; per-table we pull
+    * the (small) per-block summaries the driver needs for planning. */
+  val stats: Seq[BlockStat] = MicroBlockIndex.build(spark, tablePath, table).collect().toSeq
+
+  private val fileOf: Map[Int, String] =
+    stats.map(b => b.blockId -> b.file).toMap
+
+  val cache = new BlockCacheManager(cacheCapacity)
+  val accessLog = new AccessLog(logPath)
+  val prefetcher = new MarkovPrefetcher(markovOrder)
+  val service = new PrefetchService(accessLog, prefetcher, cache, loadBlock _)
+
+  def blockIds: Seq[Int] = stats.map(_.blockId).distinct.sorted
+
+  def loadBlock(id: Int): DataFrame = spark.read.parquet(fileOf(id))
+
+  /** Candidate blocks for a predicate (pruning decision only). */
+  def candidates(pred: Pred): Seq[Int] =
+    ZoneMapPruner.decisions(stats, pred).filter(_._4).map(_._1)
+
+  /** Reference-parity query path (prune → log → cache → execute). */
+  def query(pred: Pred): DataFrame = {
+    val ids = candidates(pred)
+    accessLog.log(table, ids)
+    val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
+    val unioned = parts.reduceOption(_ unionAll _)
+      .getOrElse(loadBlock(blockIds.head).limit(0))
+    unioned.filter(pred.toColumn)
+  }
+
+  /** Single pruned scan (no per-block caching) — see class doc. */
+  def queryDirect(pred: Pred): DataFrame = {
+    val ids = candidates(pred)
+    accessLog.log(table, ids)
+    ZoneMapPruner.prunedRead(spark, stats, pred)
+  }
+
+  /** Re-fit the prefetch model from everything logged so far. */
+  def retrain(): Unit = {
+    import spark.implicits._
+    val seq = accessLog.all.flatMap(_.blocks).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }
+    if (seq.nonEmpty) prefetcher.fit(spark, seq.toDF("seq", "block"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+
+/** The predicate algebra the reference's pruner understands
+  * (reference: query_enginev5.py:107-233): AND, OR, BETWEEN, IN and the
+  * six comparisons, with column-vs-constant operands. Values are either
+  * numeric (ints/doubles/timestamp epochs) or strings.
+  */
+sealed trait Pred {
+  /** Render as a Spark Column for actual row-level filtering. */
+  def toColumn: Column = this match {
+    case And(l, r)          => l.toColumn && r.toColumn
+    case Or(l, r)           => l.toColumn || r.toColumn
+    case Between(c, lo, hi) => col(c).between(lit(lo.value), lit(hi.value))
+    case In(c, vs)          => col(c).isin(vs.map(_.value): _*)
+    case Cmp("=", c, v)     => col(c) === lit(v.value)
+    case Cmp("!=", c, v)    => col(c) =!= lit(v.value)
+    case Cmp("<", c, v)     => col(c) < lit(v.value)
+    case Cmp("<=", c, v)    => col(c) <= lit(v.value)
+    case Cmp(">", c, v)     => col(c) > lit(v.value)
+    case Cmp(">=", c, v)    => col(c) >= lit(v.value)
+    case Cmp(op, _, _)      => throw new IllegalArgumentException(s"op $op")
+  }
+}
+final case class And(l: Pred, r: Pred) extends Pred
+final case class Or(l: Pred, r: Pred) extends Pred
+final case class Between(column: String, lo: PredValue, hi: PredValue) extends Pred
+final case class In(column: String, values: Seq[PredValue]) extends Pred
+/** op ∈ {=, !=, <, <=, >, >=} */
+final case class Cmp(op: String, column: String, v: PredValue) extends Pred
+
+/** A literal in a predicate.
+  *
+  * `num`/`str` are the views the zone-map pruner compares against
+  * footer min/max. Timestamp literals carry both: `num` = epoch
+  * *microseconds* (the physical INT64 in Spark-written parquet footers)
+  * for stats pruning, and `tsStr` ("yyyy-MM-dd HH:mm:ss") which
+  * `toColumn` renders so the row-level filter type-checks against
+  * TIMESTAMP/TIMESTAMP_NTZ columns.
+  */
+final case class PredValue(num: Option[Double], str: Option[String],
+    tsStr: Option[String] = None) {
+  def value: Any = tsStr.orElse(num).orElse(str).orNull
+}
+object PredValue {
+  def apply(d: Double): PredValue = PredValue(Some(d), None)
+  def apply(l: Long): PredValue = PredValue(Some(l.toDouble), None)
+  def apply(s: String): PredValue = PredValue(None, Some(s))
+  /** Timestamp literal from "yyyy-MM-dd[ HH:mm:ss]" (UTC). */
+  def ts(s: String): PredValue = {
+    val full = if (s.length == 10) s + " 00:00:00" else s
+    val micros = java.time.LocalDateTime
+      .parse(full.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    PredValue(Some(micros.toDouble), None, Some(full))
+  }
+}

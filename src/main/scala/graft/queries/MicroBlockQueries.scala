@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftEngine, MarkovPrefetcher, PrefetchEval}
+import graft.plans.{Between, Pred, PredValue}
+import graft.sources.MicroBlockWriter
+
+/** SURVEY.md §2b — the reference's own micro-block machinery exposed as
+  * verifiable queries (rows-only checks: outputs are deterministic but
+  * hash-level SQL parity is not meaningful for engine internals).
+  *
+  * Each query works on a micro-blocked copy of `lineitem`, clustered by
+  * `l_shipdate` into 16 blocks (built once per JVM per scale factor
+  * under target/scratch — the analog of running
+  * parquet_to_microblocks.py before using the reference engine).
+  */
+object MicroBlockQueries {
+
+  private val NumBlocks = 16
+
+  /** Deterministic date-range scan workload (mirrors the reference's
+    * smoke-loop of repeated range queries: smoke_test.py / README) —
+    * three passes over six month-window predicates, so the access
+    * sequence has learnable structure. */
+  private def workload: Seq[Pred] = {
+    val months = Seq(
+      ("1995-01-01", "1996-01-01"), ("1996-01-01", "1997-01-01"),
+      ("1997-01-01", "1998-01-01"), ("1998-01-01", "1999-01-01"),
+      ("1999-01-01", "2000-01-01"), ("2000-01-01", "2001-01-01"))
+    Seq.fill(3)(months).flatten.map { case (lo, hi) =>
+      Between("l_shipdate", PredValue.ts(lo), PredValue.ts(hi))
+    }
+  }
+
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  /** Build (once) the micro-blocked lineitem copy for this sf dir. */
+  private def microPath(spark: SparkSession, dir: String): String = synchronized {
+    val sfName = Paths.get(dir).getFileName.toString
+    val out = s"target/scratch/microblocks/$sfName/lineitem"
+    if (!built.contains(out)) {
+      if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+        val li = graft.engine.Tables.load(spark, dir, "lineitem")
+        MicroBlockWriter.write(li, out, "l_shipdate", NumBlocks)
+      }
+      built += out
+    }
+    out
+  }
+
+  private val engines = scala.collection.mutable.Map.empty[String, GraftEngine]
+
+  private def engine(spark: SparkSession, dir: String): GraftEngine = synchronized {
+    engines.getOrElseUpdate(dir,
+      new GraftEngine(spark, microPath(spark, dir), "lineitem"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // mb27: the zone-map index itself — per-(block, column) stats.
+    QueryDef.rowsOnly("mb_index_stats") { (s, dir) =>
+      import s.implicits._
+      val e = engine(s, dir)
+      e.stats.map(b => (b.blockId, b.column, b.rows, b.nullCount, b.minNum, b.maxNum))
+        .toDF("block_id", "column", "rows", "null_count", "min_num", "max_num")
+        .orderBy("block_id", "column")
+    },
+
+    // mb28: pruning decisions for a range predicate on the cluster key,
+    // with a row-level audit: blocks marked `keep=false` must contain
+    // zero matching rows (conservativeness), and kept blocks must cover
+    // exactly the full matching row count.
+    QueryDef.rowsOnly("mb_prune_count") { (s, dir) =>
+      import s.implicits._
+      val e = engine(s, dir)
+      val pred = Between("l_shipdate",
+        PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
+      val dec = graft.plans.ZoneMapPruner.decisions(e.stats, pred)
+      val audit = dec.map { case (id, file, rows, keep) =>
+        val matching = s.read.parquet(file).filter(pred.toColumn).count()
+        (id, rows, keep, matching, !keep && matching > 0)
+      }
+      audit.toDF("block_id", "block_rows", "keep", "matching_rows", "pruning_error")
+        .orderBy("block_id")
+    },
+
+    // mb29: access logging + global history over the workload.
+    QueryDef.rowsOnly("mb_access_log") { (s, dir) =>
+      import s.implicits._
+      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
+      workload.foreach(p => e.candidates(p) match { case ids => e.accessLog.log("lineitem", ids) })
+      e.accessLog.all
+        .map(a => (a.queryIdx, a.blocks.size.toLong, a.blocks.mkString(",")))
+        .toDF("query_idx", "n_blocks", "blocks")
+        .orderBy("query_idx")
+    },
+
+    // mb30: the fitted next-block model (context -> next, count) —
+    // trained distributed from the logged workload.
+    QueryDef.rowsOnly("mb_prefetch_train") { (s, dir) =>
+      import s.implicits._
+      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
+      workload.foreach(p => e.accessLog.log("lineitem", e.candidates(p)))
+      e.retrain()
+      e.prefetcher.modelRows.toDF("ctx", "next_block", "cnt")
+        .orderBy("ctx", "next_block")
+    },
+
+    // mb31: prediction quality — train on the first 2 workload passes,
+    // replay the third, score hit-rate@k (validate_predictions.py).
+    QueryDef.rowsOnly("mb_prefetch_eval") { (s, dir) =>
+      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
+      val seqAll = workload.map(p => e.candidates(p))
+      val flat = seqAll.flatten
+      val (train, test) = flat.splitAt(flat.size * 2 / 3)
+      val model = new MarkovPrefetcher(1).fitSeq(s, train)
+      PrefetchEval.summarize(s, PrefetchEval.replay(model, test, k = 3), k = 3)
+    }
+  )
+}

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** One (block, column) stats entry — the unit of the zone-map index.
+  *
+  * Mirrors the reference's `BlockMetadata` (microblock_index.py:60-93:
+  * table/column/row-group ids, row range, byte offset/length, min/max/
+  * null_count, compression). `minNum`/`maxNum` carry the numeric view
+  * (ints, doubles, timestamp epochs) used for range pruning; `minStr`/
+  * `maxStr` the lexical view for string columns.
+  */
+final case class BlockStat(
+    table: String,
+    file: String,
+    blockId: Int,
+    rowStart: Long,
+    rowEnd: Long,
+    column: String,
+    rows: Long,
+    nullCount: Long,
+    bytes: Long,
+    codec: String,
+    minNum: Option[Double],
+    maxNum: Option[Double],
+    minStr: Option[String],
+    maxStr: Option[String])
+
+/** Distributed zone-map index over parquet footers.
+  *
+  * The reference builds this with a driver loop over one file's row
+  * groups (microblock_index.py:117-156). At 100 TB the metadata itself
+  * is big data — millions of files — so graft lists the files once and
+  * reads footers *on executors*, yielding a stats Dataset that can be
+  * persisted as an index table and joined/filtered like any other data
+  * (the Delta/Iceberg file-stats design). Row groups within a file are
+  * indexed too, so both file-level and row-group-level pruning fall out
+  * of the same table.
+  */
+object MicroBlockIndex {
+
+  /** Build the index for one table path (a parquet file or directory). */
+  def build(spark: SparkSession, tablePath: String, table: String): Dataset[BlockStat] = {
+    import spark.implicits._
+    val files = listParquetFiles(tablePath)
+    // Footer reads are tiny metadata I/O — parallelize the *file list*,
+    // never the data. Block ids follow the sorted file order (stable:
+    // part numbers are zero-padded) then row-group order within a file.
+    val fileWithOrd = files.sorted.zipWithIndex
+    val perFile = spark.sparkContext
+      .parallelize(fileWithOrd, math.max(1, math.min(fileWithOrd.size, 64)))
+      .flatMap { case (file, fileOrd) => readFooterStats(table, file, fileOrd) }
+    val ds = spark.createDataset(perFile)
+    // renumber (fileOrd, rowGroup) pairs into dense global block ids
+    // and compute global row offsets — a tiny index-side shuffle.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy("blockId")
+    val blockRows = ds.groupBy("blockId").agg(first("rows").as("block_rows"))
+      .withColumn("rowStartG", coalesce(sum("block_rows").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("newBlockId", row_number().over(w) - 1)
+    ds.join(broadcast(blockRows), "blockId")
+      .withColumn("rowStart", col("rowStartG"))
+      .withColumn("rowEnd", col("rowStartG") + col("rows") - 1)
+      .withColumn("blockId", col("newBlockId"))
+      .drop("rowStartG", "newBlockId", "block_rows")
+      .as[BlockStat]
+  }
+
+  /** Footer → per-(row-group, column) stats. Runs on executors. */
+  private def readFooterStats(table: String, file: String, fileOrd: Int): Seq[BlockStat] = {
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      blocks.zipWithIndex.flatMap { case (bm, rg) =>
+        // provisional id: file ordinal * 10^6 + row group; densified in build()
+        val provisionalId = fileOrd * 1000000 + rg
+        bm.getColumns.asScala.toSeq.map { cc =>
+          val stats = cc.getStatistics
+          val (minN, maxN, minS, maxS) =
+            if (stats == null || !stats.hasNonNullValue) (None, None, None, None)
+            else (numeric(stats.genericGetMin), numeric(stats.genericGetMax),
+              lexical(stats.genericGetMin), lexical(stats.genericGetMax))
+          BlockStat(
+            table = table,
+            file = file,
+            blockId = provisionalId,
+            rowStart = 0L,
+            rowEnd = 0L,
+            column = cc.getPath.toDotString,
+            rows = bm.getRowCount,
+            nullCount = if (stats == null) -1L else stats.getNumNulls,
+            bytes = cc.getTotalSize,
+            codec = cc.getCodec.toString,
+            minNum = minN, maxNum = maxN, minStr = minS, maxStr = maxS)
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.doubleValue)
+    case l: java.lang.Long    => Some(l.doubleValue)
+    case f: java.lang.Float   => Some(f.doubleValue)
+    case d: java.lang.Double  => Some(d.doubleValue)
+    case _                    => None
+  }
+
+  private def lexical(v: Any): Option[String] = v match {
+    case b: Binary => Some(b.toStringUsingUTF8)
+    case other     => Option(other).map(_.toString)
+  }
+
+  def listParquetFiles(tablePath: String): Seq[String] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isFile) Seq(tablePath)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables, MarkovPrefetcher, BlockCacheManager, AccessLog, PrefetchService}
+import graft.plans._
+import graft.sources.{MicroBlockIndex, MicroBlockWriter}
+
+class MicroBlockSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-mb-test")
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val mbPath = {
+    val out = "target/scratch/test/microblocks-lineitem"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), out, "l_shipdate", 8)
+    out
+  }
+
+  test("index covers all rows and columns") {
+    val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect()
+    val blocks = stats.map(_.blockId).distinct
+    assert(blocks.length == 8)
+    val totalRows = stats.groupBy(_.blockId).map(_._2.head.rows).sum
+    assert(totalRows == 6000L)
+    assert(stats.map(_.column).distinct.length == 11)
+    // clustered on l_shipdate: block ranges must be non-overlapping
+    val shipStats = stats.filter(_.column == "l_shipdate").sortBy(_.blockId)
+    shipStats.sliding(2).foreach {
+      case Array(a, b) => assert(a.maxNum.get <= b.minNum.get)
+      case _ =>
+    }
+  }
+
+  test("pruning is conservative and effective on the cluster key") {
+    val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq
+    val pred = Between("l_shipdate", PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
+    val dec = ZoneMapPruner.decisions(stats, pred)
+    assert(dec.exists(!_._4), "range predicate on cluster key must prune some blocks")
+    // correctness: pruned scan result == full scan + filter
+    val pruned = ZoneMapPruner.prunedRead(spark, stats, pred).count()
+    val full = spark.read.parquet(mbPath).filter(pred.toColumn).count()
+    assert(pruned == full)
+  }
+
+  test("pruning semantics mirror the reference on all node types") {
+    val stats = Map("x" -> ColStats(Some(10.0), Some(20.0), None, None))
+    assert(ZoneMapPruner.mayMatch(Cmp("=", "x", PredValue(15.0)), stats))
+    assert(!ZoneMapPruner.mayMatch(Cmp("=", "x", PredValue(25.0)), stats))
+    assert(ZoneMapPruner.mayMatch(Cmp("!=", "x", PredValue(15.0)), stats))
+    assert(!ZoneMapPruner.mayMatch(Cmp(">", "x", PredValue(20.0)), stats))
+    assert(ZoneMapPruner.mayMatch(Cmp(">=", "x", PredValue(20.0)), stats))
+    assert(!ZoneMapPruner.mayMatch(Cmp("<", "x", PredValue(10.0)), stats))
+    assert(!ZoneMapPruner.mayMatch(Between("x", PredValue(21.0), PredValue(30.0)), stats))
+    assert(!ZoneMapPruner.mayMatch(In("x", Seq(PredValue(1.0), PredValue(25.0))), stats))
+    assert(ZoneMapPruner.mayMatch(In("x", Seq(PredValue(1.0), PredValue(12.0))), stats))
+    // AND prunes if either side prunes; OR only if both do
+    val dead = Cmp("=", "x", PredValue(99.0))
+    val alive = Cmp("=", "x", PredValue(15.0))
+    assert(!ZoneMapPruner.mayMatch(And(dead, alive), stats))
+    assert(ZoneMapPruner.mayMatch(Or(dead, alive), stats))
+    // unknown column: conservative keep
+    assert(ZoneMapPruner.mayMatch(Cmp("=", "y", PredValue(1.0)), stats))
+  }
+
+  test("block cache LRU semantics + hit/miss accounting") {
+    val cache = new BlockCacheManager(2)
+    val df = spark.range(10).toDF("id")
+    cache.put("a", df); cache.put("b", df)
+    assert(cache.get("a").isDefined)      // a now most-recent
+    cache.put("c", df)                    // evicts b
+    assert(cache.get("b").isEmpty)
+    assert(cache.get("a").isDefined && cache.get("c").isDefined)
+    assert(cache.hits == 3 && cache.misses == 1)
+    cache.clear()
+  }
+
+  test("markov prefetcher learns a cyclic access pattern") {
+    val pattern = Seq.fill(10)(Seq(1, 2, 3, 4)).flatten
+    val m = new MarkovPrefetcher(1).fitSeq(spark, pattern)
+    assert(m.suggest(Seq(1), 1) == Seq(2))
+    assert(m.suggest(Seq(4), 1) == Seq(1))
+    assert(m.suggest(Seq(3), 2).head == 4)
+  }
+
+  test("prefetch service warms predicted blocks into the cache") {
+    val log = new AccessLog()
+    val cache = new BlockCacheManager(8)
+    val m = new MarkovPrefetcher(1).fitSeq(spark, Seq.fill(5)(Seq(0, 1, 2)).flatten)
+    val svc = new PrefetchService(log, m, cache, id => spark.range(id * 10L, id * 10L + 10).toDF("id"))
+    log.log("t", Seq(0, 1))
+    val warmed = svc.tick()
+    assert(warmed.contains(2), s"expected block 2 prefetched, got $warmed")
+    assert(cache.get("block-2").isDefined)
+    cache.clear()
+  }
+
+  test("end-to-end: engine query path = prune + log + cache + execute") {
+    val e = new graft.engine.GraftEngine(spark, mbPath, "lineitem")
+    val pred = Between("l_shipdate", PredValue.ts("1996-01-01"), PredValue.ts("1997-01-01"))
+    val viaEngine = e.query(pred).count()
+    val direct = spark.read.parquet(mbPath).filter(pred.toColumn).count()
+    assert(viaEngine == direct)
+    assert(e.accessLog.all.nonEmpty)
+    assert(e.cache.size > 0)
+    // second run: all candidate blocks come from cache
+    val missesBefore = e.cache.misses
+    e.query(pred).count()
+    assert(e.cache.misses == missesBefore, "second identical query must be all cache hits")
+  }
+}
