@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** All implemented capabilities (SURVEY.md §2), in registration order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all ++ MicroBlockQueries.all
+    RelationalQueries.all ++ MicroBlockQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++
+      MultimodalQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

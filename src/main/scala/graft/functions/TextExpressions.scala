@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Wrapping 64-bit polynomial rolling hash over a string's UTF-8 bytes
+  * — graft's document fingerprint primitive (SURVEY.md §2c
+  * ta_fingerprint). Implemented as a native Catalyst expression *with
+  * codegen* so fingerprinting a 100 TB corpus stays inside
+  * whole-stage-generated loops (no UDF serialization, no boxing).
+  *
+  * h₀ = 1125899906842597; hᵢ = hᵢ₋₁ * 31 + byteᵢ (wrapping).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + (long) $bytes[$i];
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+}
+
+/** 64-bit SimHash over an array of tokens (SURVEY.md §2c dd_simhash).
+  *
+  * Classic Charikar construction: each token hashes to 64 bits
+  * (FNV-1a); each bit position accumulates +1/-1; the signature's bit
+  * is 1 where the accumulator is positive. Near-duplicate docs differ
+  * in few bits, so Hamming-band bucketing finds candidates without
+  * O(n²) comparisons. Imperative eval (CodegenFallback) — the per-row
+  * work is a token loop, which dominates any codegen saving.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Column-level entry points. */
+object TextExpressions {
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+  def rolling_hash(c: Column): Column = ColumnBridge.column(RollingHash(expr(c)))
+  def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(expr(c)))
+}

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the LLM-data-pipeline operators
+  * (SURVEY.md §2c). Everything here composes `org.apache.spark.sql.
+  * functions._` (codegen'd / JVM-native higher-order functions) — no
+  * Scala UDFs — so the operators scale as ordinary Catalyst plans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a (already normalized) text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Normalize for exact dedup: lowercase, trim, collapse whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Word k-shingles: overlapping k-grams joined by single spaces.
+    * k=3 word shingles are the standard near-dup unit (Broder '97). */
+  def shingles(toks: Column, k: Int): Column = {
+    // for i in 0..(n-k): concat_ws(' ', slice(toks, i+1, k))
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** One MinHash signature component: min over shingles of a seeded
+    * 64-bit hash. `xxhash64(seed, shingle)` is Spark's codegen'd
+    * XXH64 — seeding by an extra column is the standard way to get a
+    * family of hash functions without RNG state. */
+  def minhashComponent(shingleSet: Column, seed: Int): Column =
+    array_min(transform(shingleSet, s => xxhash64(lit(seed), s)))
+
+  /** Full MinHash signature as an array column (numPerms components). */
+  def minhashSignature(shingleSet: Column, numPerms: Int): Column =
+    array((0 until numPerms).map(minhashComponent(shingleSet, _)): _*)
+
+  /** LSH band keys: hash r consecutive signature components per band →
+    * array of (numPerms / r) band hashes. Docs sharing ANY band hash
+    * are near-dup candidates (banding theorem: catches high-Jaccard
+    * pairs with high probability while keeping the join sparse). */
+  def minhashBands(sig: Column, numPerms: Int, rowsPerBand: Int): Column = {
+    val numBands = numPerms / rowsPerBand
+    array((0 until numBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity of two array-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  // ---- embeddings ----------------------------------------------------
+
+  /** Dot product of two float-array columns (codegen'd higher-order
+    * fold — no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** Cosine similarity given precomputed norms (compute norms once per
+    * side before a pairwise join — never inside it). */
+  def cosineFromDot(dotCol: Column, normA: Column, normB: Column): Column =
+    when(normA === 0 || normB === 0, 0.0).otherwise(dotCol / (normA * normB))
+
+  /** Deterministic random-hyperplane LSH bit: sign of ⟨v, h_i⟩ where
+    * hyperplane component h_i[j] is a pseudo-random ±[0,1) value derived
+    * from xxhash64(i, j) — no RNG state, identical on every executor. */
+  def hyperplaneBit(vec: Column, plane: Int): Column = {
+    // component j of plane i: (hash(i, j) % 10000) / 10000 - 0.5
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, j) => v * ((pmod(xxhash64(lit(plane), j), lit(10000)).cast("double") / 10000.0) - 0.5)),
+      lit(0.0d), (acc, x) => acc + x)
+    when(proj >= 0, 1).otherwise(0)
+  }
+
+  /** LSH bucket id from `bits` hyperplane signs (bits ≤ 30). */
+  def hyperplaneBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map(i => hyperplaneBit(vec, i) * lit(1 << i))
+      .reduce(_ + _)
+
+  // ---- language ID ---------------------------------------------------
+
+  /** Stopword lists for the n-gram/stopword language heuristic. Small
+    * curated high-frequency function words per language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "de", "del", "para"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "个"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Predicted language = argmax over stopword scores (ties → first in
+    * the fixed lang order, deterministic). */
+  def langPredict(toks: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scored = array(langs.map(l =>
+      struct(stopwordRatio(toks, l).as("score"), lit(l).as("lang"))): _*)
+    // array_max on struct compares score first, then lang — break ties
+    // deterministically by preferring the lexically-largest lang name
+    // only when scores are equal; acceptable for a heuristic.
+    array_max(scored).getField("lang")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.TextExpressions.simhash64
+import graft.functions.TextFunctions._
+
+/** SURVEY.md §2c — near-duplicate detection over `documents` and
+  * `embeddings`.
+  *
+  * All four operators follow the same scale shape: per-row signature
+  * (narrow, codegen) → candidate generation via bucket join (shuffle on
+  * a sparse key — never an O(n²) cross join) → exact verification only
+  * within candidate pairs. The verify dump reports the top-K most
+  * similar pairs (deterministically ordered) so results are non-empty
+  * even on a corpus with no true near-dups.
+  */
+object DedupQueries {
+
+  private val TopK = 50
+
+  /** doc_id, toks, shingle set (distinct word 3-grams). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+
+  /** Candidate pairs via any shared key in `keysCol` (exploded bucket
+    * join). `a < b` canonicalization + distinct dedups multi-bucket
+    * collisions. */
+  private def bucketPairs(docs: DataFrame, keysCol: String): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(col(keysCol)).as("bkey"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // dd33: MinHash + LSH banding (128 perms, 32 bands × 4 rows) →
+    // bucket join → exact Jaccard verify on candidates only.
+    QueryDef.rowsOnly("dd_minhash_lsh") { (s, dir) =>
+      val docs = docShingles(s, dir)
+        .withColumn("sig", minhashSignature(col("sh"), 128))
+        .withColumn("bands", minhashBands(col("sig"), 128, 4))
+        .persist()
+      val pairs = bucketPairs(docs, "bands")
+      val withJac = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      withJac.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
+    },
+
+    // dd34: SimHash (native Catalyst expression) + Hamming distance via
+    // 4×16-bit band bucketing; near-dup = small bit_count(xor).
+    QueryDef.rowsOnly("dd_simhash") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+        // 4 bands of 16 bits: docs within Hamming distance 3 share ≥1 band
+        .withColumn("bands", array((0 until 4).map(b =>
+          concat(lit(b + ":"), (shiftright(col("sig"), b * 16) bitwiseAND lit(0xffffL)).cast("string"))): _*))
+        .persist()
+      val pairs = bucketPairs(docs, "bands")
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a") bitwiseXOR col("sig_b")).as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(TopK)
+    },
+
+    // dd35: n-gram Jaccard similarity join with prefix filtering: each
+    // doc contributes its K smallest-hashed shingles as join keys —
+    // docs sharing none of their prefixes can't have high Jaccard, so
+    // the bucket join is sparse (PPJoin-style prefix filter).
+    QueryDef.rowsOnly("dd_ngram_jaccard") { (s, dir) =>
+      val docs = docShingles(s, dir)
+        .withColumn("prefix",
+          slice(array_sort(transform(col("sh"), sh => xxhash64(sh))), 1, 8))
+        .persist()
+      val pairs = bucketPairs(docs, "prefix")
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
+    },
+
+    // dd36: embedding-cosine near-dup — 12-bit random-hyperplane LSH
+    // buckets, exact cosine only within buckets.
+    QueryDef.rowsOnly("dd_embedding") { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("nrm"),
+          hyperplaneBucket(col("embedding"), 12).as("bucket"))
+        .persist()
+      val l = vecs.as("l")
+      val r = vecs.as("r")
+      l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          cosineFromDot(dot(col("l.embedding"), col("r.embedding")),
+            col("l.nrm"), col("r.nrm")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(TopK)
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.streaming.EventStreams
+
+/** SURVEY.md §2d — event-stream semantics, verified in batch mode
+  * against the DuckDB oracle (identical plans run under Structured
+  * Streaming in StreamingSpec).
+  */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // st44: tumbling-window aggregation (the same plan streams with a
+    // watermark — EventStreams.hourlyAggStream).
+    QueryDef.sql(
+      "st_window_agg",
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+      EventStreams.hourlyAgg(Tables.load(s, dir, "events"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // st45: sessionization — 30-min-gap sessions per user via event-time
+    // ordering + lag. Gap arithmetic in whole seconds (both engines
+    // floor sub-second precision identically).
+    QueryDef.sql(
+      "st_sessionize",
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    date_diff('second',
+        |      LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      CAST(ts AS TIMESTAMP)) AS gap_s
+        |  FROM events)
+        |SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (lit(1) + sum(when(col("gap_s") > 1800, 1).otherwise(0))).cast("bigint").as("n_sessions"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md
+  * §2d). The transforms are defined once and applied to either a batch
+  * or a streaming DataFrame — Structured Streaming's core contract —
+  * so batch runs verify semantics against the DuckDB oracle and the
+  * streaming test verifies incremental execution of the same plan.
+  */
+object EventStreams {
+
+  /** events schema after ts normalization (nanos → TIMESTAMP). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos in the parquet
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Streaming read of an events directory (nanos handled as in the
+    * batch path). */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.readStream.schema(schema).parquet(path))
+  }
+
+  /** Tumbling-window aggregation: hourly counts + exact value sums per
+    * event type. In streaming mode add `withWatermark` before this. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming variant of [[hourlyAgg]]. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "2 hours"))
+}

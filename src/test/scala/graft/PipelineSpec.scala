@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+import graft.functions.TextExpressions._
+import graft.functions.TextFunctions._
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-pipe-test")
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("rolling_hash matches reference implementation and is stable") {
+    val got = Seq("hello", "", "a b c").toDF("t")
+      .select(rolling_hash(col("t"))).as[Long].collect()
+    val want = Seq("hello", "", "a b c").map(s =>
+      graft.functions.RollingHash.hashBytes(s.getBytes("UTF-8")))
+    assert(got.toSeq == want)
+    // codegen and interpreted paths agree
+    val doc = Tables.load(spark, dir, "documents").limit(50)
+    val viaExpr = doc.select(col("doc_id"), rolling_hash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScala = doc.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.RollingHash.hashBytes(r.getString(1).getBytes("UTF-8"))).toMap
+    assert(viaExpr == viaScala)
+  }
+
+  test("simhash: identical token arrays → identical sig; similar → close") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "the quick brown fox leaps over the lazy dog"),
+      ("d", "completely different words here entirely unrelated stuff")
+    ).toDF("id", "t").select(col("id"), simhash64(split(col("t"), " ")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("c")) < ham(m("a"), m("d")),
+      s"similar docs should be closer: ${ham(m("a"), m("c"))} vs ${ham(m("a"), m("d"))}")
+  }
+
+  test("minhash approximates jaccard") {
+    val df = Seq(
+      ("x", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      ("y", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz")
+    ).toDF("id", "t")
+      .select(col("id"), array_distinct(shingles(tokens(col("t")), 3)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), 128))
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    val (shX, sigX) = rows("x"); val (shY, sigY) = rows("y")
+    val trueJ = shX.intersect(shY).size.toDouble / shX.union(shY).size
+    val estJ = sigX.zip(sigY).count { case (a, b) => a == b }.toDouble / 128
+    assert(math.abs(trueJ - estJ) < 0.15, s"true=$trueJ est=$estJ")
+  }
+
+  test("dedup operators find the planted near-duplicates at sf0.001") {
+    // the corpus contains high-jaccard pairs (verified at sf0.01);
+    // here just assert structure + determinism of the top-pairs output
+    val r1 = SparkEntry.queries("dd_minhash_lsh")(spark, dir).collect()
+    val r2 = SparkEntry.queries("dd_minhash_lsh")(spark, dir).collect()
+    assert(r1.nonEmpty)
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "must be deterministic")
+    r1.foreach(r => assert(r.getLong(0) < r.getLong(1), "pairs canonicalized a<b"))
+  }
+
+  test("cosine helpers: dot/norm against hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("d"),
+      l2norm(col("a")).as("na"),
+      l2norm(col("b")).as("nb")).collect().head
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0)
+  }
+
+  test("ann_bruteforce returns k ranked neighbors per query") {
+    val res = SparkEntry.queries("ann_bruteforce")(spark, dir)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("maxr"))
+      .collect()
+    assert(res.length == 8)
+    res.foreach(r => assert(r.getAs[Long]("n") == 10 && r.getAs[Int]("maxr") == 10))
+    // ranks ordered by cosine desc within each query
+    val one = SparkEntry.queries("ann_bruteforce")(spark, dir)
+      .filter(col("query_id") === 0).orderBy("rank").select("cosine").as[Double].collect()
+    assert(one.toSeq == one.sortBy(-_).toSeq)
+  }
+
+  test("ann_lsh neighbors are a subset of bruteforce candidates' space") {
+    val lsh = SparkEntry.queries("ann_lsh")(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
+  test("mm_metadata: stub decode plumbing has stable schema + checksums") {
+    val df = SparkEntry.queries("mm_metadata")(spark, dir)
+    assert(df.columns.toSeq == Seq("doc_id", "modality", "byte_len", "checksum", "features"))
+    val r = df.collect()
+    assert(r.length == 500)
+    r.take(20).foreach { row =>
+      val feats = row.getSeq[Double](4)
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram normalized")
+      assert(row.getInt(2) > 0)
+    }
+  }
+
+  test("langid predicts only known languages") {
+    val langs = SparkEntry.queries("ta_langid")(spark, dir)
+      .select("lang_pred").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+}
