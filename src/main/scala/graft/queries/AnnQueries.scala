@@ -25,6 +25,7 @@ object AnnQueries {
     // queries (the right plan at any scale when queries ≪ corpus).
     QueryDef.rowsOnly("ann_bruteforce") { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       val queries = vecs.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -46,6 +47,7 @@ object AnnQueries {
     // everything per query and a bucket lookup.
     QueryDef.rowsOnly("ann_lsh") { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),
           l2norm(col("embedding")).as("nrm"),
           hyperplaneBucket(col("embedding"), 8).as("bucket"))

@@ -21,9 +21,16 @@ object DedupQueries {
 
   private val TopK = 50
 
-  /** doc_id, toks, shingle set (distinct word 3-grams). */
+  /** doc_id, toks, shingle set (distinct word 3-grams).
+    *
+    * The source table arrives as few splits (small files), but
+    * shingling/hashing is the CPU-heavy stage — repartition first so
+    * the per-row work uses every core. (At 100 TB the scan already has
+    * thousands of splits and this repartition is a no-op cost-wise;
+    * with AQE it coalesces back after.) */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
 
@@ -41,12 +48,14 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // dd33: MinHash + LSH banding (128 perms, 32 bands × 4 rows) →
-    // bucket join → exact Jaccard verify on candidates only.
+    // dd33: MinHash + LSH banding (64 perms, 16 bands × 4 rows) →
+    // bucket join → exact Jaccard verify on candidates only. 16 bands
+    // of 4 catch Jaccard≥0.8 pairs with p≥0.996 at half the signature
+    // cost of 128 perms (the hash fan-out dominates this operator).
     QueryDef.rowsOnly("dd_minhash_lsh") { (s, dir) =>
       val docs = docShingles(s, dir)
-        .withColumn("sig", minhashSignature(col("sh"), 128))
-        .withColumn("bands", minhashBands(col("sig"), 128, 4))
+        .withColumn("sig", minhashSignature(col("sh"), 64))
+        .withColumn("bands", minhashBands(col("sig"), 64, 4))
         .persist()
       val pairs = bucketPairs(docs, "bands")
       val withJac = pairs
@@ -60,6 +69,7 @@ object DedupQueries {
     // 4×16-bit band bucketing; near-dup = small bit_count(xor).
     QueryDef.rowsOnly("dd_simhash") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
         // 4 bands of 16 bits: docs within Hamming distance 3 share ≥1 band
         .withColumn("bands", array((0 until 4).map(b =>
@@ -74,16 +84,28 @@ object DedupQueries {
         .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(TopK)
     },
 
-    // dd35: n-gram Jaccard similarity join with prefix filtering: each
-    // doc contributes its K smallest-hashed shingles as join keys —
-    // docs sharing none of their prefixes can't have high Jaccard, so
-    // the bucket join is sparse (PPJoin-style prefix filter).
+    // dd35: n-gram Jaccard similarity join with prefix filtering
+    // (PPJoin-style): each doc joins on its K *globally rarest*
+    // shingles. Rarest-first matters — keying on a pseudo-random
+    // (hash-min) order puts common shingles in the prefix, and one
+    // corpus-common shingle makes one giant bucket = quadratic pairs.
+    // DF ranking costs one extra aggregation pass; bucket sizes stay
+    // bounded by construction.
     QueryDef.rowsOnly("dd_ngram_jaccard") { (s, dir) =>
-      val docs = docShingles(s, dir)
-        .withColumn("prefix",
-          slice(array_sort(transform(col("sh"), sh => xxhash64(sh))), 1, 8))
-        .persist()
-      val pairs = bucketPairs(docs, "prefix")
+      val docs = docShingles(s, dir).persist()
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      val prefixKeys = exploded.join(df, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .select(col("doc_id"), col("shingle").as("bkey"))
+      val l = prefixKeys.as("l")
+      val r = prefixKeys.as("r")
+      val pairs = l.join(r,
+          col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -95,6 +117,7 @@ object DedupQueries {
     // buckets, exact cosine only within buckets.
     QueryDef.rowsOnly("dd_embedding") { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),
           l2norm(col("embedding")).as("nrm"),
           hyperplaneBucket(col("embedding"), 12).as("bucket"))

@@ -78,8 +78,20 @@ object MicroBlockQueries {
       val pred = Between("l_shipdate",
         PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
       val dec = graft.plans.ZoneMapPruner.decisions(e.stats, pred)
+      // one job for the whole audit: matching rows per block via
+      // input_file_name() (not a count() per block — that would be
+      // blocks× sequential jobs, unusable at real block counts)
+      def norm(p: String): String =
+        try new java.net.URI(p).getPath match { case null => p; case x => x }
+        catch { case _: Exception => p }
+      val matchingByFile = s.read.parquet(dec.map(_._2).distinct: _*)
+        .filter(pred.toColumn)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("matching_rows"))
+        .collect()
+        .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
       val audit = dec.map { case (id, file, rows, keep) =>
-        val matching = s.read.parquet(file).filter(pred.toColumn).count()
+        val matching = matchingByFile.getOrElse(norm(file), 0L)
         (id, rows, keep, matching, !keep && matching > 0)
       }
       audit.toDF("block_id", "block_rows", "keep", "matching_rows", "pruning_error")

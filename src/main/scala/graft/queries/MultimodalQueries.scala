@@ -40,6 +40,7 @@ object MultimodalQueries {
       // payload: the document text as bytes — the stand-in for a real
       // media column; metadata is carried as typed columns.
       val withPayload = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"),
           lit("text/plain").as("modality"),

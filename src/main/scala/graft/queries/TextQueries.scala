@@ -73,6 +73,7 @@ object TextQueries {
     QueryDef.rowsOnly("ta_langid") { (s, dir) =>
       val toks = tokens(col("text"))
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
           langPredict(toks).as("lang_pred"),
           stopwordRatio(toks, "en").as("en_score"))
