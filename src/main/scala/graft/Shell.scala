@@ -1,0 +1,48 @@
+package graft
+
+import scala.io.StdIn
+import graft.engine.{GraftEngine, GraftSession, Tables}
+import graft.sources.MicroBlockWriter
+
+/** Interactive SQL shell over the cache-aware micro-block engine —
+  * the counterpart of the reference's run_with_prefetch_loop.py: build
+  * the engine, start the background prefetch service, read SQL lines,
+  * print results, observe cache hits/misses grow as the model learns.
+  *
+  * Usage: sbt "runMain graft.Shell [sfDir]"; `\q` exits, `\stats`
+  * prints cache/prefetch counters, `\retrain` refits the model.
+  */
+object Shell {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(
+      Runtime.getRuntime.availableProcessors().min(32), "graft-shell")
+    Tables.registerAll(spark, sfDir)
+
+    // micro-block the fact table for the engine (one-off, like
+    // parquet_to_microblocks.py before using the reference engine)
+    val mbPath = "target/scratch/shell/lineitem"
+    MicroBlockWriter.write(Tables.load(spark, sfDir, "lineitem"), mbPath, "l_shipdate", 16)
+    val engine = new GraftEngine(spark, mbPath, "lineitem",
+      logPath = Some("target/scratch/shell/access_log.jsonl"))
+    engine.service.start()
+    println(s"graft shell — ${engine.blockIds.size} micro-blocks of lineitem; \\q to exit")
+
+    var line = ""
+    while ({ print("SQL> "); line = StdIn.readLine(); line != null && line.trim != "\\q" }) {
+      line.trim match {
+        case "" => ()
+        case "\\stats" =>
+          println(s"cache: size=${engine.cache.size} hits=${engine.cache.hits} " +
+            s"misses=${engine.cache.misses} prefetched=${engine.service.prefetched}")
+        case "\\retrain" =>
+          engine.retrain(); println(s"model fitted=${engine.prefetcher.fitted}")
+        case sql =>
+          try engine.sql(sql).show(20, truncate = false)
+          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+      }
+    }
+    engine.service.stop()
+    spark.stop()
+  }
+}

@@ -66,6 +66,29 @@ final class GraftEngine(
     ZoneMapPruner.prunedRead(spark, stats, pred)
   }
 
+  /** Reference-parity SQL entry point (query_enginev5.py:236-304):
+    * the user submits SQL against `table`; the engine extracts the
+    * WHERE predicates from the analyzed plan, prunes + logs + caches
+    * candidate blocks, then executes the SQL over the merged cached
+    * blocks by re-binding the temp view. Falls back to a plain pruned
+    * view when no predicate is extractable (scan-all, like the
+    * reference's unparseable-SQL path).
+    */
+  def sql(query: String): DataFrame = {
+    // bind the raw table so analysis can resolve columns
+    spark.read.parquet(tablePath).createOrReplaceTempView(table)
+    val pred = graft.plans.PredicateExtractor.fromDataFrame(spark.sql(query))
+    val serving = pred match {
+      case Some(p) => this.query(p) // prune + log + per-block cache
+      case None =>
+        accessLog.log(table, blockIds)
+        val parts = blockIds.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
+        parts.reduce(_ unionAll _)
+    }
+    serving.createOrReplaceTempView(table)
+    spark.sql(query)
+  }
+
   /** Re-fit the prefetch model from everything logged so far. */
   def retrain(): Unit = {
     import spark.implicits._

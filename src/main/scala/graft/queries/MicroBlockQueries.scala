@@ -120,6 +120,24 @@ object MicroBlockQueries {
         .orderBy("ctx", "next_block")
     },
 
+    // mb46: the reference's SQL entry point end-to-end — SQL string in,
+    // predicates extracted from the analyzed plan, pruned + cached
+    // blocks served, result identical to running the SQL directly
+    // (oracle-checked against DuckDB on the raw table).
+    QueryDef.sql(
+      "mb_sql_engine",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity BETWEEN 18 AND 24
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
+      e.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem WHERE l_quantity BETWEEN 18 AND 24
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // mb31: prediction quality — train on the first 2 workload passes,
     // replay the third, score hit-rate@k (validate_predictions.py).
     QueryDef.rowsOnly("mb_prefetch_eval") { (s, dir) =>

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, GraftEngine, Tables}
+import graft.plans._
+import graft.sources.MicroBlockWriter
+
+class SqlEngineSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-sql-test")
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val mbPath = {
+    val out = "target/scratch/test/sqlengine-lineitem"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), out, "l_shipdate", 8)
+    out
+  }
+
+  test("predicate extraction from analyzed plans") {
+    val li = Tables.load(spark, dir, "lineitem")
+
+    val p1 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_quantity").between(18, 24)))
+    assert(p1.contains(And(
+      Cmp(">=", "l_quantity", PredValue(18.0)), Cmp("<=", "l_quantity", PredValue(24.0)))))
+
+    val p2 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_returnflag") === "A" || col("l_quantity") < 5))
+    assert(p2.contains(Or(
+      Cmp("=", "l_returnflag", PredValue("A")), Cmp("<", "l_quantity", PredValue(5.0)))))
+
+    val p3 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_returnflag").isin("A", "N")))
+    assert(p3.contains(In("l_returnflag", Seq(PredValue("A"), PredValue("N")))))
+
+    // timestamp literal keeps both numeric (micros) and string views
+    val p4 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_shipdate") >= "1996-01-01 00:00:00"))
+    p4 match {
+      case Some(Cmp(">=", "l_shipdate", v)) =>
+        assert(v.tsStr.contains("1996-01-01 00:00:00"))
+        assert(v.num.isDefined)
+      case other => fail(s"unexpected: $other")
+    }
+
+    // unknown conjunct degrades conservatively, unknown OR poisons
+    val p5 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_quantity") > 5 && length(col("l_returnflag")) === 1))
+    assert(p5.contains(Cmp(">", "l_quantity", PredValue(5.0))))
+    val p6 = PredicateExtractor.fromDataFrame(
+      li.filter(col("l_quantity") > 5 || length(col("l_returnflag")) === 1))
+    assert(p6.isEmpty)
+  }
+
+  test("engine.sql == direct spark.sql on the same data") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val sql =
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val viaEngine = e.sql(sql).collect().map(_.toString).toSeq
+
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_raw")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM lineitem_raw"))
+      .collect().map(_.toString).toSeq
+    assert(viaEngine == direct)
+    // the date predicate must actually have pruned blocks
+    val logged = e.accessLog.all.head.blocks
+    assert(logged.size < e.blockIds.size, s"expected pruning, got all ${logged.size}")
+  }
+
+  test("engine.sql without a WHERE clause serves all blocks") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
+    assert(n == 6000L)
+    assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
+  }
+}
