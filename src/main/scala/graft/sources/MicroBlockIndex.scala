@@ -120,6 +120,17 @@ object MicroBlockIndex {
     case other     => Option(other).map(_.toString)
   }
 
+  /** Persist the index as a parquet table (reference: save_metadata.py
+    * writes block metadata to disk). The index is data: at 100 TB it's
+    * queried/joined like any table and refreshed incrementally. */
+  def save(index: Dataset[BlockStat], path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): Dataset[BlockStat] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[BlockStat]
+  }
+
   def listParquetFiles(tablePath: String): Seq[String] = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(new Configuration())

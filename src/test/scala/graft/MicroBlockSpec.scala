@@ -30,6 +30,15 @@ class MicroBlockSpec extends AnyFunSuite {
     }
   }
 
+  test("index save/load round-trips (save_metadata.py parity)") {
+    val idx = MicroBlockIndex.build(spark, mbPath, "lineitem")
+    val path = "target/scratch/test/index-saved"
+    MicroBlockIndex.save(idx, path)
+    val loaded = MicroBlockIndex.load(spark, path).collect()
+    assert(loaded.sortBy(b => (b.blockId, b.column)).toSeq ==
+      idx.collect().sortBy(b => (b.blockId, b.column)).toSeq)
+  }
+
   test("pruning is conservative and effective on the cluster key") {
     val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq
     val pred = Between("l_shipdate", PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))

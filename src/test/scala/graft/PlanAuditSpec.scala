@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+
+/** Plan audits: the properties that matter at 100 TB, asserted on the
+  * actual executed plans (SURVEY.md §5). A query that passes the value
+  * check but reads all columns, skips pushdown, or shuffles a
+  * broadcastable dim would regress silently without these.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-audit")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("q2_filter_between")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(l_quantity") || p.contains("ThanOrEqual(l_quantity,18")),
+      s"quantity range must reach the scan:\n${p.take(2000)}")
+  }
+
+  test("projection prunes the read schema") {
+    val p = plan("q5_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && !readSchema.contains("p_brand"),
+      s"scan must read only projected columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (no fact-table shuffle)") {
+    assert(plan("q11_join_inner").contains("BroadcastHashJoin"))
+    val q12 = plan("q12_join_multi")
+    assert(q12.contains("BroadcastHashJoin"), "dims must broadcast in the join chain")
+  }
+
+  test("semi/anti joins plan as such (only keys shuffle)") {
+    assert(plan("q14_join_semi").contains("LeftSemi"))
+    assert(plan("q15_join_anti").contains("LeftAnti"))
+  }
+
+  test("aggregations are partial (map-side combine before shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("top-k plans as TakeOrdered, not a full sort") {
+    val p = plan("q9_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"limit+orderBy must not global-sort:\n${p.take(1000)}")
+  }
+
+  test("relational queries stay inside whole-stage codegen") {
+    // AQE prints codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan strings
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"no codegen span:\n${p.take(1500)}")
+  }
+
+  test("count(*) uses metadata-only parquet aggregate pushdown") {
+    // q6 is COUNT(*) over the bare scan — parquet footer row counts
+    val df = graft.engine.Tables.load(spark, dir, "lineitem").agg(count(lit(1)))
+    assert(df.collect().head.getLong(0) == 6000L)
+  }
+}
