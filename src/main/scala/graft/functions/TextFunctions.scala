@@ -28,6 +28,19 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Hashed word k-shingles: xxhash64 of k consecutive tokens, no
+    * intermediate shingle strings. For set-similarity purposes a
+    * 64-bit hash is a faithful stand-in for the shingle itself
+    * (collision odds ~n²/2⁶⁵), and hashing longs downstream (MinHash's
+    * 64 seeded re-hashes) is far cheaper than re-hashing strings. */
+  def shingleHashes(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => xxhash64((1 to k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+  }
+
   /** One MinHash signature component: min over shingles of a seeded
     * 64-bit hash. `xxhash64(seed, shingle)` is Spark's codegen'd
     * XXH64 — seeding by an extra column is the standard way to get a

@@ -32,7 +32,7 @@ object DedupQueries {
     Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
 
   /** Candidate pairs via any shared key in `keysCol` (exploded bucket
     * join). `a < b` canonicalization + distinct dedups multi-bucket

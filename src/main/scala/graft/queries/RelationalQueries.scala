@@ -423,6 +423,61 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // q27: exact percentiles (median/p90) — Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition,
+    // so values are bit-identical on the same sorted data.
+    QueryDef.sql(
+      "q27_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("l_returnflag")
+    },
+
+    // q28: ROLLUP — hierarchical subtotal aggregation.
+    QueryDef.sql(
+      "q28_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // q29: set operations — INTERSECT / EXCEPT (both DISTINCT-semantics).
+    QueryDef.sql(
+      "q29_setops",
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      rich.intersect(big).except(building).orderBy("c_custkey")
+    },
+
     // q26: JSON field extraction from the events.props payload.
     QueryDef.sql(
       "q26_json_extract",
