@@ -32,6 +32,7 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.warehouse.dir", "target/scratch/warehouse")
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

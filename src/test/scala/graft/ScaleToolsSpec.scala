@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Salting, Tables}
+import graft.sources.Bucketing
+
+class ScaleToolsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = GraftSession.local(cores = 8, appName = "graft-scale-test")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ paths
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed join plans without exchange on either side") {
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "o_bucketed", "l_orderkey", 8)
+    val joined = Bucketing.coLocatedJoin(spark, "li_bucketed", "o_bucketed", "l_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    assert(joined.count() == 6000L) // every lineitem has its order
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(orders, "l_orderkey")
+      .agg(count(lit(1)), sum("o_totalprice")).collect().head
+    val salted = Salting.saltedJoin(li, orders, "l_orderkey",
+        uniqueCol = "l_linenumber", factor = 4)
+      .agg(count(lit(1)), sum("o_totalprice")).collect().head
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+
+  test("two-phase salted count equals direct count") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val direct = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.twoPhaseCount(li, "l_returnflag", "l_orderkey", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == salted)
+  }
+}
