@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import graft.sources.BlockStat
+
+/** Catalyst optimizer rule: transparent zone-map file pruning.
+  *
+  * The reference prunes inside its own engine entry point
+  * (query_enginev5.py `query()`), so only SQL routed through the engine
+  * benefits. Injected as an optimizer rule (via [[graft.GraftExtensions]]),
+  * the same pruning applies to *any* Spark SQL/DataFrame query touching
+  * a registered micro-blocked table: a Filter over a parquet relation
+  * whose root path has a registered stats index is rewritten to scan
+  * only the files whose min/max may satisfy the predicate. Spark's
+  * native row-group pushdown then re-prunes inside the survivors.
+  *
+  * The rewrite only ever *shrinks the file list* — semantics are
+  * preserved because the Filter stays in place and pruning is
+  * conservative (may-match).
+  */
+case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)) =>
+      val roots = hfs.location.rootPaths.map(_.toString)
+      roots.flatMap(ZoneMapPruneRule.indexFor).headOption match {
+        case None => f
+        case Some(stats) =>
+          PredicateExtractor.convert(cond) match {
+            case None => f
+            case Some(pred) =>
+              val all = stats.map(_.file).distinct
+              val kept = ZoneMapPruner.candidateFiles(stats, pred)
+              if (kept.size >= all.size) f
+              else {
+                val newLocation = new InMemoryFileIndex(
+                  spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
+                val pruned = rel.copy(relation =
+                  hfs.copy(location = newLocation)(hfs.sparkSession))
+                Filter(cond, pruned)
+              }
+          }
+      }
+  }
+}
+
+object ZoneMapPruneRule {
+  // root path -> collected stats (metadata-scale; registered explicitly)
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[BlockStat]]()
+
+  /** Fully qualify (scheme + absolute) then strip to the path part so
+    * "target/x", "/root/repo/target/x" and "file:/root/repo/target/x"
+    * all name the same index entry. */
+  private def norm(p: String): String =
+    try {
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.makeQualified(hp).toUri.getPath
+    } catch { case _: Exception => p }
+
+  /** Register a table's stats index; queries over `rootPath` will be
+    * file-pruned from here on. */
+  def register(rootPath: String, stats: Seq[BlockStat]): Unit =
+    registry.put(norm(rootPath), stats)
+
+  def unregister(rootPath: String): Unit =
+    registry.remove(norm(rootPath))
+
+  def indexFor(rootPath: String): Option[Seq[BlockStat]] =
+    Option(registry.get(norm(rootPath)))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+import graft.plans.ZoneMapPruneRule
+import graft.sources.{MicroBlockIndex, MicroBlockWriter}
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // other suites' getOrCreate session (no extensions) would be reused
+    // otherwise — extensions only apply when a session is constructed
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.tune(
+      SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.warehouse.dir", "target/scratch/warehouse-ext")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("injected SQL functions work from plain SQL") {
+    val r = spark.sql(
+      "SELECT graft_rolling_hash('hello') AS h, graft_simhash64(array('a','b')) AS s")
+      .collect().head
+    assert(r.getLong(0) ==
+      graft.functions.RollingHash.hashBytes("hello".getBytes("UTF-8")))
+    assert(r.getLong(1) != 0L)
+  }
+
+  test("optimizer rule prunes files transparently for registered tables") {
+    val mbPath = "target/scratch/test/ext-microblocks"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), mbPath, "l_shipdate", 8)
+    val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq
+    ZoneMapPruneRule.register(mbPath, stats)
+    try {
+      val df = spark.read.parquet(mbPath)
+        .filter(col("l_shipdate") >= "2000-01-01 00:00:00")
+      // value correctness vs unregistered raw read
+      val expected = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= "2000-01-01 00:00:00").count()
+      assert(df.count() == expected)
+      // the optimized scan must read fewer files than exist
+      val scannedFiles = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }
+      val totalFiles = MicroBlockIndex.listParquetFiles(mbPath).size
+      assert(scannedFiles.exists(_ < totalFiles),
+        s"expected pruned scan < $totalFiles files, got $scannedFiles")
+    } finally ZoneMapPruneRule.unregister(mbPath)
+  }
+
+  test("rule is a no-op for unregistered tables and prune-everything predicates") {
+    val raw = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 0)
+    assert(raw.count() > 0)
+    val mbPath = "target/scratch/test/ext-microblocks"
+    val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq
+    ZoneMapPruneRule.register(mbPath, stats)
+    try {
+      // predicate matching nothing: conservative fallback keeps scan valid
+      val none = spark.read.parquet(mbPath).filter(col("l_quantity") > 1e9)
+      assert(none.count() == 0)
+    } finally ZoneMapPruneRule.unregister(mbPath)
+  }
+}
