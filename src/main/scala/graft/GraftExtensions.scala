@@ -19,18 +19,26 @@ import graft.plans.ZoneMapPruneRule
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[RollingHash].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.size == 1, s"$name expects exactly 1 argument, got ${args.size}")
+    build(args.head)
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
-      info("graft_rolling_hash", "graft_rolling_hash(str) - 64-bit polynomial rolling hash"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      info(classOf[RollingHash], "graft_rolling_hash",
+        "graft_rolling_hash(str) - 64-bit polynomial rolling hash"),
+      unary("graft_rolling_hash")(RollingHash(_))))
     e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      info(classOf[SimHash64], "graft_simhash64",
+        "graft_simhash64(array<string>) - 64-bit SimHash"),
+      unary("graft_simhash64")(SimHash64(_))))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
   }
 }

@@ -76,17 +76,36 @@ final class GraftEngine(
     */
   def sql(query: String): DataFrame = {
     // bind the raw table so analysis can resolve columns
-    spark.read.parquet(tablePath).createOrReplaceTempView(table)
-    val pred = graft.plans.PredicateExtractor.fromDataFrame(spark.sql(query))
-    val serving = pred match {
-      case Some(p) => this.query(p) // prune + log + per-block cache
-      case None =>
-        accessLog.log(table, blockIds)
-        val parts = blockIds.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
-        parts.reduce(_ unionAll _)
+    val raw = spark.read.parquet(tablePath)
+    raw.createOrReplaceTempView(table)
+    val analyzed = spark.sql(query)
+    // Prune only from a predicate that provably bounds THIS table's
+    // scan: exactly one Filter node in the plan, referencing only this
+    // table's columns. Multiple Filters can be union branches (AND-ing
+    // them would over-prune) and join filters reference other tables.
+    val tableCols = raw.columns.toSet
+    val filters = analyzed.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    val pred = filters match {
+      case Seq(only) if only.references.forall(a => tableCols.contains(a.name)) =>
+        graft.plans.PredicateExtractor.convert(only)
+      case _ => None
+    }
+    val ids = pred.map(candidates).getOrElse(blockIds)
+    accessLog.log(table, ids)
+    // Serve the candidate superset WITHOUT re-applying the extracted
+    // predicate — the SQL's own WHERE does the row-level filtering, so
+    // a lossy extraction can never change results, only pruning.
+    val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
+    val serving = parts.reduceOption(_ unionAll _).getOrElse(raw.limit(0))
     serving.createOrReplaceTempView(table)
-    spark.sql(query)
+    // spark.sql analyzes eagerly, so `out`'s plan is pinned to the
+    // pruned binding; restore the full-table binding for later plain
+    // spark.sql over `table` outside this engine call.
+    val out = spark.sql(query)
+    raw.createOrReplaceTempView(table)
+    out
   }
 
   /** Re-fit the prefetch model from everything logged so far. */

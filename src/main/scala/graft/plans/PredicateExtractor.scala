@@ -86,11 +86,15 @@ object PredicateExtractor {
     case other => other
   }
 
-  /** Attribute possibly wrapped in a (type-widening) cast. */
+  /** Attribute possibly wrapped in a WIDENING cast only. Stripping a
+    * narrowing cast (e.g. CAST(dbl AS INT) = 5) would compare the raw
+    * column's stats in the wrong value domain and mis-prune blocks. */
   private object attrOf {
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
-      case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+      case Cast(a: AttributeReference, to, _, _)
+          if org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(a.dataType, to) =>
+        Some(a.name)
       case _ => None
     }
   }

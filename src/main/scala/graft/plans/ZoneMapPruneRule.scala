@@ -26,17 +26,25 @@ import graft.sources.BlockStat
 case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)) =>
-      val roots = hfs.location.rootPaths.map(_.toString)
-      roots.flatMap(ZoneMapPruneRule.indexFor).headOption match {
+    // single-root relations only: with multiple roots a partial index
+    // would silently drop the unindexed roots' files.
+    case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _))
+        if hfs.location.rootPaths.size == 1 =>
+      ZoneMapPruneRule.indexFor(hfs.location.rootPaths.head.toString) match {
         case None => f
         case Some(stats) =>
           PredicateExtractor.convert(cond) match {
             case None => f
             case Some(pred) =>
-              val all = stats.map(_.file).distinct
-              val kept = ZoneMapPruner.candidateFiles(stats, pred)
-              if (kept.size >= all.size) f
+              // Prune against the relation's CURRENT file listing:
+              // a file the (possibly stale) index doesn't know is kept
+              // conservatively; known files keep/skip by may-match.
+              val decisions = ZoneMapPruner.decisions(stats, pred)
+              val skip = decisions.filterNot(_._4)
+                .map(d => ZoneMapPruneRule.normFile(d._2)).toSet
+              val current = hfs.location.inputFiles.toSeq
+              val kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
+              if (kept.size >= current.size) f
               else {
                 val newLocation = new InMemoryFileIndex(
                   spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
@@ -74,4 +82,13 @@ object ZoneMapPruneRule {
 
   def indexFor(rootPath: String): Option[Seq[BlockStat]] =
     Option(registry.get(norm(rootPath)))
+
+  /** Cheap per-file normalization for skip-set membership (no fs
+    * round-trip: file paths from both the index and the relation are
+    * already absolute; just strip any scheme). */
+  def normFile(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null && u.getPath != null) u.getPath else p
+    } catch { case _: Exception => p }
 }

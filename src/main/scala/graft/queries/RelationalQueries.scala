@@ -478,6 +478,32 @@ object RelationalQueries {
       rich.intersect(big).except(building).orderBy("c_custkey")
     },
 
+    // q30: mergeable cardinality sketches — the 100 TB answer to
+    // COUNT(DISTINCT): per-partition HLL sketches merge associatively,
+    // so distinct counts aggregate without a global shuffle of keys
+    // and sketches can be stored per segment and re-merged later.
+    // Estimates are engine-specific → rows-only for the sketch columns,
+    // but exactness is audited in-query against true countDistinct.
+    QueryDef.rowsOnly("q30_hll_sketch") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val perFlag = li.groupBy("l_returnflag")
+        .agg(
+          hll_sketch_agg(col("l_partkey")).as("sk"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .persist() // referenced twice: per-group rows + merged estimate
+      val merged = perFlag.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+      perFlag
+        .select(
+          col("l_returnflag"),
+          hll_sketch_estimate(col("sk")).as("estimate"),
+          col("exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact")) / col("exact") < 0.05)
+            .cast("int").as("within_5pct"))
+        .crossJoin(broadcast(merged))
+        .orderBy("l_returnflag")
+    },
+
     // q26: JSON field extraction from the events.props payload.
     QueryDef.sql(
       "q26_json_extract",

@@ -68,6 +68,44 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(logged.size < e.blockIds.size, s"expected pruning, got all ${logged.size}")
   }
 
+  test("engine.sql: union of disjoint filters is NOT and-pruned") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val sql =
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00') u""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0,
+      s"union branches must not be and-pruned: $viaEngine vs $direct")
+    // multi-filter plans conservatively serve all blocks
+    assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
+  }
+
+  test("engine.sql: join filter on the other table doesn't break or mis-filter") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    val sql =
+      """SELECT COUNT(*) AS n FROM lineitem
+        |JOIN orders_v ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 100000""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0)
+  }
+
+  test("engine.sql restores the full-table view binding afterwards") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    e.sql("SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'")
+    val after = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)
+    assert(after == 6000L, s"view must be rebound to the full table, saw $after")
+  }
+
   test("engine.sql without a WHERE clause serves all blocks") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
