@@ -29,7 +29,13 @@ final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) 
       while (history.size > historyWindow) history.removeHead()
     }
     logPath.foreach { p =>
-      val line = s"""{"queryIdx":${a.queryIdx},"table":"${a.table}","blocks":[${a.blocks.mkString(",")}]}\n"""
+      val tableJson = a.table.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val line = s"""{"queryIdx":${a.queryIdx},"table":"$tableJson","blocks":[${a.blocks.mkString(",")}]}\n"""
       Files.write(Paths.get(p), line.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }

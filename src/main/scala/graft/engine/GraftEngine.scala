@@ -49,13 +49,16 @@ final class GraftEngine(
   def candidates(pred: Pred): Seq[Int] =
     ZoneMapPruner.decisions(stats, pred).filter(_._4).map(_._1)
 
+  /** Empty frame with the table's schema (all-pruned / empty table). */
+  private def emptyFrame: DataFrame =
+    spark.read.parquet(tablePath).limit(0)
+
   /** Reference-parity query path (prune → log → cache → execute). */
   def query(pred: Pred): DataFrame = {
     val ids = candidates(pred)
     accessLog.log(table, ids)
     val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
-    val unioned = parts.reduceOption(_ unionAll _)
-      .getOrElse(loadBlock(blockIds.head).limit(0))
+    val unioned = parts.reduceOption(_ unionAll _).getOrElse(emptyFrame)
     unioned.filter(pred.toColumn)
   }
 
@@ -98,7 +101,7 @@ final class GraftEngine(
     // predicate — the SQL's own WHERE does the row-level filtering, so
     // a lossy extraction can never change results, only pruning.
     val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
-    val serving = parts.reduceOption(_ unionAll _).getOrElse(raw.limit(0))
+    val serving = parts.reduceOption(_ unionAll _).getOrElse(emptyFrame)
     serving.createOrReplaceTempView(table)
     // spark.sql analyzes eagerly, so `out`'s plan is pinned to the
     // pruned binding; restore the full-table binding for later plain

@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -12,35 +11,43 @@ import scala.collection.mutable
   * and asks it for the top-K most likely next blocks
   * (model.py, training_set_generator.py:1-89, prefetch_scheduler.py).
   * graft keeps the same contract — train on history, `suggest` top-K —
-  * with a k-order Markov transition model: counts of (context → next)
-  * over the access sequence. Training is a pure Spark aggregation
-  * (window lag + groupBy count), so it scales to arbitrarily long logs;
-  * the fitted table is tiny (≤ blocks² rows) and broadcasts to the
-  * driver for O(1) serving, exactly like the reference's in-process
-  * model inference.
+  * with a back-off Markov model: transition counts for every context
+  * length 1..order. Training is expressed as shuffle-partitioned
+  * equi-joins on the sequence number (seq ↔ seq+i) + groupBy counts —
+  * no global window, so it runs partitioned over arbitrarily long
+  * logs. The fitted table is tiny (≤ contexts × blocks rows) and is
+  * collected for O(1) driver-side serving, exactly like the
+  * reference's in-process model inference.
   */
 final class MarkovPrefetcher(order: Int = 1) {
   require(order >= 1 && order <= 3, "supported context lengths: 1..3")
 
-  /** context (most-recent-last, comma-joined) -> ranked next blocks */
-  @volatile private var transitions: Map[String, Seq[(Int, Long)]] = Map.empty
+  /** ctxLen -> (context most-recent-last, comma-joined) -> ranked next */
+  @volatile private var transitions: Map[Int, Map[String, Seq[(Int, Long)]]] = Map.empty
 
   /** Train from a sequence table: (seq Long ordering, block Int). */
   def fit(spark: SparkSession, events: DataFrame): MarkovPrefetcher = {
-    val w = Window.orderBy("seq")
-    val withCtx = (1 to order).foldLeft(events) { (df, i) =>
-      df.withColumn(s"prev_$i", lag(col("block"), i).over(w))
+    val base = events.select(col("seq").cast("long").as("seq"), col("block").cast("int").as("block"))
+    // prev_i via equi-join on shifted seq: partitioned by seq, no
+    // single-partition window
+    val withCtx = (1 to order).foldLeft(base) { (df, i) =>
+      df.join(
+        base.select((col("seq") + i).as("seq"), col("block").as(s"prev_$i")),
+        Seq("seq"), "left")
     }
-    val ctxCol = concat_ws(",", (order to 1 by -1).map(i => col(s"prev_$i")): _*)
-    val counts = withCtx
-      .filter((1 to order).map(i => col(s"prev_$i").isNotNull).reduce(_ && _))
-      .groupBy(ctxCol.as("ctx"), col("block"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    transitions = counts.groupBy(_._1).map { case (ctx, rows) =>
-      ctx -> rows.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1)).toSeq
-    }
+    val fitted = (1 to order).map { len =>
+      val ctxCol = concat_ws(",", (len to 1 by -1).map(i => col(s"prev_$i")): _*)
+      val counts = withCtx
+        .filter((1 to len).map(i => col(s"prev_$i").isNotNull).reduce(_ && _))
+        .groupBy(ctxCol.as("ctx"), col("block"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      len -> counts.groupBy(_._1).map { case (ctx, rows) =>
+        ctx -> rows.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1)).toSeq
+      }
+    }.toMap
+    transitions = fitted
     this
   }
 
@@ -52,17 +59,16 @@ final class MarkovPrefetcher(order: Int = 1) {
   }
 
   /** Top-k predicted next blocks given recent history (most recent
-    * last). Falls back to shorter contexts when the full context was
-    * never seen (stupid-backoff). */
+    * last); longest-context matches first, backing off to shorter
+    * contexts (stupid backoff). */
   def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
     if (recent.isEmpty) return Seq.empty
     val out = mutable.LinkedHashSet.empty[Int]
     var ctxLen = math.min(order, recent.size)
     while (out.size < k && ctxLen >= 1) {
       val ctx = recent.takeRight(ctxLen).mkString(",")
-      transitions.getOrElse(ctx, Seq.empty).foreach { case (b, _) =>
-        if (out.size < k) out += b
-      }
+      transitions.getOrElse(ctxLen, Map.empty).getOrElse(ctx, Seq.empty)
+        .foreach { case (b, _) => if (out.size < k) out += b }
       ctxLen -= 1
     }
     out.toSeq
@@ -70,9 +76,9 @@ final class MarkovPrefetcher(order: Int = 1) {
 
   def fitted: Boolean = transitions.nonEmpty
 
-  /** The fitted model as rows (ctx, block, cnt) for inspection/eval. */
+  /** The fitted max-order transitions as rows (ctx, block, cnt). */
   def modelRows: Seq[(String, Int, Long)] =
-    transitions.toSeq.flatMap { case (ctx, nexts) =>
+    transitions.getOrElse(order, Map.empty).toSeq.flatMap { case (ctx, nexts) =>
       nexts.map { case (b, c) => (ctx, b, c) }
     }
 }

@@ -23,9 +23,7 @@ object Tables {
     * session as DuckDB's nanosecond-truncated naive timestamp. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(dir, "events"))
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+    graft.streaming.EventStreams.normalizeTs(spark.read.parquet(path(dir, "events")))
   }
 
   /** Register every test table as a temp view named after itself. */

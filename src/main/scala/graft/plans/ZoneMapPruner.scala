@@ -38,7 +38,8 @@ object ZoneMapPruner {
         case Some(st) => (st.minNum, st.maxNum, lo.num, hi.num) match {
           case (Some(mn), Some(mx), Some(l), Some(h)) => !(mx < l || mn > h)
           case _ => (st.minStr, st.maxStr, lo.str, hi.str) match {
-            case (Some(mn), Some(mx), Some(l), Some(h)) => !(mx < l || mn > h)
+            case (Some(mn), Some(mx), Some(l), Some(h)) =>
+              !(u8cmp(mx, l) < 0 || u8cmp(mn, h) > 0)
             case _ => true
           }
         }
@@ -53,7 +54,8 @@ object ZoneMapPruner {
             (st.minNum, st.maxNum, v.num) match {
               case (Some(mn), Some(mx), Some(x)) => x >= mn && x <= mx
               case _ => (st.minStr, st.maxStr, v.str) match {
-                case (Some(mn), Some(mx), Some(x)) => x >= mn && x <= mx
+                case (Some(mn), Some(mx), Some(x)) =>
+                  u8cmp(x, mn) >= 0 && u8cmp(x, mx) <= 0
                 case _ => true
               }
             }
@@ -86,13 +88,31 @@ object ZoneMapPruner {
     case _    => true
   }
 
+  /** Parquet footer min/max for strings are ordered by UNSIGNED UTF-8
+    * bytes; JVM String compareTo orders by UTF-16 code units, and the
+    * two disagree for supplementary-plane characters vs U+E000–U+FFFF.
+    * Compare the way the stats were computed or non-ASCII blocks can
+    * be wrongly pruned. */
+  private[plans] def u8cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmpMayMatchStr(op: String, mn: String, mx: String, x: String): Boolean = op match {
-    case "="  => mn <= x && x <= mx
+    case "="  => u8cmp(mn, x) <= 0 && u8cmp(x, mx) <= 0
     case "!=" => true
-    case ">"  => mx > x
-    case ">=" => mx >= x
-    case "<"  => mn < x
-    case "<=" => mn <= x
+    case ">"  => u8cmp(mx, x) > 0
+    case ">=" => u8cmp(mx, x) >= 0
+    case "<"  => u8cmp(mn, x) < 0
+    case "<=" => u8cmp(mn, x) <= 0
     case _    => true
   }
 

@@ -57,6 +57,19 @@ object MicroBlockQueries {
       new GraftEngine(spark, microPath(spark, dir), "lineitem"))
   }
 
+  /** Replay the workload's pruning decisions into a FRESH access log
+    * (mb29-31 need per-query clean logs) without rebuilding the
+    * zone-map index — the memoized engine's stats are reused. */
+  private def workloadLog(spark: SparkSession, dir: String): graft.engine.AccessLog = {
+    val stats = engine(spark, dir).stats
+    val log = new graft.engine.AccessLog()
+    workload.foreach { p =>
+      val ids = graft.plans.ZoneMapPruner.decisions(stats, p).filter(_._4).map(_._1)
+      log.log("lineitem", ids)
+    }
+    log
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // mb27: the zone-map index itself — per-(block, column) stats.
@@ -101,9 +114,7 @@ object MicroBlockQueries {
     // mb29: access logging + global history over the workload.
     QueryDef.rowsOnly("mb_access_log") { (s, dir) =>
       import s.implicits._
-      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
-      workload.foreach(p => e.candidates(p) match { case ids => e.accessLog.log("lineitem", ids) })
-      e.accessLog.all
+      workloadLog(s, dir).all
         .map(a => (a.queryIdx, a.blocks.size.toLong, a.blocks.mkString(",")))
         .toDF("query_idx", "n_blocks", "blocks")
         .orderBy("query_idx")
@@ -113,10 +124,9 @@ object MicroBlockQueries {
     // trained distributed from the logged workload.
     QueryDef.rowsOnly("mb_prefetch_train") { (s, dir) =>
       import s.implicits._
-      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
-      workload.foreach(p => e.accessLog.log("lineitem", e.candidates(p)))
-      e.retrain()
-      e.prefetcher.modelRows.toDF("ctx", "next_block", "cnt")
+      val model = new MarkovPrefetcher(1)
+        .fitSeq(s, workloadLog(s, dir).all.flatMap(_.blocks))
+      model.modelRows.toDF("ctx", "next_block", "cnt")
         .orderBy("ctx", "next_block")
     },
 
@@ -141,9 +151,7 @@ object MicroBlockQueries {
     // mb31: prediction quality — train on the first 2 workload passes,
     // replay the third, score hit-rate@k (validate_predictions.py).
     QueryDef.rowsOnly("mb_prefetch_eval") { (s, dir) =>
-      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
-      val seqAll = workload.map(p => e.candidates(p))
-      val flat = seqAll.flatten
+      val flat = workloadLog(s, dir).all.flatMap(_.blocks)
       val (train, test) = flat.splitAt(flat.size * 2 / 3)
       val model = new MarkovPrefetcher(1).fitSeq(s, train)
       PrefetchEval.summarize(s, PrefetchEval.replay(model, test, k = 3), k = 3)

@@ -49,6 +49,7 @@ object MicroBlockIndex {
   /** Build the index for one table path (a parquet file or directory). */
   def build(spark: SparkSession, tablePath: String, table: String): Dataset[BlockStat] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val files = listParquetFiles(tablePath)
     // Footer reads are tiny metadata I/O — parallelize the *file list*,
     // never the data. Block ids follow the sorted file order (stable:
@@ -58,21 +59,24 @@ object MicroBlockIndex {
       .parallelize(fileWithOrd, math.max(1, math.min(fileWithOrd.size, 64)))
       .flatMap { case (file, fileOrd) => readFooterStats(table, file, fileOrd) }
     val ds = spark.createDataset(perFile)
-    // renumber (fileOrd, rowGroup) pairs into dense global block ids
-    // and compute global row offsets — a tiny index-side shuffle.
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window.orderBy("blockId")
-    val blockRows = ds.groupBy("blockId").agg(first("rows").as("block_rows"))
-      .withColumn("rowStartG", coalesce(sum("block_rows").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("newBlockId", row_number().over(w) - 1)
-    ds.join(broadcast(blockRows), "blockId")
-      .withColumn("rowStart", col("rowStartG"))
-      .withColumn("rowEnd", col("rowStartG") + col("rows") - 1)
-      .withColumn("blockId", col("newBlockId"))
-      .drop("rowStartG", "newBlockId", "block_rows")
-      .as[BlockStat]
+    // Densify (fileOrd, rowGroup) → global block id / row offsets from
+    // a per-block summary (one row per block — metadata scale). A tiny
+    // partitioned aggregation + broadcast join; deliberately NO global
+    // window (a single-partition sort over millions of files would
+    // serialize the build).
+    val summary = ds.groupBy("blockId").agg(first("rows").as("block_rows"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val dense = summary.zipWithIndex.map { case ((prov, rows), i) =>
+      val e = (prov, (i, off)); off += rows; e
+    }.toMap
+    val denseB = spark.sparkContext.broadcast(dense)
+    ds.mapPartitions { it =>
+      it.map { b =>
+        val (id, start) = denseB.value(b.blockId)
+        b.copy(blockId = id, rowStart = start, rowEnd = start + b.rows - 1)
+      }
+    }
   }
 
   /** Footer → per-(row-group, column) stats. Runs on executors. */

@@ -21,8 +21,12 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** nanos → micros must use INTEGER division: `col / 1000L` promotes
+    * to double, whose ~256ns ulp at epoch scale truncates to the wrong
+    * microsecond for ~13% of values (1µs earlier than DuckDB's exact
+    * ns-truncation, which is this conversion's parity contract). */
   def normalizeTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Streaming read of an events directory (nanos handled as in the
     * batch path). */

@@ -90,6 +90,17 @@ class MicroBlockSpec extends AnyFunSuite {
     assert(m.suggest(Seq(3), 2).head == 4)
   }
 
+  test("order-2 markov backs off to shorter contexts") {
+    val pattern = Seq.fill(10)(Seq(1, 2, 3, 4)).flatten
+    val m = new MarkovPrefetcher(2).fitSeq(spark, pattern)
+    // full 2-context hit
+    assert(m.suggest(Seq(1, 2), 1) == Seq(3))
+    // history shorter than order: must back off to the 1-context model
+    assert(m.suggest(Seq(3), 1) == Seq(4))
+    // unseen 2-context backs off to the last element's 1-context
+    assert(m.suggest(Seq(9, 2), 1) == Seq(3))
+  }
+
   test("prefetch service warms predicted blocks into the cache") {
     val log = new AccessLog()
     val cache = new BlockCacheManager(8)

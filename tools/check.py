@@ -5,8 +5,11 @@ Usage: python3 tools/check.py <sfDir> <outDir>
   1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
   2. registers each test table in DuckDB as a view over its parquet
   3. runs every oracle_sql.json query, compares against the Spark dump:
-     columns sorted by name, rows sorted, exact value equality
-     (floats compared bitwise AND with 1e-9 tolerance, both reported)
+     columns sorted by name, rows sorted, EXACT value equality
+     (floats included — the graft queries route double aggregation
+     through exact decimal arithmetic precisely so that exact float
+     equality holds; a 1-ulp miss here means a query skipped that
+     machinery and must be fixed, not tolerated)
 """
 import json, math, sys
 import duckdb
