@@ -43,6 +43,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization == oracle-checked batch twin") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Ev
+
+    // streaming run over the staged events dir (single micro-batch)
+    val evStream = EventStreams.readStream(spark, streamDir)
+      .selectExpr("user_id", "unix_micros(ts) AS tsMicros").as[Ev]
+    val q = StatefulSessions.sessionize(evStream)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("update").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("sessions_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("sessions").as("sessions"),
+          org.apache.spark.sql.functions.max("events").as("events"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    } finally q.stop()
+
+    // batch twin: the lag-based st_sessionize (DuckDB-oracle-verified)
+    val batch = SparkEntry.queries("st_sessionize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2).toInt, r.getLong(1)))).toMap
+
+    assert(streamed == batch,
+      s"stateful streaming diverges from batch: ${streamed.toSeq.sorted.take(3)} vs ${batch.toSeq.sorted.take(3)}")
+  }
+
+  test("stateful sessionization carries state ACROSS micro-batches") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.SessState
+    // batch 1 ends at t=100s; batch 2 starts 10s later (same session)
+    // then jumps 1h (new session)
+    val s1 = StatefulSessions.advance(None, Seq(0L, 100L * 1000000), gapSec = 1800)
+    assert(s1 == SessState(100L * 1000000, 1, 2))
+    val s2 = StatefulSessions.advance(Some(s1),
+      Seq(110L * 1000000, 4000L * 1000000), gapSec = 1800)
+    assert(s2.sessions == 2 && s2.events == 4)
+  }
+
   test("watermarked append-mode windows emit only closed windows") {
     val stream = EventStreams.readStream(spark, streamDir)
     val q = EventStreams.hourlyAggStream(stream)
