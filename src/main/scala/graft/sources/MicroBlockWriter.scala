@@ -27,4 +27,24 @@ object MicroBlockWriter {
       // one row group per file: block size larger than any block's data
       .option("parquet.block.size", (256L * 1024 * 1024).toString)
       .parquet(outPath)
+
+  /** Hive-style partitioned layout: directory per `partitionCol` value,
+    * micro-blocks range-clustered on `clusterBy` inside each partition.
+    * The coarse layer prunes at the *directory listing* (Catalyst
+    * PartitionFilters — zero file I/O for skipped partitions); the
+    * zone maps then prune files inside surviving partitions. This
+    * two-level layout (e.g. date partitions × key-clustered files) is
+    * the standard 100 TB fact-table arrangement. */
+  def writePartitioned(df: DataFrame, outPath: String, partitionCol: String,
+      clusterBy: String, blocksPerPartition: Int): Unit =
+    df.repartition(df.col(partitionCol),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(df.col(clusterBy)),
+          org.apache.spark.sql.functions.lit(blocksPerPartition)))
+      .sortWithinPartitions(partitionCol, clusterBy)
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .option("parquet.block.size", (256L * 1024 * 1024).toString)
+      .parquet(outPath)
 }

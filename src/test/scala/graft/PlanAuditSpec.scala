@@ -61,6 +61,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no codegen span:\n${p.take(1500)}")
   }
 
+  test("hive-partitioned layout prunes partitions at the listing level") {
+    import graft.sources.MicroBlockWriter
+    val out = "target/scratch/test/partitioned-orders"
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    MicroBlockWriter.writePartitioned(o, out, "order_year", "o_custkey", 2)
+    val df = spark.read.parquet(out).filter(col("order_year") === 1997)
+    val expected = o.filter(col("order_year") === 1997).count()
+    // collect() executes df's own plan (count() builds a separate one,
+    // leaving df.queryExecution's scan metrics untouched)
+    assert(df.collect().length == expected && expected > 0)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_year"), s"partition filter must reach the scan:\n${scan.take(1200)}")
+    // only the matching partition's files are read (post-execution
+    // scan metrics — location.inputFiles is the pre-pruning listing)
+    val (numFiles, numParts) = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.metrics("numFiles").value, f.metrics.get("numPartitions").map(_.value))
+    }.getOrElse((-1L, None))
+    val totalParts = 7 // order_year 1995..2001
+    assert(numParts.forall(_ < totalParts) && numFiles > 0 && numFiles <= 2,
+      s"scan must touch only the 1997 partition: files=$numFiles partitions=$numParts")
+  }
+
   test("count(*) uses metadata-only parquet aggregate pushdown") {
     // q6 is COUNT(*) over the bare scan — parquet footer row counts
     val df = graft.engine.Tables.load(spark, dir, "lineitem").agg(count(lit(1)))
