@@ -140,8 +140,7 @@ object MicroBlockQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_quantity BETWEEN 18 AND 24
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val e = new GraftEngine(s, microPath(s, dir), "lineitem")
-      e.sql(
+      engine(s, dir).sql(
         """SELECT l_returnflag, COUNT(*) AS n,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem WHERE l_quantity BETWEEN 18 AND 24
