@@ -101,9 +101,63 @@ object SimHash64 {
   }
 }
 
+/** Full MinHash signature in ONE pass over the hashed-shingle array.
+  *
+  * Composing this from built-ins (numPerms × `transform`+`array_min`)
+  * allocates numPerms intermediate arrays per row — measured as the
+  * dominant GC load of the dedup operators. Here each signature
+  * component i is min over shingles x of splitmix64(x ⊕ seed_i)
+  * (splitmix64 is the standard public-domain 64-bit finalizer; XOR
+  * with a per-permutation seed gives an independent-enough hash
+  * family for MinHash), computed in a tight two-level loop with a
+  * single output allocation.
+  */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPerms > 0 && numPerms <= 512)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var p = 0
+        while (p < numPerms) {
+          val h = MinHashSig.splitmix64(x ^ MinHashSig.seed(p))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def splitmix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val seeds = (0 until 512).map(i => splitmix64(i.toLong * 0xdeadbeefL + 1)).toArray
+  def seed(i: Int): Long = seeds(i)
+}
+
 /** Column-level entry points. */
 object TextExpressions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
   def rolling_hash(c: Column): Column = ColumnBridge.column(RollingHash(expr(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(expr(c)))
+  def minhash_sig(c: Column, numPerms: Int): Column =
+    ColumnBridge.column(MinHashSig(expr(c), numPerms))
 }

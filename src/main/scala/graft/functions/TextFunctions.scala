@@ -41,16 +41,11 @@ object TextFunctions {
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
   }
 
-  /** One MinHash signature component: min over shingles of a seeded
-    * 64-bit hash. `xxhash64(seed, shingle)` is Spark's codegen'd
-    * XXH64 — seeding by an extra column is the standard way to get a
-    * family of hash functions without RNG state. */
-  def minhashComponent(shingleSet: Column, seed: Int): Column =
-    array_min(transform(shingleSet, s => xxhash64(lit(seed), s)))
-
-  /** Full MinHash signature as an array column (numPerms components). */
-  def minhashSignature(shingleSet: Column, numPerms: Int): Column =
-    array((0 until numPerms).map(minhashComponent(shingleSet, _)): _*)
+  /** Full MinHash signature over a HASHED shingle array (array<long>,
+    * from [[shingleHashes]]) — single-pass native expression; see
+    * [[graft.functions.MinHashSig]] for why not numPerms×transform. */
+  def minhashSignature(shingleHashSet: Column, numPerms: Int): Column =
+    graft.functions.TextExpressions.minhash_sig(shingleHashSet, numPerms)
 
   /** LSH band keys: hash r consecutive signature components per band →
     * array of (numPerms / r) band hashes. Docs sharing ANY band hash

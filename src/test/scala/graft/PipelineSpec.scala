@@ -45,10 +45,10 @@ class PipelineSpec extends AnyFunSuite {
       ("x", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
       ("y", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz")
     ).toDF("id", "t")
-      .select(col("id"), array_distinct(shingles(tokens(col("t")), 3)).as("sh"))
+      .select(col("id"), array_distinct(shingleHashes(tokens(col("t")), 3)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 128))
     val rows = df.collect().map(r => r.getString(0) ->
-      (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+      (r.getSeq[Long](1).toSet, r.getSeq[Long](2))).toMap
     val (shX, sigX) = rows("x"); val (shY, sigY) = rows("y")
     val trueJ = shX.intersect(shY).size.toDouble / shX.union(shY).size
     val estJ = sigX.zip(sigY).count { case (a, b) => a == b }.toDouble / 128
