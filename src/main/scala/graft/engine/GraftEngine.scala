@@ -49,9 +49,12 @@ final class GraftEngine(
   def candidates(pred: Pred): Seq[Int] =
     ZoneMapPruner.decisions(stats, pred).filter(_._4).map(_._1)
 
+  /** One resolved scan of the full table (file listing + schema paid
+    * once at construction, not per sql() call). */
+  private lazy val rawTable: DataFrame = spark.read.parquet(tablePath)
+
   /** Empty frame with the table's schema (all-pruned / empty table). */
-  private def emptyFrame: DataFrame =
-    spark.read.parquet(tablePath).limit(0)
+  private def emptyFrame: DataFrame = rawTable.limit(0)
 
   /** Reference-parity query path (prune → log → cache → execute). */
   def query(pred: Pred): DataFrame = {
@@ -78,21 +81,36 @@ final class GraftEngine(
     * reference's unparseable-SQL path).
     */
   def sql(query: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
     // bind the raw table so analysis can resolve columns
-    val raw = spark.read.parquet(tablePath)
+    val raw = rawTable
     raw.createOrReplaceTempView(table)
-    val analyzed = spark.sql(query)
+    val analyzedPlan = spark.sql(query).queryExecution.analyzed
     // Prune only from a predicate that provably bounds THIS table's
-    // scan: exactly one Filter node in the plan, referencing only this
-    // table's columns. Multiple Filters can be union branches (AND-ing
-    // them would over-prune) and join filters reference other tables.
-    val tableCols = raw.columns.toSet
-    val filters = analyzed.queryExecution.analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    // one and only scan:
+    //  - exactly one Filter node (multiple can be union branches —
+    //    AND-ing them over-prunes; join filters involve other tables)
+    //  - that Filter sits directly over the scan (alias/attribute-only
+    //    projections allowed; an Aggregate/Join below would make the
+    //    predicate about DERIVED values, not raw rows)
+    //  - the table is scanned exactly once (on a self-join the serving
+    //    view is shared, so pruning for one side would starve the other)
+    def isDirectScan(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, c) => isDirectScan(c)
+      case v: View => isDirectScan(v.child)
+      case Project(exprs, c) if exprs.forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference]) => isDirectScan(c)
+      case _: LogicalRelation => true
+      case _ => false
     }
-    val pred = filters match {
-      case Seq(only) if only.references.forall(a => tableCols.contains(a.name)) =>
-        graft.plans.PredicateExtractor.convert(only)
+    val scanCount = analyzedPlan.collect { case l: LogicalRelation => l }.size
+    val filters = analyzedPlan.collect {
+      case f: Filter if isDirectScan(f.child) => f.condition
+    }
+    val allFilters = analyzedPlan.collect { case f: Filter => f }.size
+    val pred = (filters, allFilters, scanCount) match {
+      case (Seq(only), 1, 1) => graft.plans.PredicateExtractor.convert(only)
       case _ => None
     }
     val ids = pred.map(candidates).getOrElse(blockIds)

@@ -25,9 +25,19 @@ final class MarkovPrefetcher(order: Int = 1) {
   /** ctxLen -> (context most-recent-last, comma-joined) -> ranked next */
   @volatile private var transitions: Map[Int, Map[String, Seq[(Int, Long)]]] = Map.empty
 
-  /** Train from a sequence table: (seq Long ordering, block Int). */
+  /** Train from a sequence table: (seq Long ordering, block Int).
+    * `seq` only needs to ORDER the events — it is densified here via a
+    * distributed range-sort + zipWithIndex, so gaps or non-contiguous
+    * values (timestamps, sparse ids) are fine. */
   def fit(spark: SparkSession, events: DataFrame): MarkovPrefetcher = {
-    val base = events.select(col("seq").cast("long").as("seq"), col("block").cast("int").as("block"))
+    import spark.implicits._
+    val base = events
+      .select(col("seq").cast("long").as("seq"), col("block").cast("int").as("block"))
+      .sort("seq") // range-partitioned distributed sort
+      .select("block").as[Int]
+      .rdd.zipWithIndex // partition-ordered: indices follow the sort
+      .map { case (b, i) => (i, b) }
+      .toDF("seq", "block")
     // prev_i via equi-join on shifted seq: partitioned by seq, no
     // single-partition window
     val withCtx = (1 to order).foldLeft(base) { (df, i) =>
@@ -74,7 +84,7 @@ final class MarkovPrefetcher(order: Int = 1) {
     out.toSeq
   }
 
-  def fitted: Boolean = transitions.nonEmpty
+  def fitted: Boolean = transitions.values.exists(_.nonEmpty)
 
   /** The fitted max-order transitions as rows (ctx, block, cnt). */
   def modelRows: Seq[(String, Int, Long)] =

@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_rolling_hash",
+      _ == org.apache.spark.sql.types.StringType, "STRING")
 
   override def nullSafeEval(input: Any): Any =
     RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
@@ -62,6 +65,12 @@ object RollingHash {
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_simhash64", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }, "ARRAY<STRING>")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -117,6 +126,14 @@ case class MinHashSig(child: Expression, numPerms: Int)
   require(numPerms > 0 && numPerms <= 512)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  // array<long> ONLY (hashed shingles) — a string-shingle array would
+  // pass analysis and read garbage at runtime otherwise
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "minhash_sig", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }, "ARRAY<BIGINT>")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -151,6 +168,18 @@ object MinHashSig {
   }
   private val seeds = (0 until 512).map(i => splitmix64(i.toLong * 0xdeadbeefL + 1)).toArray
   def seed(i: Int): Long = seeds(i)
+}
+
+/** Shared analysis-time input-type validation (AbstractDataType /
+  * ExpectsInputTypes are private[sql] in Spark 4, so the check is
+  * spelled directly). */
+object GraftTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def expect(child: Expression, fn: String,
+      ok: DataType => Boolean, expected: String): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects $expected, got ${child.dataType.catalogString}")
 }
 
 /** Column-level entry points. */

@@ -38,10 +38,13 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Some(pred) =>
               // Prune against the relation's CURRENT file listing:
               // a file the (possibly stale) index doesn't know is kept
-              // conservatively; known files keep/skip by may-match.
+              // conservatively; a known file is skipped only when EVERY
+              // indexed row group in it is a may-match=false (a file
+              // with one matching row group must stay).
               val decisions = ZoneMapPruner.decisions(stats, pred)
-              val skip = decisions.filterNot(_._4)
-                .map(d => ZoneMapPruneRule.normFile(d._2)).toSet
+              val skip = decisions.groupBy(d => ZoneMapPruneRule.normFile(d._2))
+                .collect { case (file, ds) if ds.forall(!_._4) => file }
+                .toSet
               val current = hfs.location.inputFiles.toSeq
               val kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
               if (kept.size >= current.size) f

@@ -61,12 +61,9 @@ object MicroBlockQueries {
     * (mb29-31 need per-query clean logs) without rebuilding the
     * zone-map index — the memoized engine's stats are reused. */
   private def workloadLog(spark: SparkSession, dir: String): graft.engine.AccessLog = {
-    val stats = engine(spark, dir).stats
+    val e = engine(spark, dir)
     val log = new graft.engine.AccessLog()
-    workload.foreach { p =>
-      val ids = graft.plans.ZoneMapPruner.decisions(stats, p).filter(_._4).map(_._1)
-      log.log("lineitem", ids)
-    }
+    workload.foreach(p => log.log("lineitem", e.candidates(p)))
     log
   }
 
@@ -94,9 +91,7 @@ object MicroBlockQueries {
       // one job for the whole audit: matching rows per block via
       // input_file_name() (not a count() per block — that would be
       // blocks× sequential jobs, unusable at real block counts)
-      def norm(p: String): String =
-        try new java.net.URI(p).getPath match { case null => p; case x => x }
-        catch { case _: Exception => p }
+      val norm = graft.plans.ZoneMapPruneRule.normFile _
       val matchingByFile = s.read.parquet(dec.map(_._2).distinct: _*)
         .filter(pred.toColumn)
         .groupBy(input_file_name().as("file"))

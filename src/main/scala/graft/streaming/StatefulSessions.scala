@@ -23,12 +23,22 @@ object StatefulSessions {
 
   val DefaultGapSec = 1800L
 
-  /** Fold a time-ordered batch of event times into the state. */
+  /** Fold a time-ordered batch of event times into the state.
+    *
+    * Events at or before the state's last timestamp are LATE — a prior
+    * micro-batch already advanced past them. They are dropped (the
+    * standard no-watermark policy): counting them against the stale
+    * lastTs would silently merge sessions and diverge from the batch
+    * semantics. Production streams should additionally
+    * `withWatermark` upstream so lateness is bounded. */
   def advance(state: Option[SessState], sortedTs: Seq[Long], gapSec: Long): SessState =
     sortedTs.foldLeft(state.getOrElse(SessState(Long.MinValue, 0, 0L))) { (s, t) =>
-      val newSession = s.sessions == 0 ||
-        (t / 1000000L - s.lastTs / 1000000L) > gapSec
-      SessState(t, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+      if (s.sessions > 0 && t <= s.lastTs) s // late event: drop
+      else {
+        val newSession = s.sessions == 0 ||
+          (t / 1000000L - s.lastTs / 1000000L) > gapSec
+        SessState(t, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+      }
     }
 
   /** Streaming (or batch) sessionization over (user_id, tsMicros). */

@@ -61,6 +61,30 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregister(mbPath)
   }
 
+  test("rule keeps files where only SOME row groups match (multi-rowgroup files)") {
+    import org.apache.spark.sql.functions.col
+    // 2 files, many small row groups each: per-file decisions differ
+    // across row groups inside one file
+    val path = "target/scratch/test/ext-multirg"
+    Tables.load(spark, dir, "lineitem")
+      .repartitionByRange(2, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(path)
+    val stats = MicroBlockIndex.build(spark, path, "lineitem").collect().toSeq
+    val rgPerFile = stats.map(_.file).distinct.size
+    assert(stats.map(_.blockId).distinct.size > rgPerFile, "need >1 row group per file")
+    ZoneMapPruneRule.register(path, stats)
+    try {
+      val pred = col("l_shipdate") >= "1998-06-01 00:00:00"
+      val got = spark.read.parquet(path).filter(pred).count()
+      val expected = Tables.load(spark, dir, "lineitem").filter(pred).count()
+      assert(got == expected && expected > 0,
+        s"rows lost from partially-matching files: $got vs $expected")
+    } finally ZoneMapPruneRule.unregister(path)
+  }
+
   test("rule is a no-op for unregistered tables and prune-everything predicates") {
     val raw = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 0)
     assert(raw.count() > 0)

@@ -99,6 +99,38 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(viaEngine == direct && viaEngine > 0)
   }
 
+  test("engine.sql: filter on an aggregate-derived alias must not prune raw rows") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    // alias shadows a base column name; raw l_quantity never exceeds 50
+    val sql =
+      """SELECT l_returnflag, l_quantity FROM (
+        |  SELECT l_returnflag, SUM(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |WHERE l_quantity > 1000 ORDER BY l_returnflag""".stripMargin
+    val viaEngine = e.sql(sql).collect()
+    assert(viaEngine.nonEmpty, "derived-column filter wrongly pruned everything")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check")).collect()
+    assert(viaEngine.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+  }
+
+  test("engine.sql: self-join must not prune the shared serving view") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val sql =
+      """SELECT COUNT(*) AS n FROM lineitem a JOIN lineitem b
+        |ON a.l_orderkey = b.l_orderkey
+        |WHERE b.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql
+        .replace("FROM lineitem a", "FROM li_check a")
+        .replace("JOIN lineitem b", "JOIN li_check b"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0)
+    // the shared view must have served ALL blocks
+    assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
+  }
+
   test("engine.sql restores the full-table view binding afterwards") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     e.sql("SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'")

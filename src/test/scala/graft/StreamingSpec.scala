@@ -81,6 +81,9 @@ class StreamingSpec extends AnyFunSuite {
     val s2 = StatefulSessions.advance(Some(s1),
       Seq(110L * 1000000, 4000L * 1000000), gapSec = 1800)
     assert(s2.sessions == 2 && s2.events == 4)
+    // a late event (before lastTs) is dropped, not merged into a session
+    val s3 = StatefulSessions.advance(Some(s2), Seq(50L * 1000000), gapSec = 1800)
+    assert(s3 == s2)
   }
 
   test("watermarked append-mode windows emit only closed windows") {
