@@ -25,7 +25,8 @@ object GraftSession {
     .config("spark.sql.ui.explainMode", "formatted")
 
   /** Local session for tests/benchmarks. `cores` threads, shuffle
-    * partitions matched to cores (not 200 — local mode has one JVM). */
+    * partitions matched to cores (not 200 — local mode has one JVM);
+    * graft's extensions (SQL functions + zone-map rule) installed. */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val s = tune(
       SparkSession.builder()
@@ -34,6 +35,7 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.warehouse.dir", "target/scratch/warehouse")
         .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -99,6 +99,18 @@ object TextFunctions {
     (0 until bits).map(i => hyperplaneBit(vec, i) * lit(1 << i))
       .reduce(_ + _)
 
+  /** Multi-table LSH keys: `tables` independent `bits`-bit buckets
+    * (disjoint hyperplane sets), each offset into its own key space.
+    * Candidates = vectors sharing ANY table's bucket — the standard
+    * recall amplifier (miss probability decays exponentially in the
+    * number of tables) at the cost of `tables`× bucket joins. */
+  def hyperplaneBucketKeys(vec: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (t * bits until (t + 1) * bits).zipWithIndex
+        .map { case (plane, i) => hyperplaneBit(vec, plane) * lit(1 << i) }
+        .reduce(_ + _) + lit(t * (1 << bits))
+    }: _*)
+
   // ---- language ID ---------------------------------------------------
 
   /** Stopword lists for the n-gram/stopword language heuristic. Small
