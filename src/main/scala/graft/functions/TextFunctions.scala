@@ -104,12 +104,17 @@ object TextFunctions {
     * Candidates = vectors sharing ANY table's bucket — the standard
     * recall amplifier (miss probability decays exponentially in the
     * number of tables) at the cost of `tables`× bucket joins. */
-  def hyperplaneBucketKeys(vec: Column, bits: Int, tables: Int): Column =
+  def hyperplaneBucketKeys(vec: Column, bits: Int, tables: Int): Column = {
+    // each table's keys live in [t*2^bits, (t+1)*2^bits): the whole
+    // key range must fit in Int or table key spaces silently collide
+    require(tables.toLong * (1L << bits) <= Int.MaxValue,
+      s"bits=$bits x tables=$tables overflows the Int key space")
     array((0 until tables).map { t =>
       (t * bits until (t + 1) * bits).zipWithIndex
         .map { case (plane, i) => hyperplaneBit(vec, plane) * lit(1 << i) }
         .reduce(_ + _) + lit(t * (1 << bits))
     }: _*)
+  }
 
   // ---- language ID ---------------------------------------------------
 

@@ -93,7 +93,7 @@ object ZoneMapPruner {
     * two disagree for supplementary-plane characters vs U+E000–U+FFFF.
     * Compare the way the stats were computed or non-ASCII blocks can
     * be wrongly pruned. */
-  def u8cmp(a: String, b: String): Int = {
+  private[graft] def u8cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

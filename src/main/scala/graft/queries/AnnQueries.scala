@@ -25,6 +25,9 @@ object AnnQueries {
     val base = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    // persisted: bkeys feed both the corpus and query sides of one
+    // action. Not unpersisted (lazy result) - callers that loop should
+    // clearCache between runs, as Bench/Verify do.
     val vecs = if (useLsh)
       base.withColumn("bkeys",
         hyperplaneBucketKeys(col("embedding"), LshBits, LshTables)).persist()
@@ -77,7 +80,7 @@ object AnnQueries {
       topK(s, dir, useLsh = true).orderBy("query_id", "rank")
     },
 
-    // ann46: recall@K of the LSH path against the exact baseline —
+    // ann52: recall@K of the LSH path against the exact baseline —
     // the number that justifies (or vetoes) the approximate index at
     // scale. |LSH-top-K ∩ exact-top-K| / K per query + macro average.
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
@@ -85,14 +88,17 @@ object AnnQueries {
         .select(col("query_id"), col("neighbor_id"))
       val approx = topK(s, dir, useLsh = true)
         .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
+      // persisted: hits feeds both union branches, and its lineage
+      // holds the expensive exact+LSH pipelines
       val hits = exact.join(approx,
           col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
           "left")
         .groupBy("query_id")
         .agg((count(col("a_neighbor")).cast("double") / K).as("recall_at_k"))
+        .persist()
       hits.select(col("query_id"), col("recall_at_k"))
         .unionAll(hits.agg(lit(-1L).as("query_id"),
-          avg(col("recall_at_k")).as("recall_at_k")))
+          (sum(Det.dec4(col("recall_at_k"))).cast("double") / count(lit(1))).as("recall_at_k")))
         .orderBy("query_id")
     }
   )

@@ -10,8 +10,8 @@ import graft.sources.{MicroBlockIndex, MicroBlockWriter}
 class ExtensionsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
-    // other suites' getOrCreate session (no extensions) would be reused
-    // otherwise — extensions only apply when a session is constructed
+    // build the session explicitly (not via GraftSession.local) to
+    // test the user-facing withExtensions install path in isolation
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = GraftSession.tune(
