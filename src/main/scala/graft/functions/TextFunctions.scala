@@ -69,13 +69,19 @@ object TextFunctions {
   // ---- embeddings ----------------------------------------------------
 
   /** Dot product of two float-array columns (codegen'd higher-order
-    * fold — no UDF). */
+    * fold — no UDF). Each element is widened to double BEFORE the
+    * multiply: float×float rounds to float precision, and the oracle
+    * (DuckDB over double lists) multiplies in double — per-element
+    * widening + left-fold double accumulation is bit-identical across
+    * engines (float→double is exact; IEEE ops are correctly rounded). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
-  /** L2 norm of a float-array column. */
+  /** L2 norm of a float-array column (double-widened, see [[dot]]). */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    sqrt(aggregate(a, lit(0.0d),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   /** Cosine similarity given precomputed norms (compute norms once per
     * side before a pairwise join — never inside it). */

@@ -64,7 +64,31 @@ object AnnQueries {
     // side is tiny and broadcast; the corpus side streams through one
     // narrow scan, so the cost is one pass over the data per batch of
     // queries (the right plan at any scale when queries ≪ corpus).
-    QueryDef.rowsOnly("ann_bruteforce") { (s, dir) =>
+    // Oracle-checkable: dot/norm are left-fold double accumulations in
+    // array order on both engines (see TextFunctions.dot), so cosines
+    // are bit-identical and the top-k cut agrees exactly.
+    QueryDef.sql(
+      "ann_bruteforce",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+         |  FROM v
+         |), p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN c.nrm = 0 OR q.nrm = 0 THEN 0.0
+         |         ELSE list_reduce(list_transform(range(1, len(c.e)+1), i -> c.e[i] * q.e[i]),
+         |                (a,b) -> a+b) / (c.nrm * q.nrm) END AS cosine
+         |  FROM n c, n q
+         |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS "rank"
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |      FROM p)
+         |WHERE rk <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       topK(s, dir, useLsh = false).orderBy("query_id", "rank")
     },
 

@@ -84,21 +84,42 @@ object DedupQueries {
         .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(TopK)
     },
 
-    // dd35: n-gram Jaccard similarity join with prefix filtering
-    // (PPJoin-style): each doc joins on its K *globally rarest*
-    // shingles. Rarest-first matters — keying on a pseudo-random
-    // (hash-min) order puts common shingles in the prefix, and one
-    // corpus-common shingle makes one giant bucket = quadratic pairs.
-    // DF ranking costs one extra aggregation pass; bucket sizes stay
-    // bounded by construction.
-    QueryDef.rowsOnly("dd_ngram_jaccard") { (s, dir) =>
-      val docs = docShingles(s, dir).persist()
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // dd35: n-gram Jaccard similarity join — EXACT at threshold τ via
+    // prefix filtering (All-Pairs/PPJoin, Bayardo et al. '07): rank
+    // each doc's shingles by a global (df asc, shingle) order and key
+    // on the first |sh| - ⌈τ·|sh|⌉ + 1 of them; any pair with
+    // J ≥ τ must share a prefix key, so candidates are complete and
+    // the verified result equals the all-pairs join. Rarest-first
+    // keying keeps buckets small (a corpus-common shingle lands in a
+    // prefix only when a doc has almost nothing rarer). Verification
+    // shuffles only (doc_id, shingle-hash) longs — the intersection
+    // size comes from re-joining the exploded table on the candidate
+    // pairs, never from moving whole shingle arrays.
+    QueryDef.sql(
+      "dd_ngram_jaccard", {
+        val sh = OracleSql.shingles3("t")
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${OracleSql.tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, $sh AS sh FROM toks
+           |)
+           |SELECT * FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+           |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, dir) =>
+      val tau = 0.5
+      val docs = docShingles(s, dir).withColumn("n", size(col("sh")))
+      val exploded = docs
+        .select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+        .persist()
       val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
       val prefixKeys = exploded.join(df, "shingle")
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 4)
+        .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
         .select(col("doc_id"), col("shingle").as("bkey"))
       val l = prefixKeys.as("l")
       val r = prefixKeys.as("r")
@@ -106,11 +127,17 @@ object DedupQueries {
           col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
+      val ea = exploded.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
+      val eb = exploded.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shingle"))
       pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
+        .join(ea, "doc_a")
+        .join(eb, Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= tau)
+        .orderBy("doc_a", "doc_b")
     },
 
     // dd36: embedding-cosine near-dup — 12-bit random-hyperplane LSH

@@ -15,12 +15,19 @@ import graft.engine.Tables
   * "features"); everything around it — binary column, metadata struct,
   * mapPartitions batching, explicit result schema — is the real
   * Spark-side contract a codec-backed decoder would drop into.
+  *
+  * The stub's 8 histogram ratios are emitted as scalar columns
+  * (f0..f7), not an array: the verify dump is hash-compared row-wise
+  * and each ratio is a single exact-int division, so the whole decode
+  * output is DuckDB-oracle-checkable (the oracle re-derives the bytes
+  * from hex pairs — see [[OracleSql.unsignedBytes]]).
   */
 object MultimodalQueries {
 
   /** STUB decode: a real implementation would decode the payload with
     * a codec and emit model features; this emits a deterministic
-    * 8-bin byte histogram so the plumbing is testable end-to-end. */
+    * 8-bin byte histogram (bin = unsigned byte >> 5, normalized by
+    * payload length) so the plumbing is testable end-to-end. */
   def stubDecode(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     payload.foreach(b => hist((b & 0xff) >> 5) += 1.0)
@@ -28,31 +35,52 @@ object MultimodalQueries {
     hist
   }
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("modality", StringType),
-    StructField("byte_len", IntegerType),
-    StructField("checksum", LongType),
-    StructField("features", ArrayType(DoubleType))))
+  private val outSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("modality", StringType),
+      StructField("byte_len", LongType),
+      StructField("checksum", StringType)) ++
+      (0 until 8).map(i => StructField(s"f$i", DoubleType)))
+
+  private def oracle: String = {
+    val bins = OracleSql.unsignedBytes("hx", "bl")
+    val fs = (0 until 8).map { i =>
+      s"CASE WHEN bl = 0 THEN 0.0 ELSE CAST(len(list_filter(bins, x -> x // 32 = $i)) AS DOUBLE) / bl END AS f$i"
+    }.mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(text) AS checksum,
+       |    hex(encode(text)) AS hx, octet_length(encode(text)) AS bl
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, checksum, bl, $bins AS bins FROM d
+       |)
+       |SELECT doc_id, 'text/plain' AS modality, bl AS byte_len, checksum,
+       |  $fs
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("mm_metadata") { (s, dir) =>
+    QueryDef.sql("mm_metadata", oracle) { (s, dir) =>
       // payload: the document text as bytes — the stand-in for a real
-      // media column; metadata is carried as typed columns.
+      // media column; metadata is carried as typed columns. Checksum is
+      // md5 (hex string): identical across Spark and DuckDB.
       val withPayload = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"),
           lit("text/plain").as("modality"),
-          crc32(encode(col("text"), "UTF-8")).as("checksum"))
+          md5(encode(col("text"), "UTF-8")).as("checksum"))
       // partition-batched "decode": the executor processes one batch
       // (partition) at a time with bounded memory — where a Pandas-UDF
       // / mapInPandas decode sits in a PySpark pipeline.
       val decoded = withPayload.mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), r.getAs[String]("modality"),
-            payload.length, r.getAs[Long]("checksum"), stubDecode(payload).toSeq)
+          val feats = stubDecode(payload)
+          Row.fromSeq(
+            Seq(r.getAs[Long]("doc_id"), r.getAs[String]("modality"),
+              payload.length.toLong, r.getAs[String]("checksum")) ++ feats)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       decoded.orderBy("doc_id")

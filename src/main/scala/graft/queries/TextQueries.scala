@@ -68,9 +68,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // ta39: language ID via the stopword heuristic (rows-only: the
-    // argmax is graft-specific). Reports prediction vs label.
-    QueryDef.rowsOnly("ta_langid") { (s, dir) =>
+    // ta39: language ID via the stopword heuristic. Each per-lang score
+    // is one exact-int division, so the argmax (score desc, then
+    // lexically-largest lang — Spark's struct array_max order) is
+    // reproducible in the oracle as a UNION ALL + QUALIFY row_number.
+    QueryDef.sql(
+      "ta_langid", {
+        val scoreCols = stopwords.keys.toSeq.sorted.map(l =>
+          s"${OracleSql.stopwordScore("toks", stopwords(l))} AS s_$l").mkString(",\n    ")
+        val unions = stopwords.keys.toSeq.sorted.map(l =>
+          s"SELECT doc_id, lang, s_en, '$l' AS cand, s_$l AS score FROM sc").mkString("\n  UNION ALL ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, ${OracleSql.tokens("text")} AS toks FROM documents
+           |), sc AS (
+           |  SELECT doc_id, lang,
+           |    $scoreCols
+           |  FROM t
+           |), c AS (
+           |  $unions
+           |)
+           |SELECT doc_id, lang, cand AS lang_pred, s_en AS en_score,
+           |  CAST(lang = cand AS INT) AS agree
+           |FROM c
+           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
       val toks = tokens(col("text"))
       Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
@@ -82,9 +104,25 @@ object TextQueries {
     },
 
     // ta42: document fingerprint via the native RollingHash Catalyst
-    // expression (codegen'd). Groups by fingerprint to show the dedup
-    // use; fingerprints are graft-defined → rows-only.
-    QueryDef.rowsOnly("ta_fingerprint") { (s, dir) =>
+    // expression (codegen'd). The oracle replays the wrapping 64-bit
+    // byte fold in HUGEINT (see OracleSql.rollingHash) — exact.
+    QueryDef.sql(
+      "ta_fingerprint",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+         |    source
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    hex(encode(nt)) AS thx, octet_length(encode(nt)) AS tbl,
+         |    hex(encode(source)) AS shx, octet_length(encode(source)) AS sbl
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  ${OracleSql.rollingHash(OracleSql.signedBytes("thx", "tbl"))} AS fingerprint,
+         |  ${OracleSql.rollingHash(OracleSql.signedBytes("shx", "sbl"))} AS source_fp
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           rolling_hash(normText(col("text"))).as("fingerprint"),

@@ -94,14 +94,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("mm_metadata: stub decode plumbing has stable schema + checksums") {
     val df = SparkEntry.queries("mm_metadata")(spark, dir)
-    assert(df.columns.toSeq == Seq("doc_id", "modality", "byte_len", "checksum", "features"))
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "modality", "byte_len", "checksum") ++ (0 until 8).map(i => s"f$i"))
     val r = df.collect()
     assert(r.length == 500)
     r.take(20).foreach { row =>
-      val feats = row.getSeq[Double](4)
-      assert(feats.length == 8)
+      val feats = (0 until 8).map(i => row.getAs[Double](s"f$i"))
       assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram normalized")
-      assert(row.getInt(2) > 0)
+      assert(row.getAs[Long]("byte_len") > 0)
+      assert(row.getAs[String]("checksum").matches("[0-9a-f]{32}"))
     }
   }
 
