@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -170,6 +170,98 @@ object MinHashSig {
   def seed(i: Int): Long = seeds(i)
 }
 
+/** All `tables`×`bits` random-hyperplane LSH keys of a float/double
+  * vector in ONE pass (SURVEY.md §2c ann38 / dd36).
+  *
+  * Semantically identical to composing
+  * [[TextFunctions.hyperplaneBit]] per plane (asserted by a spec):
+  * plane component c(p, j) = pmod(xxhash64(p, j), 10000)/10000 - 0.5
+  * with Spark's seed-42 xxhash64 chain, projection = left-fold double
+  * sum of v(j)·c(p, j), bit = projection ≥ 0, table key t =
+  * Σᵢ bit(t·bits+i)·2ⁱ + t·2^bits.
+  *
+  * Why native: the composed form evaluates `tables×bits` separate
+  * `aggregate(zip_with(...))` trees, each allocating a `sequence`
+  * index array and re-hashing (plane, j) per element per ROW —
+  * measured as the dominant cost of ann_lsh/dd_embedding. The plane
+  * matrix depends only on (plane, j), so it is computed once per
+  * executor (lazily, grown to the observed dimension) and each row
+  * costs just planes×dim fused multiply-adds. */
+case class HyperplaneKeys(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 30, s"bits=$bits out of range")
+  // the whole key range must fit in Int or table key spaces collide
+  require(tables > 0 && tables.toLong * (1L << bits) <= Int.MaxValue,
+    s"bits=$bits x tables=$tables overflows the Int key space")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_hyperplane_keys", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }, "ARRAY<FLOAT|DOUBLE>")
+
+  @transient private var comps: Array[Array[Double]] = _
+
+  /** comps(plane)(j), grown on demand to the observed dimension.
+    * Benign under concurrent eval: rebuilds are identical. */
+  private def planeComps(dim: Int): Array[Array[Double]] = {
+    var c = comps
+    if (c == null || c(0).length < dim) {
+      c = Array.tabulate(bits * tables, dim) { (p, j) =>
+        val pm = {
+          val m = XXH64.hashInt(j, XXH64.hashInt(p, 42L)) % 10000L
+          if (m < 0) m + 10000L else m
+        }
+        pm.toDouble / 10000.0 - 0.5
+      }
+      comps = c
+    }
+    c
+  }
+
+  private lazy val isFloat = child.dataType
+    .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    .elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      // embeddings carry no null elements; a null contributes 0
+      if (!arr.isNullAt(j))
+        v(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val c = planeComps(n)
+    val keys = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var key = t * (1 << bits)
+      var i = 0
+      while (i < bits) {
+        val cp = c(t * bits + i)
+        var proj = 0.0
+        var k = 0
+        while (k < n) { proj += v(k) * cp(k); k += 1 }
+        if (proj >= 0) key |= (1 << i)
+        i += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKeys =
+    copy(child = newChild)
+}
+
 /** Shared analysis-time input-type validation (AbstractDataType /
   * ExpectsInputTypes are private[sql] in Spark 4, so the check is
   * spelled directly). */
@@ -189,4 +281,6 @@ object TextExpressions {
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(expr(c)))
   def minhash_sig(c: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSig(expr(c), numPerms))
+  def hyperplane_keys(c: Column, bits: Int, tables: Int): Column =
+    ColumnBridge.column(HyperplaneKeys(expr(c), bits, tables))
 }

@@ -100,27 +100,21 @@ object TextFunctions {
     when(proj >= 0, 1).otherwise(0)
   }
 
-  /** LSH bucket id from `bits` hyperplane signs (bits ≤ 30). */
+  /** LSH bucket id from `bits` hyperplane signs (bits ≤ 30). Native
+    * single-pass evaluation; equals the composed [[hyperplaneBit]]
+    * sum (asserted by ScaleToolsSpec). */
   def hyperplaneBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map(i => hyperplaneBit(vec, i) * lit(1 << i))
-      .reduce(_ + _)
+    element_at(graft.functions.TextExpressions.hyperplane_keys(vec, bits, 1), 1)
 
   /** Multi-table LSH keys: `tables` independent `bits`-bit buckets
     * (disjoint hyperplane sets), each offset into its own key space.
     * Candidates = vectors sharing ANY table's bucket — the standard
     * recall amplifier (miss probability decays exponentially in the
-    * number of tables) at the cost of `tables`× bucket joins. */
-  def hyperplaneBucketKeys(vec: Column, bits: Int, tables: Int): Column = {
-    // each table's keys live in [t*2^bits, (t+1)*2^bits): the whole
-    // key range must fit in Int or table key spaces silently collide
-    require(tables.toLong * (1L << bits) <= Int.MaxValue,
-      s"bits=$bits x tables=$tables overflows the Int key space")
-    array((0 until tables).map { t =>
-      (t * bits until (t + 1) * bits).zipWithIndex
-        .map { case (plane, i) => hyperplaneBit(vec, plane) * lit(1 << i) }
-        .reduce(_ + _) + lit(t * (1 << bits))
-    }: _*)
-  }
+    * number of tables) at the cost of `tables`× bucket joins.
+    * Evaluated by the native [[graft.functions.HyperplaneKeys]]
+    * expression: one pass, plane matrix computed once per executor. */
+  def hyperplaneBucketKeys(vec: Column, bits: Int, tables: Int): Column =
+    graft.functions.TextExpressions.hyperplane_keys(vec, bits, tables)
 
   // ---- language ID ---------------------------------------------------
 

@@ -33,17 +33,23 @@ object AnnQueries {
         hyperplaneBucketKeys(col("embedding"), LshBits, LshTables)).persist()
     else base
     val joined = if (useLsh) {
-      // candidates: share ANY of the multi-table bucket keys
-      val corpus = vecs.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("bkeys")).as("bkey"))
+      // candidates: share ANY of the multi-table bucket keys. The
+      // multi-bucket dedup runs on bare (query_id, vec_id) id pairs —
+      // embeddings and norms are re-attached AFTER the distinct, so
+      // the shuffle moves two longs per candidate, not two vectors.
+      val corpusKeys = vecs.select(col("vec_id"), explode(col("bkeys")).as("bkey"))
+      val queryKeys = vecs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), explode(col("bkeys")).as("q_bkey"))
+      val candIds = corpusKeys.join(broadcast(queryKeys),
+          col("bkey") === col("q_bkey") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct() // a pair sharing several tables counts once
       val queries = vecs.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), explode(col("bkeys")).as("q_bkey"))
-      corpus.join(broadcast(queries),
-          col("bkey") === col("q_bkey") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("embedding"),
-          col("nrm"), col("q_emb"), col("q_nrm"))
-        .distinct() // a pair sharing several tables counts once
+          col("nrm").as("q_nrm"))
+      candIds
+        .join(vecs.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(broadcast(queries), "query_id")
     } else {
       val queries = vecs.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -111,29 +111,46 @@ object DedupQueries {
            |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, dir) =>
       val tau = 0.5
-      val docs = docShingles(s, dir).withColumn("n", size(col("sh")))
-      val exploded = docs
-        .select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-        .persist()
+      // candidate-shrinking filters below are complete but only if they
+      // never round AGAINST a qualifying pair — subtract an epsilon so
+      // fp error in tau-products can only under-prune, never over-prune
+      val eps = 1e-9
+      val docs = docShingles(s, dir).withColumn("n", size(col("sh"))).persist()
+      val exploded = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
       val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val prefixKeys = exploded.join(df, "shingle")
+      // df is |distinct shingles| rows of (long, long) — broadcast it
+      // (aggregates have no stats, so Spark would otherwise SMJ);
+      // persist the ranked prefix or BOTH sides of the self-join
+      // re-run the scan+aggregate+window pipeline.
+      val prefixKeys = exploded.join(broadcast(df), "shingle")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("shingle").as("bkey"))
+        .select(col("doc_id"), col("n"), col("rn"), col("shingle").as("bkey"))
+        .persist()
       val l = prefixKeys.as("l")
       val r = prefixKeys.as("r")
+      // size filter: J >= tau forces |a| >= tau|b| and |b| >= tau|a|.
+      // positional filter (PPJoin): common elements sit at or after the
+      // FIRST shared prefix key, so overlap <= 1 + min(remaining), and
+      // J >= tau needs overlap >= tau/(1+tau)*(|a|+|b|).
+      val alpha = (col("l.n") + col("r.n")) * (tau / (1 + tau))
       val pairs = l.join(r,
-          col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+          col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id")
+            && col("l.n") >= col("r.n") * tau - eps
+            && col("r.n") >= col("l.n") * tau - eps
+            && (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn"))) >= alpha - eps)
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
-      val ea = exploded.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
-      val eb = exploded.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shingle"))
+      // verify: attach the two shingle arrays per surviving candidate.
+      // Spark broadcasts the (small) docs side when stats allow; at
+      // corpus scale this degrades gracefully to a shuffle join keyed
+      // by doc id — candidates, not the corpus, dominate the traffic.
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       pairs
-        .join(ea, "doc_a")
-        .join(eb, Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("inter"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("inter", inter)
         .select(col("doc_a"), col("doc_b"),
           (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= tau)

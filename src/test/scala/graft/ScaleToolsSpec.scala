@@ -48,4 +48,23 @@ class ScaleToolsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(direct == salted)
   }
+
+  test("native HyperplaneKeys equals the composed hyperplaneBit form") {
+    import graft.functions.TextFunctions.hyperplaneBit
+    import graft.functions.TextExpressions.hyperplane_keys
+    val (bits, tables) = (5, 3)
+    // the composed definition the native expression replaces: per-table
+    // key = Σᵢ bit(t·bits+i)·2ⁱ + t·2^bits over seed-42 xxhash64 planes
+    val composed = array((0 until tables).map { t =>
+      (t * bits until (t + 1) * bits).zipWithIndex
+        .map { case (plane, i) => hyperplaneBit(col("embedding"), plane) * lit(1 << i) }
+        .reduce(_ + _) + lit(t * (1 << bits))
+    }: _*)
+    val diff = Tables.load(spark, dir, "embeddings")
+      .select(hyperplane_keys(col("embedding"), bits, tables).as("fast"),
+        composed.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
 }
