@@ -262,6 +262,73 @@ case class HyperplaneKeys(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for IVF/k-means (SURVEY.md §2c ann53):
+  * cluster id of the max-cosine centroid, ties to the LARGER id —
+  * identical to `max(struct(cosine, cluster))` over a broadcast
+  * centroid table, but evaluated as a per-row projection: no
+  * crossJoin row blow-up and no per-vector argmax shuffle. The
+  * centroid matrix rides into the plan as literal state (k×dim
+  * doubles), exactly what a broadcast would ship. */
+case class NearestCentroid(child: Expression, ids: Seq[Int], cents: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(ids.nonEmpty && ids.length == cents.length)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_nearest_centroid", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }, "ARRAY<FLOAT|DOUBLE>")
+
+  @transient private lazy val cArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val cNrm: Array[Double] = cArr.map { a =>
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+  @transient private lazy val isFloat = child.dataType
+    .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    .elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j))
+        v(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    var s = 0.0
+    j = 0
+    while (j < n) { s += v(j) * v(j); j += 1 }
+    val vNrm = math.sqrt(s)
+    var bestCos = Double.NegativeInfinity
+    var bestId = ids(0)
+    var k = 0
+    while (k < cArr.length) {
+      val c = cArr(k)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += v(i) * c(i); i += 1 }
+      val cos = if (vNrm == 0 || cNrm(k) == 0) 0.0 else d / (vNrm * cNrm(k))
+      // >= : ties resolve to the LARGEST cluster id seen (ids ascending
+      // callers) — matches max(struct(cos, cluster)) semantics
+      if (cos > bestCos || (cos == bestCos && ids(k) > bestId)) {
+        bestCos = cos; bestId = ids(k)
+      }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** Shared analysis-time input-type validation (AbstractDataType /
   * ExpectsInputTypes are private[sql] in Spark 4, so the check is
   * spelled directly). */
@@ -283,4 +350,6 @@ object TextExpressions {
     ColumnBridge.column(MinHashSig(expr(c), numPerms))
   def hyperplane_keys(c: Column, bits: Int, tables: Int): Column =
     ColumnBridge.column(HyperplaneKeys(expr(c), bits, tables))
+  def nearest_centroid(c: Column, ids: Seq[Int], cents: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(expr(c), ids, cents))
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.TextFunctions._
@@ -64,6 +65,100 @@ object AnnQueries {
       .filter(col("rank") <= K)
   }
 
+  private val IvfK = 32      // centroids
+  private val IvfIters = 3   // Lloyd iterations
+  private val IvfProbe = 4   // clusters searched per query
+
+  /** IVF (inverted-file) ANN: spherical k-means centroids, then each
+    * query searches only its `IvfProbe` nearest clusters.
+    *
+    * Deterministic by construction: init = the first `IvfK` vectors by
+    * vec_id; per-dimension means go through exact DECIMAL sums (order-
+    * independent), so centroids are identical run-to-run regardless of
+    * shuffle order. The Lloyd loop is driver-side but each step is a
+    * distributed assign (broadcast k×dim centroids, one corpus pass) +
+    * aggregate — at 100 TB this is the textbook layout: only the k×dim
+    * centroid table ever leaves the executors.
+    */
+  private def ivfTopK(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .persist()
+
+    def centroidDf(cents: Seq[(Int, Seq[Double])]) =
+      cents.toDF("cluster", "c_emb")
+        .select(col("cluster"), col("c_emb"), l2norm(col("c_emb")).as("c_nrm"))
+
+    // assignment: nearest (max-cosine) centroid, ties to the larger
+    // cluster id — a per-row native projection (NearestCentroid), so
+    // each Lloyd iteration is ONE aggregation over the persisted base:
+    // no crossJoin blow-up, no per-vector argmax shuffle.
+    def nearest(cents: Seq[(Int, Seq[Double])]) =
+      graft.functions.TextExpressions.nearest_centroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2))
+
+    val dim = base.select(size(col("embedding"))).as[Int].first()
+    var cents: Seq[(Int, Seq[Double])] = base.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    for (_ <- 1 to IvfIters) {
+      // exact decimal per-dimension sums -> deterministic means; one
+      // groupBy with `dim` sum columns (no positional explode shuffle)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast(DecimalType(32, 16))).as(s"s$i"))
+      cents = base
+        .groupBy(nearest(cents).as("cluster"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("cnt")
+          (r.getAs[Int]("cluster"),
+            (0 until dim).map(i => (r.getDecimal(i + 2).doubleValue) / n).toSeq)
+        }
+        .toSeq.sortBy(_._1)
+    }
+
+    val assigned = base.withColumn("cluster", nearest(cents)).persist()
+    // probe list: each query's IvfProbe nearest centroids
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cluster"))
+    val probes = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroidDf(cents)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cluster"),
+        cosineFromDot(dot(col("q_emb"), col("c_emb")), col("q_nrm"), col("c_nrm")).as("ccos"))
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= IvfProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cluster"))
+    // exact cosine only within probed clusters
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFromDot(dot(col("embedding"), col("q_emb")), col("nrm"), col("q_nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  /** recall@K of an approximate method against the exact baseline. */
+  private def recallOf(method: String, exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame) = {
+    val hits = exact.join(
+        approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor")),
+        col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg((count(col("a_neighbor")).cast("double") / K).as("recall_at_k"))
+      .persist()
+    hits.select(lit(method).as("method"), col("query_id"), col("recall_at_k"))
+      .unionAll(hits.agg(lit(method).as("method"), lit(-1L).as("query_id"),
+        (sum(Det.dec4(col("recall_at_k"))).cast("double") / count(lit(1))).as("recall_at_k")))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ann37: brute-force cosine top-k — the exact baseline. The query
@@ -110,26 +205,26 @@ object AnnQueries {
       topK(s, dir, useLsh = true).orderBy("query_id", "rank")
     },
 
-    // ann52: recall@K of the LSH path against the exact baseline —
-    // the number that justifies (or vetoes) the approximate index at
-    // scale. |LSH-top-K ∩ exact-top-K| / K per query + macro average.
+    // ann53: IVF (k-means inverted file) ANN — the scale path for
+    // CLUSTERED embedding spaces: nprobe/k of the corpus searched per
+    // query instead of LSH's union-of-buckets. Deterministic spherical
+    // k-means (see ivfTopK). Output shape matches ann_bruteforce.
+    QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
+      ivfTopK(s, dir).orderBy("query_id", "rank")
+    },
+
+    // ann52: recall@K of each approximate path (LSH, IVF) against the
+    // exact baseline — the number that justifies (or vetoes) an
+    // approximate index at scale. |approx-top-K ∩ exact-top-K| / K per
+    // query + per-method macro average (query_id = -1).
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
+      // persisted: exact feeds both per-method joins, and its lineage
+      // holds the expensive brute-force pipeline
       val exact = topK(s, dir, useLsh = false)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = topK(s, dir, useLsh = true)
-        .select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
-      // persisted: hits feeds both union branches, and its lineage
-      // holds the expensive exact+LSH pipelines
-      val hits = exact.join(approx,
-          col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
-          "left")
-        .groupBy("query_id")
-        .agg((count(col("a_neighbor")).cast("double") / K).as("recall_at_k"))
-        .persist()
-      hits.select(col("query_id"), col("recall_at_k"))
-        .unionAll(hits.agg(lit(-1L).as("query_id"),
-          (sum(Det.dec4(col("recall_at_k"))).cast("double") / count(lit(1))).as("recall_at_k")))
-        .orderBy("query_id")
+        .select(col("query_id"), col("neighbor_id")).persist()
+      recallOf("lsh", exact, topK(s, dir, useLsh = true))
+        .unionAll(recallOf("ivf", exact, ivfTopK(s, dir)))
+        .orderBy("method", "query_id")
     }
   )
 }
