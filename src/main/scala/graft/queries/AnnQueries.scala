@@ -22,13 +22,18 @@ object AnnQueries {
   private val LshBits = 6
   private val LshTables = 8
 
-  private def topK(s: SparkSession, dir: String, useLsh: Boolean) = {
-    val base = Tables.load(s, dir, "embeddings")
+  /** (vec_id, embedding, nrm), repartitioned for CPU-heavy per-row
+    * stages and persisted — ann_recall threads ONE base through the
+    * exact, LSH and IVF pipelines instead of re-scanning per method.
+    * Not unpersisted (lazy results) — callers that loop should
+    * clearCache between runs, as Bench/Verify do. */
+  private def prepBase(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    // persisted: bkeys feed both the corpus and query sides of one
-    // action. Not unpersisted (lazy result) - callers that loop should
-    // clearCache between runs, as Bench/Verify do.
+      .persist()
+
+  private def topK(base: org.apache.spark.sql.DataFrame, useLsh: Boolean) = {
     val vecs = if (useLsh)
       base.withColumn("bkeys",
         hyperplaneBucketKeys(col("embedding"), LshBits, LshTables)).persist()
@@ -80,12 +85,8 @@ object AnnQueries {
     * aggregate — at 100 TB this is the textbook layout: only the k×dim
     * centroid table ever leaves the executors.
     */
-  private def ivfTopK(s: SparkSession, dir: String) = {
+  private def ivfTopK(s: SparkSession, base: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    val base = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-      .persist()
 
     def centroidDf(cents: Seq[(Int, Seq[Double])]) =
       cents.toDF("cluster", "c_emb")
@@ -190,7 +191,7 @@ object AnnQueries {
          |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
          |      FROM p)
          |WHERE rk <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
-      topK(s, dir, useLsh = false).orderBy("query_id", "rank")
+      topK(prepBase(s, dir), useLsh = false).orderBy("query_id", "rank")
     },
 
     // ann38: multi-table LSH ANN — the scale path. 8 independent
@@ -202,7 +203,7 @@ object AnnQueries {
     // At 100 TB this (or IVF centroids) is the difference between one
     // full pass per query batch and a few bucket lookups.
     QueryDef.rowsOnly("ann_lsh") { (s, dir) =>
-      topK(s, dir, useLsh = true).orderBy("query_id", "rank")
+      topK(prepBase(s, dir), useLsh = true).orderBy("query_id", "rank")
     },
 
     // ann53: IVF (k-means inverted file) ANN — the scale path for
@@ -210,7 +211,7 @@ object AnnQueries {
     // query instead of LSH's union-of-buckets. Deterministic spherical
     // k-means (see ivfTopK). Output shape matches ann_bruteforce.
     QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
-      ivfTopK(s, dir).orderBy("query_id", "rank")
+      ivfTopK(s, prepBase(s, dir)).orderBy("query_id", "rank")
     },
 
     // ann52: recall@K of each approximate path (LSH, IVF) against the
@@ -218,12 +219,14 @@ object AnnQueries {
     // approximate index at scale. |approx-top-K ∩ exact-top-K| / K per
     // query + per-method macro average (query_id = -1).
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
-      // persisted: exact feeds both per-method joins, and its lineage
+      // one shared scan+norm base across all three pipelines;
+      // persisted exact feeds both per-method joins, and its lineage
       // holds the expensive brute-force pipeline
-      val exact = topK(s, dir, useLsh = false)
+      val base = prepBase(s, dir)
+      val exact = topK(base, useLsh = false)
         .select(col("query_id"), col("neighbor_id")).persist()
-      recallOf("lsh", exact, topK(s, dir, useLsh = true))
-        .unionAll(recallOf("ivf", exact, ivfTopK(s, dir)))
+      recallOf("lsh", exact, topK(base, useLsh = true))
+        .unionAll(recallOf("ivf", exact, ivfTopK(s, base)))
         .orderBy("method", "query_id")
     }
   )
