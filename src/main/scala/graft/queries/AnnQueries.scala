@@ -202,7 +202,41 @@ object AnnQueries {
     // vs 0.06 single-table — real embedding clusters fare far better).
     // At 100 TB this (or IVF centroids) is the difference between one
     // full pass per query batch and a few bucket lookups.
-    QueryDef.rowsOnly("ann_lsh") { (s, dir) =>
+    // Oracle-checked: the plane matrix is deterministic, so the oracle
+    // embeds the same coefficients as literals and replays bucketing,
+    // candidate generation, and the exact-cosine top-k bit-for-bit.
+    QueryDef.sql(
+      "ann_lsh",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm,
+         |    ${OracleSql.hyperplaneKeysList("e", LshBits, LshTables, 96)} AS keys
+         |  FROM v
+         |), ck AS (
+         |  SELECT vec_id, unnest(keys) AS bkey FROM n
+         |), qk AS (
+         |  SELECT vec_id AS query_id, unnest(keys) AS q_bkey FROM n
+         |  WHERE vec_id < $NumQueries
+         |), cand AS (
+         |  SELECT DISTINCT c.vec_id, q.query_id
+         |  FROM ck c JOIN qk q ON c.bkey = q.q_bkey AND c.vec_id <> q.query_id
+         |), p AS (
+         |  SELECT cand.query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN c.nrm = 0 OR q.nrm = 0 THEN 0.0
+         |         ELSE list_reduce(list_transform(range(1, len(c.e)+1), i -> c.e[i] * q.e[i]),
+         |                (a,b) -> a+b) / (c.nrm * q.nrm) END AS cosine
+         |  FROM cand
+         |  JOIN n c ON c.vec_id = cand.vec_id
+         |  JOIN n q ON q.vec_id = cand.query_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS "rank"
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |      FROM p)
+         |WHERE rk <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       topK(prepBase(s, dir), useLsh = true).orderBy("query_id", "rank")
     },
 

@@ -67,7 +67,29 @@ object DedupQueries {
 
     // dd34: SimHash (native Catalyst expression) + Hamming distance via
     // 4×16-bit band bucketing; near-dup = small bit_count(xor).
-    QueryDef.rowsOnly("dd_simhash") { (s, dir) =>
+    // Oracle-checked end-to-end: the FNV-1a token hash, bit votes,
+    // band keys and hamming cut are all replayed exactly in DuckDB
+    // (wrapping 64-bit arithmetic via HUGEINT — see OracleSql).
+    QueryDef.sql(
+      "dd_simhash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS t FROM documents
+         |), th AS (
+         |  SELECT doc_id, ${OracleSql.toSigned("hu")} AS h
+         |  FROM (SELECT doc_id, ${OracleSql.fnv1a64Unsigned("t")} AS hu FROM tok)
+         |), sig AS (
+         |  ${OracleSql.simhashFromHashes}
+         |), keyed AS (
+         |  SELECT doc_id, sig,
+         |    concat(b, ':', CAST((sig >> (b*16)) & 65535 AS VARCHAR)) AS bkey
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+         |FROM pairs ORDER BY hamming, doc_a, doc_b LIMIT $TopK""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
@@ -158,8 +180,25 @@ object DedupQueries {
     },
 
     // dd36: embedding-cosine near-dup — 12-bit random-hyperplane LSH
-    // buckets, exact cosine only within buckets.
-    QueryDef.rowsOnly("dd_embedding") { (s, dir) =>
+    // buckets, exact cosine only within buckets. Oracle-checked with
+    // the plane coefficients embedded as literals (see OracleSql).
+    QueryDef.sql(
+      "dd_embedding",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm,
+         |    ${OracleSql.hyperplaneKeysList("e", 12, 1, 96)}[1] AS bucket
+         |  FROM v
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+         |       ELSE list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]),
+         |              (x,y) -> x+y) / (a.nrm * b.nrm) END AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopK""".stripMargin) { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),

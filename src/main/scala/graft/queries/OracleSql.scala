@@ -38,6 +38,68 @@ object OracleSql {
     s"CAST(CASE WHEN ($norm) >= $SMAX THEN ($norm) - $M64 ELSE ($norm) END AS BIGINT)"
   }
 
+  /** FNV-1a 64 of a token expression's UTF-8 bytes, as unsigned
+    * HUGEINT in [0, 2^64): xor runs in the signed BIGINT domain (safe:
+    * the byte only touches the low 8 bits), the wrapping multiply in
+    * HUGEINT mod 2^64 — see [[graft.functions.SimHash64.fnv1a64]]. */
+  def fnv1a64Unsigned(tokExpr: String): String = {
+    val bytes =
+      s"list_transform(range(1, octet_length(encode($tokExpr)) + 1), " +
+        s"i -> CAST(CAST(concat('0x', substr(hex(encode($tokExpr)), 2*i - 1, 2)) AS INT) AS HUGEINT))"
+    s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), $bytes), " +
+      s"(h, b) -> (CAST(xor(CAST(CASE WHEN h >= $SMAX THEN h - $M64 ELSE h END AS BIGINT), " +
+      s"CAST(b AS BIGINT)) AS HUGEINT) % $M64 + $M64) % $M64 " +
+      s"* CAST(1099511628211 AS HUGEINT) % $M64)"
+  }
+
+  /** Signed-BIGINT view of an unsigned HUGEINT in [0, 2^64). */
+  def toSigned(uExpr: String): String =
+    s"CAST(CASE WHEN ($uExpr) >= $SMAX THEN ($uExpr) - $M64 ELSE ($uExpr) END AS BIGINT)"
+
+  /** SimHash bit-vote: given a per-(doc, token-hash) relation aliased
+    * `th(doc_id, h)`, emits the 64-bit signature as signed BIGINT.
+    * Bit b is set when more token hashes have bit b set than clear. */
+  def simhashFromHashes: String = {
+    val su = (0 until 64).map { b =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST('${java.math.BigInteger.ONE.shiftLeft(b)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" + ")
+    s"SELECT doc_id, ${toSigned("su")} AS sig " +
+      s"FROM (SELECT doc_id, $su AS su FROM th GROUP BY doc_id)"
+  }
+
+  /** Random-hyperplane projection of a double-list expression against
+    * plane `plane`, replayed with the SAME coefficients as
+    * [[graft.functions.HyperplaneKeys]]: component j is
+    * pmod(xxhash64(plane, j), 10000)/10000 - 0.5, precomputed here on
+    * the driver and embedded as `m/10000.0 - 0.5` literals so DuckDB's
+    * correctly-rounded double division reproduces the value bit-for-bit
+    * (a decimal rendering of the double would not round-trip). */
+  def hyperplaneProj(vecExpr: String, plane: Int, dim: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val coefs = (0 until dim).map { j =>
+      val m = {
+        val x = XXH64.hashInt(j, XXH64.hashInt(plane, 42L)) % 10000L
+        if (x < 0) x + 10000L else x
+      }
+      s"$m/10000.0 - 0.5"
+    }.mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, len($vecExpr) + 1), " +
+      s"j -> ($vecExpr)[j] * ($coefs)[j]), (a, b) -> a + b)"
+  }
+
+  /** Multi-table hyperplane bucket keys as a SQL list — mirrors
+    * [[graft.functions.HyperplaneKeys]]: table t's key is
+    * Σᵢ (proj(t·bits+i) ≥ 0)·2ⁱ + t·2^bits. `dim` must cover the
+    * embedding length (extra coefficients are never indexed). */
+  def hyperplaneKeysList(vecExpr: String, bits: Int, tables: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      val bitSum = (0 until bits).map { i =>
+        s"CASE WHEN ${hyperplaneProj(vecExpr, t * bits + i, dim)} >= 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"($bitSum + ${t * (1 << bits)})"
+    }.mkString("[", ", ", "]")
+
   /** Spark-equivalent whitespace tokens of trimmed text. */
   def tokens(textExpr: String): String =
     s"string_split_regex(trim($textExpr), '\\s+')"
