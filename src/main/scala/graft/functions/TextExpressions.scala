@@ -54,6 +54,77 @@ object RollingHash {
   }
 }
 
+/** FNV-1a 64 of a string's UTF-8 bytes (codegen'd) — graft's shingle
+  * hash. Chosen over xxhash64 because its byte fold is replayable in
+  * the DuckDB oracle with HUGEINT mod-2^64 arithmetic (see
+  * OracleSql.fnv1a64Unsigned), which makes the whole MinHash+LSH
+  * pipeline hash-comparable cross-engine. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_fnv64",
+      _ == org.apache.spark.sql.types.StringType, "STRING")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.fnv1a64(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+/** LSH band keys from a MinHash signature: key of band b is the
+  * wrapping polynomial fold h=b; h = h*31 + component over the band's
+  * `rowsPerBand` consecutive signature components. Native because
+  * Column-level long arithmetic errors on overflow under Spark 4's
+  * default ANSI mode, while banding WANTS wrapping Java semantics
+  * (also replayable in the oracle — see OracleSql). */
+case class BandKeys(child: Expression, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(rowsPerBand > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_band_keys", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }, "ARRAY<BIGINT>")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val numBands = arr.numElements() / rowsPerBand
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = b.toLong
+      var r = 0
+      while (r < rowsPerBand) { h = h * 31L + arr.getLong(b * rowsPerBand + r); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array of tokens (SURVEY.md §2c dd_simhash).
   *
   * Classic Charikar construction: each token hashes to 64 bits
@@ -352,4 +423,7 @@ object TextExpressions {
     ColumnBridge.column(HyperplaneKeys(expr(c), bits, tables))
   def nearest_centroid(c: Column, ids: Seq[Int], cents: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(expr(c), ids, cents))
+  def fnv64(c: Column): Column = ColumnBridge.column(Fnv64(expr(c)))
+  def band_keys(c: Column, rowsPerBand: Int): Column =
+    ColumnBridge.column(BandKeys(expr(c), rowsPerBand))
 }

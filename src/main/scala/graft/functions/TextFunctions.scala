@@ -28,18 +28,14 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Hashed word k-shingles: xxhash64 of k consecutive tokens, no
-    * intermediate shingle strings. For set-similarity purposes a
-    * 64-bit hash is a faithful stand-in for the shingle itself
-    * (collision odds ~n²/2⁶⁵), and hashing longs downstream (MinHash's
-    * 64 seeded re-hashes) is far cheaper than re-hashing strings. */
-  def shingleHashes(toks: Column, k: Int): Column = {
-    val n = size(toks)
-    when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => xxhash64((1 to k).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
-  }
+  /** Hashed word k-shingles: FNV-1a 64 of each k-gram joined by single
+    * spaces. For set-similarity purposes a 64-bit hash is a faithful
+    * stand-in for the shingle itself (collision odds ~n²/2⁶⁵), and
+    * hashing longs downstream (MinHash's 64 seeded re-hashes) is far
+    * cheaper than re-hashing strings. FNV rather than xxhash64 so the
+    * DuckDB oracle can replay the hash byte-for-byte (OracleSql). */
+  def shingleHashes(toks: Column, k: Int): Column =
+    transform(shingles(toks, k), s => graft.functions.TextExpressions.fnv64(s))
 
   /** Full MinHash signature over a HASHED shingle array (array<long>,
     * from [[shingleHashes]]) — single-pass native expression; see
@@ -47,17 +43,15 @@ object TextFunctions {
   def minhashSignature(shingleHashSet: Column, numPerms: Int): Column =
     graft.functions.TextExpressions.minhash_sig(shingleHashSet, numPerms)
 
-  /** LSH band keys: hash r consecutive signature components per band →
-    * array of (numPerms / r) band hashes. Docs sharing ANY band hash
-    * are near-dup candidates (banding theorem: catches high-Jaccard
-    * pairs with high probability while keeping the join sparse). */
-  def minhashBands(sig: Column, numPerms: Int, rowsPerBand: Int): Column = {
-    val numBands = numPerms / rowsPerBand
-    array((0 until numBands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1)): _*)
-    }: _*)
-  }
+  /** LSH band keys: combine r consecutive signature components per
+    * band → array of (numPerms / r) band keys. Docs sharing ANY band
+    * key are near-dup candidates (banding theorem: catches high-
+    * Jaccard pairs with high probability while keeping the join
+    * sparse). Wrapping polynomial combine via the native BandKeys
+    * expression (oracle-replayable; Column long arithmetic would
+    * error on overflow under ANSI mode). */
+  def minhashBands(sig: Column, numPerms: Int, rowsPerBand: Int): Column =
+    graft.functions.TextExpressions.band_keys(sig, rowsPerBand)
 
   /** Exact Jaccard similarity of two array-set columns. */
   def jaccard(a: Column, b: Column): Column = {

@@ -52,7 +52,29 @@ object DedupQueries {
     // bucket join → exact Jaccard verify on candidates only. 16 bands
     // of 4 catch Jaccard≥0.8 pairs with p≥0.996 at half the signature
     // cost of 128 perms (the hash fan-out dominates this operator).
-    QueryDef.rowsOnly("dd_minhash_lsh") { (s, dir) =>
+    // Oracle-checked end-to-end: shingle FNV, the 64 splitmix64
+    // permutation mins, band fold, candidate join and Jaccard ranks
+    // are replayed exactly in DuckDB (wrapping arithmetic in HUGEINT,
+    // permutation seeds embedded as literals — see OracleSql).
+    QueryDef.sql(
+      "dd_minhash_lsh", {
+        import OracleSql._
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |)
+           |SELECT p.doc_a, p.doc_b,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+           |FROM pairs p
+           |JOIN sh x ON x.doc_id = p.doc_a
+           |JOIN sh y ON y.doc_id = p.doc_b
+           |ORDER BY jaccard DESC, doc_a, doc_b LIMIT $TopK""".stripMargin
+      }) { (s, dir) =>
       val docs = docShingles(s, dir)
         .withColumn("sig", minhashSignature(col("sh"), 64))
         .withColumn("bands", minhashBands(col("sig"), 64, 4))

@@ -15,6 +15,9 @@ object OracleSql {
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
   private val SMAX = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
 
+  /** 2^64 as a HUGEINT SQL literal, for callers composing folds. */
+  def m64: String = M64
+
   /** Unsigned bytes (0..255) of the UTF-8 encoding of `hxCol`, where
     * `hxCol` must be `hex(encode(<string>))` and `lenCol` its
     * `octet_length(encode(<string>))`. */
@@ -55,6 +58,48 @@ object OracleSql {
   /** Signed-BIGINT view of an unsigned HUGEINT in [0, 2^64). */
   def toSigned(uExpr: String): String =
     s"CAST(CASE WHEN ($uExpr) >= $SMAX THEN ($uExpr) - $M64 ELSE ($uExpr) END AS BIGINT)"
+
+  /** Unsigned HUGEINT view in [0, 2^64) of a signed BIGINT. */
+  def toUnsigned(sExpr: String): String =
+    s"((CAST($sExpr AS HUGEINT) % $M64 + $M64) % $M64)"
+
+  /** Bitwise xor of two unsigned HUGEINTs via the signed domain
+    * (DuckDB xor is BIGINT-only; the bit pattern is width-preserved). */
+  def xorU(ua: String, ub: String): String =
+    toUnsigned(s"xor(${toSigned(ua)}, ${toSigned(ub)})")
+
+  /** (u * c) mod 2^64 with c a 64-bit constant — c is split into
+    * 32-bit halves so every intermediate stays under 2^96 (a full
+    * 64x64 product overflows INT128). */
+  def mulModConst(uExpr: String, c: BigInt): String = {
+    val bh = c >> 32
+    val bl = c & 0xFFFFFFFFL
+    s"(((($uExpr) * $bl) % $M64 + (((($uExpr) * $bh) % 4294967296) * 4294967296) % $M64) % $M64)"
+  }
+
+  /** splitmix64 (the MinHash permutation hash — see
+    * [[graft.functions.MinHashSig.splitmix64]]) as a chain of
+    * MATERIALIZED CTEs: `fromRel(carryCols..., inCol)` →
+    * `<prefix>5(carryCols..., z5)` with z5 the unsigned result.
+    *
+    * Every step must be MATERIALIZED: DuckDB inlines plain CTEs and
+    * lateral aliases, and the xor steps reference their input twice —
+    * textual inlining grows the expression tree exponentially (~2⁶×),
+    * measured as a >280s timeout vs ~3s materialized. */
+  def splitmixCtes(fromRel: String, inCol: String, carry: Seq[String],
+      prefix: String): (String, String) = {
+    val cols = carry.mkString(", ")
+    def step(i: Int, expr: String, from: String) =
+      s"$prefix$i AS MATERIALIZED (SELECT $cols, $expr AS z$i FROM $from)"
+    val steps = Seq(
+      step(0, s"(($inCol) + CAST('11400714819323198485' AS HUGEINT)) % $M64", fromRel),
+      step(1, xorU("z0", s"(z0) // 1073741824"), s"${prefix}0"),
+      step(2, mulModConst("z1", BigInt("13787848793156543929")), s"${prefix}1"),
+      step(3, xorU("z2", s"(z2) // 134217728"), s"${prefix}2"),
+      step(4, mulModConst("z3", BigInt("10723151780598845931")), s"${prefix}3"),
+      step(5, xorU("z4", s"(z4) // 2147483648"), s"${prefix}4"))
+    (steps.mkString(",\n"), s"${prefix}5")
+  }
 
   /** SimHash bit-vote: given a per-(doc, token-hash) relation aliased
     * `th(doc_id, h)`, emits the 64-bit signature as signed BIGINT.
@@ -112,6 +157,38 @@ object OracleSql {
       s"THEN list_transform(range(1, len($toksExpr) - 1), " +
       s"i -> ($toksExpr)[i] || ' ' || ($toksExpr)[i+1] || ' ' || ($toksExpr)[i+2]) " +
       s"ELSE [list_aggregate($toksExpr, 'string_agg', ' ')] END)"
+
+  /** The MinHash+LSH band-key pipeline as a CTE block: from a relation
+    * `shRel(doc_id, sh)` of string shingle sets to `bk(doc_id, bkey)`
+    * of signed band keys — FNV shingle hashes, `numPerms` splitmix64
+    * permutation minima (seeds embedded from
+    * [[graft.functions.MinHashSig.seed]]), and the wrapping
+    * polynomial band fold of [[graft.functions.BandKeys]]. */
+  def minhashBandCtes(shRel: String, numPerms: Int, rowsPerBand: Int): String = {
+    val seeds = (0 until numPerms)
+      .map(graft.functions.MinHashSig.seed).mkString("[", ", ", "]")
+    val (smCtes, smLast) = splitmixCtes("sx", "u0", Seq("doc_id", "p"), "sm")
+    s"""hh AS (
+       |  SELECT doc_id, ${toSigned(fnv1a64Unsigned("s"))} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM $shRel)
+       |), sx AS MATERIALIZED (
+       |  SELECT doc_id, p, ${toUnsigned(s"xor(h, ($seeds)[p + 1])")} AS u0
+       |  FROM hh, (SELECT unnest(range($numPerms)) AS p)
+       |),
+       |$smCtes,
+       |sig AS (
+       |  SELECT doc_id, p, MIN(${toSigned("z5")}) AS c FROM $smLast GROUP BY doc_id, p
+       |), band AS (
+       |  SELECT doc_id, p // $rowsPerBand AS b, list(c ORDER BY p) AS comps
+       |  FROM sig GROUP BY doc_id, p // $rowsPerBand
+       |), bk AS (
+       |  SELECT doc_id, ${toSigned(
+            s"list_reduce(list_prepend(CAST(b AS HUGEINT), " +
+            s"list_transform(comps, cc -> ${toUnsigned("cc")})), " +
+            s"(acc, cu) -> (acc * 31 + cu) % $M64)")} AS bkey
+       |  FROM band
+       |)""".stripMargin
+  }
 
   /** Stopword-hit ratio of a token list against an inline list. */
   def stopwordScore(toksCol: String, words: Seq[String]): String = {

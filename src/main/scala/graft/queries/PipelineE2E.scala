@@ -19,8 +19,66 @@ import graft.functions.TextFunctions._
   */
 object PipelineE2E {
 
+  /** The whole composed pipeline replayed in DuckDB: every stage
+    * (quality divisions, stopword argmax, FNV/MinHash/band keys,
+    * Jaccard≥0.8 verify, anti-join, rolling-hash fingerprint) uses the
+    * exact-semantics building blocks of [[OracleSql]], so even this
+    * capstone is hash-compared, not rows-only. */
+  private def oracle: String = {
+    import OracleSql._
+    val sw = graft.functions.TextFunctions.stopwords
+    val scoreCols = sw.keys.toSeq.sorted.map(l =>
+      s"${stopwordScore("t", sw(l))} AS s_$l").mkString(",\n    ")
+    val unions = sw.keys.toSeq.sorted.map(l =>
+      s"SELECT doc_id, '$l' AS cand, s_$l AS score FROM sc").mkString("\n  UNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, lang, text, ${tokens("text")} AS t FROM documents
+       |), q0 AS (
+       |  SELECT *, len(t) AS n_words,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity
+       |  FROM t0
+       |), qf AS (
+       |  SELECT doc_id, lang, text, t, n_words FROM q0
+       |  WHERE n_words >= 20 AND diversity > 0.2
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM qf
+       |), lc AS (
+       |  $unions
+       |), lp AS (
+       |  SELECT doc_id, cand AS lang_pred FROM lc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
+       |), sh AS (
+       |  SELECT doc_id, ${shingles3("t")} AS sh FROM qf
+       |), ${minhashBandCtes("sh", 64, 4)}, cand_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), losers AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id
+       |  FROM cand_pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+       |), fp AS (
+       |  SELECT doc_id, hex(encode(nt)) AS thx, octet_length(encode(nt)) AS tbl
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM qf)
+       |)
+       |SELECT q.doc_id, q.lang, lp.lang_pred, q.n_words,
+       |  CAST(CEIL(LENGTH(q.text) / 4.0) AS BIGINT) AS bpe_est,
+       |  ${rollingHash(signedBytes("fp.thx", "fp.tbl"))} AS fingerprint
+       |FROM qf q
+       |JOIN lp USING (doc_id)
+       |JOIN fp ON fp.doc_id = q.doc_id
+       |LEFT JOIN losers lo ON lo.doc_id = q.doc_id
+       |WHERE lo.doc_id IS NULL
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("pipe_e2e") { (s, dir) =>
+    QueryDef.sql("pipe_e2e", oracle) { (s, dir) =>
       val toks = tokens(col("text"))
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
