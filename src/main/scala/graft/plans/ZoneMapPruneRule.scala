@@ -26,13 +26,17 @@ import graft.sources.BlockStat
 case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // single-root relations only: with multiple roots a partial index
-    // would silently drop the unindexed roots' files.
-    case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _))
-        if hfs.location.rootPaths.size == 1 =>
-      ZoneMapPruneRule.indexFor(hfs.location.rootPaths.head.toString) match {
-        case None => f
-        case Some(stats) =>
+    // Multi-root relations prune against the UNION of the roots'
+    // registered indices. This is safe with partially-indexed roots:
+    // skipping is per-FILE and only ever drops a file every one of
+    // whose indexed row groups fails may-match — a file no index knows
+    // (unindexed root, stale index) never enters the skip set.
+    case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)) =>
+      hfs.location.rootPaths.toSeq
+        .flatMap(p => ZoneMapPruneRule.indexFor(p.toString))
+        .flatten match {
+        case Nil => f
+        case stats =>
           PredicateExtractor.convert(cond) match {
             case None => f
             case Some(pred) =>

@@ -25,6 +25,20 @@ object StreamingQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // st54: streaming exact-dedup — batch twin keeps a deterministic
+    // representative per key; the streaming variant
+    // (EventStreams.dedupStream, exercised in StreamingSpec) drops
+    // in-watermark duplicates with bounded, expiring state.
+    QueryDef.sql(
+      "st_dedup",
+      """SELECT user_id, event_type,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+        |  COUNT(*) AS n_dupes
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      EventStreams.dedupFirst(Tables.load(s, dir, "events"))
+        .orderBy("user_id", "event_type")
+    },
+
     // st45: sessionization — 30-min-gap sessions per user via event-time
     // ordering + lag. Gap arithmetic in whole seconds (both engines
     // floor sub-second precision identically).

@@ -50,4 +50,22 @@ object EventStreams {
   /** Watermarked streaming variant of [[hourlyAgg]]. */
   def hourlyAggStream(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch dedup twin (st_dedup): one keeper + duplicate count per
+    * (user_id, event_type). The keeper is min(event_id) — a
+    * deterministic representative the oracle can reproduce (streaming
+    * keeps the first ARRIVAL; the key set is what both must agree on). */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type")
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_dupes"))
+
+  /** Streaming exact-dedup with BOUNDED state: duplicates arriving
+    * within the watermark delay are dropped, and per-key state expires
+    * once the watermark passes — the only way streaming dedup survives
+    * an unbounded key domain at 100 TB/day. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 }

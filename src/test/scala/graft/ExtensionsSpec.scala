@@ -85,6 +85,38 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregister(path)
   }
 
+  test("multi-root scans prune from the union of indices; partial registration stays correct") {
+    val pathA = "target/scratch/test/ext-multiroot-a"
+    val pathB = "target/scratch/test/ext-multiroot-b"
+    val li = Tables.load(spark, dir, "lineitem")
+    MicroBlockWriter.write(li.filter(col("l_orderkey") % 2 === 0), pathA, "l_shipdate", 4)
+    MicroBlockWriter.write(li.filter(col("l_orderkey") % 2 === 1), pathB, "l_shipdate", 4)
+    val statsA = MicroBlockIndex.build(spark, pathA, "lineitem").collect().toSeq
+    val statsB = MicroBlockIndex.build(spark, pathB, "lineitem").collect().toSeq
+    val pred = col("l_shipdate") >= "2000-01-01 00:00:00"
+    val expected = li.filter(pred).count()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.get
+    val totalFiles = MicroBlockIndex.listParquetFiles(pathA).size +
+      MicroBlockIndex.listParquetFiles(pathB).size
+    // both roots registered: prunes across both; values intact
+    ZoneMapPruneRule.register(pathA, statsA)
+    ZoneMapPruneRule.register(pathB, statsB)
+    try {
+      val both = spark.read.parquet(pathA, pathB).filter(pred)
+      assert(both.count() == expected && expected > 0)
+      assert(scannedFiles(both) < totalFiles)
+      // partial registration: only A's files may be skipped, B's all kept
+      ZoneMapPruneRule.unregister(pathB)
+      val partial = spark.read.parquet(pathA, pathB).filter(pred)
+      assert(partial.count() == expected)
+      assert(scannedFiles(partial) >= MicroBlockIndex.listParquetFiles(pathB).size)
+    } finally { ZoneMapPruneRule.unregister(pathA); ZoneMapPruneRule.unregister(pathB) }
+  }
+
   test("rule is a no-op for unregistered tables and prune-everything predicates") {
     val raw = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 0)
     assert(raw.count() > 0)

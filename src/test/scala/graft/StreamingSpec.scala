@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup (watermarked, bounded state) covers the batch key set") {
+    val batchKeys = EventStreams.dedupFirst(Tables.load(spark, dir, "events"))
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val q = EventStreams.dedupStream(EventStreams.readStream(spark, streamDir))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // streaming emits exactly one survivor per key (arrival-order
+      // representative); the KEY SET must match the batch twin's
+      assert(streamed.length == streamed.toSet.size, "emitted a duplicate key")
+      assert(streamed.toSet == batchKeys)
+      assert(batchKeys.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == oracle-checked batch twin") {
     import spark.implicits._
     import graft.streaming.StatefulSessions
