@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.TextFunctions._
@@ -73,14 +72,15 @@ object AnnQueries {
   private val IvfK = 32      // centroids
   private val IvfIters = 3   // Lloyd iterations
   private val IvfProbe = 4   // clusters searched per query
+  private val IvfScale = 16777216.0 // 2^24: float-exact mean scaling
 
   /** IVF (inverted-file) ANN: spherical k-means centroids, then each
     * query searches only its `IvfProbe` nearest clusters.
     *
     * Deterministic by construction: init = the first `IvfK` vectors by
-    * vec_id; per-dimension means go through exact DECIMAL sums (order-
-    * independent), so centroids are identical run-to-run regardless of
-    * shuffle order. The Lloyd loop is driver-side but each step is a
+    * vec_id; per-dimension means go through exact floor-scaled integer
+    * sums (order-independent), so centroids are identical run-to-run
+    * regardless of shuffle order. The Lloyd loop is driver-side but each step is a
     * distributed assign (broadcast k×dim centroids, one corpus pass) +
     * aggregate — at 100 TB this is the textbook layout: only the k×dim
     * centroid table ever leaves the executors.
@@ -108,10 +108,15 @@ object AnnQueries {
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
       .toSeq
     for (_ <- 1 to IvfIters) {
-      // exact decimal per-dimension sums -> deterministic means; one
-      // groupBy with `dim` sum columns (no positional explode shuffle)
+      // deterministic means via exact integer sums: each element is
+      // floor-scaled to a long (2^24 keeps float precision), summed
+      // order-independently, divided once in double. One groupBy with
+      // `dim` sum columns (no positional explode shuffle), and every
+      // step is reproducible in the DuckDB oracle (floor/sum/divide of
+      // identical exact values — no decimal rounding-mode edge cases).
       val sums = (0 until dim).map(i =>
-        sum(element_at(col("embedding"), i + 1).cast(DecimalType(32, 16))).as(s"s$i"))
+        sum(floor(element_at(col("embedding"), i + 1).cast("double")
+          * IvfScale)).as(s"s$i"))
       cents = base
         .groupBy(nearest(cents).as("cluster"))
         .agg(count(lit(1)).as("cnt"), sums: _*)
@@ -119,7 +124,7 @@ object AnnQueries {
         .map { r =>
           val n = r.getAs[Long]("cnt")
           (r.getAs[Int]("cluster"),
-            (0 until dim).map(i => (r.getDecimal(i + 2).doubleValue) / n).toSeq)
+            (0 until dim).map(i => r.getLong(i + 2) / (n * IvfScale)).toSeq)
         }
         .toSeq.sortBy(_._1)
     }
@@ -171,26 +176,9 @@ object AnnQueries {
     // are bit-identical and the top-k cut agrees exactly.
     QueryDef.sql(
       "ann_bruteforce",
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, e,
-         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
-         |  FROM v
-         |), p AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    CASE WHEN c.nrm = 0 OR q.nrm = 0 THEN 0.0
-         |         ELSE list_reduce(list_transform(range(1, len(c.e)+1), i -> c.e[i] * q.e[i]),
-         |                (a,b) -> a+b) / (c.nrm * q.nrm) END AS cosine
-         |  FROM n c, n q
-         |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
-         |)
-         |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS "rank"
-         |FROM (SELECT *, row_number() OVER
-         |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |      FROM p)
-         |WHERE rk <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annBruteforceCtes("bf", NumQueries, K)}
+         |SELECT * FROM bf ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       topK(prepBase(s, dir), useLsh = false).orderBy("query_id", "rank")
     },
 
@@ -207,52 +195,57 @@ object AnnQueries {
     // candidate generation, and the exact-cosine top-k bit-for-bit.
     QueryDef.sql(
       "ann_lsh",
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, e,
-         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm,
-         |    ${OracleSql.hyperplaneKeysList("e", LshBits, LshTables, 96)} AS keys
-         |  FROM v
-         |), ck AS (
-         |  SELECT vec_id, unnest(keys) AS bkey FROM n
-         |), qk AS (
-         |  SELECT vec_id AS query_id, unnest(keys) AS q_bkey FROM n
-         |  WHERE vec_id < $NumQueries
-         |), cand AS (
-         |  SELECT DISTINCT c.vec_id, q.query_id
-         |  FROM ck c JOIN qk q ON c.bkey = q.q_bkey AND c.vec_id <> q.query_id
-         |), p AS (
-         |  SELECT cand.query_id, c.vec_id AS neighbor_id,
-         |    CASE WHEN c.nrm = 0 OR q.nrm = 0 THEN 0.0
-         |         ELSE list_reduce(list_transform(range(1, len(c.e)+1), i -> c.e[i] * q.e[i]),
-         |                (a,b) -> a+b) / (c.nrm * q.nrm) END AS cosine
-         |  FROM cand
-         |  JOIN n c ON c.vec_id = cand.vec_id
-         |  JOIN n q ON q.vec_id = cand.query_id
-         |)
-         |SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS "rank"
-         |FROM (SELECT *, row_number() OVER
-         |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |      FROM p)
-         |WHERE rk <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annLshCtes("lshq", LshBits, LshTables, NumQueries, K)}
+         |SELECT * FROM lshq ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       topK(prepBase(s, dir), useLsh = true).orderBy("query_id", "rank")
     },
 
     // ann53: IVF (k-means inverted file) ANN — the scale path for
     // CLUSTERED embedding spaces: nprobe/k of the corpus searched per
-    // query instead of LSH's union-of-buckets. Deterministic spherical
-    // k-means (see ivfTopK). Output shape matches ann_bruteforce.
-    QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
+    // query instead of LSH's union-of-buckets. Oracle-checked: the
+    // deterministic k-means loop is UNROLLED in the oracle SQL
+    // (first-k init, max-(cos, cluster) assignment, floor-scaled
+    // integer mean sums), so even the learned index is hash-compared.
+    QueryDef.sql(
+      "ann_ivf",
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annIvfCtes("ivfk", IvfK, IvfIters, IvfProbe, NumQueries, K, IvfScale.toLong)}
+         |SELECT * FROM ivfk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       ivfTopK(s, prepBase(s, dir)).orderBy("query_id", "rank")
     },
 
     // ann52: recall@K of each approximate path (LSH, IVF) against the
     // exact baseline — the number that justifies (or vetoes) an
     // approximate index at scale. |approx-top-K ∩ exact-top-K| / K per
-    // query + per-method macro average (query_id = -1).
-    QueryDef.rowsOnly("ann_recall") { (s, dir) =>
+    // query + per-method macro average (query_id = -1). Oracle-checked
+    // by composing the three verified pipelines in one SQL statement.
+    QueryDef.sql(
+      "ann_recall", {
+        def recallSql(method: String, rel: String) =
+          s"""r_$method AS MATERIALIZED (
+             |  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+             |  FROM bf e LEFT JOIN $rel a
+             |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |  GROUP BY e.query_id
+             |)""".stripMargin
+        def rows(method: String) =
+          s"""SELECT '$method' AS method, query_id, recall_at_k FROM r_$method
+             |UNION ALL
+             |SELECT '$method', CAST(-1 AS BIGINT),
+             |  CAST(SUM(CAST(recall_at_k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             |FROM r_$method""".stripMargin
+        s"""WITH ${OracleSql.annBaseCtes},
+           |${OracleSql.annBruteforceCtes("bf", NumQueries, K)},
+           |${OracleSql.annLshCtes("lshq", LshBits, LshTables, NumQueries, K)},
+           |${OracleSql.annIvfCtes("ivfk", IvfK, IvfIters, IvfProbe, NumQueries, K, IvfScale.toLong)},
+           |${recallSql("lsh", "lshq")},
+           |${recallSql("ivf", "ivfk")}
+           |${rows("lsh")}
+           |UNION ALL
+           |${rows("ivf")}
+           |ORDER BY method, query_id""".stripMargin
+      }) { (s, dir) =>
       // one shared scan+norm base across all three pipelines;
       // persisted exact feeds both per-method joins, and its lineage
       // holds the expensive brute-force pipeline

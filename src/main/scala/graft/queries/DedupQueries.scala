@@ -206,20 +206,15 @@ object DedupQueries {
     // the plane coefficients embedded as literals (see OracleSql).
     QueryDef.sql(
       "dd_embedding",
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, e,
-         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm,
-         |    ${OracleSql.hyperplaneKeysList("e", 12, 1, 96)}[1] AS bucket
-         |  FROM v
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.hyperplaneKeysCtes("hpk", 12, 1, 96)},
+         |nb AS (
+         |  SELECT n.vec_id, n.e, n.nrm, hpk.keys[1] AS bucket
+         |  FROM n JOIN hpk USING (vec_id)
          |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-         |       ELSE list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]),
-         |              (x,y) -> x+y) / (a.nrm * b.nrm) END AS cosine
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  ${OracleSql.cosine("a.e", "b.e", "a.nrm", "b.nrm")} AS cosine
+         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopK""".stripMargin) { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)

@@ -69,35 +69,38 @@ object OracleSql {
     toUnsigned(s"xor(${toSigned(ua)}, ${toSigned(ub)})")
 
   /** (u * c) mod 2^64 with c a 64-bit constant — c is split into
-    * 32-bit halves so every intermediate stays under 2^96 (a full
+    * 32-bit halves so every intermediate stays under 2^97 (a full
     * 64x64 product overflows INT128). */
   def mulModConst(uExpr: String, c: BigInt): String = {
     val bh = c >> 32
     val bl = c & 0xFFFFFFFFL
-    s"(((($uExpr) * $bl) % $M64 + (((($uExpr) * $bh) % 4294967296) * 4294967296) % $M64) % $M64)"
+    s"(((($uExpr) * $bl) + (((($uExpr) * $bh) % 4294967296) * 4294967296)) % $M64)"
   }
 
   /** splitmix64 (the MinHash permutation hash — see
     * [[graft.functions.MinHashSig.splitmix64]]) as a chain of
     * MATERIALIZED CTEs: `fromRel(carryCols..., inCol)` →
-    * `<prefix>5(carryCols..., z5)` with z5 the unsigned result.
+    * `<prefix>5(carryCols..., z5)` with z5 the result as UBIGINT.
     *
     * Every step must be MATERIALIZED: DuckDB inlines plain CTEs and
     * lateral aliases, and the xor steps reference their input twice —
     * textual inlining grows the expression tree exponentially (~2⁶×),
-    * measured as a >280s timeout vs ~3s materialized. */
+    * measured as a >280s timeout vs seconds materialized. Xors and
+    * logical shifts run natively on UBIGINT; only the wrapping
+    * multiplies (and the seed add) detour through HUGEINT mod 2^64. */
   def splitmixCtes(fromRel: String, inCol: String, carry: Seq[String],
       prefix: String): (String, String) = {
     val cols = carry.mkString(", ")
     def step(i: Int, expr: String, from: String) =
       s"$prefix$i AS MATERIALIZED (SELECT $cols, $expr AS z$i FROM $from)"
+    def toU(h: String) = s"CAST($h AS UBIGINT)"
     val steps = Seq(
-      step(0, s"(($inCol) + CAST('11400714819323198485' AS HUGEINT)) % $M64", fromRel),
-      step(1, xorU("z0", s"(z0) // 1073741824"), s"${prefix}0"),
-      step(2, mulModConst("z1", BigInt("13787848793156543929")), s"${prefix}1"),
-      step(3, xorU("z2", s"(z2) // 134217728"), s"${prefix}2"),
-      step(4, mulModConst("z3", BigInt("10723151780598845931")), s"${prefix}3"),
-      step(5, xorU("z4", s"(z4) // 2147483648"), s"${prefix}4"))
+      step(0, toU(s"((($inCol) + CAST('11400714819323198485' AS HUGEINT)) % $M64)"), fromRel),
+      step(1, "xor(z0, z0 >> 30)", s"${prefix}0"),
+      step(2, toU(mulModConst("CAST(z1 AS HUGEINT)", BigInt("13787848793156543929"))), s"${prefix}1"),
+      step(3, "xor(z2, z2 >> 27)", s"${prefix}2"),
+      step(4, toU(mulModConst("CAST(z3 AS HUGEINT)", BigInt("10723151780598845931"))), s"${prefix}3"),
+      step(5, "xor(z4, z4 >> 31)", s"${prefix}4"))
     (steps.mkString(",\n"), s"${prefix}5")
   }
 
@@ -113,37 +116,52 @@ object OracleSql {
       s"FROM (SELECT doc_id, $su AS su FROM th GROUP BY doc_id)"
   }
 
-  /** Random-hyperplane projection of a double-list expression against
-    * plane `plane`, replayed with the SAME coefficients as
+  /** Plane `plane`'s coefficient vector as a SQL list literal,
+    * replayed with the SAME values as
     * [[graft.functions.HyperplaneKeys]]: component j is
     * pmod(xxhash64(plane, j), 10000)/10000 - 0.5, precomputed here on
-    * the driver and embedded as `m/10000.0 - 0.5` literals so DuckDB's
-    * correctly-rounded double division reproduces the value bit-for-bit
-    * (a decimal rendering of the double would not round-trip). */
-  def hyperplaneProj(vecExpr: String, plane: Int, dim: Int): String = {
+    * the driver and embedded as `m/10000.0 - 0.5` expressions so
+    * DuckDB's correctly-rounded double division reproduces the value
+    * bit-for-bit (a decimal rendering would not round-trip). */
+  private def planeCoefs(plane: Int, dim: Int): String = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val coefs = (0 until dim).map { j =>
+    (0 until dim).map { j =>
       val m = {
         val x = XXH64.hashInt(j, XXH64.hashInt(plane, 42L)) % 10000L
         if (x < 0) x + 10000L else x
       }
       s"$m/10000.0 - 0.5"
     }.mkString("[", ", ", "]")
-    s"list_reduce(list_transform(range(1, len($vecExpr) + 1), " +
-      s"j -> ($vecExpr)[j] * ($coefs)[j]), (a, b) -> a + b)"
   }
 
-  /** Multi-table hyperplane bucket keys as a SQL list — mirrors
-    * [[graft.functions.HyperplaneKeys]]: table t's key is
-    * Σᵢ (proj(t·bits+i) ≥ 0)·2ⁱ + t·2^bits. `dim` must cover the
-    * embedding length (extra coefficients are never indexed). */
-  def hyperplaneKeysList(vecExpr: String, bits: Int, tables: Int, dim: Int): String =
-    (0 until tables).map { t =>
-      val bitSum = (0 until bits).map { i =>
-        s"CASE WHEN ${hyperplaneProj(vecExpr, t * bits + i, dim)} >= 0 THEN ${1 << i} ELSE 0 END"
-      }.mkString(" + ")
-      s"($bitSum + ${t * (1 << bits)})"
-    }.mkString("[", ", ", "]")
+  /** Multi-table hyperplane bucket keys as CTEs: `n` →
+    * `outRel(vec_id, keys)` mirroring [[graft.functions
+    * .HyperplaneKeys]]: table t's key is Σᵢ (proj(t·bits+i) ≥ 0)·2ⁱ +
+    * t·2^bits. The coefficient matrix is a VALUES relation built once
+    * — inlining the list literal into a per-row lambda makes DuckDB
+    * rebuild it per row (measured 18s → ~1s for ann_lsh). `dim` must
+    * cover the embedding length (extra coefficients are never
+    * indexed). */
+  def hyperplaneKeysCtes(outRel: String, bits: Int, tables: Int, dim: Int): String = {
+    val rows = (0 until bits * tables)
+      .map(p => s"($p, ${planeCoefs(p, dim)})").mkString(",\n    ")
+    s"""hplanes AS (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(plane, coefs)
+       |), hproj AS MATERIALIZED (
+       |  SELECT n.vec_id, p.plane,
+       |    list_reduce(list_transform(range(1, len(n.e) + 1), j -> n.e[j] * p.coefs[j]),
+       |      (a, b) -> a + b) AS pr
+       |  FROM n, hplanes p
+       |), $outRel AS MATERIALIZED (
+       |  SELECT vec_id, list(key ORDER BY t) AS keys FROM (
+       |    SELECT vec_id, plane // $bits AS t,
+       |      CAST(SUM(CASE WHEN pr >= 0 THEN (1 << (plane % $bits)) ELSE 0 END)
+       |        + (plane // $bits) * ${1 << bits} AS INT) AS key
+       |    FROM hproj GROUP BY vec_id, plane // $bits)
+       |  GROUP BY vec_id
+       |)""".stripMargin
+  }
 
   /** Spark-equivalent whitespace tokens of trimmed text. */
   def tokens(textExpr: String): String =
@@ -158,6 +176,126 @@ object OracleSql {
       s"i -> ($toksExpr)[i] || ' ' || ($toksExpr)[i+1] || ' ' || ($toksExpr)[i+2]) " +
       s"ELSE [list_aggregate($toksExpr, 'string_agg', ' ')] END)"
 
+  // ---- ANN oracles (embeddings) --------------------------------------
+
+  /** Base CTEs `v`/`n` over embeddings: double-cast vectors + left-fold
+    * norms (bit-identical to TextFunctions.l2norm). */
+  def annBaseCtes: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), n AS MATERIALIZED (
+      |  SELECT vec_id, e,
+      |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM v
+      |)""".stripMargin
+
+  /** Cosine of two double-list expressions with precomputed norms —
+    * the left-fold double dot of TextFunctions.dot/cosineFromDot. */
+  def cosine(aE: String, bE: String, aN: String, bN: String): String =
+    s"CASE WHEN $aN = 0 OR $bN = 0 THEN 0.0 " +
+      s"ELSE list_reduce(list_transform(range(1, len($aE)+1), i -> ($aE)[i] * ($bE)[i]), " +
+      s"(a,b) -> a+b) / ($aN * $bN) END"
+
+  /** Per-query top-k cut over a relation `fromRel(query_id,
+    * neighbor_id, cosine)` → `outRel(query_id, neighbor_id, cosine,
+    * "rank")`, ties by neighbor_id as in the Spark window. */
+  def topkCte(fromRel: String, outRel: String, k: Int): String =
+    s"""$outRel AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS "rank"
+       |  FROM (SELECT *, row_number() OVER
+       |          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |        FROM $fromRel)
+       |  WHERE rk <= $k
+       |)""".stripMargin
+
+  /** Brute-force cosine top-k: `n` → `outRel`. */
+  def annBruteforceCtes(outRel: String, numQueries: Int, k: Int): String =
+    s"""bfp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("c.e", "q.e", "c.nrm", "q.nrm")} AS cosine
+       |  FROM n c, n q
+       |  WHERE q.vec_id < $numQueries AND c.vec_id <> q.vec_id
+       |), ${topkCte("bfp", outRel, k)}""".stripMargin
+
+  /** Multi-table hyperplane LSH top-k: `n` → `outRel`. */
+  def annLshCtes(outRel: String, bits: Int, tables: Int,
+      numQueries: Int, k: Int): String =
+    s"""${hyperplaneKeysCtes("lk", bits, tables, 96)}, lck AS (
+       |  SELECT vec_id, unnest(keys) AS bkey FROM lk
+       |), lqk AS (
+       |  SELECT vec_id AS query_id, unnest(keys) AS q_bkey FROM lk
+       |  WHERE vec_id < $numQueries
+       |), lcand AS MATERIALIZED (
+       |  SELECT DISTINCT c.vec_id, q.query_id
+       |  FROM lck c JOIN lqk q ON c.bkey = q.q_bkey AND c.vec_id <> q.query_id
+       |), lp AS (
+       |  SELECT lcand.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("c.e", "q.e", "c.nrm", "q.nrm")} AS cosine
+       |  FROM lcand
+       |  JOIN n c ON c.vec_id = lcand.vec_id
+       |  JOIN n q ON q.vec_id = lcand.query_id
+       |), ${topkCte("lp", outRel, k)}""".stripMargin
+
+  /** IVF top-k with the k-means loop UNROLLED: `n` → `outRel`.
+    * Replays graft's deterministic spherical k-means exactly — first-k
+    * init, nearest assignment with (cos, cluster) max ties, and
+    * floor-scaled integer mean sums (see AnnQueries.ivfTopK) — so even
+    * the learned index is hash-comparable. */
+  def annIvfCtes(outRel: String, ivfK: Int, iters: Int, nprobe: Int,
+      numQueries: Int, k: Int, scale: Long): String = {
+    def cnrmWrap(inner: String) =
+      s"""SELECT cluster, c,
+         |    sqrt(list_reduce(list_transform(c, x -> x*x), (a,b) -> a+b)) AS cnrm
+         |  FROM ($inner)""".stripMargin
+    val c0 = s"""c0 AS MATERIALIZED (
+       |  ${cnrmWrap(s"SELECT CAST(vec_id AS INT) AS cluster, e AS c FROM n WHERE vec_id < $ivfK")}
+       |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      val mean = s"CAST(CAST(SUM(CAST(FLOOR(n.e[p.pos] * $scale.0) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
+        s" / (COUNT(*) * $scale.0)"
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT n.vec_id, cp.cluster,
+         |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS cos
+         |    FROM n, $prev cp)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) = 1
+         |), c$i AS MATERIALIZED (
+         |  ${cnrmWrap(
+              s"""SELECT cluster, list(m ORDER BY pos) AS c FROM (
+                 |    SELECT a$i.cluster, p.pos, $mean AS m
+                 |    FROM a$i JOIN n USING (vec_id),
+                 |      (SELECT unnest(range(1, (SELECT len(e) FROM n LIMIT 1) + 1)) AS pos) p
+                 |    GROUP BY a$i.cluster, p.pos)
+                 |  GROUP BY cluster""".stripMargin)}
+         |)""".stripMargin
+    }
+    val last = s"c$iters"
+    val fin = s"""af AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT n.vec_id, cp.cluster,
+       |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS cos
+       |    FROM n, $last cp)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) = 1
+       |), probes AS MATERIALIZED (
+       |  SELECT query_id, qe, qnrm, cluster FROM (
+       |    SELECT af.vec_id AS query_id, n.e AS qe, n.nrm AS qnrm, cp.cluster,
+       |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS ccos
+       |    FROM af JOIN n USING (vec_id), $last cp
+       |    WHERE af.vec_id < $numQueries)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cluster) <= $nprobe
+       |), ip AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosine("n.e", "p.qe", "n.nrm", "p.qnrm")} AS cosine
+       |  FROM af a
+       |  JOIN probes p ON a.cluster = p.cluster
+       |  JOIN n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |), ${topkCte("ip", outRel, k)}""".stripMargin
+    (Seq(c0) ++ iterCtes ++ Seq(fin)).mkString(", ")
+  }
+
   /** The MinHash+LSH band-key pipeline as a CTE block: from a relation
     * `shRel(doc_id, sh)` of string shingle sets to `bk(doc_id, bkey)`
     * of signed band keys — FNV shingle hashes, `numPerms` splitmix64
@@ -167,17 +305,24 @@ object OracleSql {
   def minhashBandCtes(shRel: String, numPerms: Int, rowsPerBand: Int): String = {
     val seeds = (0 until numPerms)
       .map(graft.functions.MinHashSig.seed).mkString("[", ", ", "]")
-    val (smCtes, smLast) = splitmixCtes("sx", "u0", Seq("doc_id", "p"), "sm")
-    s"""hh AS (
+    val (smCtes, smLast) = splitmixCtes("sx", "u0", Seq("h", "p"), "sm")
+    // splitmix chains run once per DISTINCT shingle hash (shingles
+    // repeat across near-dup docs), then join back per (doc, hash)
+    s"""hh AS MATERIALIZED (
        |  SELECT doc_id, ${toSigned(fnv1a64Unsigned("s"))} AS h
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM $shRel)
+       |), hd AS (
+       |  SELECT DISTINCT h FROM hh
        |), sx AS MATERIALIZED (
-       |  SELECT doc_id, p, ${toUnsigned(s"xor(h, ($seeds)[p + 1])")} AS u0
-       |  FROM hh, (SELECT unnest(range($numPerms)) AS p)
+       |  SELECT h, p, ${toUnsigned(s"xor(h, ($seeds)[p + 1])")} AS u0
+       |  FROM hd, (SELECT unnest(range($numPerms)) AS p)
        |),
        |$smCtes,
-       |sig AS (
-       |  SELECT doc_id, p, MIN(${toSigned("z5")}) AS c FROM $smLast GROUP BY doc_id, p
+       |hp AS MATERIALIZED (
+       |  SELECT h, p, ${toSigned("CAST(z5 AS HUGEINT)")} AS v FROM $smLast
+       |), sig AS (
+       |  SELECT hh.doc_id, hp.p AS p, MIN(hp.v) AS c
+       |  FROM hh JOIN hp USING (h) GROUP BY hh.doc_id, hp.p
        |), band AS (
        |  SELECT doc_id, p // $rowsPerBand AS b, list(c ORDER BY p) AS comps
        |  FROM sig GROUP BY doc_id, p // $rowsPerBand
