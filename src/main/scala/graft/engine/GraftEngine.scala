@@ -27,7 +27,8 @@ final class GraftEngine(
     val table: String,
     cacheCapacity: Int = 64,
     markovOrder: Int = 1,
-    logPath: Option[String] = None) {
+    logPath: Option[String] = None,
+    missUnionMax: Int = 64) {
 
   /** Metadata only — the full stats live distributed; per-table we pull
     * the (small) per-block summaries the driver needs for planning. */
@@ -56,13 +57,35 @@ final class GraftEngine(
   /** Empty frame with the table's schema (all-pruned / empty table). */
   private def emptyFrame: DataFrame = rawTable.limit(0)
 
+  /** Serving frame for a candidate block set. Cache hits union their
+    * per-block persisted scans (that is the cache paying off). Misses:
+    * up to `missUnionMax` load + cache individually (reference
+    * behavior — materialized by this query's action); beyond that,
+    * ONE multi-file scan serves them all and the per-block entries
+    * enter the LRU lazily for later queries. A union of thousands of
+    * cold single-file relations is O(blocks) PLAN size — at real block
+    * counts analysis time dwarfs the scan, which is why the mass-cold
+    * path must collapse to a single relation. */
+  private def serve(ids: Seq[Int]): DataFrame = {
+    val fetched = ids.map(id => id -> cache.get(s"block-$id"))
+    val hitDfs = fetched.collect { case (_, Some(df)) => df }
+    val missIds = fetched.collect { case (id, None) => id }
+    val missDfs =
+      if (missIds.isEmpty) Nil
+      else if (missIds.size <= missUnionMax)
+        missIds.map(id => cache.put(s"block-$id", loadBlock(id)))
+      else {
+        missIds.foreach(id => cache.put(s"block-$id", loadBlock(id)))
+        Seq(spark.read.parquet(missIds.map(fileOf): _*))
+      }
+    (hitDfs ++ missDfs).reduceOption(_ unionAll _).getOrElse(emptyFrame)
+  }
+
   /** Reference-parity query path (prune → log → cache → execute). */
   def query(pred: Pred): DataFrame = {
     val ids = candidates(pred)
     accessLog.log(table, ids)
-    val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
-    val unioned = parts.reduceOption(_ unionAll _).getOrElse(emptyFrame)
-    unioned.filter(pred.toColumn)
+    serve(ids).filter(pred.toColumn)
   }
 
   /** Single pruned scan (no per-block caching) — see class doc. */
@@ -118,9 +141,7 @@ final class GraftEngine(
     // Serve the candidate superset WITHOUT re-applying the extracted
     // predicate — the SQL's own WHERE does the row-level filtering, so
     // a lossy extraction can never change results, only pruning.
-    val parts = ids.map(id => cache.getOrLoad(s"block-$id")(loadBlock(id)))
-    val serving = parts.reduceOption(_ unionAll _).getOrElse(emptyFrame)
-    serving.createOrReplaceTempView(table)
+    serve(ids).createOrReplaceTempView(table)
     // spark.sql analyzes eagerly, so `out`'s plan is pinned to the
     // pruned binding; restore the full-table binding for later plain
     // spark.sql over `table` outside this engine call.

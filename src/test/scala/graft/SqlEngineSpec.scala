@@ -144,4 +144,19 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(n == 6000L)
     assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
   }
+
+  test("mass-cold serve collapses misses into one scan, then runs warm per-block") {
+    // missUnionMax=2 forces the mass-cold path on the first (all-cold)
+    // query of 8 blocks; results must match the plain path and the
+    // second query must be served from the now-warm per-block cache
+    val e = new GraftEngine(spark, mbPath, "lineitem", missUnionMax = 2)
+    val sql = "SELECT COUNT(*) AS n FROM lineitem"
+    val cold = e.sql(sql).collect().head.getLong(0)
+    assert(cold == 6000L)
+    assert(e.cache.size == e.blockIds.size, "misses must still enter the LRU")
+    val warm = e.sql(sql)
+    assert(warm.collect().head.getLong(0) == 6000L)
+    // warm plan unions the cached per-block scans: all hits, no misses
+    assert(e.cache.hits >= e.blockIds.size)
+  }
 }
