@@ -88,6 +88,25 @@ final class GraftEngine(
     serve(ids).filter(pred.toColumn)
   }
 
+  /** Reference `microblock_reader.scan_range`: block-aligned scan of
+    * the global row-offset range [rowStart, rowEnd] (inclusive,
+    * 0-based; blocks ordered by blockId = write order, so offsets are
+    * deterministic for a given layout). Serves every block whose row
+    * interval overlaps the range — like the reference, whole row
+    * groups, no trimming (microblock_reader.py:8-20) — through the
+    * same log + cache path as predicate queries. */
+  def scanRange(rowStart: Long, rowEnd: Long): DataFrame = {
+    val blocks = ZoneMapPruner.byBlock(stats).sortBy(_._1)
+    var offset = 0L
+    val ids = blocks.flatMap { case (id, _, rows, _) =>
+      val start = offset
+      offset += rows
+      if (start <= rowEnd && rowStart < offset) Some(id) else None
+    }
+    accessLog.log(table, ids)
+    serve(ids)
+  }
+
   /** Single pruned scan (no per-block caching) — see class doc. */
   def queryDirect(pred: Pred): DataFrame = {
     val ids = candidates(pred)

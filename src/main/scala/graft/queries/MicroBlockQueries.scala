@@ -106,6 +106,22 @@ object MicroBlockQueries {
         .orderBy("block_id")
     },
 
+    // mb55: row-offset range scan (reference microblock_reader
+    // scan_range): blocks covering global rows [25%, 50%) of the
+    // table, block-aligned like the reference. The summary row pins
+    // the block-superset contract: served rows ⊇ requested range and
+    // align to whole blocks.
+    QueryDef.rowsOnly("mb_range_scan") { (s, dir) =>
+      import s.implicits._
+      val e = engine(s, dir)
+      val total = e.stats.filter(_.column == e.stats.head.column).map(_.rows).sum
+      val (lo, hi) = (total / 4, total / 2 - 1)
+      val served = e.scanRange(lo, hi)
+      val n = served.count()
+      Seq((lo, hi, n, n >= hi - lo + 1))
+        .toDF("row_start", "row_end", "rows_served", "covers_range")
+    },
+
     // mb29: access logging + global history over the workload.
     QueryDef.rowsOnly("mb_access_log") { (s, dir) =>
       import s.implicits._

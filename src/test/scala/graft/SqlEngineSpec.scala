@@ -145,6 +145,25 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
   }
 
+  test("scanRange serves exactly the blocks overlapping a row-offset range") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val blocks = graft.plans.ZoneMapPruner.byBlock(e.stats).sortBy(_._1)
+    val total = blocks.map(_._3).sum
+    assert(total == 6000L)
+    // a mid-table range: served rows are the covering blocks' rows
+    val (lo, hi) = (total / 3, 2 * total / 3)
+    var off = 0L
+    val expected = blocks.flatMap { case (_, _, rows, _) =>
+      val s = off; off += rows
+      if (s <= hi && lo < off) Some(rows) else None
+    }.sum
+    assert(expected >= hi - lo + 1)
+    assert(e.scanRange(lo, hi).count() == expected)
+    // degenerate ranges
+    assert(e.scanRange(0, total - 1).count() == total)
+    assert(e.scanRange(total, total + 10).count() == 0L)
+  }
+
   test("mass-cold serve collapses misses into one scan, then runs warm per-block") {
     // missUnionMax=2 forces the mass-cold path on the first (all-cold)
     // query of 8 blocks; results must match the plain path and the
