@@ -96,13 +96,9 @@ final class GraftEngine(
     * groups, no trimming (microblock_reader.py:8-20) — through the
     * same log + cache path as predicate queries. */
   def scanRange(rowStart: Long, rowEnd: Long): DataFrame = {
-    val blocks = ZoneMapPruner.byBlock(stats).sortBy(_._1)
-    var offset = 0L
-    val ids = blocks.flatMap { case (id, _, rows, _) =>
-      val start = offset
-      offset += rows
-      if (start <= rowEnd && rowStart < offset) Some(id) else None
-    }
+    val ids = stats
+      .filter(b => b.rowStart <= rowEnd && rowStart <= b.rowEnd)
+      .map(_.blockId).distinct.sorted
     accessLog.log(table, ids)
     serve(ids)
   }
