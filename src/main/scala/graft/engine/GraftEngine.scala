@@ -75,7 +75,10 @@ final class GraftEngine(
       else if (missIds.size <= missUnionMax)
         missIds.map(id => cache.put(s"block-$id", loadBlock(id)))
       else {
-        missIds.foreach(id => cache.put(s"block-$id", loadBlock(id)))
+        // warm only as many entries as the LRU can hold — inserting
+        // all misses would persist-then-evict most of them for nothing
+        missIds.takeRight(cacheCapacity)
+          .foreach(id => cache.put(s"block-$id", loadBlock(id)))
         Seq(spark.read.parquet(missIds.map(fileOf): _*))
       }
     (hitDfs ++ missDfs).reduceOption(_ unionAll _).getOrElse(emptyFrame)

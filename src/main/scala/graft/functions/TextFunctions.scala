@@ -50,7 +50,7 @@ object TextFunctions {
     * sparse). Wrapping polynomial combine via the native BandKeys
     * expression (oracle-replayable; Column long arithmetic would
     * error on overflow under ANSI mode). */
-  def minhashBands(sig: Column, numPerms: Int, rowsPerBand: Int): Column =
+  def minhashBands(sig: Column, rowsPerBand: Int): Column =
     graft.functions.TextExpressions.band_keys(sig, rowsPerBand)
 
   /** Exact Jaccard similarity of two array-set columns. */

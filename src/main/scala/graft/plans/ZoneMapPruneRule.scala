@@ -87,8 +87,21 @@ object ZoneMapPruneRule {
   def unregister(rootPath: String): Unit =
     registry.remove(norm(rootPath))
 
+  /** Registry lookup on the PLANNING hot path: every Filter over any
+    * file relation probes each root. The cheap scheme-strip covers
+    * absolute paths (qualified registration keys are absolute path
+    * parts); the filesystem-qualifying fallback runs only for
+    * relative paths — an unregistered multi-thousand-file relation
+    * must not pay a filesystem round-trip per root per optimizer
+    * pass. */
   def indexFor(rootPath: String): Option[Seq[BlockStat]] =
-    Option(registry.get(norm(rootPath)))
+    if (registry.isEmpty) None
+    else {
+      val cheap = normFile(rootPath)
+      Option(registry.get(cheap)).orElse(
+        if (cheap.startsWith("/")) None
+        else Option(registry.get(norm(rootPath))))
+    }
 
   /** Cheap per-file normalization for skip-set membership (no fs
     * round-trip: file paths from both the index and the relation are

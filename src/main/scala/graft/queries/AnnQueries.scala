@@ -33,33 +33,31 @@ object AnnQueries {
       .persist()
 
   private def topK(base: org.apache.spark.sql.DataFrame, useLsh: Boolean) = {
-    val vecs = if (useLsh)
-      base.withColumn("bkeys",
-        hyperplaneBucketKeys(col("embedding"), LshBits, LshTables)).persist()
-    else base
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val joined = if (useLsh) {
-      // candidates: share ANY of the multi-table bucket keys. The
-      // multi-bucket dedup runs on bare (query_id, vec_id) id pairs —
-      // embeddings and norms are re-attached AFTER the distinct, so
-      // the shuffle moves two longs per candidate, not two vectors.
-      val corpusKeys = vecs.select(col("vec_id"), explode(col("bkeys")).as("bkey"))
-      val queryKeys = vecs.filter(col("vec_id") < NumQueries)
+      // candidates: share ANY of the multi-table bucket keys. Only the
+      // NARROW (vec_id, bkeys) projection is persisted — base already
+      // caches the vectors, a second vector copy would double the
+      // executor storage. The multi-bucket dedup runs on bare
+      // (query_id, vec_id) id pairs; embeddings and norms are
+      // re-attached from base AFTER the distinct, so the shuffle moves
+      // two longs per candidate, not two vectors.
+      val keys = base.select(col("vec_id"),
+        hyperplaneBucketKeys(col("embedding"), LshBits, LshTables).as("bkeys")).persist()
+      val corpusKeys = keys.select(col("vec_id"), explode(col("bkeys")).as("bkey"))
+      val queryKeys = keys.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), explode(col("bkeys")).as("q_bkey"))
       val candIds = corpusKeys.join(broadcast(queryKeys),
           col("bkey") === col("q_bkey") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"))
         .distinct() // a pair sharing several tables counts once
-      val queries = vecs.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
       candIds
-        .join(vecs.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
         .join(broadcast(queries), "query_id")
     } else {
-      val queries = vecs.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      vecs.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("query_id"))
+      base.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("query_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     joined
@@ -100,13 +98,13 @@ object AnnQueries {
       graft.functions.TextExpressions.nearest_centroid(
         col("embedding"), cents.map(_._1), cents.map(_._2))
 
-    val dim = base.select(size(col("embedding"))).as[Int].first()
     var cents: Seq[(Int, Seq[Double])] = base.filter(col("vec_id") < IvfK)
       .orderBy("vec_id")
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
       .toSeq
+    val dim = cents.head._2.length // one job saved: init collect has it
     for (_ <- 1 to IvfIters) {
       // deterministic means via exact integer sums: each element is
       // floor-scaled to a long (2^24 keeps float precision), summed

@@ -77,7 +77,7 @@ object DedupQueries {
       }) { (s, dir) =>
       val docs = docShingles(s, dir)
         .withColumn("sig", minhashSignature(col("sh"), 64))
-        .withColumn("bands", minhashBands(col("sig"), 64, 4))
+        .withColumn("bands", minhashBands(col("sig"), 4))
         .persist()
       val pairs = bucketPairs(docs, "bands")
       val withJac = pairs
@@ -135,10 +135,10 @@ object DedupQueries {
     // J ≥ τ must share a prefix key, so candidates are complete and
     // the verified result equals the all-pairs join. Rarest-first
     // keying keeps buckets small (a corpus-common shingle lands in a
-    // prefix only when a doc has almost nothing rarer). Verification
-    // shuffles only (doc_id, shingle-hash) longs — the intersection
-    // size comes from re-joining the exploded table on the candidate
-    // pairs, never from moving whole shingle arrays.
+    // prefix only when a doc has almost nothing rarer). Size and
+    // positional filters then cut candidates ~3x, so verification
+    // attaches the two shingle arrays per SURVIVING candidate only —
+    // candidate volume, not the corpus, sizes that join.
     QueryDef.sql(
       "dd_ngram_jaccard", {
         val sh = OracleSql.shingles3("t")
@@ -163,11 +163,13 @@ object DedupQueries {
       val exploded = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
       val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      // df is |distinct shingles| rows of (long, long) — broadcast it
-      // (aggregates have no stats, so Spark would otherwise SMJ);
+      // df is one row per DISTINCT shingle — corpus-proportional, so a
+      // broadcast HINT would be a 100 TB lie (8 GB broadcast cap);
+      // left unhinted, AQE turns the join into a broadcast at small
+      // scale and degrades to a shuffle join gracefully beyond it.
       // persist the ranked prefix or BOTH sides of the self-join
       // re-run the scan+aggregate+window pipeline.
-      val prefixKeys = exploded.join(broadcast(df), "shingle")
+      val prefixKeys = exploded.join(df, "shingle")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
         .select(col("doc_id"), col("n"), col("rn"), col("shingle").as("bkey"))

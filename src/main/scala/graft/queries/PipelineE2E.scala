@@ -88,7 +88,7 @@ object PipelineE2E {
         .withColumn("lang_pred", langPredict(toks))
         .withColumn("sh", array_distinct(shingleHashes(toks, 3)))
         .withColumn("sig", minhashSignature(col("sh"), 64))
-        .withColumn("bands", minhashBands(col("sig"), 64, 4))
+        .withColumn("bands", minhashBands(col("sig"), 4))
         .persist()
 
       // near-dup pairs via band buckets, verified at Jaccard >= 0.8
