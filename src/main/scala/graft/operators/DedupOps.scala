@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions.simhash64
+import graft.functions.TextFunctions._
+
+/** DataFrame-level deduplication operators (SURVEY.md §2c) — the
+  * library surface behind the dd32-dd36 queries. Inputs are plain
+  * DataFrames with a `doc_id`/`text` (or `vec_id`/`embedding`)
+  * contract; outputs are pair or group tables the caller orders and
+  * thresholds.
+  *
+  * All pair operators share the scale shape: per-row signature
+  * (narrow, codegen) → candidate generation via bucket join (shuffle
+  * on a sparse key — never an O(n²) cross join) → exact verification
+  * only within candidate pairs.
+  */
+object DedupOps {
+
+  /** doc_id + distinct hashed word-3-shingle set. CPU-heavy per-row
+    * stage — repartitioned so small inputs still use every core (at
+    * corpus scale the scan already has enough splits and AQE coalesces
+    * the no-op exchange). */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
+
+  /** Candidate pairs via any shared key in `keysCol` (exploded bucket
+    * join). `a < b` canonicalization + distinct dedups multi-bucket
+    * collisions. */
+  def bucketPairs(docs: DataFrame, keysCol: String): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(col(keysCol)).as("bkey"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-dedup groups: normalized-text md5 → (hash, copies, keeper).
+    * At scale: hash-shuffle on a 32-char key, map-side pre-aggregated. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normText(col("text"))).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+
+  /** MinHash+LSH candidate pairs with exact Jaccard over the hashed
+    * shingle sets (numPerms permutations, numPerms/rowsPerBand bands). */
+  def minhashPairs(docs: DataFrame, numPerms: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val prepped = docShingles(docs)
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .withColumn("bands", minhashBands(col("sig"), rowsPerBand))
+      .persist()
+    bucketPairs(prepped, "bands")
+      .join(prepped.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, `bands`×(64/bands)-bit
+    * band bucketing, Hamming distance on candidates. */
+  def simhashPairs(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val bits = 64 / bands
+    val prepped = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      .withColumn("bands", array((0 until bands).map(b =>
+        concat(lit(b + ":"), (shiftright(col("sig"), b * bits) bitwiseAND lit((1L << bits) - 1)).cast("string"))): _*))
+      .persist()
+    bucketPairs(prepped, "bands")
+      .join(prepped.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a") bitwiseXOR col("sig_b")).as("hamming"))
+  }
+
+  /** EXACT n-gram Jaccard similarity join at threshold `tau` via
+    * prefix filtering (All-Pairs/PPJoin, Bayardo et al. '07): rank
+    * each doc's shingles by a global (df asc, shingle) order and key
+    * on the first |sh| - ⌈τ·|sh|⌉ + 1 of them; any pair with J ≥ τ
+    * must share a prefix key, so candidates are complete and the
+    * verified result equals the all-pairs join. Size and positional
+    * filters (epsilon-guarded so fp rounding can only under-prune)
+    * cut candidates ~3x before the per-candidate array verify. */
+  def ngramJaccardJoin(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val eps = 1e-9
+    val prepped = docShingles(docs).withColumn("n", size(col("sh"))).persist()
+    val exploded = prepped.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // df is one row per DISTINCT shingle — corpus-proportional, so a
+    // broadcast HINT would be a 100 TB lie (8 GB broadcast cap); left
+    // unhinted, AQE picks broadcast at small scale and degrades to a
+    // shuffle join gracefully beyond it. persist the ranked prefix or
+    // BOTH sides of the self-join re-run the whole pipeline.
+    val prefixKeys = exploded.join(df, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("doc_id"), col("n"), col("rn"), col("shingle").as("bkey"))
+      .persist()
+    val l = prefixKeys.as("l")
+    val r = prefixKeys.as("r")
+    // size filter: J >= tau forces |a| >= tau|b| and |b| >= tau|a|.
+    // positional filter (PPJoin): common elements sit at or after the
+    // FIRST shared prefix key, so overlap <= 1 + min(remaining), and
+    // J >= tau needs overlap >= tau/(1+tau)*(|a|+|b|).
+    val alpha = (col("l.n") + col("r.n")) * (tau / (1 + tau))
+    val pairs = l.join(r,
+        col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id")
+          && col("l.n") >= col("r.n") * tau - eps
+          && col("r.n") >= col("l.n") * tau - eps
+          && (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn"))) >= alpha - eps)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(prepped.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", inter)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Embedding-cosine near-dup pairs: `bits`-bit random-hyperplane LSH
+    * buckets, exact cosine only within buckets. */
+  def embeddingPairs(vecs: DataFrame, bits: Int = 12): DataFrame = {
+    val prepped = vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"),
+        hyperplaneBucket(col("embedding"), bits).as("bucket"))
+      .persist()
+    val l = prepped.as("l")
+    val r = prepped.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosineFromDot(dot(col("l.embedding"), col("r.embedding")),
+          col("l.nrm"), col("r.nrm")).as("cosine"))
+  }
+}

@@ -1,10 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.functions.TextFunctions._
+import graft.operators.AnnOps
 
 /** SURVEY.md §2c — similarity search over the `embeddings` table
   * (vec_id, embedding array<float>, label).
@@ -21,147 +20,23 @@ object AnnQueries {
   private val LshBits = 6
   private val LshTables = 8
 
-  /** (vec_id, embedding, nrm), repartitioned for CPU-heavy per-row
-    * stages and persisted — ann_recall threads ONE base through the
-    * exact, LSH and IVF pipelines instead of re-scanning per method.
-    * Not unpersisted (lazy results) — callers that loop should
-    * clearCache between runs, as Bench/Verify do. */
-  private def prepBase(s: SparkSession, dir: String) =
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-      .persist()
-
-  private def topK(base: org.apache.spark.sql.DataFrame, useLsh: Boolean) = {
-    val queries = base.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val joined = if (useLsh) {
-      // candidates: share ANY of the multi-table bucket keys. Only the
-      // NARROW (vec_id, bkeys) projection is persisted — base already
-      // caches the vectors, a second vector copy would double the
-      // executor storage. The multi-bucket dedup runs on bare
-      // (query_id, vec_id) id pairs; embeddings and norms are
-      // re-attached from base AFTER the distinct, so the shuffle moves
-      // two longs per candidate, not two vectors.
-      val keys = base.select(col("vec_id"),
-        hyperplaneBucketKeys(col("embedding"), LshBits, LshTables).as("bkeys")).persist()
-      val corpusKeys = keys.select(col("vec_id"), explode(col("bkeys")).as("bkey"))
-      val queryKeys = keys.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), explode(col("bkeys")).as("q_bkey"))
-      val candIds = corpusKeys.join(broadcast(queryKeys),
-          col("bkey") === col("q_bkey") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"))
-        .distinct() // a pair sharing several tables counts once
-      candIds
-        .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
-        .join(broadcast(queries), "query_id")
-    } else {
-      base.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("query_id"))
-    }
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    joined
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFromDot(dot(col("embedding"), col("q_emb")), col("nrm"), col("q_nrm")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-  }
-
   private val IvfK = 32      // centroids
   private val IvfIters = 3   // Lloyd iterations
   private val IvfProbe = 4   // clusters searched per query
   private val IvfScale = 16777216.0 // 2^24: float-exact mean scaling
 
-  /** IVF (inverted-file) ANN: spherical k-means centroids, then each
-    * query searches only its `IvfProbe` nearest clusters.
-    *
-    * Deterministic by construction: init = the first `IvfK` vectors by
-    * vec_id; per-dimension means go through exact floor-scaled integer
-    * sums (order-independent), so centroids are identical run-to-run
-    * regardless of shuffle order. The Lloyd loop is driver-side but each step is a
-    * distributed assign (broadcast k×dim centroids, one corpus pass) +
-    * aggregate — at 100 TB this is the textbook layout: only the k×dim
-    * centroid table ever leaves the executors.
-    */
-  private def ivfTopK(s: SparkSession, base: org.apache.spark.sql.DataFrame) = {
-    import s.implicits._
-
-    def centroidDf(cents: Seq[(Int, Seq[Double])]) =
-      cents.toDF("cluster", "c_emb")
-        .select(col("cluster"), col("c_emb"), l2norm(col("c_emb")).as("c_nrm"))
-
-    // assignment: nearest (max-cosine) centroid, ties to the larger
-    // cluster id — a per-row native projection (NearestCentroid), so
-    // each Lloyd iteration is ONE aggregation over the persisted base:
-    // no crossJoin blow-up, no per-vector argmax shuffle.
-    def nearest(cents: Seq[(Int, Seq[Double])]) =
-      graft.functions.TextExpressions.nearest_centroid(
-        col("embedding"), cents.map(_._1), cents.map(_._2))
-
-    var cents: Seq[(Int, Seq[Double])] = base.filter(col("vec_id") < IvfK)
-      .orderBy("vec_id")
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
-      .toSeq
-    val dim = cents.head._2.length // one job saved: init collect has it
-    for (_ <- 1 to IvfIters) {
-      // deterministic means via exact integer sums: each element is
-      // floor-scaled to a long (2^24 keeps float precision), summed
-      // order-independently, divided once in double. One groupBy with
-      // `dim` sum columns (no positional explode shuffle), and every
-      // step is reproducible in the DuckDB oracle (floor/sum/divide of
-      // identical exact values — no decimal rounding-mode edge cases).
-      val sums = (0 until dim).map(i =>
-        sum(floor(element_at(col("embedding"), i + 1).cast("double")
-          * IvfScale)).as(s"s$i"))
-      cents = base
-        .groupBy(nearest(cents).as("cluster"))
-        .agg(count(lit(1)).as("cnt"), sums: _*)
-        .collect()
-        .map { r =>
-          val n = r.getAs[Long]("cnt")
-          (r.getAs[Int]("cluster"),
-            (0 until dim).map(i => r.getLong(i + 2) / (n * IvfScale)).toSeq)
-        }
-        .toSeq.sortBy(_._1)
-    }
-
-    val assigned = base.withColumn("cluster", nearest(cents)).persist()
-    // probe list: each query's IvfProbe nearest centroids
-    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cluster"))
-    val probes = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(centroidDf(cents)))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cluster"),
-        cosineFromDot(dot(col("q_emb"), col("c_emb")), col("q_nrm"), col("c_nrm")).as("ccos"))
-      .withColumn("prn", row_number().over(wq))
-      .filter(col("prn") <= IvfProbe)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cluster"))
-    // exact cosine only within probed clusters
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFromDot(dot(col("embedding"), col("q_emb")), col("nrm"), col("q_nrm")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-  }
-
-  /** recall@K of an approximate method against the exact baseline. */
+  // Thin wrappers over the DataFrame-level library operators
+  // (graft.operators.AnnOps) with this module's fixed parameters.
+  private def prepBase(s: SparkSession, dir: String) =
+    AnnOps.prep(Tables.load(s, dir, "embeddings"))
+  private def topK(base: org.apache.spark.sql.DataFrame, useLsh: Boolean) =
+    if (useLsh) AnnOps.lshTopK(base, LshBits, LshTables, NumQueries, K)
+    else AnnOps.bruteforceTopK(base, NumQueries, K)
+  private def ivfTopK(base: org.apache.spark.sql.DataFrame) =
+    AnnOps.ivfTopK(base, IvfK, IvfIters, IvfProbe, IvfScale, NumQueries, K)
   private def recallOf(method: String, exact: org.apache.spark.sql.DataFrame,
-      approx: org.apache.spark.sql.DataFrame) = {
-    val hits = exact.join(
-        approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor")),
-        col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
-        "left")
-      .groupBy("query_id")
-      .agg((count(col("a_neighbor")).cast("double") / K).as("recall_at_k"))
-      .persist()
-    hits.select(lit(method).as("method"), col("query_id"), col("recall_at_k"))
-      .unionAll(hits.agg(lit(method).as("method"), lit(-1L).as("query_id"),
-        (sum(Det.dec4(col("recall_at_k"))).cast("double") / count(lit(1))).as("recall_at_k")))
-  }
+      approx: org.apache.spark.sql.DataFrame) =
+    AnnOps.recallAtK(method, exact, approx, K)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -210,7 +85,7 @@ object AnnQueries {
       s"""WITH ${OracleSql.annBaseCtes},
          |${OracleSql.annIvfCtes("ivfk", IvfK, IvfIters, IvfProbe, NumQueries, K, IvfScale.toLong)}
          |SELECT * FROM ivfk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
-      ivfTopK(s, prepBase(s, dir)).orderBy("query_id", "rank")
+      ivfTopK(prepBase(s, dir)).orderBy("query_id", "rank")
     },
 
     // ann52: recall@K of each approximate path (LSH, IVF) against the
@@ -251,7 +126,7 @@ object AnnQueries {
       val exact = topK(base, useLsh = false)
         .select(col("query_id"), col("neighbor_id")).persist()
       recallOf("lsh", exact, topK(base, useLsh = true))
-        .unionAll(recallOf("ivf", exact, ivfTopK(s, base)))
+        .unionAll(recallOf("ivf", exact, ivfTopK(base)))
         .orderBy("method", "query_id")
     }
   )

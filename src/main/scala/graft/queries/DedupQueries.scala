@@ -1,50 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.functions.TextExpressions.simhash64
-import graft.functions.TextFunctions._
+import graft.operators.DedupOps
 
 /** SURVEY.md §2c — near-duplicate detection over `documents` and
-  * `embeddings`.
-  *
-  * All four operators follow the same scale shape: per-row signature
-  * (narrow, codegen) → candidate generation via bucket join (shuffle on
-  * a sparse key — never an O(n²) cross join) → exact verification only
-  * within candidate pairs. The verify dump reports the top-K most
-  * similar pairs (deterministically ordered) so results are non-empty
-  * even on a corpus with no true near-dups.
+  * `embeddings`: each capability pairs a [[graft.operators.DedupOps]]
+  * DataFrame operator (the library surface) with its DuckDB oracle.
+  * The verify dump reports the top-K most similar pairs
+  * (deterministically ordered) so results are non-empty even on a
+  * corpus with no true near-dups.
   */
 object DedupQueries {
 
   private val TopK = 50
-
-  /** doc_id, toks, shingle set (distinct word 3-grams).
-    *
-    * The source table arrives as few splits (small files), but
-    * shingling/hashing is the CPU-heavy stage — repartition first so
-    * the per-row work uses every core. (At 100 TB the scan already has
-    * thousands of splits and this repartition is a no-op cost-wise;
-    * with AQE it coalesces back after.) */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
-
-  /** Candidate pairs via any shared key in `keysCol` (exploded bucket
-    * join). `a < b` canonicalization + distinct dedups multi-bucket
-    * collisions. */
-  private def bucketPairs(docs: DataFrame, keysCol: String): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(col(keysCol)).as("bkey"))
-    val l = exploded.as("l")
-    val r = exploded.as("r")
-    l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -75,16 +44,8 @@ object DedupQueries {
            |JOIN sh y ON y.doc_id = p.doc_b
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT $TopK""".stripMargin
       }) { (s, dir) =>
-      val docs = docShingles(s, dir)
-        .withColumn("sig", minhashSignature(col("sh"), 64))
-        .withColumn("bands", minhashBands(col("sig"), 4))
-        .persist()
-      val pairs = bucketPairs(docs, "bands")
-      val withJac = pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      withJac.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
+      DedupOps.minhashPairs(Tables.load(s, dir, "documents"), 64, 4)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
     },
 
     // dd34: SimHash (native Catalyst expression) + Hamming distance via
@@ -112,19 +73,8 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
          |FROM pairs ORDER BY hamming, doc_a, doc_b LIMIT $TopK""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
-        // 4 bands of 16 bits: docs within Hamming distance 3 share ≥1 band
-        .withColumn("bands", array((0 until 4).map(b =>
-          concat(lit(b + ":"), (shiftright(col("sig"), b * 16) bitwiseAND lit(0xffffL)).cast("string"))): _*))
-        .persist()
-      val pairs = bucketPairs(docs, "bands")
-      pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a") bitwiseXOR col("sig_b")).as("hamming"))
+      // 4 bands of 16 bits: docs within Hamming distance 3 share >=1 band
+      DedupOps.simhashPairs(Tables.load(s, dir, "documents"), bands = 4)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(TopK)
     },
 
@@ -154,52 +104,7 @@ object DedupQueries {
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
            |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, dir) =>
-      val tau = 0.5
-      // candidate-shrinking filters below are complete but only if they
-      // never round AGAINST a qualifying pair — subtract an epsilon so
-      // fp error in tau-products can only under-prune, never over-prune
-      val eps = 1e-9
-      val docs = docShingles(s, dir).withColumn("n", size(col("sh"))).persist()
-      val exploded = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-      val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      // df is one row per DISTINCT shingle — corpus-proportional, so a
-      // broadcast HINT would be a 100 TB lie (8 GB broadcast cap);
-      // left unhinted, AQE turns the join into a broadcast at small
-      // scale and degrades to a shuffle join gracefully beyond it.
-      // persist the ranked prefix or BOTH sides of the self-join
-      // re-run the scan+aggregate+window pipeline.
-      val prefixKeys = exploded.join(df, "shingle")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("n"), col("rn"), col("shingle").as("bkey"))
-        .persist()
-      val l = prefixKeys.as("l")
-      val r = prefixKeys.as("r")
-      // size filter: J >= tau forces |a| >= tau|b| and |b| >= tau|a|.
-      // positional filter (PPJoin): common elements sit at or after the
-      // FIRST shared prefix key, so overlap <= 1 + min(remaining), and
-      // J >= tau needs overlap >= tau/(1+tau)*(|a|+|b|).
-      val alpha = (col("l.n") + col("r.n")) * (tau / (1 + tau))
-      val pairs = l.join(r,
-          col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id")
-            && col("l.n") >= col("r.n") * tau - eps
-            && col("r.n") >= col("l.n") * tau - eps
-            && (lit(1) + least(col("l.n") - col("l.rn"), col("r.n") - col("r.rn"))) >= alpha - eps)
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      // verify: attach the two shingle arrays per surviving candidate.
-      // Spark broadcasts the (small) docs side when stats allow; at
-      // corpus scale this degrades gracefully to a shuffle join keyed
-      // by doc id — candidates, not the corpus, dominate the traffic.
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("inter", inter)
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= tau)
+      DedupOps.ngramJaccardJoin(Tables.load(s, dir, "documents"), tau = 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -218,18 +123,7 @@ object DedupQueries {
          |  ${OracleSql.cosine("a.e", "b.e", "a.nrm", "b.nrm")} AS cosine
          |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopK""".stripMargin) { (s, dir) =>
-      val vecs = Tables.load(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding"),
-          l2norm(col("embedding")).as("nrm"),
-          hyperplaneBucket(col("embedding"), 12).as("bucket"))
-        .persist()
-      val l = vecs.as("l")
-      val r = vecs.as("r")
-      l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-          cosineFromDot(dot(col("l.embedding"), col("r.embedding")),
-            col("l.nrm"), col("r.nrm")).as("cosine"))
+      DedupOps.embeddingPairs(Tables.load(s, dir, "embeddings"), bits = 12)
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(TopK)
     }
   )

@@ -1,9 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.functions.TextExpressions.rolling_hash
-import graft.functions.TextFunctions._
+import graft.functions.TextFunctions.stopwords
+import graft.operators.TextOps
 
 /** SURVEY.md §2c — text analysis + exact dedup over `documents`.
   * These are the per-document scoring passes of a training-data
@@ -23,9 +22,7 @@ object TextQueries {
         |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
         |FROM documents
         |GROUP BY 1 ORDER BY text_hash""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .groupBy(md5(normText(col("text"))).as("text_hash"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      graft.operators.DedupOps.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy("text_hash")
     },
 
@@ -39,15 +36,7 @@ object TextQueries {
         |  CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |    / LEN(string_split(text, ' ')) AS lexical_diversity
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      Tables.load(s, dir, "documents")
-        .select(
-          col("doc_id"), col("n_chars"),
-          size(toks).as("n_words"),
-          (col("n_chars").cast("double") / size(toks)).as("chars_per_word"),
-          size(array_distinct(toks)).as("n_unique_words"),
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("lexical_diversity"))
-        .orderBy("doc_id")
+      TextOps.quality(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ta41: token counting — whitespace tokens, regex word tokens, and
@@ -59,13 +48,7 @@ object TextQueries {
         |  LEN(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
         |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(split(col("text"), " ")).as("ws_tokens"),
-          regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
-          ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_est"))
-        .orderBy("doc_id")
+      TextOps.tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ta39: language ID via the stopword heuristic. Each per-lang score
@@ -93,14 +76,7 @@ object TextQueries {
            |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val toks = tokens(col("text"))
-      Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"),
-          langPredict(toks).as("lang_pred"),
-          stopwordRatio(toks, "en").as("en_score"))
-        .withColumn("agree", (col("lang") === col("lang_pred")).cast("int"))
-        .orderBy("doc_id")
+      TextOps.langid(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // ta42: document fingerprint via the native RollingHash Catalyst
@@ -123,11 +99,7 @@ object TextQueries {
          |  ${OracleSql.rollingHash(OracleSql.signedBytes("thx", "tbl"))} AS fingerprint,
          |  ${OracleSql.rollingHash(OracleSql.signedBytes("shx", "sbl"))} AS source_fp
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          rolling_hash(normText(col("text"))).as("fingerprint"),
-          rolling_hash(col("source")).as("source_fp"))
-        .orderBy("doc_id")
+      TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")
     }
   )
 }
