@@ -40,7 +40,15 @@ final class GraftEngine(
   val cache = new BlockCacheManager(cacheCapacity)
   val accessLog = new AccessLog(logPath)
   val prefetcher = new MarkovPrefetcher(markovOrder)
-  val service = new PrefetchService(accessLog, prefetcher, cache, loadBlock _)
+
+  /** Cache entries are keyed by FILE, not block id: with the
+    * micro-block layout one block == one file, and for generic
+    * multi-row-group files all of a file's blocks share one entry —
+    * per-block keys would read and cache a multi-row-group file once
+    * PER block id (duplicate rows in the union, duplicate storage). */
+  private def keyOf(id: Int): String = s"file-${fileOf(id)}"
+
+  val service = new PrefetchService(accessLog, prefetcher, cache, loadBlock _, keyOf _)
 
   def blockIds: Seq[Int] = stats.map(_.blockId).distinct.sorted
 
@@ -67,19 +75,21 @@ final class GraftEngine(
     * counts analysis time dwarfs the scan, which is why the mass-cold
     * path must collapse to a single relation. */
   private def serve(ids: Seq[Int]): DataFrame = {
-    val fetched = ids.map(id => id -> cache.get(s"block-$id"))
+    val files = ids.map(fileOf).distinct // file-granular: see keyOf
+    val fetched = files.map(f => f -> cache.get(s"file-$f"))
     val hitDfs = fetched.collect { case (_, Some(df)) => df }
-    val missIds = fetched.collect { case (id, None) => id }
+    val missFiles = fetched.collect { case (f, None) => f }
     val missDfs =
-      if (missIds.isEmpty) Nil
-      else if (missIds.size <= missUnionMax)
-        missIds.map(id => cache.put(s"block-$id", loadBlock(id)))
+      if (missFiles.isEmpty) Nil
+      else if (missFiles.size <= missUnionMax)
+        missFiles.map(f => cache.put(s"file-$f", spark.read.parquet(f)))
       else {
-        // warm only as many entries as the LRU can hold — inserting
-        // all misses would persist-then-evict most of them for nothing
-        missIds.takeRight(cacheCapacity)
-          .foreach(id => cache.put(s"block-$id", loadBlock(id)))
-        Seq(spark.read.parquet(missIds.map(fileOf): _*))
+        // warm only the LRU's FREE space — filling to capacity would
+        // evict the hot working set, including this query's own hit
+        // frames, in favor of entries nothing has materialized yet
+        missFiles.takeRight(math.max(0, cacheCapacity - cache.size))
+          .foreach(f => cache.put(s"file-$f", spark.read.parquet(f)))
+        Seq(spark.read.parquet(missFiles: _*))
       }
     (hitDfs ++ missDfs).reduceOption(_ unionAll _).getOrElse(emptyFrame)
   }

@@ -17,6 +17,7 @@ final class PrefetchService(
     prefetcher: MarkovPrefetcher,
     cache: BlockCacheManager,
     loadBlock: Int => DataFrame,
+    keyFor: Int => String = b => s"block-$b",
     topK: Int = 3,
     historyLen: Int = 8,
     intervalMillis: Long = 1000L) {
@@ -29,11 +30,11 @@ final class PrefetchService(
     val recent = log.recent(historyLen)
     if (recent.isEmpty || !prefetcher.fitted) return Seq.empty
     val predicted = prefetcher.suggest(recent, topK)
-    val warmed = predicted.filter(b => cache.get(s"block-$b").isEmpty)
+    val warmed = predicted.filter(b => cache.get(keyFor(b)).isEmpty)
     warmed.foreach { b =>
       // persist + materialize: the count() pulls the block into
       // executor storage so the next query is a cache hit.
-      cache.put(s"block-$b", loadBlock(b)).count()
+      cache.put(keyFor(b), loadBlock(b)).count()
       prefetchedCount += 1
     }
     warmed

@@ -150,8 +150,12 @@ object AnnOps {
       .groupBy("query_id")
       .agg((count(col("a_neighbor")).cast("double") / k).as("recall_at_k"))
       .persist()
+    // exact DECIMAL(18,4) sum -> deterministic macro average across
+    // shuffle orders (the operators package must not reach back into
+    // the query harness, so the cast is spelled here directly)
     hits.select(lit(method).as("method"), col("query_id"), col("recall_at_k"))
       .unionAll(hits.agg(lit(method).as("method"), lit(-1L).as("query_id"),
-        (sum(graft.queries.Det.dec4(col("recall_at_k"))).cast("double") / count(lit(1))).as("recall_at_k")))
+        (sum(col("recall_at_k").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double") / count(lit(1))).as("recall_at_k")))
   }
 }

@@ -103,12 +103,14 @@ object ZoneMapPruneRule {
         else Option(registry.get(norm(rootPath))))
     }
 
-  /** Cheap per-file normalization for skip-set membership (no fs
-    * round-trip: file paths from both the index and the relation are
-    * already absolute; just strip any scheme). */
+  /** Cheap per-path normalization (no fs round-trip): strip any
+    * scheme, collapse `.`/`..`/doubled slashes, drop trailing slashes
+    * — so a non-canonical absolute spelling still matches a registered
+    * key without the filesystem-qualifying fallback. */
   def normFile(p: String): String =
     try {
-      val u = new java.net.URI(p)
-      if (u.getScheme != null && u.getPath != null) u.getPath else p
+      val u = new java.net.URI(p).normalize()
+      val path = if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
+      if (path.length > 1 && path.endsWith("/")) path.stripSuffix("/") else path
     } catch { case _: Exception => p }
 }

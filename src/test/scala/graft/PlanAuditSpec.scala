@@ -112,10 +112,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"native HyperplaneKeys expression missing from plan:\n${p.take(1500)}")
   }
 
-  test("dd_ngram_jaccard shuffles hashes, not shingle arrays, up to the verify join") {
-    // the candidate self-join must key on the long shingle hash; the
-    // only array-typed exchange allowed is the final per-candidate
-    // verify (arrays attach AFTER the distinct)
+  test("dd_ngram_jaccard joins on keys and never goes O(n^2)") {
     val p = plan("dd_ngram_jaccard")
     assert(p.contains("hashpartitioning"), "expected shuffle stages")
     assert(!p.contains("CartesianProduct"), "similarity join must never go O(n^2)")

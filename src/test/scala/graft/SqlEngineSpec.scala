@@ -164,6 +164,26 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.scanRange(total, total + 10).count() == 0L)
   }
 
+  test("multi-row-group files are served once, not once per block id") {
+    // per-BLOCK cache keys would union/read a multi-RG file once per
+    // row group (duplicate rows); serving is file-granular
+    val path = "target/scratch/test/sqlengine-multirg"
+    Tables.load(spark, dir, "lineitem")
+      .repartitionByRange(2, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(path)
+    val e = new GraftEngine(spark, path, "lineitem")
+    val nFiles = e.stats.map(_.file).distinct.size
+    assert(e.blockIds.size > nFiles, "need >1 row group per file")
+    val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
+    assert(n == 6000L, s"multi-RG files must be read once, got $n")
+    assert(e.scanRange(0, Long.MaxValue).count() == 6000L)
+    assert(e.query(Between("l_shipdate",
+      PredValue.ts("1990-01-01"), PredValue.ts("2030-01-01"))).count() == 6000L)
+  }
+
   test("mass-cold serve collapses misses into one scan, then runs warm per-block") {
     // missUnionMax=2 forces the mass-cold path on the first (all-cold)
     // query of 8 blocks; results must match the plain path and the
