@@ -164,6 +164,23 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.scanRange(total, total + 10).count() == 0L)
   }
 
+  test("scanRange covering-blocks property over random ranges") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val col0 = e.stats.head.column
+    val blocks = e.stats.filter(_.column == col0)
+      .map(b => (b.rowStart, b.rowEnd, b.rows)).distinct
+    val total = blocks.map(_._3).sum
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val lo = rnd.nextLong(total)
+      val hi = math.min(total - 1, lo + rnd.nextLong(total / 2 + 1))
+      val expected = blocks.collect {
+        case (s, en, rows) if s <= hi && lo <= en => rows
+      }.sum
+      assert(e.scanRange(lo, hi).count() == expected, s"range [$lo, $hi]")
+    }
+  }
+
   test("multi-row-group files are served once, not once per block id") {
     // per-BLOCK cache keys would union/read a multi-RG file once per
     // row group (duplicate rows); serving is file-granular
