@@ -112,6 +112,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"native HyperplaneKeys expression missing from plan:\n${p.take(1500)}")
   }
 
+  test("pipe_e2e reads documents through ONE scan (stages fuse over the cached pass)") {
+    val df = SparkEntry.queries("pipe_e2e")(spark, dir)
+    df.collect() // materialize the persisted stage so reuse is visible
+    val fileScans = df.queryExecution.executedPlan.collectLeaves().count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("documents"))
+      case _ => false
+    }
+    assert(fileScans <= 1,
+      s"quality/langid/dedup/fingerprint must share one documents scan, saw $fileScans")
+  }
+
   test("dd_ngram_jaccard joins on keys and never goes O(n^2)") {
     val p = plan("dd_ngram_jaccard")
     assert(p.contains("hashpartitioning"), "expected shuffle stages")
