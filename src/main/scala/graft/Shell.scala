@@ -10,7 +10,9 @@ import graft.sources.MicroBlockWriter
   * print results, observe cache hits/misses grow as the model learns.
   *
   * Usage: sbt "runMain graft.Shell [sfDir]"; `\q` exits, `\stats`
-  * prints cache/prefetch counters, `\retrain` refits the model.
+  * prints cache/prefetch counters, `\retrain` refits the model,
+  * `\range <lo> <hi>` scans a global row-offset range block-aligned
+  * (the reference's microblock_reader.scan_range).
   */
 object Shell {
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,12 @@ object Shell {
             s"misses=${engine.cache.misses} prefetched=${engine.service.prefetched}")
         case "\\retrain" =>
           engine.retrain(); println(s"model fitted=${engine.prefetcher.fitted}")
+        case r if r.startsWith("\\range") =>
+          r.split("\\s+").drop(1).map(_.toLongOption) match {
+            case Array(Some(lo), Some(hi)) =>
+              engine.scanRange(lo, hi).show(20, truncate = false)
+            case _ => println("usage: \\range <lo> <hi>")
+          }
         case sql =>
           try engine.sql(sql).show(20, truncate = false)
           catch { case e: Exception => println(s"error: ${e.getMessage}") }
