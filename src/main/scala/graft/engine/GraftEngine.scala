@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.plans.{Pred, ZoneMapPruner}
-import graft.sources.{BlockStat, MicroBlockIndex}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.plans.{IndexPruning, Pred}
+import graft.sources.{BlockMeta, BlockStat, MicroBlockIndex}
 
 /** The cache-aware micro-block engine — graft's counterpart of the
   * reference's `StorageEngineV5` (query_enginev5.py:17-304).
@@ -30,12 +30,29 @@ final class GraftEngine(
     logPath: Option[String] = None,
     missUnionMax: Int = 64) {
 
-  /** Metadata only — the full stats live distributed; per-table we pull
-    * the (small) per-block summaries the driver needs for planning. */
-  val stats: Seq[BlockStat] = MicroBlockIndex.build(spark, tablePath, table).collect().toSeq
+  /** The zone-map index, DISTRIBUTED: one row per (block × column),
+    * persisted so pruning queries don't re-read footers. Per-column
+    * stats never collect to the driver — pruning decisions run as
+    * queries over this Dataset ([[IndexPruning]]). */
+  val index: Dataset[BlockStat] =
+    MicroBlockIndex.build(spark, tablePath, table).persist()
+
+  /** Per-block serving metadata (id, file, row range) — ONE small row
+    * per block, column-count-independent, the driver-side footprint the
+    * LRU cache / access log / prefetcher orchestration needs. Bounded
+    * by file-listing scale (which any driver pays anyway). */
+  val blocks: Seq[BlockMeta] = {
+    import org.apache.spark.sql.functions._
+    index.groupBy("blockId", "file")
+      .agg(first("rows").as("rows"),
+        first("rowStart").as("rowStart"), first("rowEnd").as("rowEnd"))
+      .collect()
+      .map(r => BlockMeta(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_.blockId)
+  }
 
   private val fileOf: Map[Int, String] =
-    stats.map(b => b.blockId -> b.file).toMap
+    blocks.map(b => b.blockId -> b.file).toMap
 
   val cache = new BlockCacheManager(cacheCapacity)
   val accessLog = new AccessLog(logPath)
@@ -50,13 +67,28 @@ final class GraftEngine(
 
   val service = new PrefetchService(accessLog, prefetcher, cache, loadBlock _, keyOf _)
 
-  def blockIds: Seq[Int] = stats.map(_.blockId).distinct.sorted
+  def blockIds: Seq[Int] = blocks.map(_.blockId)
 
   def loadBlock(id: Int): DataFrame = spark.read.parquet(fileOf(id))
 
+  /** Per-block keep/skip decisions for a predicate, computed as a
+    * distributed query over the stats index and memoized per predicate
+    * (a workload replays the same shapes; the decision job should run
+    * once, not once per replay). Driver receives one boolean per block
+    * — never the per-column stats. */
+  private val decisionMemo =
+    scala.collection.concurrent.TrieMap.empty[Pred, Seq[(Int, String, Long, Boolean)]]
+
+  def decisions(pred: Pred): Seq[(Int, String, Long, Boolean)] =
+    decisionMemo.getOrElseUpdate(pred,
+      IndexPruning.decide(index.toDF(), pred)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(5)))
+        .toSeq.sortBy(_._1))
+
   /** Candidate blocks for a predicate (pruning decision only). */
   def candidates(pred: Pred): Seq[Int] =
-    ZoneMapPruner.decisions(stats, pred).filter(_._4).map(_._1)
+    decisions(pred).filter(_._4).map(_._1)
 
   /** One resolved scan of the full table (file listing + schema paid
     * once at construction, not per sql() call). */
@@ -109,18 +141,20 @@ final class GraftEngine(
     * groups, no trimming (microblock_reader.py:8-20) — through the
     * same log + cache path as predicate queries. */
   def scanRange(rowStart: Long, rowEnd: Long): DataFrame = {
-    val ids = stats
+    val ids = blocks
       .filter(b => b.rowStart <= rowEnd && rowStart <= b.rowEnd)
-      .map(_.blockId).distinct.sorted
+      .map(_.blockId)
     accessLog.log(table, ids)
     serve(ids)
   }
 
   /** Single pruned scan (no per-block caching) — see class doc. */
   def queryDirect(pred: Pred): DataFrame = {
-    val ids = candidates(pred)
-    accessLog.log(table, ids)
-    ZoneMapPruner.prunedRead(spark, stats, pred)
+    val d = decisions(pred)
+    accessLog.log(table, d.filter(_._4).map(_._1))
+    val kept = d.filter(_._4).map(_._2).distinct
+    val files = if (kept.isEmpty) d.map(_._2).distinct else kept
+    spark.read.parquet(files: _*).filter(pred.toColumn)
   }
 
   /** Reference-parity SQL entry point (query_enginev5.py:236-304):

@@ -70,11 +70,14 @@ object MicroBlockQueries {
   val all: Seq[QueryDef] = Seq(
 
     // mb27: the zone-map index itself — per-(block, column) stats.
+    // Served straight from the DISTRIBUTED index Dataset; nothing
+    // beyond the query's own result ever collects.
     QueryDef.rowsOnly("mb_index_stats") { (s, dir) =>
-      import s.implicits._
       val e = engine(s, dir)
-      e.stats.map(b => (b.blockId, b.column, b.rows, b.nullCount, b.minNum, b.maxNum))
-        .toDF("block_id", "column", "rows", "null_count", "min_num", "max_num")
+      e.index.select(
+          col("blockId").as("block_id"), col("column"), col("rows"),
+          col("nullCount").as("null_count"),
+          col("minNum").as("min_num"), col("maxNum").as("max_num"))
         .orderBy("block_id", "column")
     },
 
@@ -87,7 +90,7 @@ object MicroBlockQueries {
       val e = engine(s, dir)
       val pred = Between("l_shipdate",
         PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
-      val dec = graft.plans.ZoneMapPruner.decisions(e.stats, pred)
+      val dec = e.decisions(pred)
       // one job for the whole audit: matching rows per block via
       // input_file_name() (not a count() per block — that would be
       // blocks× sequential jobs, unusable at real block counts)
@@ -114,7 +117,7 @@ object MicroBlockQueries {
     QueryDef.rowsOnly("mb_range_scan") { (s, dir) =>
       import s.implicits._
       val e = engine(s, dir)
-      val total = e.stats.filter(_.column == e.stats.head.column).map(_.rows).sum
+      val total = e.blocks.map(_.rows).sum
       val (lo, hi) = (total / 4, total / 2 - 1)
       val served = e.scanRange(lo, hi)
       val n = served.count()

@@ -33,6 +33,14 @@ final case class BlockStat(
     minStr: Option[String],
     maxStr: Option[String])
 
+/** Per-block serving metadata — what the engine's driver-side cache /
+  * prefetch orchestration actually needs: ONE small row per block
+  * (id, file, row range), independent of column count. Collecting this
+  * is file-list-scale; the per-(block × column) stats stay distributed
+  * (see [[graft.plans.IndexPruning]]). */
+final case class BlockMeta(
+    blockId: Int, file: String, rows: Long, rowStart: Long, rowEnd: Long)
+
 /** Distributed zone-map index over parquet footers.
   *
   * The reference builds this with a driver loop over one file's row
@@ -49,34 +57,62 @@ object MicroBlockIndex {
   /** Build the index for one table path (a parquet file or directory). */
   def build(spark: SparkSession, tablePath: String, table: String): Dataset[BlockStat] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val files = listParquetFiles(tablePath)
     // Footer reads are tiny metadata I/O — parallelize the *file list*,
     // never the data. Block ids follow the sorted file order (stable:
     // part numbers are zero-padded) then row-group order within a file.
+    // Partition count scales with the file count (~256 footers per
+    // task, floored at the cluster's parallelism) — a fixed cap would
+    // serialize tens of thousands of footer reads per task at millions
+    // of files.
     val fileWithOrd = files.sorted.zipWithIndex
-    val perFile = spark.sparkContext
-      .parallelize(fileWithOrd, math.max(1, math.min(fileWithOrd.size, 64)))
+    val numParts = math.max(1, math.min(fileWithOrd.size,
+      math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
+    val raw = spark.sparkContext
+      .parallelize(fileWithOrd, numParts)
       .flatMap { case (file, fileOrd) => readFooterStats(table, file, fileOrd) }
-    val ds = spark.createDataset(perFile)
-    // Densify (fileOrd, rowGroup) → global block id / row offsets from
-    // a per-block summary (one row per block — metadata scale). A tiny
-    // partitioned aggregation + broadcast join; deliberately NO global
-    // window (a single-partition sort over millions of files would
-    // serialize the build).
-    val summary = ds.groupBy("blockId").agg(first("rows").as("block_rows"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var off = 0L
-    val dense = summary.zipWithIndex.map { case ((prov, rows), i) =>
-      val e = (prov, (i, off)); off += rows; e
-    }.toMap
-    val denseB = spark.sparkContext.broadcast(dense)
-    ds.mapPartitions { it =>
+    // Densify (fileOrd, rowGroup) → global block id / row offsets with
+    // a TWO-PASS DISTRIBUTED PREFIX SUM. parallelize() assigns files to
+    // partitions positionally, so global block order = (partition,
+    // within-partition order): pass 1 sends ONE (blocks, rows) tuple
+    // per partition to the driver (never one per block — millions at
+    // real file counts), the driver accumulates per-partition bases,
+    // and pass 2 assigns ids/offsets partition-locally. Deliberately NO
+    // global window either (a single-partition sort over millions of
+    // files would serialize the build).
+    val perPart = raw.mapPartitionsWithIndex { (idx, it) =>
+      var last = Long.MinValue; var nBlocks = 0L; var nRows = 0L
+      it.foreach { b =>
+        if (b.blockId.toLong != last) {
+          last = b.blockId.toLong; nBlocks += 1; nRows += b.rows
+        }
+      }
+      Iterator.single((idx, nBlocks, nRows))
+    }.collect()
+    val idBase = new Array[Long](numParts)
+    val rowBase = new Array[Long](numParts)
+    var ids = 0L; var rowOff = 0L
+    perPart.sortBy(_._1).foreach { case (idx, nb, nr) =>
+      idBase(idx) = ids; rowBase(idx) = rowOff; ids += nb; rowOff += nr
+    }
+    val idB = spark.sparkContext.broadcast(idBase)
+    val rowB = spark.sparkContext.broadcast(rowBase)
+    val dense = raw.mapPartitionsWithIndex { (idx, it) =>
+      var cur = Long.MinValue
+      var id = idB.value(idx) - 1
+      var start = rowB.value(idx)
+      var nextStart = start
       it.map { b =>
-        val (id, start) = denseB.value(b.blockId)
-        b.copy(blockId = id, rowStart = start, rowEnd = start + b.rows - 1)
+        if (b.blockId.toLong != cur) {
+          cur = b.blockId.toLong
+          id += 1
+          start = nextStart
+          nextStart = start + b.rows
+        }
+        b.copy(blockId = id.toInt, rowStart = start, rowEnd = start + b.rows - 1)
       }
     }
+    spark.createDataset(dense)
   }
 
   /** Footer → per-(row-group, column) stats. Runs on executors. */
@@ -86,7 +122,11 @@ object MicroBlockIndex {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       blocks.zipWithIndex.flatMap { case (bm, rg) =>
-        // provisional id: file ordinal * 10^6 + row group; densified in build()
+        // provisional id: file ordinal * 10^6 + row group; densified in
+        // build(). Only ADJACENT-distinctness matters there (the prefix
+        // sum walks entries in order), and adjacent blocks differ by rg+1
+        // or a new file (delta 10^6 - rg ≠ 0 mod 2^32), so Int overflow
+        // at >2147 files cannot merge two neighboring blocks.
         val provisionalId = fileOrd * 1000000 + rg
         bm.getColumns.asScala.toSeq.map { cc =>
           val stats = cc.getStatistics

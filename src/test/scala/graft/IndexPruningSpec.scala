@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+import graft.plans._
+import graft.sources.BlockStat
+
+/** The distributed pruner ([[graft.plans.IndexPruning]]) must agree
+  * with the driver-side spec ([[graft.plans.ZoneMapPruner.mayMatch]])
+  * on EVERY block — including missing stats, string-vs-numeric
+  * mismatches and the conservative fallthroughs — and must scale:
+  * decisions over a 10k-file index run as one aggregation, with only
+  * the per-file skip list reaching the driver.
+  */
+class IndexPruningSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-idx-test")
+
+  private val rnd = new scala.util.Random(7)
+  private def value(): Double = math.floor(rnd.between(-100.0, 100.0) * 4) / 4
+
+  private val pool = Vector("a", "zebra", "中文", "日本語", "😀emoji", "Zz", "")
+
+  private def numLeaf(): Pred = rnd.nextInt(3) match {
+    case 0 => Cmp(Seq("=", "!=", "<", "<=", ">", ">=")(rnd.nextInt(6)), "x", PredValue(value()))
+    case 1 =>
+      val (a, b) = (value(), value())
+      Between("x", PredValue(math.min(a, b)), PredValue(math.max(a, b)))
+    case _ => In("x", Seq.fill(rnd.nextInt(4))(PredValue(value())))
+  }
+
+  private def strLeaf(): Pred = Cmp(
+    Seq("=", "!=", "<", "<=", ">", ">=")(rnd.nextInt(6)),
+    "s", PredValue(pool(rnd.nextInt(pool.size))))
+
+  private def leaf(): Pred = if (rnd.nextInt(4) == 0) strLeaf() else numLeaf()
+
+  private def pred(): Pred = rnd.nextInt(4) match {
+    case 0 => leaf()
+    case 1 => And(leaf(), leaf())
+    case 2 => Or(leaf(), leaf())
+    case _ => And(Or(leaf(), leaf()), leaf())
+  }
+
+  /** One random block's index entries: numeric col x, string col s,
+    * and an unrelated col y; stats sometimes missing entirely. */
+  private def blockEntries(id: Int): Seq[BlockStat] = {
+    def stat(column: String, mn: Option[Double], mx: Option[Double],
+        ms: Option[String], xs: Option[String]) =
+      BlockStat("t", s"f$id", id, id * 10L, id * 10L + 9, column,
+        10L, 0L, 100L, "SNAPPY", mn, mx, ms, xs)
+    val (a, b) = (value(), value())
+    val xEntry =
+      if (rnd.nextInt(6) == 0) stat("x", None, None, None, None) // no stats
+      else stat("x", Some(math.min(a, b)), Some(math.max(a, b)), None, None)
+    val ss = Seq.fill(2)(pool(rnd.nextInt(pool.size)))
+      .sortWith((p, q) => ZoneMapPruner.u8cmp(p, q) < 0)
+    val sEntry =
+      if (rnd.nextInt(6) == 0) stat("s", None, None, None, None)
+      else stat("s", None, None, Some(ss.head), Some(ss.last))
+    val maybeX = if (rnd.nextInt(8) == 0) Nil else Seq(xEntry) // column absent
+    maybeX ++ Seq(sEntry, stat("y", Some(0.0), Some(1.0), None, None))
+  }
+
+  test("distributed decide() == mayMatch on random blocks and predicates") {
+    import spark.implicits._
+    for (_ <- 1 to 12) {
+      val blocks = (0 until 120).map(id => id -> blockEntries(id))
+      val index = spark.createDataset(blocks.flatMap(_._2)).toDF()
+      val p = pred()
+      val got = IndexPruning.decide(index, p)
+        .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+      blocks.foreach { case (id, entries) =>
+        val stats = entries.map(e =>
+          e.column -> ColStats(e.minNum, e.maxNum, e.minStr, e.maxStr)).toMap
+        assert(got(id) == ZoneMapPruner.mayMatch(p, stats),
+          s"block $id disagrees for $p (stats=$stats)")
+      }
+    }
+  }
+
+  test("10k-file index: decisions stay distributed, driver gets only the skip list") {
+    // synthetic index generated ON EXECUTORS (spark.range), never a
+    // driver-side Seq: 10k files x 3 columns = 30k stat entries.
+    val index = spark.range(0, 10000)
+      .select(
+        col("id").cast("int").as("blockId"),
+        concat(lit("f"), col("id")).as("file"),
+        lit(10L).as("rows"),
+        (col("id") * 10).as("rowStart"),
+        (col("id") * 10 + 9).as("rowEnd"),
+        explode(array(lit("x"), lit("y"), lit("z"))).as("column"))
+      .select(col("*"),
+        (col("blockId") * 10.0).as("minNum"),
+        (col("blockId") * 10.0 + 9.0).as("maxNum"),
+        lit(null).cast("string").as("minStr"),
+        lit(null).cast("string").as("maxStr"))
+    val p = Between("x", PredValue(500.0), PredValue(999.0))
+    val skipped = IndexPruning.skippedFiles(index, p)
+    assert(skipped.size == 9950, s"expected 9950 skipped, got ${skipped.size}")
+    val kept = IndexPruning.keptFiles(index, p)
+    assert(kept.size == 50 && kept.toSet == (50 until 100).map(i => s"f$i").toSet)
+    // all-pruned predicate: reference parity keeps everything
+    assert(IndexPruning.keptFiles(index, Cmp("=", "x", PredValue(-5.0))).size == 10000)
+  }
+}

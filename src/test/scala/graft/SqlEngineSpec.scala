@@ -147,15 +147,15 @@ class SqlEngineSpec extends AnyFunSuite {
 
   test("scanRange serves exactly the blocks overlapping a row-offset range") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
-    val blocks = graft.plans.ZoneMapPruner.byBlock(e.stats).sortBy(_._1)
-    val total = blocks.map(_._3).sum
+    val blocks = e.blocks
+    val total = blocks.map(_.rows).sum
     assert(total == 6000L)
     // a mid-table range: served rows are the covering blocks' rows
     val (lo, hi) = (total / 3, 2 * total / 3)
     var off = 0L
-    val expected = blocks.flatMap { case (_, _, rows, _) =>
-      val s = off; off += rows
-      if (s <= hi && lo < off) Some(rows) else None
+    val expected = blocks.flatMap { b =>
+      val s = off; off += b.rows
+      if (s <= hi && lo < off) Some(b.rows) else None
     }.sum
     assert(expected >= hi - lo + 1)
     assert(e.scanRange(lo, hi).count() == expected)
@@ -166,9 +166,7 @@ class SqlEngineSpec extends AnyFunSuite {
 
   test("scanRange covering-blocks property over random ranges") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
-    val col0 = e.stats.head.column
-    val blocks = e.stats.filter(_.column == col0)
-      .map(b => (b.rowStart, b.rowEnd, b.rows)).distinct
+    val blocks = e.blocks.map(b => (b.rowStart, b.rowEnd, b.rows))
     val total = blocks.map(_._3).sum
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 8) {
@@ -192,7 +190,7 @@ class SqlEngineSpec extends AnyFunSuite {
       .option("parquet.block.size", (64 * 1024).toString)
       .parquet(path)
     val e = new GraftEngine(spark, path, "lineitem")
-    val nFiles = e.stats.map(_.file).distinct.size
+    val nFiles = e.blocks.map(_.file).distinct.size
     assert(e.blockIds.size > nFiles, "need >1 row group per file")
     val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
     assert(n == 6000L, s"multi-RG files must be read once, got $n")
