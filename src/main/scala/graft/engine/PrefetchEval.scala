@@ -20,6 +20,17 @@ object PrefetchEval {
     }
   }
 
+  /** Mean reciprocal rank over the replay: 1/rank of the actually
+    * accessed block within the (ranked) prediction list, 0 when absent
+    * — the reference's second quality metric alongside top-k hit rate
+    * (evaluate_model.py:36-55). */
+  def mrr(evals: Seq[StepEval]): Double =
+    if (evals.isEmpty) 0.0
+    else evals.map { e =>
+      val idx = e.predicted.indexOf(e.actual)
+      if (idx < 0) 0.0 else 1.0 / (idx + 1)
+    }.sum / evals.size
+
   /** Summary metrics as a 1-row DataFrame (hit_rate = recall@k when
     * each step has exactly one relevant block). */
   def summarize(spark: SparkSession, evals: Seq[StepEval], k: Int): DataFrame = {
@@ -29,7 +40,9 @@ object PrefetchEval {
     val predMade = evals.count(_.predicted.nonEmpty).toLong
     Seq((k, n, hits, predMade,
       if (n == 0) 0.0 else hits.toDouble / n,
-      if (predMade == 0) 0.0 else hits.toDouble / predMade))
-      .toDF("k", "steps", "hits", "steps_with_prediction", "hit_rate", "precision_when_predicted")
+      if (predMade == 0) 0.0 else hits.toDouble / predMade,
+      mrr(evals)))
+      .toDF("k", "steps", "hits", "steps_with_prediction", "hit_rate",
+        "precision_when_predicted", "mrr")
   }
 }

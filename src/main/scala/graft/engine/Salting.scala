@@ -35,6 +35,24 @@ object Salting {
       .join(replicate(small, factor), Seq(key, "_salt"))
       .drop("_salt")
 
+  /** Skew-safe candidate-pair generation for a bucketed SELF-join
+    * (`id_a < id_b` within each key's bucket): the left occurrence of
+    * each row is salted by its id, the right occurrence replicated
+    * across all `factor` salts, and the join runs on (key, salt) — so
+    * pair (a, b) meets exactly once (at a's salt) and a bucket of size
+    * H spreads over `factor` tasks at O(H²/factor) work each, instead
+    * of one task paying the whole O(H²). */
+  def saltedSelfPairs(exploded: DataFrame, idCol: String, keyCol: String,
+      factor: Int): DataFrame = {
+    val l = salt(exploded, idCol, factor).as("l")
+    val r = replicate(exploded, factor).as("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("l._salt") === col("r._salt") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as(s"${idCol}_a"), col(s"r.$idCol").as(s"${idCol}_b"))
+  }
+
   /** Skew-safe aggregation: two-phase — aggregate per (key, salt),
     * then merge per key. `partials` maps each aggregation to its
     * partial and final forms, e.g. count → (count, sum). */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Salting
 import graft.functions.TextExpressions.simhash64
 import graft.functions.TextFunctions._
 
@@ -30,13 +31,33 @@ object DedupOps {
 
   /** Candidate pairs via any shared key in `keysCol` (exploded bucket
     * join). `a < b` canonicalization + distinct dedups multi-bucket
-    * collisions. */
-  def bucketPairs(docs: DataFrame, keysCol: String): DataFrame = {
+    * collisions.
+    *
+    * Skew-safe: a pathological band (boilerplate docs, near-dup-heavy
+    * shards) can put a large fraction of the corpus behind ONE bucket
+    * key, concentrating O(hot²) pair generation on one task. Buckets
+    * larger than `hotCap` are split off (their keys are few by
+    * construction, so the hot-key set broadcasts) and pair-generated
+    * through a salted self-join ([[graft.engine.Salting.saltedSelfPairs]])
+    * that spreads each hot bucket over `saltFactor` tasks; everything
+    * else joins plainly — the ×saltFactor replication is only ever paid
+    * for hot rows, and only on (id, key) pairs, never payloads. The
+    * result set is identical either way (each pair still meets exactly
+    * once per shared key before the distinct). */
+  def bucketPairs(docs: DataFrame, keysCol: String,
+      hotCap: Int = 4096, saltFactor: Int = 16): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(col(keysCol)).as("bkey"))
-    val l = exploded.as("l")
-    val r = exploded.as("r")
-    l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    val hotKeys = exploded.groupBy("bkey").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotCap).select("bkey")
+    val cold = exploded.join(broadcast(hotKeys), Seq("bkey"), "left_anti")
+    val hot = exploded.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
+    val l = cold.as("l")
+    val r = cold.as("r")
+    val coldPairs =
+      l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    coldPairs
+      .unionAll(Salting.saltedSelfPairs(hot, "doc_id", "bkey", saltFactor))
       .distinct()
   }
 

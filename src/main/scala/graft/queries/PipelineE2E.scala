@@ -91,13 +91,9 @@ object PipelineE2E {
         .withColumn("bands", minhashBands(col("sig"), 4))
         .persist()
 
-      // near-dup pairs via band buckets, verified at Jaccard >= 0.8
-      val exploded = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
-      val pairs = exploded.as("l")
-        .join(exploded.as("r"),
-          col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
+      // near-dup pairs via band buckets (skew-safe hot/cold split in
+      // bucketPairs), verified at Jaccard >= 0.8
+      val pairs = graft.operators.DedupOps.bucketPairs(docs, "bands")
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)

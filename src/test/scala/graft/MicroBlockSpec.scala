@@ -101,6 +101,22 @@ class MicroBlockSpec extends AnyFunSuite {
     assert(m.suggest(Seq(9, 2), 1) == Seq(3))
   }
 
+  test("prefetch eval: MRR scores rank-1 hits above deep hits and misses") {
+    import graft.engine.PrefetchEval.StepEval
+    // ranks: 1st, 2nd, miss, empty prediction -> (1 + 1/2 + 0 + 0) / 4
+    val evals = Seq(
+      StepEval(1, 7, Seq(7, 8, 9), hit = true),
+      StepEval(2, 8, Seq(7, 8, 9), hit = true),
+      StepEval(3, 5, Seq(7, 8, 9), hit = false),
+      StepEval(4, 6, Seq(), hit = false))
+    assert(graft.engine.PrefetchEval.mrr(evals) == (1.0 + 0.5) / 4)
+    val row = graft.engine.PrefetchEval.summarize(spark, evals, k = 3).collect().head
+    assert(row.getAs[Double]("mrr") == 0.375)
+    assert(row.getAs[Double]("hit_rate") == 0.5)
+    // degenerate: no steps
+    assert(graft.engine.PrefetchEval.mrr(Nil) == 0.0)
+  }
+
   test("prefetch service warms predicted blocks into the cache") {
     val log = new AccessLog()
     val cache = new BlockCacheManager(8)
