@@ -29,7 +29,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // benchmark2.py-parity A/B: the same selective query via full scan /
+    // engine without pruning / engine with pruning (cold + warm cache)
+    val ab = try {
+      spark.catalog.clearCache()
+      val e = graft.queries.MicroBlockQueries.engineFor(spark, sfDir)
+      graft.engine.PruningBench.toJson(graft.engine.PruningBench.run(
+        spark, e, graft.queries.MicroBlockQueries.benchPred, reps = 3))
+    } catch { case _: Throwable => "null" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pruning_ab":$ab,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import graft.plans.Pred
+
+/** The reference's headline experiment (benchmark2.py:16-60): the same
+  * selective query timed through competing serve paths, tabulating what
+  * the engine's pruning and caching actually buy:
+  *
+  *   - `full_scan`          — no engine: every file scanned, row filter only
+  *   - `engine_no_prune`    — engine serve path but ALL blocks candidate
+  *                            (reference test 3: read every row group,
+  *                            then filter), cache cleared per rep
+  *   - `engine_prune_cold`  — zone-map pruning to the kept files, no cache
+  *   - `engine_prune_warm`  — pruning + LRU-cached blocks (steady state;
+  *                            the reference's prefetch-loop regime)
+  *
+  * Times are per-rep medians; `filesRead` is the physical file count
+  * each mode's scan touches, so the artifact shows the pruned path
+  * reading fewer files AND finishing faster, not just one of the two.
+  */
+object PruningBench {
+
+  final case class AbRow(mode: String, seconds: Double, filesRead: Long, rows: Long)
+
+  private def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+
+  def run(spark: SparkSession, engine: GraftEngine, pred: Pred,
+      reps: Int = 3): Seq[AbRow] = {
+    val allFiles = engine.blocks.map(_.file).distinct
+    val dec = engine.decisions(pred)
+    val keptFiles = dec.filter(_._4).map(_._2).distinct
+
+    def timed(rows: => Long): (Double, Long) = {
+      var n = 0L
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); n = rows; (System.nanoTime() - t0) / 1e9
+      }
+      (median(ts), n)
+    }
+
+    val (tFull, nFull) =
+      timed(spark.read.parquet(allFiles: _*).filter(pred.toColumn).count())
+    val (tNoPrune, nNoPrune) = timed {
+      engine.cache.clear()
+      engine.scanRange(0, Long.MaxValue).filter(pred.toColumn).count()
+    }
+    val (tCold, nCold) = timed {
+      engine.cache.clear()
+      engine.queryDirect(pred).count()
+    }
+    engine.cache.clear()
+    engine.query(pred).count() // materialize the working set into the LRU
+    val (tWarm, nWarm) = timed(engine.query(pred).count())
+
+    Seq(
+      AbRow("full_scan", tFull, allFiles.size, nFull),
+      AbRow("engine_no_prune", tNoPrune, allFiles.size, nNoPrune),
+      AbRow("engine_prune_cold", tCold, keptFiles.size, nCold),
+      AbRow("engine_prune_warm", tWarm, keptFiles.size, nWarm))
+  }
+
+  /** One JSON object for embedding in the bench line. */
+  def toJson(rows: Seq[AbRow]): String =
+    rows.map(r =>
+        s""""${r.mode}":{"sec":${r.seconds},"files":${r.filesRead},"rows":${r.rows}}""")
+      .mkString("{", ",", "}")
+}

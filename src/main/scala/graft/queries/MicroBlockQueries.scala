@@ -57,6 +57,18 @@ object MicroBlockQueries {
       new GraftEngine(spark, microPath(spark, dir), "lineitem"))
   }
 
+  /** The memoized per-sf engine, for benchmarking ([[graft.Bench]] /
+    * PruningBench) and tests. */
+  def engineFor(spark: SparkSession, dir: String): GraftEngine = engine(spark, dir)
+
+  /** The A/B benchmark predicate — a selective range on the cluster
+    * key (the reference's `column1 BETWEEN ...` shape, benchmark2.py:32,
+    * over the column its microblocks are ordered by). Shared with
+    * mb_prune_count so the audited pruning decision and the measured
+    * speedup describe the same query. */
+  val benchPred: Pred = Between("l_shipdate",
+    PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
+
   /** Replay the workload's pruning decisions into a FRESH access log
     * (mb29-31 need per-query clean logs) without rebuilding the
     * zone-map index — the memoized engine's stats are reused. */
@@ -88,8 +100,7 @@ object MicroBlockQueries {
     QueryDef.rowsOnly("mb_prune_count") { (s, dir) =>
       import s.implicits._
       val e = engine(s, dir)
-      val pred = Between("l_shipdate",
-        PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
+      val pred = benchPred
       val dec = e.decisions(pred)
       // one job for the whole audit: matching rows per block via
       // input_file_name() (not a count() per block — that would be
