@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Real (non-stub) media decode for the multimodal pipeline: RIFF/WAVE
+  * PCM parses in pure JVM — no codec library needed — so the audio
+  * modality's metadata + per-channel stats are genuinely extracted
+  * from the payload bytes (SURVEY §2c mm43; the reference treats media
+  * as opaque blobs, graft upgrades the contract to a working decoder
+  * for the container formats that don't need codecs).
+  *
+  * Decode runs partition-batched over the binary column with a fixed
+  * output schema — the same shape a mapInPandas/codec-backed decoder
+  * drops into for JPEG/MP3/video.
+  */
+object MediaOps {
+
+  /** Parsed WAV: format fields from the `fmt ` chunk plus per-channel
+    * integer stats over the `data` chunk. `channelSums`/`channelPeaks`
+    * are raw sample-value sums and maxima (8-bit PCM is unsigned
+    * 0..255, 16-bit is signed little-endian) — integer-exact, so the
+    * whole decode is oracle-checkable bit-for-bit. */
+  final case class WavMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, durationUs: Long,
+      channelSums: Array[Long], channelPeaks: Array[Long])
+
+  /** Encode interleaved PCM samples as a RIFF/WAVE byte payload
+    * (8-bit unsigned / 16-bit signed LE) — the fixture/test encoder
+    * proving [[decodeWav]] against independently constructed files. */
+  def wavBytes(sampleRate: Int, channels: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bps) // byte rate
+      .putShort((channels * bps).toShort)  // block align
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) buf.put((s & 0xff).toByte) else buf.putShort(s.toShort)
+    }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE PCM payload: chunk-walk to `fmt ` and `data`
+    * (real files interleave LIST/INFO/fact chunks — unknown chunks are
+    * skipped, with the spec's odd-length pad byte honored), then fold
+    * per-channel sum/peak over the interleaved frames. */
+  def decodeWav(bytes: Array[Byte]): WavMeta = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 12 && str4() == "RIFF", "not a RIFF payload")
+    buf.getInt // RIFF size (unreliable in the wild; chunk walk instead)
+    require(str4() == "WAVE", "RIFF payload is not WAVE")
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+    var data: Array[Byte] = null
+    while (buf.remaining >= 8 && (data == null || !fmtSeen)) {
+      val id = str4()
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining, s"chunk $id overruns payload")
+      val next = buf.position() + len + (len & 1) // odd chunks pad 1 byte
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          require(fmt == 1, s"only PCM supported, got format $fmt")
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align (derived)
+          bits = buf.getShort
+          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          require(channels > 0 && sampleRate > 0, "degenerate fmt chunk")
+          fmtSeen = true
+        case "data" =>
+          data = new Array[Byte](len); buf.get(data)
+        case _ => // LIST, fact, cue, ... — skip
+      }
+      buf.position(math.min(next, buf.limit()))
+    }
+    require(fmtSeen, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    val bps = bits / 8
+    val frames = data.length / (channels * bps)
+    val sums = new Array[Long](channels)
+    val peaks = Array.fill(channels)(Long.MinValue)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val i = (f * channels + c) * bps
+        val v: Long =
+          if (bits == 8) (data(i) & 0xff).toLong
+          else ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+        sums(c) += v
+        if (v > peaks(c)) peaks(c) = v
+        c += 1
+      }
+      f += 1
+    }
+    if (frames == 0) java.util.Arrays.fill(peaks, 0L)
+    WavMeta(sampleRate, channels, bits, frames,
+      frames * 1000000L / sampleRate, sums, peaks)
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("bits", LongType),
+    StructField("n_frames", LongType),
+    StructField("duration_us", LongType),
+    StructField("channel_sums", ArrayType(LongType)),
+    StructField("channel_peaks", ArrayType(LongType))))
+
+  /** Partition-batched WAV decode over a binary column: bounded memory
+    * per executor batch, explicit output schema — the real multimodal
+    * operator contract (decode never touches the driver). */
+  def decodeWavDF(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val m = decodeWav(payload)
+        Row(r.getLong(0), payload.length.toLong, m.sampleRate.toLong,
+          m.channels.toLong, m.bitsPerSample.toLong, m.nFrames, m.durationUs,
+          m.channelSums.toSeq, m.channelPeaks.toSeq)
+      }
+    }(Encoders.row(decodeSchema))
+}

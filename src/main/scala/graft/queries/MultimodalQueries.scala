@@ -60,7 +60,75 @@ object MultimodalQueries {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** mm_decode's deterministic WAV fixture, per doc:
+    * frames, channels, sample rate and the interleaved 8-bit samples
+    * are closed-form in doc_id — so the DuckDB oracle can recompute
+    * the DECODED stats independently, turning the query into a true
+    * encode→parse→aggregate roundtrip check of the real
+    * [[graft.operators.MediaOps]] WAV decoder. */
+  private val wavGenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("payload", BinaryType)))
+
+  private def wavFixture(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 50 + (id % 50).toInt
+        val ch = 1 + (id % 2).toInt
+        val sr = 8000 + (id % 3).toInt * 4000
+        val samples = Array.tabulate(n * ch)(j => ((id * 37 + j * 11) % 256).toInt)
+        Row(id, graft.operators.MediaOps.wavBytes(sr, ch, 8, samples))
+      }
+    }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+
+  private def decodeOracle: String = {
+    def chanSum(cExpr: String) =
+      s"list_sum(list_transform(range(0, CAST(n AS BIGINT)), k -> (doc_id*37 + (k*ch + $cExpr)*11) % 256))"
+    def chanMax(cExpr: String) =
+      s"list_max(list_transform(range(0, CAST(n AS BIGINT)), k -> (doc_id*37 + (k*ch + $cExpr)*11) % 256))"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    50 + doc_id % 50 AS n,
+       |    1 + doc_id % 2 AS ch,
+       |    8000 + (doc_id % 3) * 4000 AS sr
+       |  FROM documents
+       |)
+       |SELECT doc_id, 'audio/wav' AS modality,
+       |  CAST(44 + n*ch AS BIGINT) AS byte_len,
+       |  CAST(sr AS BIGINT) AS sample_rate,
+       |  CAST(ch AS BIGINT) AS channels,
+       |  CAST(8 AS BIGINT) AS bits,
+       |  CAST(n AS BIGINT) AS n_frames,
+       |  CAST(n * 1000000 // sr AS BIGINT) AS duration_us,
+       |  CAST(${chanSum("0")} AS BIGINT) AS c0_sum,
+       |  CAST(${chanMax("0")} AS BIGINT) AS c0_peak,
+       |  CAST(CASE WHEN ch = 2 THEN ${chanSum("1")} END AS BIGINT) AS c1_sum,
+       |  CAST(CASE WHEN ch = 2 THEN ${chanMax("1")} END AS BIGINT) AS c1_peak
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // mm43b: REAL decode for the audio modality — RIFF/WAVE PCM parsed
+    // from the payload bytes by MediaOps.decodeWav (pure JVM, no codec
+    // lib), stats oracle-checked against DuckDB's closed-form replay of
+    // the fixture. The byte-histogram stub survives only for modalities
+    // whose codecs aren't in the container (mm_metadata below).
+    QueryDef.sql("mm_decode", decodeOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val decoded = graft.operators.MediaOps.decodeWavDF(
+        wavFixture(docs), "doc_id", "payload")
+      decoded.select(
+          col("doc_id"), lit("audio/wav").as("modality"),
+          col("byte_len"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("duration_us"),
+          element_at(col("channel_sums"), 1).as("c0_sum"),
+          element_at(col("channel_peaks"), 1).as("c0_peak"),
+          when(col("channels") === 2, element_at(col("channel_sums"), 2)).as("c1_sum"),
+          when(col("channels") === 2, element_at(col("channel_peaks"), 2)).as("c1_peak"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql("mm_metadata", oracle) { (s, dir) =>
       // payload: the document text as bytes — the stand-in for a real
       // media column; metadata is carried as typed columns. Checksum is

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.GraftSession
+import graft.operators.MediaOps
+
+class MediaOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(cores = 4, appName = "graft-media-test")
+
+  test("8-bit mono WAV roundtrip: header fields and channel stats") {
+    val samples = Array(0, 255, 128, 7)
+    val m = MediaOps.decodeWav(MediaOps.wavBytes(8000, 1, 8, samples))
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.bitsPerSample == 8)
+    assert(m.nFrames == 4)
+    assert(m.durationUs == 4L * 1000000 / 8000)
+    assert(m.channelSums.toSeq == Seq(390L))
+    assert(m.channelPeaks.toSeq == Seq(255L))
+  }
+
+  test("16-bit stereo WAV roundtrip: signed samples deinterleave per channel") {
+    // frames: (L,R) = (-32768, 32767), (100, -1), (0, 5)
+    val samples = Array(-32768, 32767, 100, -1, 0, 5)
+    val m = MediaOps.decodeWav(MediaOps.wavBytes(44100, 2, 16, samples))
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.nFrames == 3)
+    assert(m.channelSums.toSeq == Seq(-32668L, 32771L))
+    assert(m.channelPeaks.toSeq == Seq(100L, 32767L))
+  }
+
+  test("unknown chunks (LIST/INFO) between fmt and data are skipped") {
+    val base = MediaOps.wavBytes(16000, 1, 8, Array(1, 2, 3))
+    // splice a 7-byte LIST chunk (odd length -> 1 pad byte) before data
+    val dataIdx = {
+      // find the "data" tag after the 12-byte RIFF/WAVE header
+      val s = new String(base.map(b => (b & 0xff).toChar))
+      s.indexOf("data", 12)
+    }
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ "INFOxyz".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = base.take(dataIdx) ++ list ++ base.drop(dataIdx)
+    val m = MediaOps.decodeWav(spliced)
+    assert(m.nFrames == 3 && m.channelSums.toSeq == Seq(6L))
+  }
+
+  test("malformed payloads are rejected, not mis-parsed") {
+    intercept[IllegalArgumentException](MediaOps.decodeWav("nonsense".getBytes))
+    intercept[IllegalArgumentException](
+      MediaOps.decodeWav(MediaOps.wavBytes(8000, 1, 8, Array(1)).take(20)))
+  }
+
+  test("decodeWavDF decodes a binary column partition-batched") {
+    import spark.implicits._
+    val rows = (0L until 10L).map { id =>
+      (id, MediaOps.wavBytes(8000, 1, 8, Array.tabulate(5)(j => (id + j).toInt)))
+    }
+    val out = MediaOps.decodeWavDF(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(5)).forall(_ == 5L)) // n_frames
+    assert(out(3).getSeq[Long](7) == Seq(3L + 4 + 5 + 6 + 7)) // sums for id=3
+  }
+}
