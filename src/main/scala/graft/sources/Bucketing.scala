@@ -23,7 +23,15 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // Pre-partition on the bucket key with the SAME partition count:
+    // bucket id and repartition hash are both pmod(murmur3(key), n), so
+    // each write task holds exactly one bucket -> ONE file per bucket.
+    // With multiple files per bucket Spark distrusts the written order
+    // and re-inserts a per-partition sort under every downstream
+    // SortMergeJoin — the exchange disappears but the sort (the
+    // expensive half at scale) stays.
+    df.repartition(buckets, df.col(key))
+      .write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Times the headline oracle SQL in DuckDB over the same parquet files
+graft's ScaleBench reads — the single-node baseline for the
+throughput-ratio comparison (VERDICT r2 asked for this at sf1, where
+scan/shuffle design rather than fixed job overhead decides the ratio).
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [reps]
+(oracle_sql.json as dumped by `runMain graft.Verify`; only the headline
+queries are timed.)
+"""
+import json, os, statistics, sys, time
+import duckdb
+
+HEADLINE = ["q1_agg", "q2_filter_between", "q9_orderby_limit", "q12_join_multi",
+            "q6_count_star"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def main(sf_dir, oracle_path, reps=3):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"create or replace view {t} as select * from read_parquet('{src}')")
+    oracle = json.load(open(oracle_path))
+    out = {}
+    for name in HEADLINE:
+        # count-wrapped to mirror graft's `.count()` action: both engines
+        # execute the query but neither pays result materialization /
+        # transfer for wide result sets. Spark's optimizer removes a
+        # trailing ORDER BY under count(); strip it here too so DuckDB
+        # isn't charged for a sort Spark skips — EXCEPT when a LIMIT
+        # follows (top-k is semantically load-bearing in both engines).
+        sql = oracle[name]
+        tail = sql.upper().rfind("ORDER BY")
+        if tail >= 0 and "LIMIT" not in sql[tail:].upper() \
+                and ")" not in sql[tail:]:
+            sql = sql[:tail]
+        sql = f"select count(*) from ({sql})"
+        con.execute(sql).fetchall()  # warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            ts.append(time.time() - t0)
+        out[name] = statistics.median(ts)
+    print(json.dumps({"bench": "scale", "sf": sf_dir, "reps": reps,
+                      "duckdb_sec": out}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
