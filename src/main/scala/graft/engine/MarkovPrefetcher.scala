@@ -19,7 +19,7 @@ import scala.collection.mutable
   * collected for O(1) driver-side serving, exactly like the
   * reference's in-process model inference.
   */
-final class MarkovPrefetcher(order: Int = 1) {
+final class MarkovPrefetcher(order: Int = 1) extends Prefetcher {
   require(order >= 1 && order <= 3, "supported context lengths: 1..3")
 
   /** ctxLen -> (context most-recent-last, comma-joined) -> ranked next */
@@ -71,7 +71,7 @@ final class MarkovPrefetcher(order: Int = 1) {
   /** Top-k predicted next blocks given recent history (most recent
     * last); longest-context matches first, backing off to shorter
     * contexts (stupid backoff). */
-  def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
+  override def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
     if (recent.isEmpty) return Seq.empty
     val out = mutable.LinkedHashSet.empty[Int]
     var ctxLen = math.min(order, recent.size)

@@ -11,7 +11,7 @@ object PrefetchEval {
 
   final case class StepEval(step: Int, actual: Int, predicted: Seq[Int], hit: Boolean)
 
-  def replay(model: MarkovPrefetcher, sequence: Seq[Int], k: Int,
+  def replay(model: Prefetcher, sequence: Seq[Int], k: Int,
       historyLen: Int = 8): Seq[StepEval] = {
     (1 until sequence.size).map { i =>
       val history = sequence.slice(math.max(0, i - historyLen), i)

@@ -173,12 +173,20 @@ object MicroBlockQueries {
     },
 
     // mb31: prediction quality — train on the first 2 workload passes,
-    // replay the third, score hit-rate@k (validate_predictions.py).
+    // replay the third, score hit-rate@k + MRR (validate_predictions.py /
+    // evaluate_model.py), for BOTH model classes on the same split:
+    // the Markov table (reference-parity serving) and the learned
+    // log-linear sequence model (the LSTM's stand-in, model.py).
     QueryDef.rowsOnly("mb_prefetch_eval") { (s, dir) =>
+      import org.apache.spark.sql.functions.lit
       val flat = workloadLog(s, dir).all.flatMap(_.blocks)
       val (train, test) = flat.splitAt(flat.size * 2 / 3)
-      val model = new MarkovPrefetcher(1).fitSeq(s, train)
-      PrefetchEval.summarize(s, PrefetchEval.replay(model, test, k = 3), k = 3)
+      val markov = new MarkovPrefetcher(1).fitSeq(s, train)
+      val learned = new graft.engine.LogisticPrefetcher(order = 2).fit(s, train)
+      def row(name: String, m: graft.engine.Prefetcher) =
+        PrefetchEval.summarize(s, PrefetchEval.replay(m, test, k = 3), k = 3)
+          .withColumn("model", lit(name))
+      row("markov", markov).unionAll(row("logistic", learned))
     }
   )
 }

@@ -101,6 +101,31 @@ class MicroBlockSpec extends AnyFunSuite {
     assert(m.suggest(Seq(9, 2), 1) == Seq(3))
   }
 
+  test("logistic prefetcher learns a cyclic access pattern") {
+    val pattern = Seq.fill(12)(Seq(1, 2, 3, 4)).flatten
+    val m = new graft.engine.LogisticPrefetcher(order = 2).fit(spark, pattern)
+    assert(m.suggest(Seq(4, 1), 1) == Seq(2))
+    assert(m.suggest(Seq(1, 2), 1) == Seq(3))
+    assert(m.suggest(Seq(3, 4), 1) == Seq(1))
+    // unseen context combination: positional marginals still predict
+    assert(m.suggest(Seq(9, 2), 1) == Seq(3))
+  }
+
+  test("learned model >= markov hit-rate on the same split (LSTM-parity contract)") {
+    // a workload with deterministic structure: rising runs per 'query'
+    val pattern = Seq.fill(6)(Seq(0, 1, 2, 5, 6, 7, 3, 4)).flatten
+    val (train, test) = pattern.splitAt(pattern.size * 2 / 3)
+    val markov = new MarkovPrefetcher(1).fitSeq(spark, train)
+    val learned = new graft.engine.LogisticPrefetcher(order = 2).fit(spark, train)
+    def hitRate(m: graft.engine.Prefetcher): Double = {
+      val evals = graft.engine.PrefetchEval.replay(m, test, k = 3)
+      evals.count(_.hit).toDouble / evals.size
+    }
+    val (hm, hl) = (hitRate(markov), hitRate(learned))
+    assert(hl >= hm, s"learned hit-rate $hl below markov $hm")
+    assert(hl > 0.9, s"learned model failed to learn a deterministic cycle: $hl")
+  }
+
   test("prefetch eval: MRR scores rank-1 hits above deep hits and misses") {
     import graft.engine.PrefetchEval.StepEval
     // ranks: 1st, 2nd, miss, empty prediction -> (1 + 1/2 + 0 + 0) / 4
