@@ -28,7 +28,8 @@ final class GraftEngine(
     cacheCapacity: Int = 64,
     markovOrder: Int = 1,
     logPath: Option[String] = None,
-    missUnionMax: Int = 64) {
+    missUnionMax: Int = 64,
+    planUnionMax: Int = 128) {
 
   /** The zone-map index, DISTRIBUTED: one row per (block × column),
     * persisted so pruning queries don't re-read footers. Per-column
@@ -108,6 +109,14 @@ final class GraftEngine(
     * path must collapse to a single relation. */
   private def serve(ids: Seq[Int]): DataFrame = {
     val files = ids.map(fileOf).distinct // file-granular: see keyOf
+    // Plan-size ceiling: a union of N per-file relations costs O(N)
+    // ANALYSIS work per query. Beyond `planUnionMax` candidate files,
+    // one multi-file scan wins even if every block were cached —
+    // Catalyst would spend longer on the plan than the executors on
+    // the scan — so mega-candidate queries bypass the per-block cache
+    // entirely (entries stay warm for the selective queries the cache
+    // exists for).
+    if (files.size > planUnionMax) return spark.read.parquet(files: _*)
     val fetched = files.map(f => f -> cache.get(s"file-$f"))
     val hitDfs = fetched.collect { case (_, Some(df)) => df }
     val missFiles = fetched.collect { case (f, None) => f }

@@ -80,6 +80,28 @@ class IndexPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("index build prefix-sum: dense ids + contiguous offsets across partition boundaries") {
+    // 40 real files over 8 partitions = 5 files per partition: block
+    // ids and row offsets must chain correctly WITHIN a partition and
+    // ACROSS the partition-base handoff of the two-pass prefix sum
+    val path = "target/scratch/test/idx-prefix-sum"
+    spark.range(0, 4000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(40).write.mode("overwrite").parquet(path)
+    val blocks = graft.sources.MicroBlockIndex
+      .build(spark, path, "t")
+      .collect().toSeq
+      .groupBy(_.blockId).toSeq.sortBy(_._1)
+      .map { case (id, cols) => (id, cols.head.rowStart, cols.head.rowEnd, cols.head.rows) }
+    assert(blocks.map(_._1) == blocks.indices.toSeq, "ids must be dense 0..n-1")
+    assert(blocks.head._2 == 0L)
+    blocks.sliding(2).foreach {
+      case Seq((_, _, aEnd, _), (_, bStart, _, _)) =>
+        assert(bStart == aEnd + 1, s"offset gap at $bStart")
+      case _ =>
+    }
+    assert(blocks.map(_._4).sum == 4000L)
+  }
+
   test("10k-file index: decisions stay distributed, driver gets only the skip list") {
     // synthetic index generated ON EXECUTORS (spark.range), never a
     // driver-side Seq: 10k files x 3 columns = 30k stat entries.

@@ -199,6 +199,19 @@ class SqlEngineSpec extends AnyFunSuite {
       PredValue.ts("1990-01-01"), PredValue.ts("2030-01-01"))).count() == 6000L)
   }
 
+  test("candidate sets beyond planUnionMax serve as ONE scan, bypassing the cache") {
+    val e = new GraftEngine(spark, mbPath, "lineitem", planUnionMax = 4)
+    val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
+    assert(n == 6000L)
+    // 8 candidate blocks > 4: single multi-file relation, no per-block
+    // cache population (plan stays O(1) leaves however many blocks match)
+    assert(e.cache.size == 0, s"cache must be bypassed, holds ${e.cache.keys}")
+    // selective queries below the ceiling still warm the cache
+    val pred = Between("l_shipdate", PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
+    e.query(pred).count()
+    assert(e.cache.size > 0)
+  }
+
   test("mass-cold serve collapses misses into one scan, then runs warm per-block") {
     // missUnionMax=2 forces the mass-cold path on the first (all-cold)
     // query of 8 blocks; results must match the plain path and the
