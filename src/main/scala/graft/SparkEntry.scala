@@ -10,7 +10,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.all ++ MicroBlockQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ PipelineE2E.all
+      MultimodalQueries.all ++ StreamingQueries.all ++
+      TemporalQueries.all ++ PipelineE2E.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.TemporalOps
+
+/** SURVEY.md §2 rounds-3 additions — temporal joins Spark lacks as
+  * built-ins (as-of join, sliding-lookback range join), implemented
+  * shuffle-window-style ([[TemporalOps]]) and hash-checked against
+  * DuckDB (whose native ASOF JOIN / inequality join are the oracles).
+  */
+object TemporalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // q31: as-of join — each click enriched with the user's latest
+    // prior (or simultaneous) view. Oracle: DuckDB's native ASOF JOIN
+    // (inner flavor — clicks with no prior view drop on both sides).
+    QueryDef.sql(
+      "q31_asof",
+      """SELECT c.event_id, c.user_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us, c.value AS click_value,
+        |  epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_us, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      TemporalOps.asofJoin(clicks, views, "user_id", "ts",
+          tieBreak = Some("event_id"))
+        .filter(col("asof_event_id").isNotNull) // inner ASOF semantics
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"), col("value").as("click_value"),
+          unix_micros(col("asof_ts")).as("view_us"), col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    },
+
+    // q32: sliding-lookback range join — per error event, the count
+    // and value-sum of the same user's clicks in the strictly-prior
+    // 10 minutes. Oracle: DuckDB inequality join + group; the Spark
+    // plan is ONE range-frame window (no O(n·m) inequality join).
+    QueryDef.sql(
+      "q32_lookback",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(COUNT(c.t) AS BIGINT) AS lookback_count,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS lookback_sum
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.user_id AND c.t >= e.t - 600000000 AND c.t < e.t
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("error", "click"))
+      TemporalOps.lookbackStats(
+          ev, "user_id", unix_micros(col("ts")),
+          isLeft = col("event_type") === "error",
+          isRight = col("event_type") === "click",
+          valueCol = col("value").cast("decimal(18,2)"),
+          lookbackUs = 600000000L)
+        .select(col("event_id"), col("user_id"), col("lookback_count"),
+          col("lookback_sum").cast("double").as("lookback_sum"))
+        .orderBy("event_id")
+    }
+  )
+}
