@@ -47,18 +47,30 @@ object DedupOps {
   def bucketPairs(docs: DataFrame, keysCol: String,
       hotCap: Int = 4096, saltFactor: Int = 16): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(col(keysCol)).as("bkey"))
+    // Eager hot-key probe: ONE count aggregation, collecting only keys
+    // above the cap (bounded by corpus/hotCap — a handful by
+    // construction). The common no-skew case then short-circuits to
+    // the plain self-join with zero extra plan weight; tag-join-based
+    // splitting (anti+semi against the aggregate) re-derived the
+    // exploded frame three times and measurably doubled the dedup
+    // queries' wall-time.
     val hotKeys = exploded.groupBy("bkey").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > hotCap).select("bkey")
-    val cold = exploded.join(broadcast(hotKeys), Seq("bkey"), "left_anti")
-    val hot = exploded.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
-    val l = cold.as("l")
-    val r = cold.as("r")
-    val coldPairs =
+      .collect().map(_.get(0)).toSeq
+    val selfPairs = (part: DataFrame) => {
+      val l = part.as("l")
+      val r = part.as("r")
       l.join(r, col("l.bkey") === col("r.bkey") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-    coldPairs
-      .unionAll(Salting.saltedSelfPairs(hot, "doc_id", "bkey", saltFactor))
-      .distinct()
+    }
+    if (hotKeys.isEmpty) selfPairs(exploded).distinct()
+    else {
+      val cold = exploded.filter(!col("bkey").isin(hotKeys: _*))
+      val hot = exploded.filter(col("bkey").isin(hotKeys: _*))
+      selfPairs(cold)
+        .unionAll(Salting.saltedSelfPairs(hot, "doc_id", "bkey", saltFactor))
+        .distinct()
+    }
   }
 
   /** Exact-dedup groups: normalized-text md5 → (hash, copies, keeper).
