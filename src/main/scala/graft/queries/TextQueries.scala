@@ -13,6 +13,33 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ta59: deterministic stratified sampling — the pipeline op behind
+    // "downsample the dominant language to a quota". Hash-threshold
+    // sampling (FNV-1a of the doc id, unsigned mod 1000 vs a per-lang
+    // quota) is reproducible across runs/engines — unlike rand()-based
+    // sampleBy — so the exact kept set is hash-checked against the
+    // oracle's HUGEINT replay. Scan-only, embarrassingly parallel.
+    QueryDef.sql(
+      "ta_sample",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${OracleSql.fnv1a64Unsigned("CAST(doc_id AS VARCHAR)")} % 1000 AS BIGINT) AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, bucket FROM h
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // signed fnv64 -> unsigned mod: u = s + 2^64 when s < 0, and
+      // 2^64 mod 1000 = 616, so u%1000 = pmod(pmod(s,1000) + 616·[s<0], 1000)
+      val h = graft.functions.TextExpressions.fnv64(col("doc_id").cast("string"))
+      val bucket = pmod(pmod(h, lit(1000)) + when(h < 0, 616).otherwise(0), lit(1000))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < when(col("lang") === "en", 300).otherwise(800))
+        .orderBy("doc_id")
+    },
+
     // dd32: exact dedup via normalize→hash→group. MD5 is identical in
     // Spark and DuckDB, so the full pipeline is SQL-oracle-checkable.
     // At scale: hash-shuffle on a 32-char key, map-side pre-aggregated.

@@ -129,4 +129,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), "expected shuffle stages")
     assert(!p.contains("CartesianProduct"), "similarity join must never go O(n^2)")
   }
+
+  test("index-pruning decisions pre-aggregate map-side (partial collect_list)") {
+    import org.apache.spark.sql.functions._
+    val index = spark.range(0, 200).select(
+      col("id").cast("int").as("blockId"), concat(lit("f"), col("id")).as("file"),
+      lit(10L).as("rows"), (col("id") * 10).as("rowStart"), (col("id") * 10 + 9).as("rowEnd"),
+      explode(array(lit("x"), lit("y"))).as("column"),
+      (col("id") * 1.0).as("minNum"), (col("id") * 1.0 + 9).as("maxNum"),
+      lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"))
+    val p = graft.plans.IndexPruning
+      .decide(index, graft.plans.Between("x",
+        graft.plans.PredValue(10.0), graft.plans.PredValue(50.0)))
+      .queryExecution.executedPlan.toString
+    // the stats-map aggregation must combine map-side: at a million
+    // files the shuffle carries one partially-collected row per
+    // (block, partition), not every index entry
+    assert(p.contains("partial_collect_list") || p.contains("partial_map_from"),
+      s"expected a partial (map-side) collect stage:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
