@@ -182,7 +182,9 @@ object MicroBlockQueries {
       val flat = workloadLog(s, dir).all.flatMap(_.blocks)
       val (train, test) = flat.splitAt(flat.size * 2 / 3)
       val markov = new MarkovPrefetcher(1).fitSeq(s, train)
-      val learned = new graft.engine.LogisticPrefetcher(order = 2).fit(s, train)
+      // 25 epochs: the workload converges to hit 1.0 / MRR 1.0 by ~15
+      // (probed round 3); headroom without paying the class default
+      val learned = new graft.engine.LogisticPrefetcher(order = 2, epochs = 25).fit(s, train)
       def row(name: String, m: graft.engine.Prefetcher) =
         PrefetchEval.summarize(s, PrefetchEval.replay(m, test, k = 3), k = 3)
           .withColumn("model", lit(name))
