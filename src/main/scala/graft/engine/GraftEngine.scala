@@ -75,8 +75,11 @@ final class GraftEngine(
   /** Per-block keep/skip decisions for a predicate, computed as a
     * distributed query over the stats index and memoized per predicate
     * (a workload replays the same shapes; the decision job should run
-    * once, not once per replay). Driver receives one boolean per block
-    * — never the per-column stats. */
+    * once, not once per replay). Driver receives one row per block —
+    * never the per-column stats. Serving paths should prefer
+    * [[candidates]], which collects only the KEPT rows (bounded by the
+    * candidate set, smaller whenever pruning is doing its job); the
+    * full keep+skip list exists for audits (mb_prune_count). */
   private val decisionMemo =
     scala.collection.concurrent.TrieMap.empty[Pred, Seq[(Int, String, Long, Boolean)]]
 
@@ -87,9 +90,21 @@ final class GraftEngine(
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(5)))
         .toSeq.sortBy(_._1))
 
-  /** Candidate blocks for a predicate (pruning decision only). */
+  private val candidateMemo =
+    scala.collection.concurrent.TrieMap.empty[Pred, Seq[Int]]
+
+  /** Candidate blocks for a predicate (pruning decision only) —
+    * kept-rows-only collect. */
   def candidates(pred: Pred): Seq[Int] =
-    decisions(pred).filter(_._4).map(_._1)
+    candidateMemo.getOrElseUpdate(pred,
+      decisionMemo.get(pred) match {
+        case Some(d) => d.filter(_._4).map(_._1)
+        case None =>
+          IndexPruning.decide(index.toDF(), pred)
+            .filter(org.apache.spark.sql.functions.col("keep"))
+            .select("block_id")
+            .collect().map(_.getInt(0)).toSeq.sorted
+      })
 
   /** One resolved scan of the full table (file listing + schema paid
     * once at construction, not per sql() call). */
