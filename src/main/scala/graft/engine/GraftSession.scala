@@ -22,6 +22,11 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // trust bucketed tables' written sort order (off by default since
+    // Spark 3.0): with Bucketing's one-file-per-bucket writes this
+    // removes the per-partition re-sort under co-located merge joins,
+    // making them pure streaming merges
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.ui.explainMode", "formatted")
 
   /** Local session for tests/benchmarks. `cores` threads, shuffle

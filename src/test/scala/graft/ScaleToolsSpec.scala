@@ -23,6 +23,10 @@ class ScaleToolsSpec extends AnyFunSuite {
     joined.collect()
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    // one file per bucket (writeBucketed pre-partitions on the key) ->
+    // the scan's outputOrdering is trusted and the merge join needs no
+    // re-sort either: the join is pure streaming merge over the files
+    assert(!plan.contains("Sort "), s"bucketed+sorted join must not re-sort:\n${plan.take(1500)}")
     assert(joined.count() == 6000L) // every lineitem has its order
   }
 
