@@ -36,20 +36,43 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm
     spark.read.parquet(s"$sfDir/nation.parquet").count() // parquet path warm
-    val results = headline.map { name =>
-      val q = SparkEntry.queries(name)
+    def timed(name: String)(run: => Unit): (String, Double) = {
       val ts = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        q(spark, sfDir).count()
+        run
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> ts(ts.size / 2)
+    }
+    val results = headline.map { name =>
+      val q = SparkEntry.queries(name)
+      timed(name)(q(spark, sfDir).count())
+    } :+ timed("q1_agg_double") {
+      // q1 with PLAIN double sums: quantifies the exact-decimal
+      // determinism tax the oracle-checked q1 pays (graft routes double
+      // aggregation through DECIMAL so results hash-match DuckDB
+      // bit-for-bit across partitionings — see Det scaladoc)
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          avg("l_quantity"), count(lit(1)))
+        .count()
     }
     // q12 on BUCKETED fact tables: pay the clustering write once, then
     // the lineitem⋈orders join runs with no exchange on either side —
     // the 100 TB answer to repeated joins on the same key (the shuffle
     // is the entire gap to a single-node engine at this sf).
+    // SPARK_GRAFT_SKIP_BUCKETED=1 skips the clustering write (it sorts
+    // the whole fact table — at sf100 that's a disk-spill budget call).
+    if (sys.env.contains("SPARK_GRAFT_SKIP_BUCKETED")) {
+      val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""{"bench":"scale","sf":"$sfDir","reps":$reps,"graft_sec":$qs}""")
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     graft.sources.Bucketing.writeBucketed(
       spark.read.parquet(s"$sfDir/lineitem.parquet"), "li_bkt", "l_orderkey", 32)

@@ -50,9 +50,13 @@ object ScaleData {
       println(s"[scale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
-    write(copies(customer, Map("c_custkey" -> C)), "customer", 4)
-    write(copies(orders, Map("o_orderkey" -> O, "o_custkey" -> C)), "orders", 8)
-    write(copies(lineitem, Map("l_orderkey" -> O)), "lineitem", 16)
+    // File counts sized to keep every core busy: parquet scans can't
+    // split single-row-group files, so a scan's max parallelism IS the
+    // file count. (On a real cluster: files ≈ a small multiple of
+    // total cores, sized 64-512 MB each.)
+    write(copies(customer, Map("c_custkey" -> C)), "customer", 8)
+    write(copies(orders, Map("o_orderkey" -> O, "o_custkey" -> C)), "orders", 32)
+    write(copies(lineitem, Map("l_orderkey" -> O)), "lineitem", 64)
     Seq("nation", "region", "supplier", "part").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$out/$n.parquet")

@@ -102,6 +102,31 @@ class IndexPruningSpec extends AnyFunSuite {
     assert(blocks.map(_._4).sum == 4000L)
   }
 
+  test("re-registering a refreshed index invalidates cached skip decisions") {
+    import org.apache.spark.sql.functions._
+    def syntheticIndex(maxVal: Int) = spark.range(0, 4)
+      .select(
+        col("id").cast("int").as("blockId"), concat(lit("g"), col("id")).as("file"),
+        lit(10L).as("rows"), (col("id") * 10).as("rowStart"), (col("id") * 10 + 9).as("rowEnd"),
+        lit("x").as("column"),
+        (col("id") * maxVal / 4.0).as("minNum"), ((col("id") + 1) * maxVal / 4.0).as("maxNum"),
+        lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"))
+    val pred = graft.plans.Cmp(">", "x", graft.plans.PredValue(150.0))
+    val roots = Seq("memtest-root")
+    // index says values span [0, 100] -> everything above 150 skippable
+    val skip1 = graft.plans.ZoneMapPruneRule.skipSet(roots, Seq(syntheticIndex(100)), pred)
+    assert(skip1.size == 4, s"all 4 files refutable, got $skip1")
+    // cached: same roots+pred with a DIFFERENT index df must still hit the memo
+    val cached = graft.plans.ZoneMapPruneRule.skipSet(roots, Seq(syntheticIndex(1000)), pred)
+    assert(cached == skip1, "decision must come from the cache")
+    // registration churn clears the memo -> fresh stats take effect
+    graft.plans.ZoneMapPruneRule.register("memtest-root", syntheticIndex(1000))
+    try {
+      val skip2 = graft.plans.ZoneMapPruneRule.skipSet(roots, Seq(syntheticIndex(1000)), pred)
+      assert(skip2.isEmpty, s"refreshed index spans [0,1000]: nothing refutable, got $skip2")
+    } finally graft.plans.ZoneMapPruneRule.unregister("memtest-root")
+  }
+
   test("10k-file index: decisions stay distributed, driver gets only the skip list") {
     // synthetic index generated ON EXECUTORS (spark.range), never a
     // driver-side Seq: 10k files x 3 columns = 30k stat entries.
