@@ -172,6 +172,69 @@ final class GraftEngine(
     serve(ids)
   }
 
+  /** Zone-map-assisted TOP-K (largest `column` values): blocks are
+    * scanned in descending stats-max order, and the scan set grows
+    * until the k-th found value is >= every unscanned block's max —
+    * at which point no unscanned block can contribute to the top k.
+    * On a table clustered by `column` this reads O(k/rows-per-block)
+    * blocks instead of all of them; on an unclustered column it
+    * degrades gracefully to the full scan (every block's max ties).
+    * Blocks with no numeric stats for the column are always scanned
+    * (conservative, like the pruner). NULLs are excluded (both Spark
+    * DESC and DuckDB default order them last, past any real top-k).
+    * `tieBreak` columns make the returned k rows deterministic.
+    */
+  def topK(colName: String, k: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    val colStats = index.toDF()
+      .filter(col("column") === colName)
+      .select("blockId", "rows", "maxNum")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val (statless, stated) = colStats.partition(_._3.isEmpty)
+    val ordered = stated.sortBy(-_._3.get)
+    def numCol(df: DataFrame): org.apache.spark.sql.Column =
+      df.schema(colName).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(colName)).cast("double")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ has no unix_micros; the UTC session (GraftSession.tune)
+          // makes the TIMESTAMP cast epoch-exact, matching the stats'
+          // physical INT64 micros
+          unix_micros(col(colName).cast(
+            org.apache.spark.sql.types.TimestampType)).cast("double")
+        case _ => col(colName).cast("double")
+      }
+    // initial set: enough max-ordered blocks to cover k rows
+    var take = {
+      var acc = 0L; var n = 0
+      while (n < ordered.length && acc < k) { acc += ordered(n)._2; n += 1 }
+      math.max(1, n)
+    }
+    var ids: Seq[Int] = Nil
+    var done = false
+    while (!done) {
+      ids = (ordered.take(take).map(_._1) ++ statless.map(_._1)).sorted
+      val df = serve(ids)
+      val top = df.filter(col(colName).isNotNull)
+        .select(numCol(df).as("_v")).orderBy(desc("_v")).limit(k)
+        .collect().map(_.getDouble(0))
+      val remaining = ordered.drop(take)
+      val blocking =
+        if (top.length < k) remaining.length // not enough rows yet: take all
+        else remaining.count(_._3.get >= top.last)
+      if (blocking > 0 && remaining.nonEmpty) take += math.max(1, blocking)
+      else done = true
+    }
+    accessLog.log(table, ids)
+    serve(ids)
+      .filter(col(colName).isNotNull)
+      .orderBy(col(colName).desc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Single pruned scan (no per-block caching) — see class doc. */
   def queryDirect(pred: Pred): DataFrame = {
     val d = decisions(pred)

@@ -155,6 +155,23 @@ object MicroBlockQueries {
         .orderBy("ctx", "next_block")
     },
 
+    // mb60: zone-map-assisted top-k — the stats index turned into a
+    // top-k pruner: blocks scanned in descending stats-max order until
+    // the k-th value dominates every unscanned block's max. On the
+    // cluster key this touches O(k) rows' worth of blocks; the oracle
+    // is the plain ORDER BY ... LIMIT over the raw table.
+    QueryDef.sql(
+      "mb_topk",
+      """SELECT l_orderkey, l_linenumber,
+        |  epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+        |FROM lineitem
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 12""".stripMargin) { (s, dir) =>
+      engine(s, dir).topK("l_shipdate", 12, Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // NTZ column: epoch-exact under the UTC session
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    },
+
     // mb46: the reference's SQL entry point end-to-end — SQL string in,
     // predicates extracted from the analyzed plan, pruned + cached
     // blocks served, result identical to running the SQL directly

@@ -199,6 +199,24 @@ class SqlEngineSpec extends AnyFunSuite {
       PredValue.ts("1990-01-01"), PredValue.ts("2030-01-01"))).count() == 6000L)
   }
 
+  test("zone-map top-k: few blocks on the cluster key, full scan when unclustered") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val tb = Seq("l_orderkey", "l_linenumber")
+    def want(c: String, k: Int) = spark.read.parquet(mbPath)
+      .filter(col(c).isNotNull)
+      .orderBy(col(c).desc +: tb.map(col(_).asc): _*).limit(k).collect().toSeq
+    // clustered column: only the top max-ordered blocks are scanned
+    val got = e.topK("l_shipdate", 10, tb).collect().toSeq
+    assert(got == want("l_shipdate", 10))
+    assert(e.accessLog.all.last.blocks.size < e.blockIds.size,
+      s"expected a pruned top-k scan, got ${e.accessLog.all.last.blocks.size} blocks")
+    // unclustered column (every block's max ties): degrades to a full
+    // scan but stays correct
+    val got2 = e.topK("l_quantity", 5, tb).collect().toSeq
+    assert(got2 == want("l_quantity", 5))
+    assert(e.accessLog.all.last.blocks.size == e.blockIds.size)
+  }
+
   test("candidate sets beyond planUnionMax serve as ONE scan, bypassing the cache") {
     val e = new GraftEngine(spark, mbPath, "lineitem", planUnionMax = 4)
     val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
