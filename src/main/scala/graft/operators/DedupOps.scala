@@ -157,6 +157,50 @@ object DedupOps {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Duplicate-CLUSTER formation: connected components over verified
+    * near-dup pairs — the step a dedup pipeline runs after pair
+    * generation, so "A≈B, B≈C" collapses to one keeper even when A and
+    * C never pair directly. Min-label propagation: every node starts
+    * as its own label; each round every node takes the min of its own
+    * and its neighbors' labels (one join + one aggregation, all
+    * distributed); converges in O(component diameter) rounds — small
+    * by construction for near-dup clusters (they're dense). The driver
+    * only orchestrates rounds and reads the single `changed` count
+    * (same discipline as the IVF Lloyd loop); at web scale the
+    * round count is cut further by star-contraction variants
+    * (Kiveris et al. '14), which this API deliberately leaves room
+    * for. Returns (doc_id, cluster_id = component-min id,
+    * cluster_size), nodes = every doc appearing in a pair. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = updated
+    }
+    val out = labels
+      .join(labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding-cosine near-dup pairs: `bits`-bit random-hyperplane LSH
     * buckets, exact cosine only within buckets. */
   def embeddingPairs(vecs: DataFrame, bits: Int = 12): DataFrame = {

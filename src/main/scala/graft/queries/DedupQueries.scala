@@ -48,6 +48,48 @@ object DedupQueries {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
     },
 
+    // dd61: duplicate clusters — connected components over the
+    // MinHash-verified (Jaccard >= 0.8) pair graph, so transitive
+    // near-dups collapse to one keeper. Spark side: distributed
+    // min-label propagation (DedupOps.duplicateClusters); oracle:
+    // DuckDB WITH RECURSIVE transitive closure + min-root per node.
+    QueryDef.sql(
+      "dd_cluster", {
+        import OracleSql._
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, cand AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN sh x ON x.doc_id = c.a
+           |  JOIN sh y ON y.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+           |), bidir AS (
+           |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+           |), reach AS (
+           |  SELECT DISTINCT a AS doc_id, a AS root FROM bidir
+           |  UNION
+           |  SELECT e.b AS doc_id, r.root FROM reach r JOIN bidir e ON e.a = r.doc_id
+           |), cc AS (
+           |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+           |)
+           |SELECT cc.doc_id, cc.cluster_id,
+           |  CAST(n.cluster_size AS BIGINT) AS cluster_size
+           |FROM cc JOIN (
+           |  SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+           |) n USING (cluster_id)
+           |ORDER BY cc.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val pairs = DedupOps.minhashPairs(Tables.load(s, dir, "documents"), 64, 4)
+        .filter(col("jaccard") >= 0.8)
+      DedupOps.duplicateClusters(pairs).orderBy("doc_id")
+    },
+
     // dd34: SimHash (native Catalyst expression) + Hamming distance via
     // 4×16-bit band bucketing; near-dup = small bit_count(xor).
     // Oracle-checked end-to-end: the FNV-1a token hash, bit votes,

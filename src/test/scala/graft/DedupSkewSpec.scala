@@ -29,6 +29,23 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("duplicateClusters: transitive chains collapse to one component") {
+    import spark.implicits._
+    // components: {1..5} as a chain, {10,11} a pair, {20,21,22} a star
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.DedupOps.duplicateClusters(pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
   test("hot bucket's pairs spread across tasks instead of one reducer") {
     // at corpus scale neither side broadcasts — force the shuffle-join
     // path this test is about (a 300-row toy side would broadcast and
