@@ -111,6 +111,103 @@ object MediaOps {
       frames * 1000000L / sampleRate, sums, peaks)
   }
 
+  /** Parsed BMP: dimensions from the BITMAPINFOHEADER plus per-channel
+    * (B, G, R) integer sums/maxima over the pixel array. */
+  final case class BmpMeta(
+      width: Int, height: Int, bitsPerPixel: Int,
+      channelSums: Array[Long], channelPeaks: Array[Long])
+
+  /** Encode a 24-bpp BI_RGB BMP: `pixels` are BGR-interleaved,
+    * row-major TOP-DOWN; storage is the format's bottom-up order with
+    * rows padded to 4-byte boundaries. */
+  def bmpBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height * 3, "need w*h BGR triples")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataLen = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) { // bottom-up rows
+      var i = y * width * 3
+      val end = i + width * 3
+      while (i < end) { buf.put((pixels(i) & 0xff).toByte); i += 1 }
+      var pad = rowSize - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bpp uncompressed BMP payload: validates the BM magic,
+    * honors the header's pixel-data offset, row padding and bottom-up
+    * vs top-down (negative height) row order, then folds per-channel
+    * sum/peak over the BGR pixel array. */
+  def decodeBmp(bytes: Array[Byte]): BmpMeta = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && buf.get() == 'B'.toByte && buf.get() == 'M'.toByte,
+      "not a BMP payload")
+    buf.getInt; buf.getInt // file size, reserved
+    val dataOffset = buf.getInt
+    val dibSize = buf.getInt
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    val width = buf.getInt
+    val rawHeight = buf.getInt
+    val height = math.abs(rawHeight) // negative = top-down (row order
+    buf.getShort                     //   doesn't change channel stats)
+    val bpp = buf.getShort
+    val compression = buf.getInt
+    require(bpp == 24 && compression == 0,
+      s"only 24-bpp BI_RGB supported, got bpp=$bpp compression=$compression")
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(dataOffset + rowSize.toLong * height <= bytes.length,
+      "pixel array overruns payload")
+    val sums = new Array[Long](3)
+    val peaks = new Array[Long](3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = dataOffset + y * rowSize
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          val v = (bytes(row + x * 3 + c) & 0xff).toLong
+          sums(c) += v
+          if (v > peaks(c)) peaks(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    BmpMeta(width, height, bpp, sums, peaks)
+  }
+
+  private val bmpDecodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("bpp", LongType),
+    StructField("channel_sums", ArrayType(LongType)),
+    StructField("channel_peaks", ArrayType(LongType))))
+
+  /** Partition-batched BMP decode over a binary column (same contract
+    * as [[decodeWavDF]]). */
+  def decodeBmpDF(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val m = decodeBmp(payload)
+        Row(r.getLong(0), payload.length.toLong, m.width.toLong, m.height.toLong,
+          m.bitsPerPixel.toLong, m.channelSums.toSeq, m.channelPeaks.toSeq)
+      }
+    }(Encoders.row(bmpDecodeSchema))
+
   private val decodeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", LongType),

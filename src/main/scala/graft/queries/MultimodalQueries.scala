@@ -107,7 +107,57 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  private def bmpOracle: String = {
+    def chanSum(c: Int) =
+      s"list_sum(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*31 + (p2*3 + $c)*7) % 256))"
+    def chanMax(c: Int) =
+      s"list_max(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*31 + (p2*3 + $c)*7) % 256))"
+    s"""WITH p AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+       |)
+       |SELECT doc_id, 'image/bmp' AS modality,
+       |  CAST(54 + ((w*3 + 3) // 4 * 4) * h AS BIGINT) AS byte_len,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(24 AS BIGINT) AS bpp,
+       |  CAST(${chanSum(0)} AS BIGINT) AS b_sum, CAST(${chanMax(0)} AS BIGINT) AS b_max,
+       |  CAST(${chanSum(1)} AS BIGINT) AS g_sum, CAST(${chanMax(1)} AS BIGINT) AS g_max,
+       |  CAST(${chanSum(2)} AS BIGINT) AS r_sum, CAST(${chanMax(2)} AS BIGINT) AS r_max
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // mm62: REAL decode for the image modality — 24-bpp BI_RGB BMP
+    // parsed from the payload bytes (pure JVM: magic, header offsets,
+    // bottom-up padded rows), per-channel BGR stats hash-checked
+    // against DuckDB's closed-form replay of the fixture. Together
+    // with mm_decode (WAV), both codec-free modalities now decode for
+    // real; the histogram stub stands only where a codec would be
+    // required (JPEG/MP3/video).
+    QueryDef.sql("mm_image", bmpOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val pixels = Array.tabulate(w * h * 3)(j => ((id * 31 + j * 7) % 256).toInt)
+          Row(id, graft.operators.MediaOps.bmpBytes(w, h, pixels))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+      graft.operators.MediaOps.decodeBmpDF(fixture, "doc_id", "payload")
+        .select(
+          col("doc_id"), lit("image/bmp").as("modality"),
+          col("byte_len"), col("width"), col("height"), col("bpp"),
+          element_at(col("channel_sums"), 1).as("b_sum"),
+          element_at(col("channel_peaks"), 1).as("b_max"),
+          element_at(col("channel_sums"), 2).as("g_sum"),
+          element_at(col("channel_peaks"), 2).as("g_max"),
+          element_at(col("channel_sums"), 3).as("r_sum"),
+          element_at(col("channel_peaks"), 3).as("r_max"))
+        .orderBy("doc_id")
+    },
+
     // mm43b: REAL decode for the audio modality — RIFF/WAVE PCM parsed
     // from the payload bytes by MediaOps.decodeWav (pure JVM, no codec
     // lib), stats oracle-checked against DuckDB's closed-form replay of

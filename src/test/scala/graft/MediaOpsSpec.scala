@@ -49,6 +49,25 @@ class MediaOpsSpec extends AnyFunSuite {
       MediaOps.decodeWav(MediaOps.wavBytes(8000, 1, 8, Array(1)).take(20)))
   }
 
+  test("BMP roundtrip: header, bottom-up padded rows, per-channel BGR stats") {
+    // 3x2, BGR triples top-down: row0 = (1,2,3),(4,5,6),(7,8,9); row1 = (10..18)
+    val pixels = (1 to 18).toArray
+    val bytes = MediaOps.bmpBytes(3, 2, pixels)
+    // row size 3*3=9 -> padded to 12; 54-byte header
+    assert(bytes.length == 54 + 24)
+    val m = MediaOps.decodeBmp(bytes)
+    assert(m.width == 3 && m.height == 2 && m.bitsPerPixel == 24)
+    assert(m.channelSums.toSeq == Seq(1L + 4 + 7 + 10 + 13 + 16,
+      2L + 5 + 8 + 11 + 14 + 17, 3L + 6 + 9 + 12 + 15 + 18))
+    assert(m.channelPeaks.toSeq == Seq(16L, 17L, 18L))
+  }
+
+  test("malformed BMPs are rejected") {
+    intercept[IllegalArgumentException](MediaOps.decodeBmp("XXnotabmp".getBytes))
+    intercept[IllegalArgumentException](
+      MediaOps.decodeBmp(MediaOps.bmpBytes(3, 2, (1 to 18).toArray).take(40)))
+  }
+
   test("decodeWavDF decodes a binary column partition-batched") {
     import spark.implicits._
     val rows = (0L until 10L).map { id =>
