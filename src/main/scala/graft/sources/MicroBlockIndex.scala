@@ -166,9 +166,75 @@ object MicroBlockIndex {
 
   /** Persist the index as a parquet table (reference: save_metadata.py
     * writes block metadata to disk). The index is data: at 100 TB it's
-    * queried/joined like any table and refreshed incrementally. */
+    * queried/joined like any table and refreshed incrementally
+    * ([[refresh]]). */
   def save(index: Dataset[BlockStat], path: String): Unit =
     index.write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL refresh: read footers only for files the existing
+    * index doesn't know (the common append-only ingest shape — at
+    * millions of files a full rebuild re-reads every footer for a 1%
+    * delta). Existing block ids and row offsets are STABLE — cache
+    * keys, access logs and trained prefetch models keyed by them stay
+    * valid — and new files' blocks append after the current max id /
+    * row offset in sorted-file order. Files deleted from disk keep
+    * their index entries (pruning against them is harmless: the rule
+    * only ever skips files present in the live listing; pass the
+    * result through a rebuild when compaction rewrites history). */
+  def refresh(spark: SparkSession, tablePath: String, table: String,
+      existing: Dataset[BlockStat]): Dataset[BlockStat] = {
+    import org.apache.spark.sql.functions._
+    val known = existing.select("file").distinct()
+      .collect().map(_.getString(0)).toSet // file-listing scale
+    val newFiles = listParquetFiles(tablePath).filterNot(known)
+    if (newFiles.isEmpty) return existing
+    val (maxId, maxEnd) = existing
+      .agg(max("blockId"), max("rowEnd"))
+      .collect().headOption
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .getOrElse((-1, -1L))
+    val fileWithOrd = newFiles.sorted.zipWithIndex
+    val numParts = math.max(1, math.min(fileWithOrd.size,
+      math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
+    val raw = spark.sparkContext.parallelize(fileWithOrd, numParts)
+      .flatMap { case (file, ord) => readFooterStats(table, file, ord) }
+    // same two-pass prefix sum as build(), based at (maxId+1, maxEnd+1)
+    val perPart = raw.mapPartitionsWithIndex { (idx, it) =>
+      var last = Long.MinValue; var nBlocks = 0L; var nRows = 0L
+      it.foreach { b =>
+        if (b.blockId.toLong != last) {
+          last = b.blockId.toLong; nBlocks += 1; nRows += b.rows
+        }
+      }
+      Iterator.single((idx, nBlocks, nRows))
+    }.collect()
+    val idBase = new Array[Long](numParts)
+    val rowBase = new Array[Long](numParts)
+    var ids = maxId + 1L; var rowOff = maxEnd + 1L
+    perPart.sortBy(_._1).foreach { case (idx, nb, nr) =>
+      idBase(idx) = ids; rowBase(idx) = rowOff; ids += nb; rowOff += nr
+    }
+    val idB = spark.sparkContext.broadcast(idBase)
+    val rowB = spark.sparkContext.broadcast(rowBase)
+    val appended = raw.mapPartitionsWithIndex { (idx, it) =>
+      var cur = Long.MinValue
+      var id = idB.value(idx) - 1
+      var start = rowB.value(idx)
+      var nextStart = start
+      it.map { b =>
+        if (b.blockId.toLong != cur) {
+          cur = b.blockId.toLong
+          id += 1
+          start = nextStart
+          nextStart = start + b.rows
+        }
+        b.copy(blockId = id.toInt, rowStart = start, rowEnd = start + b.rows - 1)
+      }
+    }
+    import spark.implicits._
+    existing.unionAll(spark.createDataset(appended))
+  }
 
   def load(spark: SparkSession, path: String): Dataset[BlockStat] = {
     import spark.implicits._

@@ -102,6 +102,32 @@ class IndexPruningSpec extends AnyFunSuite {
     assert(blocks.map(_._4).sum == 4000L)
   }
 
+  test("incremental refresh: only new footers read, old ids/offsets stable") {
+    import org.apache.spark.sql.functions._
+    val path = "target/scratch/test/idx-refresh"
+    spark.range(0, 300).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(3).write.mode("overwrite").parquet(path)
+    val v1 = graft.sources.MicroBlockIndex.build(spark, path, "t")
+    val v1Rows = v1.collect().toSeq
+    // append two more files (distinct names — new part- prefixes)
+    spark.range(300, 500).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(2).write.mode("append").parquet(path)
+    val v2 = graft.sources.MicroBlockIndex.refresh(spark, path, "t", v1)
+    val v2Rows = v2.collect().toSeq
+    // old entries byte-identical (ids, offsets, stats all stable)
+    assert(v2Rows.filter(b => v1Rows.map(_.file).contains(b.file)).toSet == v1Rows.toSet)
+    // new blocks appended after the old max id with contiguous offsets
+    val oldMaxId = v1Rows.map(_.blockId).max
+    val oldMaxEnd = v1Rows.map(_.rowEnd).max
+    val appended = v2Rows.filterNot(b => v1Rows.map(_.file).contains(b.file))
+    assert(appended.nonEmpty && appended.forall(_.blockId > oldMaxId))
+    assert(appended.map(_.rowStart).min == oldMaxEnd + 1)
+    val total = v2Rows.groupBy(_.blockId).map(_._2.head.rows).sum
+    assert(total == 500L)
+    // idempotent: nothing new -> same dataset back
+    assert(graft.sources.MicroBlockIndex.refresh(spark, path, "t", v2) eq v2)
+  }
+
   test("re-registering a refreshed index invalidates cached skip decisions") {
     import org.apache.spark.sql.functions._
     def syntheticIndex(maxVal: Int) = spark.range(0, 4)
