@@ -183,15 +183,17 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // prev label rides along so convergence detection is a filter
+      // over this round's result, not another join against the old
+      // labels (one join + one shuffle saved per round)
+      val updated = labels.withColumnRenamed("label", "prev")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nlabel"), col("prev"))).as("label"))
         .persist()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
+      changed = updated.filter(col("label") =!= col("prev")).count()
       labels.unpersist(blocking = false)
-      labels = updated
+      labels = updated.select("doc_id", "label")
     }
     val out = labels
       .join(labels.groupBy(col("label"))
