@@ -516,6 +516,27 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
         .orderBy("event_type")
+    },
+
+    // q33: PIVOT — wide-format aggregation with explicit pivot values
+    // (explicit so the plan needs no value-discovery pre-pass: at
+    // scale an unbounded pivot column would mean an extra distinct
+    // scan AND an unbounded schema). Oracle: the CASE-based rewrite
+    // every engine lowers PIVOT to.
+    QueryDef.sql(
+      "q33_pivot",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum2(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy("l_linestatus")
     }
   )
 }
