@@ -537,6 +537,25 @@ object RelationalQueries {
         .select(col("l_linestatus"), col("A").as("qty_a"),
           col("N").as("qty_n"), col("R").as("qty_r"))
         .orderBy("l_linestatus")
+    },
+
+    // q34: string aggregation (LISTAGG/string_agg). collect_list's
+    // order is partition-nondeterministic, so the deterministic form
+    // is sort-then-join — matching string_agg's ORDER BY clause, which
+    // any cross-engine (or cross-run!) comparison of concatenated
+    // groups requires.
+    QueryDef.sql(
+      "q34_string_agg",
+      """SELECT c_nationkey,
+        |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",")
+          .as("segments"))
+        .orderBy("c_nationkey")
     }
   )
 }
