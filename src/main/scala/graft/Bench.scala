@@ -36,8 +36,27 @@ object Bench {
       val e = graft.queries.MicroBlockQueries.engineFor(spark, sfDir)
       graft.engine.PruningBench.toJson(graft.engine.PruningBench.run(
         spark, e, graft.queries.MicroBlockQueries.benchPred, reps = 3))
-    } catch { case _: Throwable => "null" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pruning_ab":$ab,"sf":"$sfDir"}""")
+    } catch {
+      case t: Throwable =>
+        // A broken engine path must be VISIBLE, not a silent null.
+        System.err.println(
+          s"pruning_ab failed: ${t.getClass.getName}: ${t.getMessage}")
+        "null"
+    }
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pruning_ab":$ab,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the tail of sbt output; a long line can be
+    // truncated there. Persist the full artifact as a file too.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"bench.json write failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -171,14 +171,16 @@ object DedupOps {
     * (Kiveris et al. '14), which this API deliberately leaves room
     * for. Returns (doc_id, cluster_id = component-min id,
     * cluster_size), nodes = every doc appearing in a pair. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).persist()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
@@ -186,21 +188,33 @@ object DedupOps {
       // prev label rides along so convergence detection is a filter
       // over this round's result, not another join against the old
       // labels (one join + one shuffle saved per round)
-      val updated = labels.withColumnRenamed("label", "prev")
+      val chained = labels.withColumnRenamed("label", "prev")
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("prev"),
           least(col("prev"), coalesce(col("nlabel"), col("prev"))).as("label"))
-        .persist()
+      // persist bounds RECOMPUTE but not PLAN DEPTH: each round chains
+      // joins over the previous frame, so on a high-diameter graph
+      // (long chains of near-dups) analysis time and stack grow per
+      // round. An eager localCheckpoint every few rounds truncates the
+      // lineage, keeping per-round planning O(1) in the round count.
+      val updated =
+        if (round % checkpointEvery == 0) chained.localCheckpoint()
+        else chained.persist()
       changed = updated.filter(col("label") =!= col("prev")).count()
       labels.unpersist(blocking = false)
       labels = updated.select("doc_id", "label")
     }
-    val out = labels
-      .join(labels.groupBy(col("label"))
+    // Checkpoint the fixpoint so the RETURNED plan no longer references
+    // the loop's caches — then edges and the last round's frame can be
+    // released immediately without the caller's later materialization
+    // recomputing the whole edge derivation.
+    val fixed = labels.select("doc_id", "label").localCheckpoint()
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    fixed
+      .join(fixed.groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size")), "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-    edges.unpersist(blocking = false)
-    out
   }
 
   /** Embedding-cosine near-dup pairs: `bits`-bit random-hyperplane LSH

@@ -68,11 +68,15 @@ object TemporalOps {
       lookbackUs: Long): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(timeUs.cast("long"))
       .rangeBetween(-lookbackUs, -1) // strictly-before window
+    // _re marks right EVENTS (value-independent) so a right row with a
+    // NULL value column still counts toward lookback_count — the oracle
+    // counts matching right rows (COUNT(c.t)), not non-null values.
     events
+      .withColumn("_re", when(isRight, lit(1)))
       .withColumn("_rv", when(isRight, valueCol))
-      .withColumn("lookback_count", count(col("_rv")).over(w))
+      .withColumn("lookback_count", count(col("_re")).over(w))
       .withColumn("lookback_sum", sum(col("_rv")).over(w))
       .filter(isLeft)
-      .drop("_rv")
+      .drop("_re", "_rv")
   }
 }

@@ -46,6 +46,24 @@ class DedupSkewSpec extends AnyFunSuite {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("duplicateClusters: diameter-64 chain converges with bounded per-round planning") {
+    import spark.implicits._
+    // a pure chain 0-1-2-...-64: min-label propagation needs ~diameter
+    // rounds, the worst case for lineage growth — without checkpointing
+    // the per-round planning cost climbs with the round number.
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val t0 = System.nanoTime()
+    val got = graft.operators.DedupOps.duplicateClusters(chain, checkpointEvery = 5)
+      .collect()
+    val total = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 65)
+    assert(got.forall(r => r.getLong(1) == 0L && r.getLong(2) == 65L))
+    // bounded-behavior guard: 64+ checkpointed rounds on 65 rows must
+    // not blow up (un-checkpointed lineage at this diameter overflows
+    // analysis budgets long before any data cost)
+    assert(total < 300.0, s"diameter-64 chain took ${total}s")
+  }
+
   test("hot bucket's pairs spread across tasks instead of one reducer") {
     // at corpus scale neither side broadcasts — force the shuffle-join
     // path this test is about (a 300-row toy side would broadcast and

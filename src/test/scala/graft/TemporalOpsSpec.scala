@@ -54,9 +54,12 @@ class TemporalOpsSpec extends AnyFunSuite {
   test("lookbackStats equals the brute-force inequality join") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
+    // ~10% of right events carry a NULL value: they must still count
+    // toward lookback_count (event count), just not lookback_sum
     val rows = (0 until 400).map { i =>
       (i.toLong, (i % 7).toLong, rnd.nextInt(10000).toLong,
-        if (rnd.nextBoolean()) "L" else "R", rnd.nextInt(100).toDouble)
+        if (rnd.nextBoolean()) "L" else "R",
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toDouble))
     }
     val df = rows.toDF("id", "k", "t", "side", "v")
     val got = TemporalOps.lookbackStats(
@@ -67,7 +70,8 @@ class TemporalOpsSpec extends AnyFunSuite {
     val rights = rows.filter(_._4 == "R")
     val want = rows.filter(_._4 == "L").map { case (id, k, t, _, _) =>
       val in = rights.filter(r => r._2 == k && r._3 >= t - 500 && r._3 < t)
-      (id, in.size.toLong, if (in.isEmpty) None else Some(in.map(_._5).sum.toString))
+      val vals = in.flatMap(_._5)
+      (id, in.size.toLong, if (vals.isEmpty) None else Some(vals.sum.toString))
     }.sortBy(_._1)
     assert(got.map(x => (x._1, x._2)) == want.map(x => (x._1, x._2)))
     // sums compared loosely typed (double formatting) — exact equality
