@@ -208,6 +208,111 @@ object MediaOps {
       }
     }(Encoders.row(bmpDecodeSchema))
 
+  /** Parsed PNG: dimensions plus per-channel (R, G, B) integer sums and
+    * maxima. Unlike [[decodeWav]]/[[decodeBmp]], the parse side here is
+    * the JDK's own ImageIO PNG reader — an independent implementation
+    * from [[pngBytes]] — so the roundtrip proves the encoder and the
+    * decoder against each other across two codebases. */
+  final case class PngMeta(
+      width: Int, height: Int, bitDepth: Int,
+      channelSums: Array[Long], channelPeaks: Array[Long])
+
+  /** Encode an 8-bit truecolor PNG from `pixels` (RGB-interleaved,
+    * row-major top-down) — hand-rolled from the PNG spec: signature,
+    * IHDR, one IDAT holding the zlib-deflated filter-0 scanlines, IEND,
+    * with CRC32 per chunk. Deflater and CRC32 ship in `java.util.zip`,
+    * so the fixture needs no codec library and its DECODED stats are
+    * closed-form in the input pixels (PNG is lossless). */
+  def pngBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height * 3, "need w*h RGB triples")
+    val stride = 1 + width * 3
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      raw(y * stride) = 0 // per-row filter byte: None
+      var i = 0
+      while (i < width * 3) {
+        raw(y * stride + 1 + i) = (pixels(y * width * 3 + i) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val zBuf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(zBuf, 0, deflater.deflate(zBuf))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      val t = typ.getBytes("US-ASCII")
+      b.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t)
+      crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode a PNG payload via `javax.imageio` (the PNG reader every JVM
+    * ships) and fold per-channel R/G/B sums/maxima. 8-bit PNG decode is
+    * lossless and gamma-free here, so `getRGB`'s sRGB ints are exact
+    * byte passthrough — the stats are oracle-checkable bit-for-bit. */
+  def decodePng(bytes: Array[Byte]): PngMeta = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = new Array[Long](3)
+    val peaks = new Array[Long](3)
+    var i = 0
+    while (i < argb.length) {
+      var c = 0
+      while (c < 3) {
+        val v = ((argb(i) >> (16 - 8 * c)) & 0xff).toLong
+        sums(c) += v
+        if (v > peaks(c)) peaks(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    PngMeta(w, h, 8, sums, peaks)
+  }
+
+  private val pngDecodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("bit_depth", LongType),
+    StructField("channel_sums", ArrayType(LongType)),
+    StructField("channel_peaks", ArrayType(LongType))))
+
+  /** Partition-batched PNG decode over a binary column (same contract
+    * as [[decodeWavDF]]/[[decodeBmpDF]]). */
+  def decodePngDF(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val m = decodePng(payload)
+        Row(r.getLong(0), payload.length.toLong, m.width.toLong, m.height.toLong,
+          m.bitDepth.toLong, m.channelSums.toSeq, m.channelPeaks.toSeq)
+      }
+    }(Encoders.row(pngDecodeSchema))
+
   private val decodeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", LongType),

@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
 
-/** SURVEY.md §2c mm43 — multimodal column plumbing.
+/** SURVEY.md §2c mm43/mm56/mm62/mm65 — multimodal column plumbing.
   *
   * Media (image/audio/video) ride through the pipeline as opaque
   * `binary` payloads plus typed metadata; per-item decode/feature
   * extraction runs as a partition-batched transform with a fixed
-  * output schema. No media codecs exist in this container, so the
-  * decode step is a clearly-marked deterministic STUB (byte-histogram
-  * "features"); everything around it — binary column, metadata struct,
-  * mapPartitions batching, explicit result schema — is the real
-  * Spark-side contract a codec-backed decoder would drop into.
+  * output schema. Three modalities decode FOR REAL in pure JVM — WAV
+  * (hand-rolled RIFF parser), BMP (hand-rolled header/pixel parser)
+  * and PNG (the JDK's own `javax.imageio` reader against a hand-rolled
+  * spec encoder). Only modalities whose codecs genuinely aren't in the
+  * container (JPEG/MP3/video) keep a clearly-marked deterministic STUB
+  * (byte-histogram "features"); everything around it — binary column,
+  * metadata struct, mapPartitions batching, explicit result schema —
+  * is the real Spark-side contract a codec-backed decoder drops into.
   *
   * The stub's 8 histogram ratios are emitted as scalar columns
   * (f0..f7), not an array: the verify dump is hash-compared row-wise
@@ -125,7 +128,56 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  private def pngOracle: String = {
+    def chanSum(c: Int) =
+      s"list_sum(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*29 + (p2*3 + $c)*13) % 256))"
+    def chanMax(c: Int) =
+      s"list_max(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*29 + (p2*3 + $c)*13) % 256))"
+    s"""WITH p AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+       |)
+       |SELECT doc_id, 'image/png' AS modality,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(8 AS BIGINT) AS bit_depth,
+       |  CAST(${chanSum(0)} AS BIGINT) AS r_sum, CAST(${chanMax(0)} AS BIGINT) AS r_max,
+       |  CAST(${chanSum(1)} AS BIGINT) AS g_sum, CAST(${chanMax(1)} AS BIGINT) AS g_max,
+       |  CAST(${chanSum(2)} AS BIGINT) AS b_sum, CAST(${chanMax(2)} AS BIGINT) AS b_max
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // mm65: PNG decode through the JDK's OWN ImageIO reader against a
+    // hand-rolled spec encoder (zlib Deflater + CRC32 — both JDK) — a
+    // true cross-implementation roundtrip: fixture pixels are
+    // closed-form in doc_id, DuckDB recomputes the decoded stats
+    // independently. byte_len is deliberately absent: deflate output
+    // size isn't closed-form, and the oracle checks DECODE, not the
+    // compressor. With WAV+BMP+PNG real, the histogram stub below
+    // stands only for codec-requiring modalities (JPEG/MP3/video).
+    QueryDef.sql("mm_png", pngOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val pixels = Array.tabulate(w * h * 3)(j => ((id * 29 + j * 13) % 256).toInt)
+          Row(id, graft.operators.MediaOps.pngBytes(w, h, pixels))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+      graft.operators.MediaOps.decodePngDF(fixture, "doc_id", "payload")
+        .select(
+          col("doc_id"), lit("image/png").as("modality"),
+          col("width"), col("height"), col("bit_depth"),
+          element_at(col("channel_sums"), 1).as("r_sum"),
+          element_at(col("channel_peaks"), 1).as("r_max"),
+          element_at(col("channel_sums"), 2).as("g_sum"),
+          element_at(col("channel_peaks"), 2).as("g_max"),
+          element_at(col("channel_sums"), 3).as("b_sum"),
+          element_at(col("channel_peaks"), 3).as("b_max"))
+        .orderBy("doc_id")
+    },
     // mm62: REAL decode for the image modality — 24-bpp BI_RGB BMP
     // parsed from the payload bytes (pure JVM: magic, header offsets,
     // bottom-up padded rows), per-channel BGR stats hash-checked

@@ -68,6 +68,42 @@ class MediaOpsSpec extends AnyFunSuite {
       MediaOps.decodeBmp(MediaOps.bmpBytes(3, 2, (1 to 18).toArray).take(40)))
   }
 
+  test("PNG roundtrip: hand-rolled encoder vs the JDK's ImageIO decoder") {
+    // 3x2, RGB triples top-down — same pixel values as the BMP test but
+    // RGB order; decode goes through an INDEPENDENT implementation
+    // (javax.imageio), so this proves both sides of the roundtrip
+    val pixels = (1 to 18).toArray
+    val m = MediaOps.decodePng(MediaOps.pngBytes(3, 2, pixels))
+    assert(m.width == 3 && m.height == 2 && m.bitDepth == 8)
+    assert(m.channelSums.toSeq == Seq(1L + 4 + 7 + 10 + 13 + 16,
+      2L + 5 + 8 + 11 + 14 + 17, 3L + 6 + 9 + 12 + 15 + 18))
+    assert(m.channelPeaks.toSeq == Seq(16L, 17L, 18L))
+  }
+
+  test("PNG encoder output matches ImageIO's own encoder, stat-for-stat") {
+    // encode the same image twice — our spec encoder and ImageIO.write —
+    // and require identical decoded stats: pins pngBytes to the format,
+    // not just to whatever ImageIO.read tolerates
+    val (w, h) = (5, 4)
+    val pixels = Array.tabulate(w * h * 3)(j => (j * 41 + 3) % 256)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      img.setRGB(x, y, (pixels(i) << 16) | (pixels(i + 1) << 8) | pixels(i + 2))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val viaImageIO = MediaOps.decodePng(out.toByteArray)
+    val viaSpec = MediaOps.decodePng(MediaOps.pngBytes(w, h, pixels))
+    assert(viaSpec.width == viaImageIO.width && viaSpec.height == viaImageIO.height)
+    assert(viaSpec.channelSums.toSeq == viaImageIO.channelSums.toSeq)
+    assert(viaSpec.channelPeaks.toSeq == viaImageIO.channelPeaks.toSeq)
+  }
+
+  test("non-image payloads are rejected by decodePng") {
+    intercept[IllegalArgumentException](MediaOps.decodePng("not a png".getBytes))
+  }
+
   test("decodeWavDF decodes a binary column partition-batched") {
     import spark.implicits._
     val rows = (0L until 10L).map { id =>
