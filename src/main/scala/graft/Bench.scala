@@ -43,8 +43,20 @@ object Bench {
           s"pruning_ab failed: ${t.getClass.getName}: ${t.getMessage}")
         "null"
     }
+    // the q9 shape A/B: zone-map top-k serve vs full-scan TakeOrdered
+    val topkAb = try {
+      spark.catalog.clearCache()
+      val e = graft.queries.MicroBlockQueries.engineFor(spark, sfDir)
+      graft.engine.PruningBench.toJson(graft.engine.PruningBench.runTopK(
+        spark, e, "l_shipdate", 10, Seq("l_orderkey", "l_linenumber"), reps = 3))
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"topk_ab failed: ${t.getClass.getName}: ${t.getMessage}")
+        "null"
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pruning_ab":$ab,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

@@ -172,29 +172,42 @@ final class GraftEngine(
     serve(ids)
   }
 
-  /** Zone-map-assisted TOP-K (largest `column` values): blocks are
-    * scanned in descending stats-max order, and the scan set grows
-    * until the k-th found value is >= every unscanned block's max —
-    * at which point no unscanned block can contribute to the top k.
-    * On a table clustered by `column` this reads O(k/rows-per-block)
-    * blocks instead of all of them; on an unclustered column it
-    * degrades gracefully to the full scan (every block's max ties).
-    * Blocks with no numeric stats for the column are always scanned
-    * (conservative, like the pruner). NULLs are excluded (both Spark
-    * DESC and DuckDB default order them last, past any real top-k).
-    * `tieBreak` columns make the returned k rows deterministic.
-    */
-  def topK(colName: String, k: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+  /** The block set provably containing the k extreme non-null values
+    * of `colName` (largest when descending, smallest when ascending):
+    * blocks are scanned in stats-bound order (max desc / min asc), and
+    * the set grows until the k-th found value dominates every unscanned
+    * block's bound. On a table clustered by `colName` this is
+    * O(k/rows-per-block) blocks; on an unclustered column it degrades
+    * gracefully to the full scan (every block's bound ties).
+    *
+    * Conservative like the pruner: blocks whose index rows lack a
+    * numeric bound for the column AND blocks with no index entry for
+    * the column at all (schema-evolved files) are always scanned; a
+    * column with no index rows anywhere falls back to the full block
+    * set (never a silently empty result). `includeNullBlocks` adds
+    * every block holding NULLs of the column — needed when the caller's
+    * ordering puts NULLS FIRST, so null rows themselves are in the
+    * top k. */
+  private def topKBlockIds(colName: String, k: Int,
+      ascending: Boolean, includeNullBlocks: Boolean): Seq[Int] = {
     import org.apache.spark.sql.functions._
-    require(k >= 1, "k must be >= 1")
     val colStats = index.toDF()
       .filter(col("column") === colName)
-      .select("blockId", "rows", "maxNum")
+      .select("blockId", "rows", if (ascending) "minNum" else "maxNum", "nullCount")
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
-    val (statless, stated) = colStats.partition(_._3.isEmpty)
-    val ordered = stated.sortBy(-_._3.get)
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+    if (colStats.isEmpty) return blockIds // unindexed column: full scan
+    val nullful =
+      if (includeNullBlocks) colStats.filter(_._4 > 0).map(_._1).toSet
+      else Set.empty[Int]
+    // blocks the index has NO row for under this column are statless too
+    val known = colStats.map(_._1).toSet
+    val unknown = blocks.collect { case b if !known.contains(b.blockId) => b.blockId }
+    val (statlessRows, stated) = colStats.partition(_._3.isEmpty)
+    val statless = (statlessRows.map(_._1) ++ unknown ++ nullful).distinct
+    val ordered =
+      if (ascending) stated.sortBy(_._3.get) else stated.sortBy(-_._3.get)
     def numCol(df: DataFrame): org.apache.spark.sql.Column =
       df.schema(colName).dataType match {
         case org.apache.spark.sql.types.TimestampType =>
@@ -207,7 +220,7 @@ final class GraftEngine(
             org.apache.spark.sql.types.TimestampType)).cast("double")
         case _ => col(colName).cast("double")
       }
-    // initial set: enough max-ordered blocks to cover k rows
+    // initial set: enough bound-ordered blocks to cover k rows
     var take = {
       var acc = 0L; var n = 0
       while (n < ordered.length && acc < k) { acc += ordered(n)._2; n += 1 }
@@ -216,22 +229,42 @@ final class GraftEngine(
     var ids: Seq[Int] = Nil
     var done = false
     while (!done) {
-      ids = (ordered.take(take).map(_._1) ++ statless.map(_._1)).sorted
+      ids = (ordered.take(take).map(_._1) ++ statless).sorted
       val df = serve(ids)
+      val vCol = numCol(df)
       val top = df.filter(col(colName).isNotNull)
-        .select(numCol(df).as("_v")).orderBy(desc("_v")).limit(k)
+        .select(vCol.as("_v"))
+        .orderBy(if (ascending) asc("_v") else desc("_v")).limit(k)
         .collect().map(_.getDouble(0))
       val remaining = ordered.drop(take)
+      // a remaining block can still contribute iff its bound ties or
+      // beats the k-th value found (ties included: tie-broken rows may
+      // displace the current k-th under a secondary sort key)
       val blocking =
         if (top.length < k) remaining.length // not enough rows yet: take all
+        else if (ascending) remaining.count(_._3.get <= top.last)
         else remaining.count(_._3.get >= top.last)
       if (blocking > 0 && remaining.nonEmpty) take += math.max(1, blocking)
       else done = true
     }
+    ids
+  }
+
+  /** Zone-map-assisted TOP-K on `colName` — largest values by default,
+    * smallest with `ascending=true`. NULLs are excluded (matching
+    * DuckDB's default NULLS LAST in both directions, past any real
+    * top-k). `tieBreak` columns make the returned k rows deterministic.
+    * See [[topKBlockIds]] for the scan-set contract. */
+  def topK(colName: String, k: Int, tieBreak: Seq[String] = Nil,
+      ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    val ids = topKBlockIds(colName, k, ascending, includeNullBlocks = false)
     accessLog.log(table, ids)
+    val primary = if (ascending) col(colName).asc else col(colName).desc
     serve(ids)
       .filter(col(colName).isNotNull)
-      .orderBy(col(colName).desc +: tieBreak.map(col(_).asc): _*)
+      .orderBy(primary +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }
 
@@ -285,7 +318,43 @@ final class GraftEngine(
       case (Seq(only), 1, 1) => graft.plans.PredicateExtractor.convert(only)
       case _ => None
     }
-    val ids = pred.map(candidates).getOrElse(blockIds)
+    // ORDER BY col [ASC|DESC] LIMIT k over the bare table (q9 shape):
+    // serve only the zone-map top-k block set — on a clustered column
+    // that's O(k) blocks instead of a full scan. The SQL's own
+    // Sort+Limit still runs over the served superset, so a block set
+    // that proves conservative only costs extra scan, never rows.
+    // NULLS FIRST orderings additionally pin every null-holding block
+    // (those null rows ARE the top of the result).
+    def topkIds: Option[Seq[Int]] = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Ascending, AttributeReference, IntegerLiteral, NullsFirst}
+      // the analyzer wraps the Sort in an attribute-only Project when
+      // the sort column isn't in the SELECT list — same scan underneath
+      def stripProj(p: LogicalPlan): LogicalPlan = p match {
+        case Project(es, c) if es.forall(
+          _.isInstanceOf[AttributeReference]) => stripProj(c)
+        case other => other
+      }
+      analyzedPlan match {
+        case GlobalLimit(IntegerLiteral(k), LocalLimit(_, below))
+            if k >= 1 && allFilters == 0 && scanCount == 1 =>
+          stripProj(below) match {
+            case Sort(order, true, child, _) if isDirectScan(child) =>
+              order.head.child match {
+                case a: AttributeReference =>
+                  Some(topKBlockIds(a.name, k,
+                    ascending = order.head.direction == Ascending,
+                    includeNullBlocks = order.head.nullOrdering == NullsFirst))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    val ids = pred.map(candidates)
+      .orElse(if (allFilters == 0) topkIds else None)
+      .getOrElse(blockIds)
     accessLog.log(table, ids)
     // Serve the candidate superset WITHOUT re-applying the extracted
     // predicate — the SQL's own WHERE does the row-level filtering, so

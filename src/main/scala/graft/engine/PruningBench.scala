@@ -60,6 +60,41 @@ object PruningBench {
       AbRow("engine_prune_warm", tWarm, keptFiles.size, nWarm))
   }
 
+  /** The q9 shape (ORDER BY col LIMIT k) two ways: a plain full-scan
+    * TakeOrdered vs the engine's zone-map top-k serve
+    * ([[GraftEngine.topK]]) — on the cluster column the engine reads
+    * O(k) blocks' worth of files instead of all of them. */
+  def runTopK(spark: SparkSession, engine: GraftEngine, colName: String,
+      k: Int, tieBreak: Seq[String], reps: Int = 3): Seq[AbRow] = {
+    import org.apache.spark.sql.functions.col
+    val allFiles = engine.blocks.map(_.file).distinct
+    val fileOf = engine.blocks.map(b => b.blockId -> b.file).toMap
+
+    def timed(rows: => Long): (Double, Long) = {
+      var n = 0L
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); n = rows; (System.nanoTime() - t0) / 1e9
+      }
+      (median(ts), n)
+    }
+
+    val (tFull, nFull) = timed {
+      spark.read.parquet(allFiles: _*)
+        .filter(col(colName).isNotNull)
+        .orderBy(col(colName).desc +: tieBreak.map(col(_).asc): _*)
+        .limit(k).collect().length.toLong
+    }
+    val (tTopk, nTopk) = timed {
+      engine.cache.clear()
+      engine.topK(colName, k, tieBreak).collect().length.toLong
+    }
+    val topkFiles =
+      engine.accessLog.all.last.blocks.flatMap(fileOf.get).distinct.size
+    Seq(
+      AbRow("orderby_full_scan", tFull, allFiles.size, nFull),
+      AbRow("engine_topk", tTopk, topkFiles, nTopk))
+  }
+
   /** One JSON object for embedding in the bench line. */
   def toJson(rows: Seq[AbRow]): String =
     rows.map(r =>

@@ -172,6 +172,23 @@ object MicroBlockQueries {
           unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
     },
 
+    // mb60b (round 4): the ASC variant, routed through the ENGINE'S SQL
+    // ENTRY POINT — engine.sql recognizes ORDER BY col ASC LIMIT k over
+    // the bare table and serves only the zone-map bottom-k block set
+    // (stats-min order) instead of a full scan; the SQL's own
+    // Sort+Limit then runs over the served superset. Oracle is the
+    // same SQL over the raw table in DuckDB.
+    QueryDef.sql(
+      "mb_topk_asc",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |ORDER BY l_shipdate ASC, l_orderkey, l_linenumber LIMIT 12""".stripMargin) { (s, dir) =>
+      engine(s, dir).sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity
+          |FROM lineitem
+          |ORDER BY l_shipdate ASC, l_orderkey, l_linenumber LIMIT 12""".stripMargin)
+    },
+
     // mb46: the reference's SQL entry point end-to-end — SQL string in,
     // predicates extracted from the analyzed plan, pruned + cached
     // blocks served, result identical to running the SQL directly

@@ -48,4 +48,18 @@ class PruningBenchSpec extends AnyFunSuite {
           s"retry ${retry("engine_prune_cold").seconds} vs ${retry("full_scan").seconds}")
     }
   }
+
+  test("top-k A/B: zone-map serve reads fewer files than the full TakeOrdered") {
+    val e = MicroBlockQueries.engineFor(spark, dir)
+    val rows = PruningBench.runTopK(
+        spark, e, "l_shipdate", 10, Seq("l_orderkey", "l_linenumber"), reps = 3)
+      .map(r => r.mode -> r).toMap
+    val full = rows("orderby_full_scan")
+    val topk = rows("engine_topk")
+    // both return exactly k rows; the engine path reads a strict subset
+    // of the files on the cluster column
+    assert(full.rows == 10 && topk.rows == 10)
+    assert(topk.filesRead < full.filesRead,
+      s"expected top-k files < ${full.filesRead}, got ${topk.filesRead}")
+  }
 }

@@ -217,6 +217,50 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.accessLog.all.last.blocks.size == e.blockIds.size)
   }
 
+  test("zone-map top-k: ascending variant reads the stats-min blocks") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val tb = Seq("l_orderkey", "l_linenumber")
+    val want = spark.read.parquet(mbPath)
+      .filter(col("l_shipdate").isNotNull)
+      .orderBy(col("l_shipdate").asc +: tb.map(col(_).asc): _*).limit(10)
+      .collect().toSeq
+    val got = e.topK("l_shipdate", 10, tb, ascending = true).collect().toSeq
+    assert(got == want)
+    assert(e.accessLog.all.last.blocks.size < e.blockIds.size,
+      s"expected a pruned bottom-k scan, got ${e.accessLog.all.last.blocks.size} blocks")
+  }
+
+  test("topK on an absent column errors instead of returning empty") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    // unindexed column -> full-scan fallback -> the column reference
+    // itself fails analysis loudly (previously: silently zero rows)
+    intercept[Exception](e.topK("no_such_column", 5).collect())
+  }
+
+  test("engine.sql recognizes ORDER BY + LIMIT and serves the top-k block set") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    for (dir9 <- Seq("DESC", "ASC")) {
+      val sql =
+        s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           |ORDER BY l_shipdate $dir9, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+      val viaEngine = e.sql(sql).collect().map(_.toString).toSeq
+      val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+        .collect().map(_.toString).toSeq
+      assert(viaEngine == direct, s"top-k via engine diverged ($dir9)")
+      assert(e.accessLog.all.last.blocks.size < e.blockIds.size,
+        s"$dir9: expected a top-k-pruned serve, got ${e.accessLog.all.last.blocks.size} blocks")
+    }
+    // a filter alongside the sort still goes through predicate pruning,
+    // not the top-k path — and stays correct
+    val sqlF =
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_quantity > 30
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    assert(e.sql(sqlF).collect().map(_.toString).toSeq ==
+      spark.sql(sqlF.replace("FROM lineitem", "FROM li_check")).collect().map(_.toString).toSeq)
+  }
+
   test("candidate sets beyond planUnionMax serve as ONE scan, bypassing the cache") {
     val e = new GraftEngine(spark, mbPath, "lineitem", planUnionMax = 4)
     val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
