@@ -73,11 +73,18 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // Spill-lean clustering write: project to the join-relevant columns
+    // (the workload family this layout serves) and size the bucket
+    // count so each task's sort fits executor memory — SPARK_GRAFT_
+    // BUCKETS, default 32; 128 at sf100 keeps per-task sorts ~4.7M rows.
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
     val t0 = System.nanoTime()
     graft.sources.Bucketing.writeBucketed(
-      spark.read.parquet(s"$sfDir/lineitem.parquet"), "li_bkt", "l_orderkey", 32)
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "li_bkt", "l_orderkey", buckets,
+      columns = Seq("l_extendedprice", "l_discount"))
     graft.sources.Bucketing.writeBucketed(
-      spark.read.parquet(s"$sfDir/orders.parquet"), "ord_bkt", "o_orderkey", 32)
+      spark.read.parquet(s"$sfDir/orders.parquet"), "ord_bkt", "o_orderkey", buckets,
+      columns = Seq("o_orderdate", "o_custkey"))
     val buildSec = (System.nanoTime() - t0) / 1e9
     def q12Bucketed(): DataFrame = {
       import graft.queries.Det.dsum4

@@ -106,6 +106,23 @@ final class GraftEngine(
             .collect().map(_.getInt(0)).toSeq.sorted
       })
 
+  /** Batched [[candidates]]: ONE distributed decision job for a whole
+    * predicate set (a workload replay has many shapes; one job per
+    * shape is pure fixed-cost multiplication). Results land in the
+    * same memo the per-predicate path reads, so interleaved callers
+    * stay consistent. */
+  def candidatesMany(preds: Seq[Pred]): Seq[Seq[Int]] = {
+    val missing = preds.distinct.filterNot(candidateMemo.contains)
+    if (missing.nonEmpty) {
+      val rows = IndexPruning.decideMany(index.toDF(), missing).collect()
+      missing.zipWithIndex.foreach { case (p, i) =>
+        candidateMemo.put(p,
+          rows.filter(_.getSeq[Boolean](5)(i)).map(_.getInt(0)).toSeq.sorted)
+      }
+    }
+    preds.map(candidateMemo(_))
+  }
+
   /** One resolved scan of the full table (file listing + schema paid
     * once at construction, not per sql() call). */
   private lazy val rawTable: DataFrame = spark.read.parquet(tablePath)
@@ -284,8 +301,15 @@ final class GraftEngine(
     * blocks by re-binding the temp view. Falls back to a plain pruned
     * view when no predicate is extractable (scan-all, like the
     * reference's unparseable-SQL path).
+    *
+    * Thread safety: the method re-binds the session-global temp view
+    * `table` to the pruned frame for the duration of the (eager)
+    * analysis, so two concurrent sql() calls could otherwise race the
+    * binding. Serialized through a JVM-global lock keyed by the
+    * session-qualified view name, so even two ENGINES sharing one
+    * SparkSession and table name coordinate.
     */
-  def sql(query: String): DataFrame = {
+  def sql(query: String): DataFrame = sqlLock.synchronized {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     // bind the raw table so analysis can resolve columns
@@ -368,6 +392,10 @@ final class GraftEngine(
     out
   }
 
+  private val sqlLock: Object =
+    GraftEngine.viewLocks.computeIfAbsent(
+      System.identityHashCode(spark) + " " + table, _ => new Object)
+
   /** Re-fit the prefetch model from everything logged so far. */
   def retrain(): Unit = {
     import spark.implicits._
@@ -375,4 +403,10 @@ final class GraftEngine(
       .map { case (b, i) => (i.toLong, b) }
     if (seq.nonEmpty) prefetcher.fit(spark, seq.toDF("seq", "block"))
   }
+}
+
+object GraftEngine {
+  /** One lock per (SparkSession, view name): see [[GraftEngine.sql]]. */
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -27,47 +27,80 @@ trait Prefetcher {
   * partial gradients are summed as 2⁻²⁴-scaled LONGS, so the result is
   * exact integer addition: deterministic under any partitioning or
   * combine order (same discipline as the IVF k-means means — see
-  * ROUND_NOTES). The weight vector ((order·B + 1)·B doubles for B
-  * distinct blocks) stays driver-side like the reference's in-process
-  * model; at millions of blocks per table you'd hash block ids into a
-  * bounded feature space first (documented limit, not hit by per-table
-  * block counts).
+  * ROUND_NOTES).
+  *
+  * Weight-space bound: the CONTEXT features are hashed into at most
+  * `featureSpace` buckets, so the weight vector is
+  * (order·min(B,F) + 1)·B doubles — linear, not quadratic, in the
+  * block count once B > F. Below the bound the mapping is the identity
+  * (bit-for-bit the unhashed model); above it, colliding context
+  * blocks share weight rows — graceful accuracy degradation, never
+  * unbounded memory (the standard hashing-trick contract,
+  * Weinberger et al. '09). The class dimension stays exact: scoring
+  * is O(B) per candidate ranking, weights O(F·B).
   */
 final class LogisticPrefetcher(
-    order: Int = 2, epochs: Int = 60, lr: Double = 0.5) extends Prefetcher {
+    order: Int = 2, epochs: Int = 60, lr: Double = 0.5,
+    featureSpace: Int = 1 << 12) extends Prefetcher {
   require(order >= 1, "context length must be >= 1")
+  require(featureSpace >= 1, "featureSpace must be >= 1")
 
   private val Scale = (1L << 24).toDouble
 
   private var blocks: Array[Int] = Array.empty          // dense idx -> block id
   private var indexOf: Map[Int, Int] = Map.empty        // block id -> dense idx
-  private var weights: Array[Double] = Array.empty      // (order*B + 1) x B
+  private var nF: Int = 0                               // context feature buckets
+  private var featOf: Array[Int] = Array.empty          // dense idx -> feature bucket
+  private var weights: Array[Double] = Array.empty      // (order*nF + 1) x B
 
   private def nB: Int = blocks.length
-  // weight layout: pos p, context block i, class c -> ((p*nB + i) * nB) + c;
-  // bias row at offset order*nB*nB
-  private def wIdx(pos: Int, ctx: Int, c: Int): Int = (pos * nB + ctx) * nB + c
-  private def bIdx(c: Int): Int = order * nB * nB + c
+
+  /** Fitted weight-vector size — (order·min(B,F) + 1)·B; the bound the
+    * hashing trick guarantees (test hook). */
+  def weightCount: Int = weights.length
+  // weight layout: pos p, context FEATURE f, class c -> ((p*nF + f) * nB) + c;
+  // bias row at offset order*nF*nB
+  private def wIdx(pos: Int, f: Int, c: Int): Int = (pos * nF + f) * nB + c
+  private def bIdx(c: Int): Int = order * nF * nB + c
+
+  /** Stable context-feature hash of a BLOCK ID (not the dense index,
+    * so a refit over a grown block set keeps old ids in old buckets):
+    * finalizer of splitmix64 over the id, mod F. */
+  private def hashFeat(blockId: Int): Int = {
+    var z = blockId.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (((z ^ (z >>> 31)) % nF + nF) % nF).toInt
+  }
 
   /** Fit from an access sequence (block ids in visit order). */
   def fit(spark: SparkSession, sequence: Seq[Int]): LogisticPrefetcher = {
     blocks = sequence.distinct.sorted.toArray
     indexOf = blocks.zipWithIndex.toMap
+    nF = math.min(nB, featureSpace)
+    featOf =
+      if (nF == nB) Array.tabulate(nB)(identity) // identity: exact model
+      else blocks.map(hashFeat)
     val dense = sequence.map(indexOf).toArray
-    // examples: (context most-recent-FIRST, label); short heads keep
-    // their truncated context (position beyond history contributes 0)
+    // examples: (context most-recent-FIRST as feature buckets, label);
+    // short heads keep their truncated context (position beyond
+    // history contributes 0)
     val examples = (1 until dense.length).map { t =>
-      val ctx = (1 to math.min(order, t)).map(j => dense(t - j)).toArray
+      val ctx = (1 to math.min(order, t)).map(j => featOf(dense(t - j))).toArray
       (ctx, dense(t))
     }
-    val nW = order * nB * nB + nB
+    val nW = order * nF * nB + nB
     val n = examples.size
     weights = new Array[Double](nW)
     if (n == 0) return this
-    val rdd = spark.sparkContext
-      .parallelize(examples, math.max(1, math.min(examples.size, 64)))
-      .cache()
+    // partition count scales with the example count (integer-scaled
+    // gradients make the sum partition-independent, so this is purely
+    // a task-overhead knob: 64 near-empty partitions cost ~64 task
+    // launches PER EPOCH on a replay of a few hundred accesses)
+    val parts = math.max(1, math.min(64, n / 64))
+    val rdd = spark.sparkContext.parallelize(examples, parts).cache()
     val B = nB
+    val F = nF
     val ord = order
     val scale = Scale
     (1 to epochs).foreach { _ =>
@@ -79,9 +112,9 @@ final class LogisticPrefetcher(
         it.foreach { case (ctx, y) =>
           var c = 0
           while (c < B) {
-            var z = w(ord * B * B + c) // bias
+            var z = w(ord * F * B + c) // bias
             var p = 0
-            while (p < ctx.length) { z += w((p * B + ctx(p)) * B + c); p += 1 }
+            while (p < ctx.length) { z += w((p * F + ctx(p)) * B + c); p += 1 }
             logits(c) = z
             c += 1
           }
@@ -93,9 +126,9 @@ final class LogisticPrefetcher(
           c = 0
           while (c < B) {
             val d = logits(c) / sum - (if (c == y) 1.0 else 0.0)
-            g(ord * B * B + c) += d
+            g(ord * F * B + c) += d
             var p = 0
-            while (p < ctx.length) { g((p * B + ctx(p)) * B + c) += d; p += 1 }
+            while (p < ctx.length) { g((p * F + ctx(p)) * B + c) += d; p += 1 }
             c += 1
           }
         }
@@ -119,7 +152,8 @@ final class LogisticPrefetcher(
   override def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
     if (recent.isEmpty || nB == 0) return Seq.empty
     // context most-recent-first, unknown blocks skipped (no feature)
-    val ctx = recent.reverse.take(order).flatMap(indexOf.get).toArray
+    val ctx = recent.reverse.take(order)
+      .flatMap(indexOf.get).map(featOf).toArray
     val scored = (0 until nB).map { c =>
       var z = weights(bIdx(c))
       var p = 0

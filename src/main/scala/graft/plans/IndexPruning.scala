@@ -125,6 +125,28 @@ object IndexPruning {
         keepColumn(pred, col("stats")).as("keep"))
   }
 
+  /** Batched [[decide]]: keep/skip for MANY predicates in ONE
+    * distributed aggregation — (block_id, file, rows, row_start,
+    * row_end, keeps: array<boolean> aligned with `preds`). A workload
+    * replay evaluates its whole predicate set against the index in a
+    * single job instead of one job per shape; the stats map is built
+    * once over the union of all referenced columns. */
+  def decideMany(index: DataFrame, preds: Seq[Pred]): DataFrame = {
+    require(preds.nonEmpty, "decideMany needs at least one predicate")
+    val refs = preds.flatMap(refColumns).distinct
+    val entry = when(col("column").isin(refs: _*),
+      struct(col("column").as("key"),
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr")).as("value")))
+    index.groupBy(col("blockId").as("block_id"), col("file"))
+      .agg(
+        first(col("rows")).as("rows"),
+        first(col("rowStart")).as("row_start"),
+        first(col("rowEnd")).as("row_end"),
+        map_from_entries(collect_list(entry)).as("stats"))
+      .select(col("block_id"), col("file"), col("rows"), col("row_start"), col("row_end"),
+        array(preds.map(p => keepColumn(p, col("stats"))): _*).as("keeps"))
+  }
+
   /** Per-file verdicts: a file is skippable only when EVERY one of its
     * blocks (row groups) is refuted. */
   def fileDecisions(index: DataFrame, pred: Pred): DataFrame =

@@ -75,6 +75,10 @@ object MicroBlockQueries {
   private def workloadLog(spark: SparkSession, dir: String): graft.engine.AccessLog = {
     val e = engine(spark, dir)
     val log = new graft.engine.AccessLog()
+    // ONE batched decision job covers the workload's distinct shapes
+    // (the memo then serves the replay) — per-shape jobs multiply the
+    // fixed cost ~6x here, unboundedly for real workloads.
+    e.candidatesMany(workload.distinct)
     workload.foreach(p => log.log("lineitem", e.candidates(p)))
     log
   }

@@ -15,14 +15,32 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table (idempotent: drops
     * the table and clears a stale location from a previous session —
-    * the catalog is per-JVM but the warehouse directory persists). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    * the catalog is per-JVM but the warehouse directory persists).
+    *
+    * `columns`, when non-empty, projects the table down to `key` ++
+    * `columns` before the clustering write. The write's cost is one
+    * shuffle plus a per-bucket sort of the FULL row payload — for a
+    * workload family that only ever joins/aggregates a known column
+    * subset, carrying the rest through the sort is pure spill budget
+    * (at sf100 on this box it is the difference between fitting in
+    * disk headroom and not). Leave empty for a general-purpose layout.
+    *
+    * `buckets` sizes the per-task sort: each write task sorts exactly
+    * rows/buckets rows, so at a fixed executor memory the bucket count
+    * — not the data size — decides whether the sort spills. Scale it
+    * with the table (e.g. sf100 lineitem at 128 buckets ≈ 4.7M rows
+    * per sort). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      columns: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    val projected =
+      if (columns.isEmpty) df
+      else df.select((key +: columns.filterNot(_ == key)).map(df.col): _*)
     // Pre-partition on the bucket key with the SAME partition count:
     // bucket id and repartition hash are both pmod(murmur3(key), n), so
     // each write task holds exactly one bucket -> ONE file per bucket.
@@ -30,7 +48,7 @@ object Bucketing {
     // and re-inserts a per-partition sort under every downstream
     // SortMergeJoin — the exchange disappears but the sort (the
     // expensive half at scale) stays.
-    df.repartition(buckets, df.col(key))
+    projected.repartition(buckets, df.col(key))
       .write
       .mode("overwrite")
       .bucketBy(buckets, key)

@@ -117,6 +117,24 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally { ZoneMapPruneRule.unregister(pathA); ZoneMapPruneRule.unregister(pathB) }
   }
 
+  test("parquet still analyzes as v1 LogicalRelation(HadoopFsRelation) — the rule's match arm") {
+    // ZoneMapPruneRule pattern-matches the v1 datasource plan shape
+    // (ZoneMapPruneRule.scala `case Filter(_, LogicalRelation(hfs: ...`).
+    // If a Spark upgrade or a spark.sql.sources.useV1SourceList change
+    // ever plans parquet as DataSourceV2Relation instead, transparent
+    // pruning would silently stop firing — this test turns that silent
+    // disable into a loud failure (fix: add a DataSourceV2Relation arm).
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_nationkey") > 0).queryExecution.analyzed
+    val v1Scans = plan.collect {
+      case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => 1
+    }
+    assert(v1Scans.nonEmpty,
+      "parquet no longer plans as LogicalRelation(HadoopFsRelation): " +
+        "ZoneMapPruneRule's match arm is dead — add a DSv2 arm")
+  }
+
   test("rule is a no-op for unregistered tables and prune-everything predicates") {
     val raw = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 0)
     assert(raw.count() > 0)

@@ -80,6 +80,25 @@ class IndexPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("decideMany == per-predicate decide over random blocks and predicate batches") {
+    import spark.implicits._
+    for (_ <- 1 to 4) {
+      val blocks = (0 until 80).map(id => id -> blockEntries(id))
+      val index = spark.createDataset(blocks.flatMap(_._2)).toDF()
+      val preds = Seq.fill(6)(pred()).distinct
+      val batched = IndexPruning.decideMany(index, preds)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Boolean](5)).toMap
+      preds.zipWithIndex.foreach { case (p, i) =>
+        val single = IndexPruning.decide(index, p)
+          .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+        blocks.foreach { case (id, _) =>
+          assert(batched(id)(i) == single(id),
+            s"batched/single disagree on block $id for $p")
+        }
+      }
+    }
+  }
+
   test("index build prefix-sum: dense ids + contiguous offsets across partition boundaries") {
     // 40 real files over 8 partitions = 5 files per partition: block
     // ids and row offsets must chain correctly WITHIN a partition and

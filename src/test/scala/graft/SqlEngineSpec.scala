@@ -138,6 +138,49 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(after == 6000L, s"view must be rebound to the full table, saw $after")
   }
 
+  test("engine.sql: concurrent calls on one engine race neither the view swap nor results") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    // two shapes with different prunings and different answers; each
+    // thread checks its own expected count, so a binding leaked from
+    // the other shape's swap would fail loudly
+    val shapes = Seq(
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity BETWEEN 18 AND 24",
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'")
+    val raw = spark.read.parquet(mbPath)
+    val expected = Seq(
+      raw.filter(col("l_quantity").between(18, 24)).count(),
+      raw.filter(col("l_shipdate") >= "1998-01-01 00:00:00").count())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 12).map { i =>
+        new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            e.sql(shapes(i % 2)).collect().head.getLong(0) == expected(i % 2)
+        }
+      }
+      val ok = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      assert(ok.forall(identity), "a concurrent sql() returned the wrong count")
+    } finally pool.shutdown()
+    // and the public binding is back to the full table
+    assert(spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0) == 6000L)
+  }
+
+  test("candidatesMany: one batched decision job matches per-predicate candidates") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val preds: Seq[Pred] = Seq(
+      Between("l_shipdate", PredValue.ts("1996-01-01"), PredValue.ts("1997-01-01")),
+      Cmp(">", "l_quantity", PredValue(45.0)),
+      And(Cmp(">=", "l_shipdate", PredValue.ts("1999-01-01")),
+        Cmp("<", "l_quantity", PredValue(10.0))))
+    val batched = e.candidatesMany(preds)
+    // a FRESH engine's per-predicate path (its memo is unprimed)
+    val e2 = new GraftEngine(spark, mbPath, "lineitem")
+    preds.zip(batched).foreach { case (p, got) =>
+      assert(got == e2.candidates(p), s"batched candidates diverge for $p")
+    }
+  }
+
   test("engine.sql without a WHERE clause serves all blocks") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     val n = e.sql("SELECT COUNT(*) AS n FROM lineitem").collect().head.getLong(0)
