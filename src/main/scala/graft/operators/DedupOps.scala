@@ -73,6 +73,35 @@ object DedupOps {
     }
   }
 
+  /** Benchmark decontamination (the n-gram-overlap rule every serious
+    * training corpus applies — GPT-3 appendix C / PaLM §7 shape): flag
+    * every training document sharing at least one word k-shingle with
+    * the evaluation set. `isEval` marks the eval rows inside `docs`.
+    *
+    * Scale shape: the eval set is tiny by construction (benchmarks are
+    * MBs against a 100 TB corpus), so its distinct shingle hashes
+    * BROADCAST — the train side is scanned once, shingled, and
+    * hash-joined with no shuffle; only the per-doc aggregation keyed
+    * by contaminated doc_id (bounded by the contamination, not the
+    * corpus) shuffles. 64-bit FNV shingle hashes stand in for the
+    * shingles themselves (collision odds ~n²/2⁶⁵ — the dd35 contract).
+    *
+    * Returns (doc_id, n_shared_shingles, n_eval_docs) for contaminated
+    * TRAIN docs only. */
+  def decontaminate(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
+      array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+    val evalSh = sh.filter(col("is_eval"))
+      .select(explode(col("sh")).as("shingle"), col("doc_id").as("eval_doc"))
+    val trainSh = sh.filter(!col("is_eval"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared_shingles"),
+        countDistinct("eval_doc").as("n_eval_docs"))
+  }
+
   /** Exact-dedup groups: normalized-text md5 → (hash, copies, keeper).
     * At scale: hash-shuffle on a 32-char key, map-side pre-aggregated. */
   def exactGroups(docs: DataFrame): DataFrame =

@@ -48,4 +48,59 @@ object TextOps {
     docs.select(col("doc_id"),
       rolling_hash(normText(col("text"))).as("fingerprint"),
       rolling_hash(col("source")).as("source_fp"))
+
+  /** Repetition-based quality scoring (the Gopher-rule family,
+    * Rae et al. '21 §A1.1): per-document duplicate word-bigram
+    * fraction and most-frequent-word fraction — high values flag
+    * boilerplate/spam for filtering before training.
+    *
+    * The top-word count runs as explode → two map-side-combined
+    * aggregations keyed by doc_id (NOT a per-doc O(words·distinct)
+    * higher-order scan: documents can be megabytes, and the shuffle
+    * keys are bounded by the doc count, so this is the shape that
+    * survives big documents at corpus scale). The bigram stats stay
+    * scan-only. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    // bigrams = w[i] + ' ' + w[i+1] for i in 1..n-1 (element_at is
+    // 1-based, mirroring the oracle's 1-based DuckDB lists)
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val biStats = docs.select(col("doc_id"),
+      size(bigrams).as("n_bigrams"),
+      size(array_distinct(bigrams)).as("n_dist"))
+    val top = docs.select(col("doc_id"), explode(t).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("max_c"), sum("c").as("n_words"))
+    top.join(biStats, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("max_c").cast("double") / col("n_words")).as("top_word_frac"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise((col("n_bigrams") - col("n_dist")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
+
+  // PII patterns shared with the oracle SQL — spelled to mean the same
+  // thing in Java regex (Spark) and RE2 (DuckDB): character classes
+  // only, no \d / \b shorthands.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val phoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** PII scan + redaction over an augmented text column: counts
+    * email/phone matches and emits the md5 of the redacted text, so
+    * the redaction itself (not just the counts) is verified. Pure
+    * column expressions — scan-only, embarrassingly parallel. The
+    * caller supplies the text column (the query plants deterministic
+    * PII fixtures, closed-form in doc_id, since the synthetic corpus
+    * contains none — same fixture discipline as mm_decode). */
+  def piiScan(docs: DataFrame, textCol: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(textCol, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(textCol, lit(phoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(textCol, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("redacted_md5"))
 }

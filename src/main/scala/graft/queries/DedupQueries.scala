@@ -17,6 +17,40 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // dd67 (round 4): benchmark decontamination — flag every training
+    // doc sharing a word k-shingle with the eval set (the n-gram
+    // overlap rule every serious corpus applies before training).
+    // Eval set = doc_id % 53 = 0 (a deterministic stand-in for a held-
+    // out benchmark); k=4 demonstrates overlap on this tiny synthetic
+    // vocabulary (production uses 8-13). Spark joins on FNV shingle
+    // hashes (the dd35 stand-in contract: counts agree barring ~2^-64
+    // collisions) with the tiny eval side BROADCAST — the 100 TB train
+    // side never shuffles before the contaminated-only aggregation.
+    QueryDef.sql(
+      "dd_decontaminate", {
+        import OracleSql._
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tokens("text")} AS w FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shinglesK("w", 4)} AS s,
+           |    doc_id % 53 = 0 AS is_eval
+           |  FROM t
+           |), ev AS (
+           |  SELECT unnest(s) AS shingle, doc_id AS eval_doc FROM sh WHERE is_eval
+           |), tr AS (
+           |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE NOT is_eval
+           |)
+           |SELECT tr.doc_id,
+           |  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+           |  CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+           |FROM tr JOIN ev USING (shingle)
+           |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.decontaminate(Tables.load(s, dir, "documents"),
+          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4)
+        .orderBy("doc_id")
+    },
+
     // dd33: MinHash + LSH banding (64 perms, 16 bands × 4 rows) →
     // bucket join → exact Jaccard verify on candidates only. 16 bands
     // of 4 catch Jaccard≥0.8 pairs with p≥0.996 at half the signature

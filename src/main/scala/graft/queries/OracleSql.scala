@@ -170,11 +170,17 @@ object OracleSql {
   /** Distinct word 3-shingles of a token-list expression (strings,
     * joined by single spaces) — the oracle-side stand-in for graft's
     * hashed shingles (counts agree barring ~2^-64 hash collisions). */
-  def shingles3(toksExpr: String): String =
-    s"list_distinct(CASE WHEN len($toksExpr) >= 3 " +
-      s"THEN list_transform(range(1, len($toksExpr) - 1), " +
-      s"i -> ($toksExpr)[i] || ' ' || ($toksExpr)[i+1] || ' ' || ($toksExpr)[i+2]) " +
+  def shingles3(toksExpr: String): String = shinglesK(toksExpr, 3)
+
+  /** Distinct word k-shingles (generalizes [[shingles3]]; mirrors
+    * TextFunctions.shingles including the short-doc whole-text
+    * fallback). */
+  def shinglesK(toksExpr: String, k: Int): String = {
+    val gram = (0 until k).map(j => s"($toksExpr)[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(CASE WHEN len($toksExpr) >= $k " +
+      s"THEN list_transform(range(1, len($toksExpr) - ${k - 2}), i -> $gram) " +
       s"ELSE [list_aggregate($toksExpr, 'string_agg', ' ')] END)"
+  }
 
   // ---- ANN oracles (embeddings) --------------------------------------
 

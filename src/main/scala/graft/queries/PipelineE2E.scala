@@ -106,6 +106,36 @@ object PipelineE2E {
           ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_est"),
           rolling_hash(normText(col("text"))).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // pipe68 (round 4): sequence packing — docs concatenated into
+    // 512-token training windows by deterministic next-fit within
+    // hash shards (graft.operators.PackingOps: one shuffle on the
+    // shard key, per-partition ordered scan, no driver state; the
+    // sequential unit is the shard, which is what you scale). The
+    // oracle replays the same next-fit fold as a DuckDB recursive CTE
+    // stepping through each shard's docs in order.
+    QueryDef.sql(
+      "pipe_pack",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS t,
+         |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), p AS (
+         |  SELECT shard, rn, doc_id, t, CAST(1 AS BIGINT) AS bin_id, t AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.t,
+         |    CASE WHEN p.fill + d.t <= 512 THEN p.bin_id ELSE p.bin_id + 1 END,
+         |    CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END
+         |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+         |)
+         |SELECT doc_id, shard, bin_id, t AS n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.PackingOps
+        .packSequences(Tables.load(s, dir, "documents"), budget = 512, shards = 8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -106,6 +106,75 @@ object TextQueries {
       TextOps.langid(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // ta65 (round 4): repetition-based quality scoring (Gopher rules):
+    // duplicate-bigram fraction + top-word fraction per document. The
+    // top-word count is explode -> two map-side-combined aggregations
+    // (shuffle keys bounded by doc count, robust to megabyte docs);
+    // bigram stats stay scan-only. Divisions are int/int in double —
+    // bit-exact across engines.
+    QueryDef.sql(
+      "ta_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS w FROM documents
+         |), bs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS b
+         |  FROM t
+         |), bi AS (
+         |  SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams,
+         |    CAST(len(list_distinct(b)) AS BIGINT) AS n_dist
+         |  FROM bs
+         |), wc AS (
+         |  SELECT doc_id, unnest(w) AS word FROM t
+         |), c AS (
+         |  SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2
+         |), tp AS (
+         |  SELECT doc_id, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS n_words
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT tp.doc_id, tp.n_words,
+         |  CAST(tp.max_c AS DOUBLE) / tp.n_words AS top_word_frac,
+         |  bi.n_bigrams,
+         |  CASE WHEN bi.n_bigrams = 0 THEN 0.0
+         |    ELSE CAST(bi.n_bigrams - bi.n_dist AS DOUBLE) / bi.n_bigrams
+         |  END AS dup_bigram_frac
+         |FROM tp JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.repetition(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ta66 (round 4): PII detection + redaction. The synthetic corpus
+    // carries no PII, so the fixture plants emails/phones closed-form
+    // in doc_id (every third doc) — the same encode-then-parse
+    // roundtrip discipline as mm_decode — and the md5 of the REDACTED
+    // text is hash-compared, so the replacement itself is verified,
+    // not just the match counts. Patterns are spelled to mean the same
+    // thing in Java regex and RE2 (char classes only).
+    QueryDef.sql(
+      "ta_pii", {
+        val aug = "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || " +
+          "CAST(doc_id AS VARCHAR) || '@example.com call 555-' || " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+        s"""WITH a AS (
+           |  SELECT doc_id, $aug AS aug FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(aug, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(aug, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(aug, '${TextOps.emailRe}', '<EMAIL>', 'g'),
+           |    '${TextOps.phoneRe}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM a ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val aug = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      TextOps.piiScan(Tables.load(s, dir, "documents"), aug).orderBy("doc_id")
+    },
+
     // ta42: document fingerprint via the native RollingHash Catalyst
     // expression (codegen'd). The oracle replays the wrapping 64-bit
     // byte fold in HUGEINT (see OracleSql.rollingHash) — exact.

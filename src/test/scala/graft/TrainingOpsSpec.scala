@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+import graft.operators.{DedupOps, PackingOps, TextOps}
+
+/** The round-4 training-pipeline operators: repetition scoring, PII
+  * scan/redaction, benchmark decontamination, sequence packing. */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-train-test")
+  import spark.implicits._
+
+  test("repetition: duplicate-bigram and top-word fractions, hand-computed") {
+    val docs = Seq(
+      (1L, "a b a b c"),       // bigrams: ab, ba, ab, bc -> 4 total, 3 distinct
+      (2L, "x y z"),           // no repetition
+      (3L, "w"),               // single word: no bigrams
+      (4L, "t t t t")          // maximal repetition
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 5L, 2.0 / 5, 4L, 1.0 / 4)))  // 'a'/'b' x2 of 5 words
+    assert(got(1) == ((2L, 3L, 1.0 / 3, 2L, 0.0)))
+    assert(got(2) == ((3L, 1L, 1.0, 0L, 0.0)))          // no bigrams -> 0.0
+    assert(got(3) == ((4L, 4L, 1.0, 3L, 2.0 / 3)))      // tt,tt,tt -> 1 distinct
+  }
+
+  test("piiScan: counts and redaction verified against manual replacement") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe@corp.example.org or call 555-0199 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io one phone 123-4567")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScan(docs, col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(0)._4 == md5hex("mail me at <EMAIL> or call <PHONE> now"))
+    assert(got(2)._4 == md5hex("two mails <EMAIL> <EMAIL> one phone <PHONE>"))
+  }
+
+  test("decontaminate: flags exactly the train docs sharing a k-shingle with eval") {
+    // eval doc 0 contains 'p q r s'; train doc 10 repeats it verbatim,
+    // train doc 11 shares no 4-gram, train doc 12 shares one with doc 0
+    val docs = Seq(
+      (0L, "p q r s t u"),             // eval (isEval: doc_id < 10)
+      (5L, "m n o p q"),               // eval, no partner
+      (10L, "z z p q r s z"),          // contaminated via 'p q r s'
+      (11L, "a b c d e f g"),          // clean
+      (12L, "q r s t u v")             // contaminated via 'q r s t' + 'r s t u'
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(docs, isEval = col("doc_id") < 10, k = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
+  }
+
+  test("packSequences: next-fit semantics, per-shard bins, overflow docs isolated") {
+    // one shard (shards=1), budget 10, token counts 4,5,3,12,2,9 in
+    // doc order -> bins: [4,5],[3],[12],[2],[9]  (next-fit, 12 overflows alone,
+    // 2 opens a new bin because 3+12 closed theirs, 9 can't join 2's bin? 2+9>10 -> new)
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b b b b"), (3L, "c c c"),
+      (4L, "d d d d d d d d d d d d"), (5L, "e e"), (6L, "f f f f f f f f f")
+    ).toDF("doc_id", "text")
+    val got = PackingOps.packSequences(docs, budget = 10, shards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4L), (2L, 1L, 5L), (3L, 2L, 3L),
+      (4L, 3L, 12L), (5L, 4L, 2L), (6L, 5L, 9L)))
+  }
+
+  test("packSequences: deterministic under repartitioning; no bin over budget except singletons") {
+    val docs = (1L to 400L).map(i => (i, ("w " * (1 + (i % 37).toInt)).trim)).toDF("doc_id", "text")
+    val a = PackingOps.packSequences(docs, budget = 64, shards = 8)
+    val b = PackingOps.packSequences(docs.repartition(13), budget = 64, shards = 8)
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    val fills = a.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(fills.forall { case (fill, nDocs) => fill <= 64 || nDocs == 1 },
+      "a multi-doc bin exceeded the budget")
+    // every doc of a shard is in exactly one bin and ids are contiguous from 1
+    val binSeq = a.select("shard", "bin_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    binSeq.foreach { case (sh, bins) =>
+      assert(bins == (1L to bins.size), s"shard $sh bins not contiguous: $bins")
+    }
+  }
+}
