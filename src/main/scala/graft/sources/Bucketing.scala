@@ -57,6 +57,31 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Re-register an ALREADY-WRITTEN bucketed table in a fresh session.
+    * The default in-memory catalog forgets bucket metadata when the
+    * JVM exits, but the bucket files (with their `_000NN` suffixes)
+    * persist — a CREATE TABLE ... CLUSTERED BY over the existing
+    * location restores the bucketed-scan plan without re-paying the
+    * clustering write. Schema is inferred from the parquet files.
+    * Returns false when the location has no files (nothing to reuse). */
+  def registerExisting(spark: SparkSession, table: String, key: String,
+      buckets: Int): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc) || !fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+      return false
+    val schema = spark.read.parquet(loc.toString).schema
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($cols) USING PARQUET
+         |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+         |LOCATION '${loc.toUri}'""".stripMargin)
+    true
+  }
+
   /** Join two bucketed tables on their shared bucket key. When bucket
     * specs match, the physical plan contains no Exchange on either
     * side (verify with .explain / PlanAuditSpec). */
