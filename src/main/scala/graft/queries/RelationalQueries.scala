@@ -556,6 +556,62 @@ object RelationalQueries {
         .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",")
           .as("segments"))
         .orderBy("c_nationkey")
+    },
+
+    // q35 (round 4): GROUPING SETS — arbitrary grouping combinations in
+    // one pass (ROLLUP's general form; Spark expands to a single
+    // aggregate over an Expand node, not N scans). GROUPING() bits
+    // disambiguate real NULLs from subtotal rows.
+    QueryDef.sql(
+      "q35_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      // DataFrame API spelling: SQL on the loaded view — GROUPING SETS
+      // has no direct Dataset builder; the plan is identical (Expand +
+      // single HashAggregate, one scan).
+      val li = t(s, dir, "lineitem")
+      li.createOrReplaceTempView("q35_lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |  COALESCE(l_linestatus, 'ALL') AS ls,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM q35_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // q36 (round 4): correlated EXISTS / NOT EXISTS in one query —
+    // customers with at least one big-ticket order but none cancelled.
+    // Catalyst decorrelates to a semi join + anti join (audited shape:
+    // no per-row subquery execution, both joins shuffle on c_custkey).
+    QueryDef.sql(
+      "q36_exists",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord.filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(ord.filter(col("o_orderstatus") === "F" && col("o_totalprice") < 50000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
     }
   )
 }

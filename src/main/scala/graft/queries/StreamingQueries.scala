@@ -39,6 +39,27 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // st71 (round 4): stream-stream interval join — last-touch
+    // attribution: purchases pair with same-user clicks from the
+    // preceding 30 minutes. The batch twin is oracle-checked here; the
+    // watermarked stream-stream variant (bounded join state) runs in
+    // StreamingSpec and must emit the same pair set.
+    QueryDef.sql(
+      "st_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  AND CAST(c.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // st45: sessionization — 30-min-gap sessions per user via event-time
     // ordering + lag. Gap arithmetic in whole seconds (both engines
     // floor sub-second precision identically).

@@ -68,4 +68,32 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream INTERVAL JOIN (last-touch attribution shape): every
+    * purchase pairs with the same user's clicks from the preceding 30
+    * minutes. The join condition compares event-time COLUMNS with an
+    * interval bound — the form Structured Streaming recognizes to
+    * bound join state: with both sides watermarked
+    * ([[attributionJoinStream]]), click state older than
+    * watermark + 30min is evicted instead of accumulating forever.
+    * Timestamps are micro-truncated by [[normalizeTs]], so the same
+    * comparisons replay exactly in the oracle via CAST-to-TIMESTAMP. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id").as("user_id"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Watermarked streaming variant of [[attributionJoin]] — both sides
+    * bounded so the runtime can expire join state. */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(
+      clicks.withWatermark("ts", "1 hour"),
+      purchases.withWatermark("ts", "1 hour"))
 }

@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin (watermarked, bounded state)") {
+    val ev = Tables.load(spark, dir, "events")
+    val batch = EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy("purchase_id", "click_id").collect()
+
+    val clicks = EventStreams.readStream(spark, streamDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.readStream(spark, streamDir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStreams.attributionJoinStream(clicks, purchases)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .orderBy("purchase_id", "click_id").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup (watermarked, bounded state) covers the batch key set") {
     val batchKeys = EventStreams.dedupFirst(Tables.load(spark, dir, "events"))
       .select("user_id", "event_type").collect()
