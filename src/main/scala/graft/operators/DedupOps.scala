@@ -90,8 +90,12 @@ object DedupOps {
     * TRAIN docs only. */
   def decontaminate(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
-    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
-      array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+    // shingling is the CPU stage — spread it over every core even when
+    // the input is a few fat parquet partitions (same rationale as
+    // docShingles; at corpus scale the scan already has enough splits)
+    val sh = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), isEval.as("is_eval"),
+        array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
     val evalSh = sh.filter(col("is_eval"))
       .select(explode(col("sh")).as("shingle"), col("doc_id").as("eval_doc"))
     val trainSh = sh.filter(!col("is_eval"))
