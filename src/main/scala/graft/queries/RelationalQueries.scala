@@ -590,6 +590,31 @@ object RelationalQueries {
           |ORDER BY rf, ls""".stripMargin)
     },
 
+    // q37 (round 4): distribution-ranking windows — percent_rank,
+    // cume_dist, and quartile NTILE per market segment. Windows are
+    // PARTITIONED (by segment), so each partition sorts independently
+    // — the scalable form of ranking; a global NTILE would serialize
+    // the corpus through one task. Ties broken by c_custkey so every
+    // rank is deterministic cross-engine.
+    QueryDef.sql(
+      "q37_rank_dist",
+      """SELECT c_mktsegment, c_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
     // q36 (round 4): correlated EXISTS / NOT EXISTS in one query —
     // customers with at least one big-ticket order but none cancelled.
     // Catalyst decorrelates to a semi join + anti join (audited shape:

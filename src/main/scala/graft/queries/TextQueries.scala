@@ -40,6 +40,60 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ta74 (round 4): domain mixing — resample the corpus to a TARGET
+    // source mixture (the "data mixing" step before training). Unlike
+    // ta_sample's fixed quotas, the per-source keep-thresholds are
+    // DERIVED from corpus statistics: scale = min_s(count_s/share_s)
+    // is the largest total the targets allow without oversampling any
+    // source; keep_frac_s = share_s*scale/count_s. Fully declarative —
+    // the per-source count table (bounded by #sources) broadcasts back
+    // onto the scan; the driver never sees data. Same FNV-threshold
+    // determinism as ta_sample. The double arithmetic is spelled with
+    // the SAME parse tree in both engines (IEEE ops are deterministic
+    // given identical structure).
+    QueryDef.sql(
+      "ta_domain_mix",
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    CAST(${OracleSql.fnv1a64Unsigned("CAST(doc_id AS VARCHAR)")} % 1000 AS BIGINT) AS bucket
+         |  FROM documents
+         |), counts AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+         |      THEN 3.0 ELSE 1.0 END AS wt
+         |  FROM documents GROUP BY source
+         |), tot AS (SELECT SUM(wt) AS wsum FROM counts),
+         |sc AS (SELECT MIN(n / (wt / wsum)) AS scale FROM counts, tot),
+         |th AS (
+         |  SELECT source,
+         |    CAST(FLOOR(((1000.0 * (wt / wsum)) * scale) / n) AS BIGINT) AS thresh
+         |  FROM counts, tot, sc
+         |)
+         |SELECT h.doc_id, h.source, h.bucket, th.thresh
+         |FROM h JOIN th USING (source)
+         |WHERE h.bucket < th.thresh
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+      val hh = graft.functions.TextExpressions.fnv64(col("doc_id").cast("string"))
+      val bucket = pmod(pmod(hh, lit(1000)) + when(hh < 0, 616).otherwise(0), lit(1000))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("wt",
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 1, 3.0).otherwise(1.0))
+      val tot = counts.agg(sum("wt").as("wsum"))
+      val sc = counts.crossJoin(tot)
+        .agg(min(col("n") / (col("wt") / col("wsum"))).as("scale"))
+      val th = counts.crossJoin(tot).crossJoin(sc)
+        .select(col("source"),
+          floor(lit(1000.0) * (col("wt") / col("wsum")) * col("scale") / col("n"))
+            .cast("long").as("thresh"))
+      docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .join(broadcast(th), "source")
+        .filter(col("bucket") < col("thresh"))
+        .select("doc_id", "source", "bucket", "thresh")
+        .orderBy("doc_id")
+    },
+
     // dd32: exact dedup via normalize→hash→group. MD5 is identical in
     // Spark and DuckDB, so the full pipeline is SQL-oracle-checkable.
     // At scale: hash-shuffle on a 32-char key, map-side pre-aggregated.

@@ -149,4 +149,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a partial (map-side) collect stage:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dd_decontaminate broadcasts the eval side — the train corpus never shuffles pre-agg") {
+    val df = SparkEntry.queries("dd_decontaminate")(spark, dir)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pipe_pack shuffles ONCE (the shard exchange) and never sorts globally") {
+    val df = graft.operators.PackingOps.packSequences(
+      Tables.load(spark, dir, "documents"), budget = 512, shards = 8)
+    df.collect()
+    // AQE toString prints Final AND Initial plans — audit only the final
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges == 1, s"packing must pay exactly one shuffle, saw $exchanges:\n${p.take(2000)}")
+    // in-partition order only: no global Sort node (Sort with global=true
+    // prints as a Sort over an Exchange rangepartitioning)
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort in the packing plan:\n${p.take(2000)}")
+  }
+
+  test("q36 correlated EXISTS decorrelates to semi + anti joins") {
+    val p = plan("q36_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n${p.take(1500)}")
+  }
+
+  test("st_join (interval join) stays key-equi + range filter — no cartesian") {
+    val p = plan("st_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval join must remain an equi-join on user_id:\n${p.take(2000)}")
+  }
 }
