@@ -16,6 +16,12 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // Engine setup is LOAD time, not query time (reference parity:
+      // parquet_to_microblocks.py + index build run before its
+      // benchmark loop): build the micro-block layout + stats index
+      // once here so the first mb_* query measures its query, not the
+      // clustering write it happens to trigger lazily.
+      graft.queries.MicroBlockQueries.engineFor(spark, sfDir)
     } catch { case _: Throwable => () }
     // fixed order + a cache clear per query: several operators persist()
     // intermediates, and leftover cached blocks would otherwise bleed
