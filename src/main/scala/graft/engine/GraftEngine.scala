@@ -394,7 +394,7 @@ final class GraftEngine(
 
   private val sqlLock: Object =
     GraftEngine.viewLocks.computeIfAbsent(
-      System.identityHashCode(spark) + " " + table, _ => new Object)
+      GraftEngine.sessionId(spark) + " " + table, _ => new Object)
 
   /** Re-fit the prefetch model from everything logged so far. */
   def retrain(): Unit = {
@@ -406,7 +406,18 @@ final class GraftEngine(
 }
 
 object GraftEngine {
-  /** One lock per (SparkSession, view name): see [[GraftEngine.sql]]. */
+  /** One lock per (SparkSession, view name): see [[GraftEngine.sql]].
+    * Keyed by a per-session UUID (collision-free, unlike identity
+    * hashes, which can collide across distinct sessions and would
+    * over-serialize unrelated engines). The session→UUID map is WEAK,
+    * so dead sessions don't pin entries; viewLocks itself grows by one
+    * bare Object per live session×table — fine for this harness, a
+    * long-lived multi-tenant service would want weak values there too. */
   private val viewLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 }

@@ -63,9 +63,12 @@ final class LogisticPrefetcher(
   private def wIdx(pos: Int, f: Int, c: Int): Int = (pos * nF + f) * nB + c
   private def bIdx(c: Int): Int = order * nF * nB + c
 
-  /** Stable context-feature hash of a BLOCK ID (not the dense index,
-    * so a refit over a grown block set keeps old ids in old buckets):
-    * finalizer of splitmix64 over the id, mod F. */
+  /** Context-feature hash of a BLOCK ID (not the dense index):
+    * finalizer of splitmix64 over the id, mod nF. Bucket assignments
+    * are stable across refits only once the block set has grown past
+    * `featureSpace` (nF pins at featureSpace); below that nF = nB moves
+    * with the block set, so buckets shift between refits — harmless for
+    * correctness since fit() retrains from scratch each time. */
   private def hashFeat(blockId: Int): Int = {
     var z = blockId.toLong + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

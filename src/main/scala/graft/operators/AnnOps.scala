@@ -84,8 +84,19 @@ object AnnOps {
     * per-row native [[graft.functions.NearestCentroid]] projection
     * over the plan-shipped k×dim centroid matrix, so nothing corpus-
     * sized ever reaches the driver. */
-  def ivfTopK(base: DataFrame, ivfK: Int, iters: Int, nprobe: Int,
+  def ivfTopK(rawBase: DataFrame, ivfK: Int, iters: Int, nprobe: Int,
       scale: Double, numQueries: Int, k: Int): DataFrame = {
+    // The Lloyd loop below runs `iters` sequential distributed
+    // aggregations over the corpus: if the caller handed us an
+    // unpersisted frame, every iteration would re-scan the source.
+    // [[prep]] already persists; this guard makes the operator
+    // self-sufficient for direct library callers too. The init
+    // collect() right after is the materializing action, so iterations
+    // 1..iters aggregate in-memory columnar batches.
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
     val s = base.sparkSession
     import s.implicits._
 

@@ -53,9 +53,27 @@ object Bucketing {
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .format("parquet") // managed table under spark.sql.warehouse.dir
+      .format("parquet")
+      // EXTERNAL table (explicit path, same warehouse location a managed
+      // table would get): the whole point of this layout is pay-once /
+      // reuse-across-JVMs, and a managed table's DROP — including the one
+      // registerExisting issues while re-registering — would delete the
+      // clustered files with it.
+      .option("path", loc.toString)
       .saveAsTable(table)
+    // Spec sidecar: the in-memory catalog forgets bucket metadata on JVM
+    // exit, and a later registerExisting MUST NOT trust a caller-supplied
+    // spec (a wrong bucket count silently breaks bucket pruning and
+    // exchange-free joins — wrong rows, not just slow ones). Persist the
+    // written spec beside the data so reuse can validate against it.
+    val specPath = new org.apache.hadoop.fs.Path(loc, SpecFile)
+    val out = fs.create(specPath, true)
+    try out.write(
+      s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
   }
+
+  private val SpecFile = "_graft_bucket_spec.json"
 
   /** Re-register an ALREADY-WRITTEN bucketed table in a fresh session.
     * The default in-memory catalog forgets bucket metadata when the
@@ -63,7 +81,19 @@ object Bucketing {
     * persist — a CREATE TABLE ... CLUSTERED BY over the existing
     * location restores the bucketed-scan plan without re-paying the
     * clustering write. Schema is inferred from the parquet files.
-    * Returns false when the location has no files (nothing to reuse). */
+    *
+    * The requested spec is VALIDATED against the on-disk layout before
+    * registration — Spark trusts a registered bucket spec blindly (for
+    * bucket pruning and exchange-free sort-merge joins), so registering
+    * e.g. 128 buckets over files written at 32 returns wrong rows, not
+    * slow ones. Primary check: the `_graft_bucket_spec.json` sidecar
+    * written by [[writeBucketed]] (validates key AND count). Fallback
+    * for pre-sidecar layouts: the bucket ids encoded in the files'
+    * `_000NN` suffixes must span exactly 0..buckets-1 (the one-file-
+    * per-bucket write makes that the expected shape; the key is
+    * unverifiable without the sidecar — mismatches reject to a safe
+    * re-write). Returns false when the location has no files or the
+    * layout disagrees with the requested spec (caller re-writes). */
   def registerExisting(spark: SparkSession, table: String, key: String,
       buckets: Int): Boolean = {
     val loc = new org.apache.hadoop.fs.Path(
@@ -71,6 +101,21 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc) || !fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
       return false
+    val specPath = new org.apache.hadoop.fs.Path(loc, SpecFile)
+    if (fs.exists(specPath)) {
+      val in = fs.open(specPath)
+      val spec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // exact-match on the tiny fixed-shape JSON we wrote ourselves
+      if (spec != s"""{"key":"$key","buckets":$buckets}""") return false
+    } else {
+      val suffix = "_(\\d{5})\\.".r
+      val ids = fs.listStatus(loc).toSeq
+        .flatMap(st => suffix.findFirstMatchIn(st.getPath.getName))
+        .map(_.group(1).toInt)
+      if (ids.isEmpty || ids.max != buckets - 1 ||
+          ids.distinct.size != buckets) return false
+    }
     val schema = spark.read.parquet(loc.toString).schema
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")

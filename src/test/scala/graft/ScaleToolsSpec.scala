@@ -30,6 +30,27 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(joined.count() == 6000L) // every lineitem has its order
   }
 
+  test("registerExisting validates the requested spec against the on-disk layout") {
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(li, "li_spec_check", "l_orderkey", 8)
+    spark.sql("DROP TABLE IF EXISTS li_spec_check") // forget catalog, keep files
+    // wrong bucket count and wrong key must REJECT (a wrongly-registered
+    // spec silently breaks bucket pruning -> wrong rows, not slow ones)
+    assert(!Bucketing.registerExisting(spark, "li_spec_check", "l_orderkey", 16))
+    assert(!Bucketing.registerExisting(spark, "li_spec_check", "l_quantity", 8))
+    // the true spec re-registers and the table reads back whole
+    assert(Bucketing.registerExisting(spark, "li_spec_check", "l_orderkey", 8))
+    assert(spark.table("li_spec_check").count() == 6000L)
+    // pre-sidecar layout (sidecar deleted): falls back to the _000NN
+    // file suffixes — still rejects a wrong count, accepts the true one
+    spark.sql("DROP TABLE IF EXISTS li_spec_check")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/li_spec_check/_graft_bucket_spec.json")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, false)
+    assert(!Bucketing.registerExisting(spark, "li_spec_check", "l_orderkey", 16))
+    assert(Bucketing.registerExisting(spark, "li_spec_check", "l_orderkey", 8))
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
