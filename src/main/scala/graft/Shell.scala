@@ -11,8 +11,11 @@ import graft.sources.MicroBlockWriter
   *
   * Usage: sbt "runMain graft.Shell [sfDir]"; `\q` exits, `\stats`
   * prints cache/prefetch counters, `\retrain` refits the model,
-  * `\range <lo> <hi>` scans a global row-offset range block-aligned
-  * (the reference's microblock_reader.scan_range).
+  * `\save` persists the fitted model (reloaded automatically on the
+  * next start — the reference's run_with_prefetch_loop.py:17-22
+  * trained-model restart contract), `\range <lo> <hi>` scans a global
+  * row-offset range block-aligned (the reference's
+  * microblock_reader.scan_range).
   */
 object Shell {
   def main(args: Array[String]): Unit = {
@@ -27,8 +30,17 @@ object Shell {
     MicroBlockWriter.write(Tables.load(spark, sfDir, "lineitem"), mbPath, "l_shipdate", 16)
     val engine = new GraftEngine(spark, mbPath, "lineitem",
       logPath = Some("target/scratch/shell/access_log.jsonl"))
+    // reload a previously-\save'd model so a restarted shell predicts
+    // from day one instead of starting model-cold
+    val modelDir = "target/scratch/shell/model"
+    val preloaded =
+      graft.engine.ModelIO.exists(spark, modelDir) &&
+        (try { engine.prefetcher.restore(spark, modelDir); true }
+         catch { case e: Exception =>
+           println(s"saved model ignored: ${e.getMessage}"); false })
     engine.service.start()
-    println(s"graft shell — ${engine.blockIds.size} micro-blocks of lineitem; \\q to exit")
+    println(s"graft shell — ${engine.blockIds.size} micro-blocks of lineitem" +
+      (if (preloaded) " (saved prefetch model loaded)" else "") + "; \\q to exit")
 
     var line = ""
     while ({ print("SQL> "); line = StdIn.readLine(); line != null && line.trim != "\\q" }) {
@@ -39,6 +51,11 @@ object Shell {
             s"misses=${engine.cache.misses} prefetched=${engine.service.prefetched}")
         case "\\retrain" =>
           engine.retrain(); println(s"model fitted=${engine.prefetcher.fitted}")
+        case "\\save" =>
+          if (engine.prefetcher.fitted) {
+            engine.prefetcher.save(spark, modelDir)
+            println(s"model saved to $modelDir")
+          } else println("nothing to save — \\retrain first")
         case r if r.startsWith("\\range") =>
           r.split("\\s+").drop(1).map(_.toLongOption) match {
             case Array(Some(lo), Some(hi)) =>

@@ -165,4 +165,62 @@ final class LogisticPrefetcher(
     }
     scored.sortBy { case (b, z) => (-z, b) }.take(k).map(_._1)
   }
+
+  /** Persist the fitted weights + block mapping (the reference's
+    * trained_model.pt + trained_mappings.json contract,
+    * run_with_prefetch_loop.py:17-22). Weights ride as parquet DOUBLE
+    * columns — IEEE bits round-trip exactly, so a restored model
+    * scores bit-identically. */
+  def save(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(blocks.toSeq.zipWithIndex.map { case (b, i) => (i, b) })
+      .toDF("idx", "block")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/blocks.parquet")
+    spark.createDataset(weights.toSeq.zipWithIndex.map { case (w, i) => (i, w) })
+      .toDF("idx", "w")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/weights.parquet")
+    ModelIO.writeMeta(spark, dir,
+      s"""{"model":"logistic","order":$order,"featureSpace":$featureSpace,"nF":$nF}""")
+  }
+
+  /** Restore a model written by [[save]] into this instance. The
+    * feature mapping is NOT stored — it is recomputed from (blocks,
+    * nF), which is deterministic (identity below the hash bound,
+    * splitmix64 above), and the meta's recorded nF cross-checks the
+    * recomputation. */
+  def restore(spark: SparkSession, dir: String): LogisticPrefetcher = {
+    val meta = ModelIO.readMeta(spark, dir)
+    val storedOrder = ModelIO.intField(meta, "order")
+    val storedF = ModelIO.intField(meta, "featureSpace")
+    require(storedOrder == order && storedF == featureSpace,
+      s"stored (order=$storedOrder, featureSpace=$storedF) != " +
+        s"this instance's (order=$order, featureSpace=$featureSpace)")
+    blocks = spark.read.parquet(s"$dir/blocks.parquet")
+      .select("idx", "block").collect()
+      .sortBy(_.getInt(0)).map(_.getInt(1))
+    indexOf = blocks.zipWithIndex.toMap
+    nF = math.min(nB, featureSpace)
+    require(nF == ModelIO.intField(meta, "nF"),
+      s"recomputed nF $nF != stored ${ModelIO.intField(meta, "nF")}")
+    featOf =
+      if (nF == nB) Array.tabulate(nB)(identity)
+      else blocks.map(hashFeat)
+    weights = spark.read.parquet(s"$dir/weights.parquet")
+      .select("idx", "w").collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(weights.length == order * nF * nB + nB,
+      s"weight vector length ${weights.length} != expected ${order * nF * nB + nB}")
+    this
+  }
+}
+
+object LogisticPrefetcher {
+  /** Load a model from disk, hyperparameters taken from the sidecar. */
+  def load(spark: SparkSession, dir: String): LogisticPrefetcher = {
+    val meta = ModelIO.readMeta(spark, dir)
+    new LogisticPrefetcher(
+      order = ModelIO.intField(meta, "order"),
+      featureSpace = ModelIO.intField(meta, "featureSpace"))
+      .restore(spark, dir)
+  }
 }

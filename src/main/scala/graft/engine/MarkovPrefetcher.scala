@@ -91,4 +91,51 @@ final class MarkovPrefetcher(order: Int = 1) extends Prefetcher {
     transitions.getOrElse(order, Map.empty).toSeq.flatMap { case (ctx, nexts) =>
       nexts.map { case (b, c) => (ctx, b, c) }
     }
+
+  /** Persist the fitted model: all context lengths' transition counts
+    * as one parquet table + a meta sidecar. The reference's serving
+    * loop reloads its trained model from disk at startup
+    * (run_with_prefetch_loop.py:17-22) — without this, a fitted
+    * prefetcher dies with the JVM and every engine restart starts
+    * cache-cold AND model-cold. */
+  def save(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val rows = transitions.toSeq.flatMap { case (len, byCtx) =>
+      byCtx.toSeq.flatMap { case (ctx, nexts) =>
+        nexts.map { case (b, c) => (len, ctx, b, c) }
+      }
+    }
+    spark.createDataset(rows).toDF("ctxLen", "ctx", "block", "cnt")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/transitions.parquet")
+    ModelIO.writeMeta(spark, dir, s"""{"model":"markov","order":$order}""")
+  }
+
+  /** Restore a model written by [[save]] into THIS instance (the
+    * engine holds its prefetcher as a val, so in-place restore is the
+    * serving-path-friendly form). Counts round-trip as exact longs and
+    * the ranking re-applies the same (-cnt, block) order, so
+    * post-restore `suggest` is bit-identical to pre-save. */
+  def restore(spark: SparkSession, dir: String): MarkovPrefetcher = {
+    val meta = ModelIO.readMeta(spark, dir)
+    val storedOrder = ModelIO.intField(meta, "order")
+    require(storedOrder == order,
+      s"stored model order $storedOrder != this prefetcher's order $order")
+    val rows = spark.read.parquet(s"$dir/transitions.parquet")
+      .select("ctxLen", "ctx", "block", "cnt")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    transitions = rows.groupBy(_._1).map { case (len, rs) =>
+      len -> rs.groupBy(_._2).map { case (ctx, xs) =>
+        ctx -> xs.map(x => (x._3, x._4)).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    }
+    this
+  }
+}
+
+object MarkovPrefetcher {
+  /** Load a model from disk, order taken from the sidecar. */
+  def load(spark: SparkSession, dir: String): MarkovPrefetcher = {
+    val order = ModelIO.intField(ModelIO.readMeta(spark, dir), "order")
+    new MarkovPrefetcher(order).restore(spark, dir)
+  }
 }
