@@ -127,6 +127,28 @@ final class GraftEngine(
     * once at construction, not per sql() call). */
   private lazy val rawTable: DataFrame = spark.read.parquet(tablePath)
 
+  /** `tablePath` in the fully-qualified form file-source relations
+    * report their root paths in, so plan nodes can be matched back to
+    * THIS engine's table inside multi-table queries. */
+  private lazy val qualifiedTablePath: String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Does this relation scan (only) files under this engine's table? */
+  private def isOurRelation(
+      l: org.apache.spark.sql.execution.datasources.LogicalRelation): Boolean =
+    l.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        val roots = h.location.rootPaths
+        roots.nonEmpty && roots.forall { rp =>
+          val s = rp.toString
+          s == qualifiedTablePath || s.startsWith(qualifiedTablePath + "/")
+        }
+      case _ => false
+    }
+
   /** Empty frame with the table's schema (all-pruned / empty table). */
   private def emptyFrame: DataFrame = rawTable.limit(0)
 
@@ -310,21 +332,15 @@ final class GraftEngine(
     * SparkSession and table name coordinate.
     */
   def sql(query: String): DataFrame = sqlLock.synchronized {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    import org.apache.spark.sql.catalyst.plans.{
+      Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     // bind the raw table so analysis can resolve columns
     val raw = rawTable
     raw.createOrReplaceTempView(table)
     val analyzedPlan = spark.sql(query).queryExecution.analyzed
-    // Prune only from a predicate that provably bounds THIS table's
-    // one and only scan:
-    //  - exactly one Filter node (multiple can be union branches —
-    //    AND-ing them over-prunes; join filters involve other tables)
-    //  - that Filter sits directly over the scan (alias/attribute-only
-    //    projections allowed; an Aggregate/Join below would make the
-    //    predicate about DERIVED values, not raw rows)
-    //  - the table is scanned exactly once (on a self-join the serving
-    //    view is shared, so pruning for one side would starve the other)
     def isDirectScan(p: LogicalPlan): Boolean = p match {
       case SubqueryAlias(_, c) => isDirectScan(c)
       case v: View => isDirectScan(v.child)
@@ -334,12 +350,67 @@ final class GraftEngine(
       case _ => false
     }
     val scanCount = analyzedPlan.collect { case l: LogicalRelation => l }.size
-    val filters = analyzedPlan.collect {
-      case f: Filter if isDirectScan(f.child) => f.condition
-    }
     val allFilters = analyzedPlan.collect { case f: Filter => f }.size
-    val pred = (filters, allFilters, scanCount) match {
-      case (Seq(only), 1, 1) => graft.plans.PredicateExtractor.convert(only)
+    // Prune from every conjunct that provably bounds THIS table's raw
+    // rows — including conjuncts of a WHERE above a join (a real user's
+    // first join through the engine must not silently lose pruning).
+    // Requirements, each load-bearing:
+    //  - the table is scanned exactly ONCE (on a self-join the serving
+    //    view is shared, so pruning for one side would starve the other;
+    //    a filter in one union branch must not prune the other branch's
+    //    scan — with a single occurrence, every Filter above the scan
+    //    lies on its one root path, so AND-ing their conjuncts is sound)
+    //  - only conjuncts whose attributes ALL come from this table's scan
+    //    (checked against the scan's outputSet by exprId, so a derived
+    //    alias shadowing a column name never qualifies)
+    //  - the path from each Filter down to the scan crosses only
+    //    row-preserving-or-sound nodes: Project/Filter/aliases freely;
+    //    Aggregate/Distinct (a conjunct over pass-through grouping
+    //    attributes commutes with grouping — pruned rows form only
+    //    dropped groups); joins where this table's side is never
+    //    null-extended BELOW the filter (inner/cross always; left
+    //    outer/semi/anti only with the scan on the left, right outer
+    //    only on the right — a filter like `x IS NULL` above an outer
+    //    join WOULD pass on rows null-extended in place of pruned ones).
+    //    Window/Limit/Sort below a filter disqualify: pruning would
+    //    change frames or which rows the limit admits.
+    val ourScans = analyzedPlan.collect {
+      case l: LogicalRelation if isOurRelation(l) => l
+    }
+    val pred: Option[Pred] = ourScans match {
+      case Seq(only) =>
+        val ourOut = only.outputSet
+        def containsOur(p: LogicalPlan): Boolean =
+          p.collectFirst { case l: LogicalRelation if l eq only => l }.nonEmpty
+        def safeBelow(p: LogicalPlan): Boolean = p match {
+          case l: LogicalRelation => l eq only
+          case SubqueryAlias(_, c) => safeBelow(c)
+          case v: View => safeBelow(v.child)
+          case Project(_, c) => safeBelow(c)
+          case f: Filter => safeBelow(f.child)
+          case a: Aggregate => safeBelow(a.child)
+          case d: Distinct => safeBelow(d.child)
+          case Join(l, r, jt, _, _) =>
+            val ourLeft = containsOur(l)
+            val sideOk = jt match {
+              case Inner | Cross => true
+              case LeftOuter | LeftSemi | LeftAnti => ourLeft
+              case RightOuter => !ourLeft
+              case _ => false
+            }
+            sideOk && safeBelow(if (ourLeft) l else r)
+          case _ => false
+        }
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        analyzedPlan.collect {
+          case f: Filter if containsOur(f.child) && safeBelow(f.child) =>
+            conjuncts(f.condition)
+              .filter(_.references.subsetOf(ourOut))
+              .flatMap(graft.plans.PredicateExtractor.convert)
+        }.flatten.reduceOption(graft.plans.And(_, _))
       case _ => None
     }
     // ORDER BY col [ASC|DESC] LIMIT k over the bare table (q9 shape):

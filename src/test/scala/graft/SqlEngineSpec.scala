@@ -99,6 +99,89 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(viaEngine == direct && viaEngine > 0)
   }
 
+  test("engine.sql: filtered two-table join prunes the engine table's scan") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_j")
+    // WHERE mixes a lineitem-local conjunct (prunable) with an orders
+    // conjunct (not ours) — the lineitem scan must still shed blocks
+    val sql =
+      """SELECT COUNT(*) AS n FROM lineitem
+        |JOIN orders_j ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_totalprice > 1000""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0)
+    val logged = e.accessLog.all.head.blocks
+    assert(logged.size < e.blockIds.size,
+      s"join query lost pruning: served ${logged.size}/${e.blockIds.size} blocks")
+  }
+
+  test("engine.sql: table-local filter inside a join subquery prunes") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_j2")
+    val sql =
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00') l
+        |JOIN orders_j2 ON l.l_orderkey = o_orderkey""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0)
+    assert(e.accessLog.all.head.blocks.size < e.blockIds.size)
+  }
+
+  test("engine.sql: HAVING on a pass-through grouping column prunes") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val sql =
+      """SELECT l_shipdate, COUNT(*) AS n FROM lineitem GROUP BY l_shipdate
+        |HAVING l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_shipdate""".stripMargin
+    val viaEngine = e.sql(sql).collect().map(_.toString).toSeq
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().map(_.toString).toSeq
+    assert(viaEngine == direct && viaEngine.nonEmpty)
+    assert(e.accessLog.all.head.blocks.size < e.blockIds.size,
+      "grouping-column HAVING commutes with the aggregate and must prune")
+  }
+
+  test("engine.sql: our table on the null-extended side of an outer join stays unpruned") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_o")
+    // lineitem is the RIGHT side of a LEFT OUTER: its rows can be
+    // null-extended below the filter, so the conjunct must not prune
+    val sql =
+      """SELECT COUNT(*) AS n FROM orders_o
+        |LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+    val viaEngine = e.sql(sql).collect().head.getLong(0)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("JOIN lineitem", "JOIN li_check"))
+      .collect().head.getLong(0)
+    assert(viaEngine == direct && viaEngine > 0)
+    assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
+  }
+
+  test("engine.sql: a window below the filter disqualifies pruning (frames would shift)") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val sql =
+      """SELECT rn FROM (
+        |  SELECT l_shipdate, ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY rn LIMIT 20""".stripMargin
+    val viaEngine = e.sql(sql).collect().map(_.getInt(0)).toSeq
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_check")
+    val direct = spark.sql(sql.replace("FROM lineitem", "FROM li_check"))
+      .collect().map(_.getInt(0)).toSeq
+    // row numbers are computed over ALL rows — pruning would renumber
+    assert(viaEngine == direct && viaEngine.nonEmpty)
+    assert(e.accessLog.all.head.blocks.size == e.blockIds.size)
+  }
+
   test("engine.sql: filter on an aggregate-derived alias must not prune raw rows") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     // alias shadows a base column name; raw l_quantity never exceeds 50
