@@ -313,6 +313,92 @@ object MediaOps {
       }
     }(Encoders.row(pngDecodeSchema))
 
+  /** Encode a GIF89a image: `palette` is nc*3 R,G,B bytes (nc a power
+    * of two in [2,256]), `indices` are w*h palette indices, row-major
+    * top-down. The pixel stream is LZW-compressed with the compress(1)
+    * convention every GIF writer descends from: variable code width
+    * starting at minCodeSize+1, LSB-first bit packing, width grows
+    * after the emitted code when the next free slot exceeds the
+    * current width's ceiling, dictionary reset via a CLEAR code at
+    * 4096 entries. GIF's LZW is lossless, so a decoded image's
+    * per-channel stats are closed-form in (palette, indices) — which
+    * makes the decode oracle-checkable like [[pngBytes]]'s. */
+  def gifBytes(width: Int, height: Int, palette: Array[Int], indices: Array[Int]): Array[Byte] = {
+    val nc = palette.length / 3
+    require(nc >= 2 && nc <= 256 && Integer.bitCount(nc) == 1,
+      s"palette size $nc must be a power of two in [2,256]")
+    require(indices.length == width * height, "need w*h palette indices")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    val gctBits = 31 - Integer.numberOfLeadingZeros(nc) // log2(nc)
+    out.write(0x80 | 0x70 | (gctBits - 1)) // GCT present, 8-bit color res
+    out.write(0); out.write(0)             // background index, aspect
+    palette.foreach(v => out.write(v & 0xff))
+    out.write(0x2c); u16(0); u16(0); u16(width); u16(height); out.write(0)
+    val minCode = math.max(2, gctBits) // spec floor: min LZW code size 2
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eof = clear + 1
+    var free = clear + 2
+    var nBits = minCode + 1
+    var maxCode = (1 << nBits) - 1
+    val table = new java.util.HashMap[Integer, Integer]()
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += nBits
+      while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      // width grows AFTER the code that filled the smaller space — the
+      // decoder mirrors this when its next-free counter crosses the
+      // same ceiling
+      if (free > maxCode && nBits < 12) { nBits += 1; maxCode = (1 << nBits) - 1 }
+    }
+    emit(clear)
+    var ent = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val c = indices(i)
+      require(c >= 0 && c < nc, s"index $c out of palette range")
+      val key: Integer = (ent << 8) | c
+      val hit = table.get(key)
+      if (hit != null) ent = hit
+      else {
+        emit(ent)
+        if (free < 4096) { table.put(key, free); free += 1 }
+        else { // dictionary full: reset, decoder resets on CLEAR too
+          emit(clear)
+          table.clear()
+          free = clear + 2; nBits = minCode + 1; maxCode = (1 << nBits) - 1
+        }
+        ent = c
+      }
+      i += 1
+    }
+    emit(ent); emit(eof)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    val lz = data.toByteArray
+    var off = 0
+    while (off < lz.length) { // image data rides in <=255-byte sub-blocks
+      val n = math.min(255, lz.length - off)
+      out.write(n); out.write(lz, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF payloads decode through the same ImageIO path as PNG (the
+    * reader auto-detects the container); palette lookups are exact, so
+    * the stats are oracle-checkable bit-for-bit. */
+  def decodeGif(bytes: Array[Byte]): PngMeta = decodePng(bytes)
+
+  /** Partition-batched GIF decode over a binary column. */
+  def decodeGifDF(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    decodePngDF(df, idCol, payloadCol)
+
   private val decodeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", LongType),

@@ -5,19 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
 
-/** SURVEY.md §2c mm43/mm56/mm62/mm65 — multimodal column plumbing.
+/** SURVEY.md §2c mm43/mm56/mm62/mm65/mm76 — multimodal column plumbing.
   *
   * Media (image/audio/video) ride through the pipeline as opaque
   * `binary` payloads plus typed metadata; per-item decode/feature
   * extraction runs as a partition-batched transform with a fixed
-  * output schema. Three modalities decode FOR REAL in pure JVM — WAV
-  * (hand-rolled RIFF parser), BMP (hand-rolled header/pixel parser)
-  * and PNG (the JDK's own `javax.imageio` reader against a hand-rolled
-  * spec encoder). Only modalities whose codecs genuinely aren't in the
-  * container (JPEG/MP3/video) keep a clearly-marked deterministic STUB
-  * (byte-histogram "features"); everything around it — binary column,
-  * metadata struct, mapPartitions batching, explicit result schema —
-  * is the real Spark-side contract a codec-backed decoder drops into.
+  * output schema. Four modalities decode FOR REAL in pure JVM — WAV
+  * (hand-rolled RIFF parser), BMP (hand-rolled header/pixel parser),
+  * PNG and GIF (the JDK's own `javax.imageio` readers against
+  * hand-rolled spec encoders, GIF's with a real compress-convention
+  * LZW compressor). Only modalities whose lossless decode genuinely
+  * isn't available in a stock JVM (JPEG/MP3/video) keep a
+  * clearly-marked deterministic STUB (byte-histogram "features");
+  * everything around it — binary column, metadata struct,
+  * mapPartitions batching, explicit result schema — is the real
+  * Spark-side contract a codec-backed decoder drops into.
   *
   * The stub's 8 histogram ratios are emitted as scalar columns
   * (f0..f7), not an array: the verify dump is hash-compared row-wise
@@ -145,7 +147,61 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  private def gifOracle: String = {
+    // pixel p's palette index is (doc_id*17 + p*5) % 16; palette entry
+    // c's channel ch value is (doc_id*19 + c*7 + ch*53) % 256 — exact
+    // integer replay of the fixture's palette lookup
+    def chan(c: Int, agg: String) =
+      s"list_$agg(list_transform(range(0, CAST(w*h AS BIGINT)), " +
+        s"p2 -> (doc_id*19 + ((doc_id*17 + p2*5) % 16)*7 + $c*53) % 256))"
+    s"""WITH p AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+       |)
+       |SELECT doc_id, 'image/gif' AS modality,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(${chan(0, "sum")} AS BIGINT) AS r_sum, CAST(${chan(0, "max")} AS BIGINT) AS r_max,
+       |  CAST(${chan(1, "sum")} AS BIGINT) AS g_sum, CAST(${chan(1, "max")} AS BIGINT) AS g_max,
+       |  CAST(${chan(2, "sum")} AS BIGINT) AS b_sum, CAST(${chan(2, "max")} AS BIGINT) AS b_max
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // mm76: GIF decode — hand-rolled GIF89a writer with a real
+    // compress-convention LZW compressor (variable code width,
+    // dictionary resets) against the JDK's own ImageIO GIF reader, the
+    // same cross-implementation roundtrip recipe as mm_png. GIF is
+    // lossless palette lookup, so DuckDB recomputes the decoded
+    // per-channel stats closed-form from doc_id. With GIF landed, the
+    // byte-histogram stub below stands ONLY for modalities whose
+    // codecs genuinely aren't in a stock JVM (JPEG's DCT pipeline is in
+    // ImageIO too but lossy — stats wouldn't be closed-form; MP3/video
+    // need external codecs).
+    QueryDef.sql("mm_gif", gifOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val palette = Array.tabulate(16 * 3)(j =>
+            ((id * 19 + (j / 3) * 7 + (j % 3) * 53) % 256).toInt)
+          val indices = Array.tabulate(w * h)(p => ((id * 17 + p * 5) % 16).toInt)
+          Row(id, graft.operators.MediaOps.gifBytes(w, h, palette, indices))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+      graft.operators.MediaOps.decodeGifDF(fixture, "doc_id", "payload")
+        .select(
+          col("doc_id"), lit("image/gif").as("modality"),
+          col("width"), col("height"),
+          element_at(col("channel_sums"), 1).as("r_sum"),
+          element_at(col("channel_peaks"), 1).as("r_max"),
+          element_at(col("channel_sums"), 2).as("g_sum"),
+          element_at(col("channel_peaks"), 2).as("g_max"),
+          element_at(col("channel_sums"), 3).as("b_sum"),
+          element_at(col("channel_peaks"), 3).as("b_max"))
+        .orderBy("doc_id")
+    },
     // mm65: PNG decode through the JDK's OWN ImageIO reader against a
     // hand-rolled spec encoder (zlib Deflater + CRC32 — both JDK) — a
     // true cross-implementation roundtrip: fixture pixels are

@@ -104,6 +104,56 @@ class MediaOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaOps.decodePng("not a png".getBytes))
   }
 
+  /** Decode a GIF with ImageIO and return the palette-resolved pixels
+    * as RGB triples, row-major top-down — byte-exact comparison hook. */
+  private def gifPixels(bytes: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not read the GIF")
+    val argb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    argb.flatMap(p => Array((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+  }
+
+  test("GIF roundtrip: hand-rolled LZW encoder vs ImageIO, pixel-exact") {
+    val nc = 16
+    val palette = Array.tabulate(nc * 3)(j => (j * 37 + 11) % 256)
+    val (w, h) = (7, 5)
+    val indices = Array.tabulate(w * h)(p => (p * 5 + 3) % nc)
+    val bytes = MediaOps.gifBytes(w, h, palette, indices)
+    val expected = indices.flatMap(i =>
+      Array(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2)))
+    assert(gifPixels(bytes).toSeq == expected.toSeq)
+    val m = MediaOps.decodeGif(bytes)
+    assert(m.width == w && m.height == h)
+  }
+
+  test("GIF LZW: code-width growth and 4096-entry dictionary resets decode pixel-exact") {
+    // 16 colors, 200x150 = 30k pixels with a pattern that defeats long
+    // runs: the dictionary blows through every width step 5..12 bits
+    // and hits the 4096-entry reset path several times — the exact
+    // conventions (grow-after-emit, clear-at-full) a decoder must agree
+    // on, proven against the JDK's independent implementation
+    val nc = 16
+    val palette = Array.tabulate(nc * 3)(j => (j * 29 + 5) % 256)
+    val (w, h) = (200, 150)
+    val indices = Array.tabulate(w * h)(p => ((p * p) ^ (p >> 3)) % nc)
+    val bytes = MediaOps.gifBytes(w, h, palette, indices)
+    val expected = indices.flatMap(i =>
+      Array(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2)))
+    assert(gifPixels(bytes).toSeq == expected.toSeq)
+  }
+
+  test("GIF: 256-color palette and 2-color palette edge sizes roundtrip") {
+    for (nc <- Seq(2, 256)) {
+      val palette = Array.tabulate(nc * 3)(j => (j * 97 + 13) % 256)
+      val (w, h) = (9, 6)
+      val indices = Array.tabulate(w * h)(p => (p * 7 + 1) % nc)
+      val expected = indices.flatMap(i =>
+        Array(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2)))
+      assert(gifPixels(MediaOps.gifBytes(w, h, palette, indices)).toSeq == expected.toSeq,
+        s"palette size $nc")
+    }
+  }
+
   test("decodeWavDF decodes a binary column partition-batched") {
     import spark.implicits._
     val rows = (0L until 10L).map { id =>
