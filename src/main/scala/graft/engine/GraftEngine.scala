@@ -212,15 +212,30 @@ final class GraftEngine(
   }
 
   /** The block set provably containing the k extreme non-null values
-    * of `colName` (largest when descending, smallest when ascending):
-    * blocks are scanned in stats-bound order (max desc / min asc), and
-    * the set grows until the k-th found value dominates every unscanned
-    * block's bound. On a table clustered by `colName` this is
-    * O(k/rows-per-block) blocks; on an unclustered column it degrades
-    * gracefully to the full scan (every block's bound ties).
+    * of `colName` (largest when descending, smallest when ascending),
+    * chosen from STATS ALONE — no data is scanned to pick blocks:
     *
-    * Conservative like the pruner: blocks whose index rows lack a
-    * numeric bound for the column AND blocks with no index entry for
+    *   1. order blocks by their best bound (max desc / min asc);
+    *   2. take the shortest prefix whose NON-NULL row counts cover k —
+    *      every row in a block is no worse than the block's weak bound,
+    *      so those >=k rows prove the k-th value is at least theta =
+    *      the weakest weak bound in the prefix (min of prefix mins
+    *      descending, max of prefix maxes ascending);
+    *   3. keep exactly the blocks whose best bound ties-or-beats theta
+    *      (ties included: equal-valued rows may displace the k-th under
+    *      a secondary sort key).
+    *
+    * On a table clustered by `colName` this is O(k/rows-per-block)
+    * blocks; on an unclustered column every block straddles theta and
+    * it degrades gracefully to the full scan. Earlier rounds refined
+    * the set by actually scanning prefix blocks for the observed k-th
+    * value — strictly tighter, but it cost 1-2 extra data passes per
+    * query, which at sf10 made the engine LOSE the wall-time A/B to a
+    * raw full scan. Selection from metadata only is the design the
+    * rest of the pruner already follows.
+    *
+    * Conservative like the pruner: blocks whose index rows lack
+    * numeric bounds for the column AND blocks with no index entry for
     * the column at all (schema-evolved files) are always scanned; a
     * column with no index rows anywhere falls back to the full block
     * set (never a silently empty result). `includeNullBlocks` adds
@@ -232,61 +247,42 @@ final class GraftEngine(
     import org.apache.spark.sql.functions._
     val colStats = index.toDF()
       .filter(col("column") === colName)
-      .select("blockId", "rows", if (ascending) "minNum" else "maxNum", "nullCount")
+      .select("blockId", "rows", "minNum", "maxNum", "nullCount")
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getLong(4)))
     if (colStats.isEmpty) return blockIds // unindexed column: full scan
     val nullful =
-      if (includeNullBlocks) colStats.filter(_._4 > 0).map(_._1).toSet
+      if (includeNullBlocks) colStats.filter(_._5 > 0).map(_._1).toSet
       else Set.empty[Int]
     // blocks the index has NO row for under this column are statless too
     val known = colStats.map(_._1).toSet
     val unknown = blocks.collect { case b if !known.contains(b.blockId) => b.blockId }
-    val (statlessRows, stated) = colStats.partition(_._3.isEmpty)
+    val (statlessRows, stated) =
+      colStats.partition(s => s._3.isEmpty || s._4.isEmpty)
     val statless = (statlessRows.map(_._1) ++ unknown ++ nullful).distinct
     val ordered =
-      if (ascending) stated.sortBy(_._3.get) else stated.sortBy(-_._3.get)
-    def numCol(df: DataFrame): org.apache.spark.sql.Column =
-      df.schema(colName).dataType match {
-        case org.apache.spark.sql.types.TimestampType =>
-          unix_micros(col(colName)).cast("double")
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // NTZ has no unix_micros; the UTC session (GraftSession.tune)
-          // makes the TIMESTAMP cast epoch-exact, matching the stats'
-          // physical INT64 micros
-          unix_micros(col(colName).cast(
-            org.apache.spark.sql.types.TimestampType)).cast("double")
-        case _ => col(colName).cast("double")
+      if (ascending) stated.sortBy(_._3.get) // by min asc
+      else stated.sortBy(-_._4.get)          // by max desc
+    var acc = 0L
+    var n = 0
+    while (n < ordered.length && acc < k) {
+      acc += math.max(0L, ordered(n)._2 - ordered(n)._5) // non-null rows
+      n += 1
+    }
+    val ids =
+      if (acc < k) stated.map(_._1) // stats can't cover k rows: all stated
+      else {
+        val prefix = ordered.take(math.max(1, n))
+        val theta =
+          if (ascending) prefix.map(_._4.get).max // max of prefix maxes
+          else prefix.map(_._3.get).min           // min of prefix mins
+        ordered.filter(s =>
+          if (ascending) s._3.get <= theta else s._4.get >= theta).map(_._1)
       }
-    // initial set: enough bound-ordered blocks to cover k rows
-    var take = {
-      var acc = 0L; var n = 0
-      while (n < ordered.length && acc < k) { acc += ordered(n)._2; n += 1 }
-      math.max(1, n)
-    }
-    var ids: Seq[Int] = Nil
-    var done = false
-    while (!done) {
-      ids = (ordered.take(take).map(_._1) ++ statless).sorted
-      val df = serve(ids)
-      val vCol = numCol(df)
-      val top = df.filter(col(colName).isNotNull)
-        .select(vCol.as("_v"))
-        .orderBy(if (ascending) asc("_v") else desc("_v")).limit(k)
-        .collect().map(_.getDouble(0))
-      val remaining = ordered.drop(take)
-      // a remaining block can still contribute iff its bound ties or
-      // beats the k-th value found (ties included: tie-broken rows may
-      // displace the current k-th under a secondary sort key)
-      val blocking =
-        if (top.length < k) remaining.length // not enough rows yet: take all
-        else if (ascending) remaining.count(_._3.get <= top.last)
-        else remaining.count(_._3.get >= top.last)
-      if (blocking > 0 && remaining.nonEmpty) take += math.max(1, blocking)
-      else done = true
-    }
-    ids
+    (ids ++ statless).distinct.sorted
   }
 
   /** Zone-map-assisted TOP-K on `colName` — largest values by default,
@@ -302,6 +298,24 @@ final class GraftEngine(
     accessLog.log(table, ids)
     val primary = if (ascending) col(colName).asc else col(colName).desc
     serve(ids)
+      .filter(col(colName).isNotNull)
+      .orderBy(primary +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
+  /** [[topK]] served as ONE direct pruned scan, bypassing the
+    * per-block LRU — the cold-one-off serve path ([[queryDirect]]'s
+    * counterpart): materializing row-cache entries costs ~2x the scan
+    * itself, which only pays off when the working set is re-read. */
+  def topKDirect(colName: String, k: Int, tieBreak: Seq[String] = Nil,
+      ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    val ids = topKBlockIds(colName, k, ascending, includeNullBlocks = false)
+    accessLog.log(table, ids)
+    val files = ids.map(fileOf).distinct
+    val primary = if (ascending) col(colName).asc else col(colName).desc
+    (if (files.isEmpty) emptyFrame else spark.read.parquet(files: _*))
       .filter(col(colName).isNotNull)
       .orderBy(primary +: tieBreak.map(col(_).asc): _*)
       .limit(k)

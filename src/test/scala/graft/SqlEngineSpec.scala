@@ -356,6 +356,20 @@ class SqlEngineSpec extends AnyFunSuite {
       s"expected a pruned bottom-k scan, got ${e.accessLog.all.last.blocks.size} blocks")
   }
 
+  test("topKDirect returns the same rows as topK without touching the LRU") {
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    val tb = Seq("l_orderkey", "l_linenumber")
+    for (asc <- Seq(false, true)) {
+      val cached = e.topK("l_shipdate", 10, tb, ascending = asc).collect().toSeq
+      e.cache.clear()
+      val direct = e.topKDirect("l_shipdate", 10, tb, ascending = asc).collect().toSeq
+      assert(direct == cached, s"ascending=$asc")
+      assert(e.cache.size == 0, "direct serve must not populate the cache")
+      assert(e.accessLog.all.last.blocks.size < e.blockIds.size,
+        "direct serve still prunes via the zone maps")
+    }
+  }
+
   test("topK on an absent column errors instead of returning empty") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     // unindexed column -> full-scan fallback -> the column reference
