@@ -57,9 +57,16 @@ object ScaleBench {
     // SPARK_GRAFT_ONLY_BUCKETED=1: skip the headline loop but keep the
     // overhead probe — the bucketed q12's marginal must subtract a
     // probe measured in the SAME window.
+    // SPARK_GRAFT_HEADLINE=q1_agg,q9_orderby_limit: headline subset
+    // (a targeted re-measure shouldn't pay for the heavy join arms);
+    // the probe rides along unconditionally for the marginal baseline.
     val headlineRun =
       if (sys.env.contains("SPARK_GRAFT_ONLY_BUCKETED")) Seq("q6_count_star")
-      else headline
+      else sys.env.get("SPARK_GRAFT_HEADLINE") match {
+        case Some(sel) =>
+          (sel.split(",").map(_.trim).filter(_.nonEmpty).toSeq :+ "q6_count_star").distinct
+        case None => headline
+      }
     val headlineResults = headlineRun.map { name =>
       val q = SparkEntry.queries(name)
       timed(name)(q(spark, sfDir).count())

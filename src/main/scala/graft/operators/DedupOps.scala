@@ -88,6 +88,28 @@ object DedupOps {
     *
     * Returns (doc_id, n_shared_shingles, n_eval_docs) for contaminated
     * TRAIN docs only. */
+  /** URL canonicalization for URL-keyed dedup — the normalization
+    * every web-corpus pipeline applies before grouping by URL (crawls
+    * see the same page as http/https, with/without www, with tracking
+    * params, trailing slashes, fragments). Pure column expressions
+    * (codegen, scan-local — the only shuffle is the caller's groupBy):
+    * scheme stripped, www. stripped, HOST lowercased (path case is
+    * significant and preserved), default :80/:443 port dropped,
+    * #fragment and trailing ?utm_* tracking params cut, trailing slash
+    * trimmed. Patterns are anchored so Java regex and RE2 replace
+    * identically. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = regexp_replace(regexp_replace(url, "^https?://", ""), "^www\\.", "")
+    val p = instr(s, "/")
+    val host = when(p > 0, s.substr(lit(1), p - 1)).otherwise(s)
+    val path = when(p > 0, s.substr(p, length(s))).otherwise(lit(""))
+    concat(
+      regexp_replace(lower(host), ":(80|443)$", ""),
+      regexp_replace(
+        regexp_replace(regexp_replace(path, "#.*$", ""), "\\?utm[^#]*$", ""),
+        "/$", ""))
+  }
+
   def decontaminate(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
     // shingling is the CPU stage — spread it over every core even when

@@ -51,6 +51,54 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // dd77 (round 5): URL canonicalization dedup — group a crawl by
+    // canonical URL after stripping scheme/www/default-port/fragment/
+    // tracking-params/trailing-slash (host lowercased, path case
+    // preserved). The fixture derives four messy variants of the same
+    // page per base id closed-form from doc_id, so the oracle replays
+    // the full normalize+group pipeline; at corpus scale the
+    // normalization is scan-local column work and the only shuffle is
+    // the canonical-key groupBy.
+    QueryDef.sql(
+      "dd_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://Example' || (doc_id // 4) || '.com/Path/' || (doc_id // 4)
+        |      WHEN 1 THEN 'http://www.example' || (doc_id // 4) || '.com:80/Path/' || (doc_id // 4) || '/'
+        |      WHEN 2 THEN 'https://EXAMPLE' || (doc_id // 4) || '.COM/Path/' || (doc_id // 4) || '#frag'
+        |      ELSE 'https://example' || (doc_id // 4) || '.com/Path/' || (doc_id // 4) || '?utm_source=x&utm_c=y'
+        |    END AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(url, '^https?://', ''), '^www\.', '') AS s
+        |  FROM u),
+        |h AS (SELECT doc_id, s, instr(s, '/') AS p FROM n),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(CASE WHEN p > 0 THEN substr(s, 1, p - 1) ELSE s END), ':(80|443)$', '')
+        |    || regexp_replace(regexp_replace(regexp_replace(
+        |         CASE WHEN p > 0 THEN substr(s, p) ELSE '' END,
+        |         '#.*$', ''), '\?utm[^#]*$', ''), '/$', '') AS canonical_url
+        |  FROM h)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dupes, MIN(doc_id) AS keeper
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      val base = expr("doc_id div 4").cast("string")
+      val v = pmod(col("doc_id"), lit(4)).cast("int")
+      val url =
+        when(v === 0, concat(lit("https://Example"), base, lit(".com/Path/"), base))
+          .when(v === 1, concat(lit("http://www.example"), base, lit(".com:80/Path/"), base, lit("/")))
+          .when(v === 2, concat(lit("https://EXAMPLE"), base, lit(".COM/Path/"), base, lit("#frag")))
+          .otherwise(concat(lit("https://example"), base, lit(".com/Path/"), base, lit("?utm_source=x&utm_c=y")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), DedupOps.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keeper"))
+        .orderBy("canonical_url")
+    },
+
     // dd33: MinHash + LSH banding (64 perms, 16 bands × 4 rows) →
     // bucket join → exact Jaccard verify on candidates only. 16 bands
     // of 4 catch Jaccard≥0.8 pairs with p≥0.996 at half the signature

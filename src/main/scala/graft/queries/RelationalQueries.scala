@@ -615,6 +615,37 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "c_custkey")
     },
 
+    // q38 (round 5): LATERAL VIEW / posexplode — the row-generator
+    // surface (UNNEST WITH ORDINALITY in the reference's DuckDB
+    // dialect). Tokens explode WITH their positions, then aggregate
+    // back per language: generation and aggregation both run
+    // partitioned, and the map-side partial agg keeps the exploded
+    // intermediate from ever shuffling at token granularity beyond
+    // the (lang, token)-keyed combine.
+    QueryDef.sql(
+      "q38_explode",
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT lang, unnest(toks) AS tok,
+        |             unnest(range(0, len(toks))) AS pos FROM t)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(CASE WHEN pos % 2 = 0 THEN 1 END) AS BIGINT) AS even_pos,
+        |  CAST(MAX(length(tok)) AS BIGINT) AS max_len,
+        |  CAST(SUM(CASE WHEN length(tok) > 4 THEN 1 ELSE 0 END) AS BIGINT) AS long_toks
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          count(when(col("pos") % 2 === 0, 1)).as("even_pos"),
+          max(length(col("tok"))).cast("long").as("max_len"),
+          sum(when(length(col("tok")) > 4, 1L).otherwise(0L)).as("long_toks"))
+        .orderBy("lang")
+    },
+
     // q36 (round 4): correlated EXISTS / NOT EXISTS in one query —
     // customers with at least one big-ticket order but none cancelled.
     // Catalyst decorrelates to a semi join + anti join (audited shape:
