@@ -400,6 +400,60 @@ case class NearestCentroid(child: Expression, ids: Seq[Int], cents: Seq[Seq[Doub
     copy(child = newChild)
 }
 
+/** Argmin-by-squared-L2 over a plan-shipped centroid matrix — the
+  * product-quantization counterpart of [[NearestCentroid]] (PQ trains
+  * and encodes in L2 space, Jegou et al. '11). Distances accumulate
+  * left-to-right in doubles (the same fold order the DuckDB oracle's
+  * list_reduce replays); ties resolve to the LOWEST centroid id, the
+  * first-index-wins convention of every PQ codebook. One virtual-call-
+  * free loop per row: O(k·dsub) with k·dsub constants — at 100 TB this
+  * runs as a scan-local projection, never a join. */
+case class NearestCentroidL2(child: Expression, ids: Seq[Int], cents: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(ids.nonEmpty && ids.length == cents.length)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_nearest_centroid_l2", {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }, "ARRAY<FLOAT|DOUBLE>")
+
+  @transient private lazy val cArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val isFloat = child.dataType
+    .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    .elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j))
+        v(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    var bestD = Double.PositiveInfinity
+    var bestId = Int.MaxValue
+    var k = 0
+    while (k < cArr.length) {
+      val c = cArr(k)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { val t = v(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD || (d == bestD && ids(k) < bestId)) { bestD = d; bestId = ids(k) }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2 =
+    copy(child = newChild)
+}
+
 /** Shared analysis-time input-type validation (AbstractDataType /
   * ExpectsInputTypes are private[sql] in Spark 4, so the check is
   * spelled directly). */
@@ -423,6 +477,8 @@ object TextExpressions {
     ColumnBridge.column(HyperplaneKeys(expr(c), bits, tables))
   def nearest_centroid(c: Column, ids: Seq[Int], cents: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(expr(c), ids, cents))
+  def nearest_centroid_l2(c: Column, ids: Seq[Int], cents: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroidL2(expr(c), ids, cents))
   def fnv64(c: Column): Column = ColumnBridge.column(Fnv64(expr(c)))
   def band_keys(c: Column, rowsPerBand: Int): Column =
     ColumnBridge.column(BandKeys(expr(c), rowsPerBand))

@@ -151,6 +151,105 @@ object AnnOps {
         .filter(col("vec_id") =!= col("query_id")), k)
   }
 
+  /** Product-quantization top-k (Jegou et al. '11): the corpus
+    * compresses to m codebook indices per vector (here m·log2(ksub)
+    * bits — a 64-dim float vector becomes m bytes), queries score
+    * against codes via asymmetric distance (ADC): exact query
+    * subvector vs the neighbor's assigned centroid per subspace,
+    * summed in fixed subspace order.
+    *
+    * Deterministic by the same construction as [[ivfTopK]]: vectors
+    * L2-normalize first (unit vectors make squared-L2 rank like
+    * cosine), each subspace trains k-means with first-ksub init and
+    * floor-scaled integer mean sums, assignment is the native
+    * [[graft.functions.NearestCentroidL2]] projection (lowest-id
+    * ties). At scale: codebooks are m·ksub·dsub driver-side constants
+    * shipped in the plan; encoding and ADC are scan-local projections,
+    * and the only shuffle is the per-query top-k cut. Output:
+    * (query_id, neighbor_id, adist, rank) — adist ascending (an
+    * approximate squared L2 on unit vectors, = 2 - 2·cos_approx). */
+  def pqTopK(rawBase: DataFrame, m: Int, ksub: Int, iters: Int,
+      scale: Double, numQueries: Int, k: Int): DataFrame = {
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
+    val s = base.sparkSession
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+
+    // unit vectors (zero-norm guard mirrors cosine's 0 convention)
+    val unit = transform(col("embedding"),
+      x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
+    val withU = base.select(col("vec_id"), col("nrm"), unit.as("u"))
+      .persist()
+    def subCol(mi: Int) = slice(col("u"), mi * dsub + 1, dsub)
+
+    def nearest(mi: Int, cents: Seq[(Int, Seq[Double])]) =
+      graft.functions.TextExpressions.nearest_centroid_l2(
+        subCol(mi), cents.map(_._1), cents.map(_._2))
+
+    // per-subspace codebooks: first-ksub init, `iters` Lloyd passes
+    // with exact floor-scaled integer mean sums (order-independent)
+    val init: Map[Int, Seq[(Int, Seq[Double])]] = {
+      val rows = withU.filter(col("vec_id") < ksub).orderBy("vec_id")
+        .select(col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      (0 until m).map(mi =>
+        mi -> rows.map { case (id, u) =>
+          (id, u.slice(mi * dsub, (mi + 1) * dsub))
+        }.toSeq).toMap
+    }
+    val codebooks: Map[Int, Seq[(Int, Seq[Double])]] =
+      (0 until m).map { mi =>
+        var cents = init(mi)
+        for (_ <- 1 to iters) {
+          val sums = (0 until dsub).map(i =>
+            sum(floor(element_at(subCol(mi), i + 1) * scale)).as(s"s$i"))
+          cents = withU
+            .groupBy(nearest(mi, cents).as("cluster"))
+            .agg(count(lit(1)).as("cnt"), sums: _*)
+            .collect()
+            .map { r =>
+              val n = r.getAs[Long]("cnt")
+              (r.getAs[Int]("cluster"),
+                (0 until dsub).map(i => r.getLong(i + 2) / (n * scale)).toSeq)
+            }
+            .toSeq.sortBy(_._1)
+        }
+        mi -> cents
+      }.toMap
+
+    // encode: m codebook indices per vector — scan-local projection
+    val coded = withU.select(
+      col("vec_id") +: col("u").as("u") +:
+        (0 until m).map(mi => nearest(mi, codebooks(mi)).as(s"code_$mi")): _*)
+      .persist()
+
+    // ADC: queries ride broadcast with their subvectors; each
+    // neighbor's centroid per subspace comes from a plan-shipped
+    // id->centroid map literal; the m partial distances add in FIXED
+    // subspace order (deterministic double sum)
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until m).map(mi => subCol(mi).as(s"q_sub_$mi")): _*)
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val centMap = (0 until m).map { mi =>
+      typedLit(codebooks(mi).map { case (id, c) => id -> c }.toMap)
+    }
+    val adist = (0 until m).map { mi =>
+      d2(col(s"q_sub_$mi"), element_at(centMap(mi), col(s"code_$mi")))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** recall@K of an approximate method against the exact baseline:
     * per-query rows plus a macro-average row (query_id = -1). */
   def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {

@@ -25,6 +25,10 @@ object AnnQueries {
   private val IvfProbe = 4   // clusters searched per query
   private val IvfScale = 16777216.0 // 2^24: float-exact mean scaling
 
+  private val PqM = 4        // subspaces
+  private val PqKsub = 16    // centroids per subspace codebook
+  private val PqIters = 2    // Lloyd iterations per subspace
+
   // Thin wrappers over the DataFrame-level library operators
   // (graft.operators.AnnOps) with this module's fixed parameters.
   private def prepBase(s: SparkSession, dir: String) =
@@ -86,6 +90,26 @@ object AnnQueries {
          |${OracleSql.annIvfCtes("ivfk", IvfK, IvfIters, IvfProbe, NumQueries, K, IvfScale.toLong)}
          |SELECT * FROM ivfk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       ivfTopK(prepBase(s, dir)).orderBy("query_id", "rank")
+    },
+
+    // ann79 (round 5): product quantization — the memory-bound ANN
+    // path. The corpus compresses to 4 codebook indices per vector
+    // (4 bytes vs 256 for the raw floats); queries score via
+    // asymmetric distance (exact query subvector vs assigned centroid
+    // per subspace, summed in fixed order). Codebooks are
+    // driver-side constants shipped in the plan, encoding and ADC are
+    // scan-local projections — at 100 TB the vectors themselves never
+    // shuffle, only the per-query top-k cut does. Oracle-checked
+    // END-TO-END: all 4 per-subspace k-means (first-ksub init, L2
+    // lowest-tie assignment, floor-scaled integer means) are unrolled
+    // in DuckDB, so even the learned codebooks hash-match.
+    QueryDef.sql(
+      "ann_pq",
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annPqCtes("pqk", PqM, PqKsub, PqIters, NumQueries, K, IvfScale.toLong)}
+         |SELECT * FROM pqk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      AnnOps.pqTopK(prepBase(s, dir), PqM, PqKsub, PqIters, IvfScale, NumQueries, K)
+        .orderBy("query_id", "rank")
     },
 
     // ann52: recall@K of each approximate path (LSH, IVF) against the

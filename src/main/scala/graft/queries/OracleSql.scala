@@ -302,6 +302,91 @@ object OracleSql {
     (Seq(c0) ++ iterCtes ++ Seq(fin)).mkString(", ")
   }
 
+  /** Product-quantization top-k with every per-subspace k-means UNROLLED:
+    * `n` → `outRel`. Replays graft's deterministic PQ exactly — unit
+    * normalization, m contiguous subspaces (dsub derived from len(u)
+    * so the same SQL serves any dim), first-ksub init, L2 assignment
+    * with lowest-cluster ties, floor-scaled integer mean sums, and ADC
+    * scoring whose m partial distances add in fixed subspace order —
+    * so even the compressed-code index is hash-comparable. */
+  def annPqCtes(outRel: String, m: Int, ksub: Int, iters: Int,
+      numQueries: Int, k: Int, scale: Long): String = {
+    // left-fold squared-L2 of two equal-length list expressions (the
+    // same fold order as Spark's aggregate(zip_with(...), 0.0, +))
+    def d2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), " +
+        s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x,y) -> x+y)"
+    val pu =
+      """pu AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+        |  FROM n
+        |)""".stripMargin
+    val subs = (0 until m).map { mi =>
+      s"""psub$mi AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(range(1, len(u)//$m + 1),
+         |    i -> u[$mi*(len(u)//$m) + i]) AS sv
+         |  FROM pu
+         |)""".stripMargin
+    }
+    def assignCte(name: String, mi: Int, centRel: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT s.vec_id, cp.cluster, ${d2("s.sv", "cp.c")} AS d
+         |    FROM psub$mi s, $centRel cp)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) = 1
+         |)""".stripMargin
+    val perSub = (0 until m).flatMap { mi =>
+      val c0 =
+        s"""pc${mi}_0 AS MATERIALIZED (
+           |  SELECT CAST(vec_id AS INT) AS cluster, sv AS c
+           |  FROM psub$mi WHERE vec_id < $ksub
+           |)""".stripMargin
+      val itCtes = (1 to iters).flatMap { it =>
+        val mean = s"CAST(CAST(SUM(CAST(FLOOR(s.sv[p.pos] * $scale.0) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
+          s" / (COUNT(*) * $scale.0)"
+        Seq(
+          assignCte(s"pa${mi}_$it", mi, s"pc${mi}_${it - 1}"),
+          s"""pc${mi}_$it AS MATERIALIZED (
+             |  SELECT cluster, list(mn ORDER BY pos) AS c FROM (
+             |    SELECT a.cluster, p.pos, $mean AS mn
+             |    FROM pa${mi}_$it a JOIN psub$mi s USING (vec_id),
+             |      (SELECT unnest(range(1, (SELECT len(sv) FROM psub$mi LIMIT 1) + 1)) AS pos) p
+             |    GROUP BY a.cluster, p.pos)
+             |  GROUP BY cluster
+             |)""".stripMargin)
+      }
+      Seq(c0) ++ itCtes ++ Seq(assignCte(s"pcode$mi", mi, s"pc${mi}_$iters"))
+    }
+    val codeJoin = (1 until m).map(mi => s"JOIN pcode$mi c$mi USING (vec_id)").mkString(" ")
+    val codes =
+      s"""pcodes AS MATERIALIZED (
+         |  SELECT c0.vec_id, ${(0 until m).map(mi => s"c$mi.cluster AS k$mi").mkString(", ")}
+         |  FROM pcode0 c0 $codeJoin
+         |)""".stripMargin
+    val centJoins = (0 until m)
+      .map(mi => s"JOIN pc${mi}_$iters cc$mi ON cc$mi.cluster = c.k$mi").mkString("\n  ")
+    val qJoins = (1 until m)
+      .map(mi => s"JOIN psub$mi qs$mi ON qs$mi.vec_id = qs0.vec_id").mkString(" ")
+    val adist = (0 until m).map(mi => d2(s"qs$mi.sv", s"cc$mi.c")).mkString(" + ")
+    val fin =
+      s"""pqd AS (
+         |  SELECT qs0.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $adist AS adist
+         |  FROM pcodes c
+         |  $centJoins
+         |  , psub0 qs0 $qJoins
+         |  WHERE qs0.vec_id < $numQueries AND c.vec_id <> qs0.vec_id
+         |), $outRel AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, adist, CAST(rk AS INT) AS "rank"
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+         |        FROM pqd)
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    (Seq(pu) ++ subs ++ perSub ++ Seq(codes, fin)).mkString(", ")
+  }
+
   /** The MinHash+LSH band-key pipeline as a CTE block: from a relation
     * `shRel(doc_id, sh)` of string shingle sets to `bk(doc_id, bkey)`
     * of signed band keys — FNV shingle hashes, `numPerms` splitmix64

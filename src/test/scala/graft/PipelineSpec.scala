@@ -86,6 +86,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.toSeq == one.sortBy(-_).toSeq)
   }
 
+  test("nearest_centroid_l2: argmin by squared L2, ties to lowest id, float+double input") {
+    // centroid 5 and centroid 1 are identical → tie at d=0.02 → id 1 wins
+    val ids = Seq(5, 2, 1)
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(0.0, 0.0))
+    val dbl = Seq(Seq(0.1, 0.1)).toDF("v")
+      .select(nearest_centroid_l2(col("v"), ids, cents)).as[Int].collect()
+    assert(dbl.toSeq == Seq(1))
+    val flt = Seq(Array(0.9f, 0.9f)).toDF("v")
+      .select(nearest_centroid_l2(col("v"), ids, cents)).as[Int].collect()
+    assert(flt.toSeq == Seq(2), "closest to (1,1) → id 2")
+  }
+
+  test("ann_pq: k ranked neighbors per query, adist ascending, deterministic") {
+    val df = SparkEntry.queries("ann_pq")(spark, dir)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8) // sf0.001 has 8 query vectors (same batch as bruteforce)
+    byQ.values.foreach { qr =>
+      assert(qr.length == 10)
+      val ordered = qr.sortBy(_.getAs[Int]("rank"))
+      val ad = ordered.map(_.getAs[Double]("adist"))
+      assert(ad.forall(_ >= 0.0), "squared-L2 ADC distance is non-negative")
+      assert(ad.toSeq == ad.sorted.toSeq, "rank follows ascending adist")
+    }
+    val again = SparkEntry.queries("ann_pq")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "codebook training + encoding must be run-to-run deterministic")
+  }
+
   test("ann_lsh neighbors are a subset of bruteforce candidates' space") {
     val lsh = SparkEntry.queries("ann_lsh")(spark, dir).collect()
     assert(lsh.nonEmpty)

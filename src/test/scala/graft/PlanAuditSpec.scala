@@ -101,6 +101,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("ann_lsh").contains("BroadcastExchange"))
   }
 
+  test("ann_pq broadcasts the query batch and encodes via the native L2 expression") {
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"PQ scoring must broadcast the query batch, never shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "ADC scoring must not be a shuffled cartesian")
+    val opt = SparkEntry.queries("ann_pq")(spark, dir)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("nearestcentroidl2") || opt.contains("nearest_centroid_l2"),
+      "codebook assignment must be the native scan-local expression")
+  }
+
   test("ann_lsh computes hyperplane keys once via the native expression") {
     // the composed form evaluated tables*bits aggregate trees; the
     // native expression must appear (and the old sequence+aggregate
