@@ -201,25 +201,34 @@ object AnnOps {
           (id, u.slice(mi * dsub, (mi + 1) * dsub))
         }.toSeq).toMap
     }
-    val codebooks: Map[Int, Seq[(Int, Seq[Double])]] =
-      (0 until m).map { mi =>
-        var cents = init(mi)
-        for (_ <- 1 to iters) {
-          val sums = (0 until dsub).map(i =>
-            sum(floor(element_at(subCol(mi), i + 1) * scale)).as(s"s$i"))
-          cents = withU
-            .groupBy(nearest(mi, cents).as("cluster"))
-            .agg(count(lit(1)).as("cnt"), sums: _*)
-            .collect()
-            .map { r =>
-              val n = r.getAs[Long]("cnt")
-              (r.getAs[Int]("cluster"),
-                (0 until dsub).map(i => r.getLong(i + 2) / (n * scale)).toSeq)
-            }
-            .toSeq.sortBy(_._1)
+    // all m subspaces train in ONE aggregation per Lloyd iteration:
+    // each row inline-explodes to (mi, cluster, sv) triples and the
+    // floor-scaled integer sums group by (mi, cluster) — same
+    // order-independent math as training each subspace alone, but
+    // `iters` distributed jobs instead of m*iters. At 100 TB the
+    // corpus is scanned `iters` times total, not m*iters times.
+    val codebooks: Map[Int, Seq[(Int, Seq[Double])]] = {
+      var cbs: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map(init)
+      for (_ <- 1 to iters) {
+        val stacked = withU.select(inline(array((0 until m).map(mi =>
+          struct(lit(mi).as("mi"), nearest(mi, cbs(mi)).as("cluster"),
+            subCol(mi).as("sv"))): _*)))
+        val sums = (0 until dsub).map(i =>
+          sum(floor(element_at(col("sv"), i + 1) * scale)).as(s"s$i"))
+        val byMi = stacked.groupBy(col("mi"), col("cluster"))
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .collect()
+          .groupBy(_.getInt(0))
+        cbs = (0 until m).map { mi =>
+          byMi(mi).map { r =>
+            val n = r.getAs[Long]("cnt")
+            (r.getAs[Int]("cluster"),
+              (0 until dsub).map(i => r.getLong(i + 3) / (n * scale)).toSeq)
+          }.toSeq.sortBy(_._1)
         }
-        mi -> cents
-      }.toMap
+      }
+      (0 until m).map(mi => mi -> cbs(mi)).toMap
+    }
 
     // encode: m codebook indices per vector — scan-local projection
     val coded = withU.select(

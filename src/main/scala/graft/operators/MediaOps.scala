@@ -208,6 +208,88 @@ object MediaOps {
       }
     }(Encoders.row(bmpDecodeSchema))
 
+  /** Nearest-neighbor BMP downsample: source pixel for target (tx, ty)
+    * is (floor(tx*w/tw), floor(ty*h/th)) in the LOGICAL top-down grid
+    * (file rows un-flip through the header's bottom-up/top-down sign),
+    * the standard box-corner NN mapping. Returns the resized image's
+    * per-channel (B, G, R) sums/maxima plus an md5 of the resized
+    * BGR byte string — the decode→transform step of an image training
+    * pipeline, with the transform output small and bounded (tw·th
+    * pixels) no matter how large the source payload. */
+  final case class BmpResizedMeta(
+      width: Int, height: Int,
+      channelSums: Array[Long], channelPeaks: Array[Long], pxMd5: String)
+
+  def resizeBmpNearest(bytes: Array[Byte], tw: Int, th: Int): BmpResizedMeta = {
+    require(tw > 0 && th > 0, "degenerate target dimensions")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && buf.get() == 'B'.toByte && buf.get() == 'M'.toByte,
+      "not a BMP payload")
+    buf.getInt; buf.getInt // file size, reserved
+    val dataOffset = buf.getInt
+    val dibSize = buf.getInt
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    val width = buf.getInt
+    val rawHeight = buf.getInt
+    val height = math.abs(rawHeight)
+    buf.getShort
+    val bpp = buf.getShort
+    val compression = buf.getInt
+    require(bpp == 24 && compression == 0,
+      s"only 24-bpp BI_RGB supported, got bpp=$bpp compression=$compression")
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(dataOffset + rowSize.toLong * height <= bytes.length,
+      "pixel array overruns payload")
+    val sums = new Array[Long](3)
+    val peaks = new Array[Long](3)
+    val sb = new StringBuilder
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * height / th
+      val fileRow = if (rawHeight < 0) sy else height - 1 - sy
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * width / tw
+        var c = 0
+        while (c < 3) {
+          val v = (bytes(dataOffset + fileRow * rowSize + sx * 3 + c) & 0xff).toLong
+          sums(c) += v
+          if (v > peaks(c)) peaks(c) = v
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(v)
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    BmpResizedMeta(width, height, sums, peaks, md5)
+  }
+
+  private val bmpResizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channel_sums", ArrayType(LongType)),
+    StructField("channel_peaks", ArrayType(LongType)),
+    StructField("px_md5", StringType)))
+
+  /** Partition-batched BMP nearest-neighbor resize over a binary
+    * column (same contract as [[decodeBmpDF]]). */
+  def resizeBmpDF(df: DataFrame, idCol: String, payloadCol: String,
+      tw: Int, th: Int): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val m = resizeBmpNearest(r.getAs[Array[Byte]](1), tw, th)
+        Row(r.getLong(0), m.width.toLong, m.height.toLong,
+          m.channelSums.toSeq, m.channelPeaks.toSeq, m.pxMd5)
+      }
+    }(Encoders.row(bmpResizeSchema))
+
   /** Parsed PNG: dimensions plus per-channel (R, G, B) integer sums and
     * maxima. Unlike [[decodeWav]]/[[decodeBmp]], the parse side here is
     * the JDK's own ImageIO PNG reader — an independent implementation

@@ -32,6 +32,28 @@ object TextOps {
       regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
       ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_est"))
 
+  /** Unigram-LM surprisal scoring in the INTEGER log2 domain (see
+    * ta_lm in [[graft.queries.TextQueries]] for the cross-engine
+    * determinism rationale): per-token surprisal is floor(log2 N) −
+    * floor(log2 C(w)) bits, summed per document, plus the rarest
+    * token's corpus count and the count of rare-token occurrences.
+    * Joins the data-derived vocab by word (never broadcast); only the
+    * 1-row corpus total broadcasts. */
+  def lmScore(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val dw = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    def bits(x: org.apache.spark.sql.Column) = length(bin(x))
+    dw.join(cnt, "w").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").as("n_tokens"),
+        sum(col("k") * (bits(col("n")) - bits(col("c"))).cast("long")).as("surprisal_bits"),
+        min("c").as("min_count"),
+        sum(when(col("c") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"))
+  }
+
   /** Language ID via the stopword heuristic; reports prediction vs the
     * `lang` label plus the English score. */
   def langid(docs: DataFrame): DataFrame = {

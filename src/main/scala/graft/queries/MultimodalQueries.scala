@@ -130,6 +130,33 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Closed-form replay of nearest-neighbor resize to 3×2: target
+    * pixel (tx, ty) samples logical source (tx*w//3, ty*h//2); the
+    * source BGR value at logical (sx, sy, c) is the mm_image fixture's
+    * (doc_id*31 + ((sy*w + sx)*3 + c)*7) % 256 — all integer ops. */
+  private def resizeOracle: String = {
+    val tw = 3; val th = 2
+    // value of flattened resized position p (pixel index) and channel c
+    def v(p: String, c: String) =
+      s"(doc_id*31 + (((($p)//$tw*h//$th)*w + (($p)%$tw*w//$tw))*3 + ($c))*7) % 256"
+    def chan(c: Int, agg: String) =
+      s"list_$agg(list_transform(range(0, ${tw * th}), p2 -> ${v("p2", c.toString)}))"
+    // md5 input: BGR values in row-major target order, comma-joined
+    val pxStr = s"array_to_string(list_transform(range(0, ${tw * th * 3}), " +
+      s"j -> CAST(${v("j//3", "j%3")} AS VARCHAR)), ',')"
+    s"""WITH p AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+       |)
+       |SELECT doc_id, 'image/bmp' AS modality,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST($tw AS BIGINT) AS t_width, CAST($th AS BIGINT) AS t_height,
+       |  CAST(${chan(0, "sum")} AS BIGINT) AS b_sum, CAST(${chan(0, "max")} AS BIGINT) AS b_max,
+       |  CAST(${chan(1, "sum")} AS BIGINT) AS g_sum, CAST(${chan(1, "max")} AS BIGINT) AS g_max,
+       |  CAST(${chan(2, "sum")} AS BIGINT) AS r_sum, CAST(${chan(2, "max")} AS BIGINT) AS r_max,
+       |  md5($pxStr) AS px_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   private def pngOracle: String = {
     def chanSum(c: Int) =
       s"list_sum(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*29 + (p2*3 + $c)*13) % 256))"
@@ -200,6 +227,41 @@ object MultimodalQueries {
           element_at(col("channel_peaks"), 2).as("g_max"),
           element_at(col("channel_sums"), 3).as("b_sum"),
           element_at(col("channel_peaks"), 3).as("b_max"))
+        .orderBy("doc_id")
+    },
+    // mm81 (round 5): decode → TRANSFORM — nearest-neighbor downsample
+    // to a fixed 3×2 thumbnail inside the same partition-batched pass
+    // as the BMP parse (no full-resolution pixel array ever reaches a
+    // column: the per-row output is bounded at tw·th pixels no matter
+    // the source size — the shape an image training pipeline needs at
+    // 100 TB). Resized per-channel stats AND the md5 of the exact
+    // resized BGR byte string are replayed closed-form by the oracle,
+    // so the sampling arithmetic (floor(t*src/dst), bottom-up row
+    // un-flip) is verified pixel-exact, not just statistically.
+    QueryDef.sql("mm_resize", resizeOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val pixels = Array.tabulate(w * h * 3)(j => ((id * 31 + j * 7) % 256).toInt)
+          Row(id, graft.operators.MediaOps.bmpBytes(w, h, pixels))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+      graft.operators.MediaOps.resizeBmpDF(fixture, "doc_id", "payload", 3, 2)
+        .select(
+          col("doc_id"), lit("image/bmp").as("modality"),
+          col("width"), col("height"),
+          lit(3L).as("t_width"), lit(2L).as("t_height"),
+          element_at(col("channel_sums"), 1).as("b_sum"),
+          element_at(col("channel_peaks"), 1).as("b_max"),
+          element_at(col("channel_sums"), 2).as("g_sum"),
+          element_at(col("channel_peaks"), 2).as("g_max"),
+          element_at(col("channel_sums"), 3).as("r_sum"),
+          element_at(col("channel_peaks"), 3).as("r_max"),
+          col("px_md5"))
         .orderBy("doc_id")
     },
     // mm65: PNG decode through the JDK's OWN ImageIO reader against a

@@ -132,6 +132,38 @@ object TextQueries {
       TextOps.tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // ta80 (round 5): unigram-LM surprisal scoring — the "score every
+    // document under a corpus language model" quality pass (the CCNet
+    // recipe filters on LM perplexity), trained on the corpus itself in
+    // the same plan. Scored in the INTEGER log2 domain: ln() is not
+    // IEEE-correctly-rounded (JVM and DuckDB can disagree in the last
+    // ulp, which a hash compare would catch), but a count's MSB
+    // position — floor(log2 c) = length(bin(c)) - 1 — is exact
+    // everywhere, so per-token surprisal (floor(log2 N) −
+    // floor(log2 C(w))) bits sums as a BIGINT. The 100 TB shape:
+    // vocab counts and per-doc word multisets are map-side-combined
+    // aggregations; the score join is keyed by word on the
+    // doc-DISTINCT multiset (never per-token occurrences), and the
+    // vocab — data-derived, unbounded — is JOINED, never broadcast.
+    // Only the 1-row corpus total broadcasts.
+    QueryDef.sql(
+      "ta_lm",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS w FROM documents
+         |),
+         |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM toks GROUP BY doc_id, w),
+         |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+         |SELECT dw.doc_id,
+         |  CAST(SUM(k) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(k * (LENGTH(bin(n)) - LENGTH(bin(c)))) AS BIGINT) AS surprisal_bits,
+         |  CAST(MIN(c) AS BIGINT) AS min_count,
+         |  CAST(SUM(CASE WHEN c <= 2 THEN k ELSE 0 END) AS BIGINT) AS rare_tokens
+         |FROM dw JOIN cnt USING (w), tot
+         |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ta39: language ID via the stopword heuristic. Each per-lang score
     // is one exact-int division, so the argmax (score desc, then
     // lexically-largest lang — Spark's struct array_max order) is

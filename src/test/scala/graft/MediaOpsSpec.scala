@@ -154,6 +154,39 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeBmpNearest matches a brute-force logical-grid reference") {
+    val (w, h, tw, th) = (7, 5, 3, 2)
+    val pixels = Array.tabulate(w * h * 3)(j => (j * 11 + 3) % 256)
+    val m = MediaOps.resizeBmpNearest(MediaOps.bmpBytes(w, h, pixels), tw, th)
+    // reference: sample the LOGICAL top-down array directly
+    val ref = for (ty <- 0 until th; tx <- 0 until tw; c <- 0 until 3)
+      yield pixels(((ty * h / th) * w + (tx * w / tw)) * 3 + c).toLong
+    val refMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(ref.mkString(",").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(m.width == w && m.height == h)
+    assert(m.pxMd5 == refMd5, "resized BGR byte string must be pixel-exact")
+    (0 until 3).foreach { c =>
+      val chan = ref.zipWithIndex.collect { case (v, i) if i % 3 == c => v }
+      assert(m.channelSums(c) == chan.sum && m.channelPeaks(c) == chan.max)
+    }
+  }
+
+  test("resizeBmpNearest honors top-down (negative height) row order") {
+    val (w, h) = (4, 3)
+    val pixels = Array.tabulate(w * h * 3)(j => (j * 5 + 1) % 256)
+    val bottomUp = MediaOps.bmpBytes(w, h, pixels)
+    // rebuild as a top-down file: negate height, un-flip the stored rows
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val topDown = bottomUp.clone()
+    val bb = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    for (y <- 0 until h; i <- 0 until rowSize)
+      topDown(54 + y * rowSize + i) = bottomUp(54 + (h - 1 - y) * rowSize + i)
+    val a = MediaOps.resizeBmpNearest(bottomUp, 2, 2)
+    val b = MediaOps.resizeBmpNearest(topDown, 2, 2)
+    assert(a.pxMd5 == b.pxMd5, "same logical image → same resized pixels")
+  }
+
   test("decodeWavDF decodes a binary column partition-batched") {
     import spark.implicits._
     val rows = (0L until 10L).map { id =>

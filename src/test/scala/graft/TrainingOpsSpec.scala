@@ -26,6 +26,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 4L, 1.0, 3L, 2.0 / 3)))      // tt,tt,tt -> 1 distinct
   }
 
+  test("lmScore: integer-bit surprisal, hand-computed on a tiny corpus") {
+    // vocab: a×2 b×2 c×1, N=5 → bits(5)=3, bits(2)=2, bits(1)=1
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc1: 3 tokens, surprisal (3-2)*3 = 3, min c = 2, all rare (c<=2)
+    // doc2: 2 tokens, surprisal (3-2)+(3-1) = 3, min c = 1, both rare
+    assert(got.toSeq == Seq((1L, 3L, 3L, 2L, 3L), (2L, 2L, 3L, 1L, 2L)))
+  }
+
   test("piiScan: counts and redaction verified against manual replacement") {
     val docs = Seq(
       (1L, "mail me at jane.doe@corp.example.org or call 555-0199 now"),
