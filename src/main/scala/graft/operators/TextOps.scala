@@ -54,6 +54,32 @@ object TextOps {
         sum(when(col("c") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"))
   }
 
+  /** TF-IDF keyword extraction, top-`topK` terms per document. IDF in
+    * the same INTEGER log2 domain as [[lmScore]] — floor(log2 N) −
+    * floor(log2 df(w)) bits, exact cross-engine where ln() is not —
+    * so score = tf · idf_bits is a BIGINT and the per-doc argmax
+    * (score desc, then term asc) is reproducible. 100 TB shape: tf
+    * and df are map-side-combined aggregations, the score join is
+    * keyed by term against the data-derived df table (joined, never
+    * broadcast; only the 1-row doc count broadcasts), and the top-k
+    * window partitions by doc — no global sort. */
+  def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def bits(x: org.apache.spark.sql.Column) = length(bin(x))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (bits(col("n_docs")) - bits(col("df"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Language ID via the stopword heuristic; reports prediction vs the
     * `lang` label plus the English score. */
   def langid(docs: DataFrame): DataFrame = {

@@ -164,6 +164,30 @@ object TextQueries {
       TextOps.lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // ta82 (round 5): TF-IDF keyword extraction — top-3 terms per doc,
+    // IDF in the integer log2 domain (floor-log2 via MSB position, same
+    // cross-engine-exact trick as ta_lm), ties broken term-ascending so
+    // the per-doc argmax hash-matches. The df table is data-derived and
+    // unbounded → JOINED by term, never broadcast; the top-k window
+    // partitions by doc_id (no global sort).
+    QueryDef.sql(
+      "ta_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.tokens("text")}) AS term FROM documents
+         |),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+         |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT doc_id, rank, term, tf, df, score FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         |    CAST(tf.tf * (LENGTH(bin(n_docs)) - LENGTH(bin(df))) AS BIGINT) AS score,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * (LENGTH(bin(n_docs)) - LENGTH(bin(df))) DESC, tf.term) AS INT) AS rank
+         |  FROM tf JOIN dft USING (term), nd)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextOps.tfidf(Tables.load(s, dir, "documents")).orderBy("doc_id", "rank")
+    },
+
     // ta39: language ID via the stopword heuristic. Each per-lang score
     // is one exact-int division, so the argmax (score desc, then
     // lexically-largest lang — Spark's struct array_max order) is

@@ -36,6 +36,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 3L, 2L, 3L), (2L, 2L, 3L, 1L, 2L)))
   }
 
+  test("tfidf: integer-bit idf argmax with term-ascending ties, hand-computed") {
+    // N=4 docs → bits(4)=3. df: a→4 (idf 3-3=0), b→2 (3-2=1), c→1 (3-1=2), d→1 (2)
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a d d"), (4L, "a")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(docs, topK = 2).orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1, "c", 2L), (1L, 2, "b", 1L),   // c: 1*2 beats b: 1*1 beats a: 0
+      (2L, 1, "b", 1L), (2L, 2, "a", 0L),
+      (3L, 1, "d", 4L), (3L, 2, "a", 0L),   // d: tf 2 * idf 2
+      (4L, 1, "a", 0L)))                    // only one term
+  }
+
   test("piiScan: counts and redaction verified against manual replacement") {
     val docs = Seq(
       (1L, "mail me at jane.doe@corp.example.org or call 555-0199 now"),
