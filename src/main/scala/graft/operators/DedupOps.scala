@@ -128,6 +128,68 @@ object DedupOps {
         countDistinct("eval_doc").as("n_eval_docs"))
   }
 
+  /** Exact shared-SUBSTRING pairs (the ExactSubstr half of Lee et al.
+    * '22 "Deduplicating Training Data Makes Language Models Better"):
+    * for every doc pair sharing at least one exact k-token span,
+    * report the length in tokens of their longest shared span and the
+    * total count of matched k-gram positions. Shuffle keys are FNV-64
+    * positional k-gram hashes (8 bytes, never gram strings); the
+    * oracle joins the literal grams — identical barring ~2⁻⁶⁴
+    * collisions (the dd35 stand-in contract).
+    *
+    * Matched positions (pa, pb) lie on diagonals d = pa − pb, and the
+    * longest shared substring is the longest CONSECUTIVE run of
+    * matches on one diagonal. Runs are found with the gaps-and-islands
+    * trick — grp = pa − row_number() over the (pair, d) window is
+    * constant exactly along a consecutive run — so the whole operator
+    * is candidate join + two keyed aggregations; no per-pair
+    * sequential scan, no global sort, and window state is bounded by
+    * one (pair, diagonal) match list. K-grams held by more than
+    * `maxDocsPerSpan` distinct docs (corpus boilerplate: license
+    * headers, navigation chrome) are dropped BEFORE pair generation —
+    * the standard ExactSubstr cap that keeps a 100 TB run from
+    * generating O(hot²) pairs off one common sentence. */
+  def spanPairs(docs: DataFrame, k: Int = 8,
+      maxDocsPerSpan: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    // positional (NOT distinct) hashed k-grams: pos is the gram's
+    // 0-based token offset. Shingling is the CPU stage — spread it
+    // (docShingles rationale).
+    val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(size(toks) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleHashes(toks, k)).as(Seq("p", "key")))
+    // boilerplate cap, then keep only grams ≥2 docs can pair on: the
+    // aggregate is distinct-gram-sized (corpus-proportional, so NOT
+    // broadcast-hinted — AQE picks broadcast while it fits and
+    // degrades to shuffle beyond, same reasoning as ngramJaccardJoin's
+    // df join).
+    val keep = grams.groupBy("key")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs").between(2, maxDocsPerSpan))
+      .select("key")
+    val g = grams.join(keep, "key").persist()
+    val l = g.as("l")
+    val r = g.as("r")
+    val matches = l.join(r,
+        col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.p").as("pa"), (col("l.p") - col("r.p")).as("d"))
+    // pa is unique within (pair, d) — for a fixed diagonal, pa
+    // determines pb — so row_number is deterministic and consecutive
+    // pa values collapse to one island.
+    val w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    val runs = matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "grp")
+      .agg(count(lit(1)).as("run"))
+    val out = runs.groupBy("doc_a", "doc_b")
+      .agg((max(col("run")) + (k - 1)).as("longest_span_tokens"),
+        sum(col("run")).cast("long").as("n_matched_grams"))
+    out
+  }
+
   /** Exact-dedup groups: normalized-text md5 → (hash, copies, keeper).
     * At scale: hash-shuffle on a 32-char key, map-side pre-aggregated. */
   def exactGroups(docs: DataFrame): DataFrame =

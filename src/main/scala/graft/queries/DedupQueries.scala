@@ -99,6 +99,60 @@ object DedupQueries {
         .orderBy("canonical_url")
     },
 
+    // dd83 (round 5): exact shared-substring pairs (ExactSubstr, Lee
+    // et al. '22) — longest shared k-token span + matched-gram count
+    // per doc pair, via positional FNV k-grams, a boilerplate cap
+    // BEFORE pair generation, and the gaps-and-islands run detection
+    // on (pair, diagonal) windows. The oracle joins literal grams
+    // where Spark joins their FNV-64 hashes (the dd35 stand-in
+    // contract) and replays the same islands window; top-50 pairs by
+    // (span desc, doc_a, doc_b) — a total order, so LIMIT is
+    // deterministic.
+    QueryDef.sql(
+      "dd_span", {
+        import OracleSql._
+        val k = 8
+        val gram = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tokens("text")} AS w FROM documents
+           |), sh AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, len(w) - ${k - 2}), i -> $gram) AS s
+           |  FROM t WHERE len(w) >= $k
+           |), g AS (
+           |  SELECT doc_id, unnest(range(1, len(s) + 1)) AS p,
+           |    unnest(s) AS gram
+           |  FROM sh
+           |), keep AS (
+           |  SELECT gram FROM g GROUP BY gram
+           |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+           |), m AS (
+           |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           |    l.p AS pa, l.p - r.p AS d
+           |  FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+           |  JOIN keep k ON k.gram = l.gram
+           |), runs AS (
+           |  SELECT doc_a, doc_b, d,
+           |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
+           |                            ORDER BY pa) AS grp
+           |  FROM m
+           |), agg AS (
+           |  SELECT doc_a, doc_b, d, grp, count(*) AS run
+           |  FROM runs GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(max(run) + ${k - 1} AS BIGINT) AS longest_span_tokens,
+           |  CAST(sum(run) AS BIGINT) AS n_matched_grams
+           |FROM agg GROUP BY doc_a, doc_b
+           |ORDER BY longest_span_tokens DESC, doc_a, doc_b
+           |LIMIT $TopK""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.spanPairs(Tables.load(s, dir, "documents"),
+          k = 8, maxDocsPerSpan = 50)
+        .orderBy(col("longest_span_tokens").desc, col("doc_a"), col("doc_b"))
+        .limit(TopK)
+    },
+
     // dd33: MinHash + LSH banding (64 perms, 16 bands × 4 rows) →
     // bucket join → exact Jaccard verify on candidates only. 16 bands
     // of 4 catch Jaccard≥0.8 pairs with p≥0.996 at half the signature

@@ -81,6 +81,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
   }
 
+  test("spanPairs: longest shared span via diagonal runs, boilerplate cap") {
+    // k=3. doc1/doc2 share "a b c d" (grams 'a b c','b c d' on one
+    // diagonal -> run 2 -> span 2+3-1=4). doc1/doc3 share 'c d e' at
+    // TWO positions in doc3 (two diagonals, runs of 1 -> span 3,
+    // 2 matches). docs 4-6 share 'k l m' across 3 docs — over the
+    // cap of 2, dropped before pair generation.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x a b c d y"), (3L, "c d e q c d e"),
+      (4L, "k l m 1"), (5L, "k l m 2"), (6L, "k l m 3")
+    ).toDF("doc_id", "text")
+    val capped = DedupOps.spanPairs(docs, k = 3, maxDocsPerSpan = 2)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq == Seq((1L, 2L, 4L, 2L), (1L, 3L, 3L, 2L)))
+    // with the cap lifted, the three boilerplate pairs appear too
+    val uncapped = DedupOps.spanPairs(docs, k = 3, maxDocsPerSpan = 50)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(uncapped.toSeq == Seq(
+      (1L, 2L, 4L, 2L), (1L, 3L, 3L, 2L),
+      (4L, 5L, 3L, 1L), (4L, 6L, 3L, 1L), (5L, 6L, 3L, 1L)))
+  }
+
   test("packSequences: next-fit semantics, per-shard bins, overflow docs isolated") {
     // one shard (shards=1), budget 10, token counts 4,5,3,12,2,9 in
     // doc order -> bins: [4,5],[3],[12],[2],[9]  (next-fit, 12 overflows alone,
