@@ -646,6 +646,40 @@ object RelationalQueries {
         .orderBy("lang")
     },
 
+    // q39 (round 5): RANGE-frame window — trailing 30-day sum/count
+    // per customer, the value-based frame ROWS can't express (peers
+    // at the same date enter the frame together; a gap of >30 days
+    // empties it). Both engines order by the same INTEGER day number
+    // (datediff from a fixed epoch) so frame boundaries are exact —
+    // interval arithmetic on raw timestamps differs in sub-day
+    // handling across engines. Partitioned by customer: no global
+    // sort, and frame state is bounded by one customer's 31-day
+    // order window regardless of corpus size.
+    QueryDef.sql(
+      "q39_range_frame",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY day
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+        |  CAST(COUNT(*) OVER
+        |    (PARTITION BY o_custkey ORDER BY day
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val day = datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.cast("long").as("day"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_sum"),
+          count(lit(1)).over(w).as("n_trailing"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // q36 (round 4): correlated EXISTS / NOT EXISTS in one query —
     // customers with at least one big-ticket order but none cancelled.
     // Catalyst decorrelates to a semi join + anti join (audited shape:
