@@ -50,11 +50,10 @@ object MediaOps {
     buf.array()
   }
 
-  /** Parse a RIFF/WAVE PCM payload: chunk-walk to `fmt ` and `data`
-    * (real files interleave LIST/INFO/fact chunks — unknown chunks are
-    * skipped, with the spec's odd-length pad byte honored), then fold
-    * per-channel sum/peak over the interleaved frames. */
-  def decodeWav(bytes: Array[Byte]): WavMeta = {
+  /** Shared RIFF/WAVE chunk walk: (sampleRate, channels, bits, data).
+    * Real files interleave LIST/INFO/fact chunks — unknown chunks are
+    * skipped, with the spec's odd-length pad byte honored. */
+  private def wavChunks(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def str4(): String = {
       val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
@@ -88,6 +87,14 @@ object MediaOps {
     }
     require(fmtSeen, "missing fmt chunk")
     require(data != null, "missing data chunk")
+    (sampleRate, channels, bits, data)
+  }
+
+  /** Parse a RIFF/WAVE PCM payload: chunk-walk to `fmt ` and `data`
+    * ([[wavChunks]]), then fold per-channel sum/peak over the
+    * interleaved frames. */
+  def decodeWav(bytes: Array[Byte]): WavMeta = {
+    val (sampleRate, channels, bits, data) = wavChunks(bytes)
     val bps = bits / 8
     val frames = data.length / (channels * bps)
     val sums = new Array[Long](channels)
@@ -505,4 +512,78 @@ object MediaOps {
           m.channelSums.toSeq, m.channelPeaks.toSeq)
       }
     }(Encoders.row(decodeSchema))
+
+  /** Frame-SAMPLED WAV decode: per-channel stats over every `every`-th
+    * frame only — the frame-sampling stage a multimodal training
+    * pipeline runs before feature extraction (audio decimation; the
+    * same access pattern as video frame sampling). Fused into the
+    * decode pass: one parse, one stride-`every` fold — the sampled
+    * subset is never materialized as an array or column, and the
+    * per-row output is bounded regardless of payload length.
+    * `sampleMd5` is the md5 of the sampled values themselves
+    * (comma-joined decimal, frame-major across channels), so the
+    * oracle verifies the decimation arithmetic sample-exact, not just
+    * statistically. */
+  final case class WavSampleMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, nSampled: Long,
+      channelSums: Array[Long], channelPeaks: Array[Long],
+      sampleMd5: String)
+
+  def sampleWavFrames(bytes: Array[Byte], every: Int): WavSampleMeta = {
+    require(every > 0, s"sampling stride must be positive, got $every")
+    val (sampleRate, channels, bits, data) = wavChunks(bytes)
+    val bps = bits / 8
+    val frames = data.length / (channels * bps)
+    val sums = new Array[Long](channels)
+    val peaks = Array.fill(channels)(Long.MinValue)
+    val sb = new java.lang.StringBuilder
+    var nSampled = 0L
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val i = (f * channels + c) * bps
+        val v: Long =
+          if (bits == 8) (data(i) & 0xff).toLong
+          else ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+        sums(c) += v
+        if (v > peaks(c)) peaks(c) = v
+        if (sb.length > 0) sb.append(',')
+        sb.append(v)
+        c += 1
+      }
+      nSampled += 1
+      f += every
+    }
+    if (nSampled == 0) java.util.Arrays.fill(peaks, 0L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    WavSampleMeta(sampleRate, channels, bits, frames, nSampled,
+      sums, peaks, md5)
+  }
+
+  private val sampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("n_frames", LongType),
+    StructField("n_sampled", LongType),
+    StructField("channel_sums", ArrayType(LongType)),
+    StructField("channel_peaks", ArrayType(LongType)),
+    StructField("sample_md5", StringType)))
+
+  /** Partition-batched frame-sampled WAV decode over a binary column
+    * (same contract as [[decodeWavDF]]). */
+  def sampleWavDF(df: DataFrame, idCol: String, payloadCol: String,
+      every: Int): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val m = sampleWavFrames(r.getAs[Array[Byte]](1), every)
+        Row(r.getLong(0), m.sampleRate.toLong, m.channels.toLong,
+          m.nFrames, m.nSampled, m.channelSums.toSeq, m.channelPeaks.toSeq,
+          m.sampleMd5)
+      }
+    }(Encoders.row(sampleSchema))
 }

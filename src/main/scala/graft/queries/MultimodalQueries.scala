@@ -112,6 +112,42 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Closed-form replay of the stride-4 frame sample over the
+    * mm_decode WAV fixture: sampled frame k is source frame 4k, whose
+    * channel-c value is (doc_id*37 + (4k*ch + c)*11) % 256; the md5
+    * input lists sampled values frame-major across channels,
+    * comma-joined — exactly [[graft.operators.MediaOps.sampleWavFrames]]'
+    * fingerprint. */
+  private def frameSampleOracle: String = {
+    val every = 4
+    def v(kExpr: String, cExpr: String) =
+      s"(doc_id*37 + (($kExpr)*$every*ch + ($cExpr))*11) % 256"
+    def chan(cExpr: String, agg: String) =
+      s"list_$agg(list_transform(range(0, ns), k -> ${v("k", cExpr)}))"
+    val md5Str = s"array_to_string(list_transform(range(0, ns*ch), " +
+      s"j -> CAST(${v("j//ch", "j%ch")} AS VARCHAR)), ',')"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    50 + doc_id % 50 AS n,
+       |    1 + doc_id % 2 AS ch,
+       |    8000 + (doc_id % 3) * 4000 AS sr
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, n, ch, sr, (n + ${every - 1}) // $every AS ns FROM p
+       |)
+       |SELECT doc_id, 'audio/wav' AS modality,
+       |  CAST(sr AS BIGINT) AS sample_rate,
+       |  CAST(ch AS BIGINT) AS channels,
+       |  CAST(n AS BIGINT) AS n_frames,
+       |  CAST(ns AS BIGINT) AS n_sampled,
+       |  CAST(${chan("0", "sum")} AS BIGINT) AS c0_sum,
+       |  CAST(${chan("0", "max")} AS BIGINT) AS c0_peak,
+       |  CAST(CASE WHEN ch = 2 THEN ${chan("1", "sum")} END AS BIGINT) AS c1_sum,
+       |  CAST(CASE WHEN ch = 2 THEN ${chan("1", "max")} END AS BIGINT) AS c1_peak,
+       |  md5($md5Str) AS sample_md5
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
   private def bmpOracle: String = {
     def chanSum(c: Int) =
       s"list_sum(list_transform(range(0, CAST(w*h AS BIGINT)), p2 -> (doc_id*31 + (p2*3 + $c)*7) % 256))"
@@ -346,6 +382,32 @@ object MultimodalQueries {
           element_at(col("channel_peaks"), 1).as("c0_peak"),
           when(col("channels") === 2, element_at(col("channel_sums"), 2)).as("c1_sum"),
           when(col("channels") === 2, element_at(col("channel_peaks"), 2)).as("c1_peak"))
+        .orderBy("doc_id")
+    },
+
+    // mm85 (round 5): decode → FRAME SAMPLE — stats over every 4th
+    // frame only, fused into the same partition-batched parse (one
+    // chunk walk, one stride-4 fold; the sampled subset never
+    // materializes as an array or column). sample_md5 fingerprints the
+    // sampled values themselves, so the decimation arithmetic (which
+    // frames, which channels, in what order) is verified sample-exact
+    // by the oracle's closed-form replay — the audio twin of
+    // mm_resize's pixel-exact check, and the access pattern video
+    // frame sampling needs at 100 TB.
+    QueryDef.sql("mm_framesample", frameSampleOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.MediaOps.sampleWavDF(
+          wavFixture(docs), "doc_id", "payload", every = 4)
+        .select(
+          col("doc_id"), lit("audio/wav").as("modality"),
+          col("sample_rate"), col("channels"),
+          col("n_frames"), col("n_sampled"),
+          element_at(col("channel_sums"), 1).as("c0_sum"),
+          element_at(col("channel_peaks"), 1).as("c0_peak"),
+          when(col("channels") === 2, element_at(col("channel_sums"), 2)).as("c1_sum"),
+          when(col("channels") === 2, element_at(col("channel_peaks"), 2)).as("c1_peak"),
+          col("sample_md5"))
         .orderBy("doc_id")
     },
 

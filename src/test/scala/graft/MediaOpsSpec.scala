@@ -28,6 +28,29 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(m.channelPeaks.toSeq == Seq(100L, 32767L))
   }
 
+  test("frame sampling: stride fold visits exactly frames 0, e, 2e, ...") {
+    // stereo, 5 frames: (L,R) = (10,11),(20,21),(30,31),(40,41),(50,51)
+    val samples = Array(10, 11, 20, 21, 30, 31, 40, 41, 50, 51)
+    val m = MediaOps.sampleWavFrames(MediaOps.wavBytes(8000, 2, 8, samples), every = 2)
+    assert(m.nFrames == 5 && m.nSampled == 3)          // frames 0, 2, 4
+    assert(m.channelSums.toSeq == Seq(10L + 30 + 50, 11L + 31 + 51))
+    assert(m.channelPeaks.toSeq == Seq(50L, 51L))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(m.sampleMd5 == md5hex("10,11,30,31,50,51"))
+    // stride 1 degenerates to the full decode's stats
+    val full = MediaOps.decodeWav(MediaOps.wavBytes(8000, 2, 8, samples))
+    val s1 = MediaOps.sampleWavFrames(MediaOps.wavBytes(8000, 2, 8, samples), every = 1)
+    assert(s1.nSampled == full.nFrames)
+    assert(s1.channelSums.toSeq == full.channelSums.toSeq)
+    // 16-bit signed path: negative values print with '-' in the md5 string
+    val m16 = MediaOps.sampleWavFrames(
+      MediaOps.wavBytes(44100, 1, 16, Array(-5, 7, -9)), every = 2)
+    assert(m16.channelSums.toSeq == Seq(-14L))
+    assert(m16.sampleMd5 == md5hex("-5,-9"))
+  }
+
   test("unknown chunks (LIST/INFO) between fmt and data are skipped") {
     val base = MediaOps.wavBytes(16000, 1, 8, Array(1, 2, 3))
     // splice a 7-byte LIST chunk (odd length -> 1 pad byte) before data
