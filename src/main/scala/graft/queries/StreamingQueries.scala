@@ -60,6 +60,25 @@ object StreamingQueries {
         .orderBy("purchase_id", "click_id")
     },
 
+    // st86 (round 5): stream-static enrichment join — events pick up
+    // the customer's market segment from a BROADCAST static dim (the
+    // fact stream never shuffles for the join; under Structured
+    // Streaming the static side re-plans per micro-batch, so dim
+    // updates flow without restarting). Batch twin oracle-checked
+    // here; the streaming twin must emit the identical summary
+    // (StreamingSpec).
+    QueryDef.sql(
+      "st_static_join",
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = 1 + e.user_id % 100
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin) { (s, dir) =>
+      EventStreams.segmentAgg(EventStreams.enrich(
+          Tables.load(s, dir, "events"), Tables.load(s, dir, "customer")))
+        .orderBy("segment", "event_type")
+    },
+
     // st45: sessionization — 30-min-gap sessions per user via event-time
     // ordering + lag. Gap arithmetic in whole seconds (both engines
     // floor sub-second precision identically).

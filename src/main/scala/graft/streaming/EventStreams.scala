@@ -96,4 +96,32 @@ object EventStreams {
     attributionJoin(
       clicks.withWatermark("ts", "1 hour"),
       purchases.withWatermark("ts", "1 hour"))
+
+  /** STREAM-STATIC enrichment join (the dimension-enrichment pass
+    * every event pipeline runs): each event picks up its customer's
+    * market segment. The static side is explicitly BROADCAST — the
+    * shape that survives 100 TB/day: the fact stream never shuffles
+    * for the join, every executor holds the dim snapshot, and under
+    * Structured Streaming the static side is re-planned each
+    * micro-batch (dim updates picked up without restarting the
+    * query — the documented stream-static contract). LEFT join so
+    * events without a dim row survive with a NULL segment instead of
+    * silently dropping. The customer key is derived (1 + user_id %
+    * 100) so the join hits at every SF; both engines compute it with
+    * the same integer arithmetic. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("c_custkey") === lit(1) + pmod(col("user_id"), lit(100)), "left")
+
+  /** Compact deterministic summary of [[enrich]]: events + exact value
+    * sums per (segment, event_type). Works unchanged in batch and
+    * (complete-mode) streaming. */
+  def segmentAgg(enriched: DataFrame): DataFrame =
+    enriched.groupBy(
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 }

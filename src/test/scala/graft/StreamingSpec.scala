@@ -87,6 +87,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: streaming summary == batch twin") {
+    val batch = EventStreams.segmentAgg(EventStreams.enrich(
+        Tables.load(spark, dir, "events"), Tables.load(spark, dir, "customer")))
+      .orderBy("segment", "event_type").collect()
+
+    val q = EventStreams.segmentAgg(EventStreams.enrich(
+        EventStreams.readStream(spark, streamDir),
+        Tables.load(spark, dir, "customer")))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .orderBy("segment", "event_type").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == oracle-checked batch twin") {
     import spark.implicits._
     import graft.streaming.StatefulSessions
