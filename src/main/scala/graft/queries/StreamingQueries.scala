@@ -25,6 +25,30 @@ object StreamingQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // st87 (round 5): SLIDING-window aggregation — 1-hour windows
+    // every 15 minutes; each event lands in exactly 4 overlapping
+    // windows (epoch-aligned in both engines: the oracle replays the
+    // fan-out as time_bucket(15 min) minus j*15min for j in 0..3).
+    // Map-side fan-out + partial agg keep the 4× expansion off the
+    // wire; the streaming twin (watermarked) runs in StreamingSpec.
+    QueryDef.sql(
+      "st_sliding",
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS tb
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    tb - unnest([0, 1, 2, 3]) * INTERVAL '15 minutes' AS ws
+        |  FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      EventStreams.slidingAgg(Tables.load(s, dir, "events"))
+        .orderBy("window_start", "event_type")
+    },
+
     // st54: streaming exact-dedup — batch twin keeps a deterministic
     // representative per key; the streaming variant
     // (EventStreams.dedupStream, exercised in StreamingSpec) drops

@@ -51,6 +51,28 @@ object EventStreams {
   def hourlyAggStream(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
 
+  /** SLIDING-window aggregation: 1-hour windows every 15 minutes —
+    * each event lands in exactly windowDuration/slide = 4 overlapping
+    * windows (both engines align window starts to the epoch, so the
+    * assignment is identical). The multi-window fan-out happens
+    * map-side and partial aggregation combines before the (window,
+    * type)-keyed shuffle, so the 4× row expansion never crosses the
+    * wire unaggregated. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming variant of [[slidingAgg]] — state is
+    * bounded at (watermark + window)/slide live windows per type. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
   /** Batch dedup twin (st_dedup): one keeper + duplicate count per
     * (user_id, event_type). The keeper is min(event_id) — a
     * deterministic representative the oracle can reproduce (streaming

@@ -87,6 +87,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window agg: streaming result == batch result") {
+    val batch = EventStreams.slidingAgg(Tables.load(spark, dir, "events"))
+      .orderBy("window_start", "event_type").collect()
+
+    val q = EventStreams.slidingAggStream(EventStreams.readStream(spark, streamDir))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: streaming summary == batch twin") {
     val batch = EventStreams.segmentAgg(EventStreams.enrich(
         Tables.load(spark, dir, "events"), Tables.load(spark, dir, "customer")))
