@@ -197,4 +197,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"interval join must remain an equi-join on user_id:\n${p.take(2000)}")
   }
+
+  test("st_static_join broadcasts the dim — the event stream never shuffles for the join") {
+    val p = plan("st_static_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"static dim must broadcast:\n${p.take(2000)}")
+    // the only exchange is the (segment, type) aggregation shuffle —
+    // the join itself must add none on the fact side
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val scanSide = p.substring(joinIdx)
+    assert(!scanSide.contains("Exchange hashpartitioning"),
+      s"no exchange may sit between the events scan and the join:\n${p.take(2500)}")
+  }
+
+  test("dd_span joins on gram keys and never goes O(n^2)") {
+    val p = plan("dd_span")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span pair generation must stay a key-equi join:\n${p.take(2000)}")
+  }
+
+  test("st_sliding fans out map-side with partial aggregation before the shuffle") {
+    val p = plan("st_sliding")
+    assert(p.contains("partial_"),
+      s"sliding-window agg must combine map-side:\n${p.take(1500)}")
+  }
 }
