@@ -190,6 +190,51 @@ object DedupOps {
     out
   }
 
+  /** Paragraph-level (chunk-level) dedup — the CCNet/RefinedWeb stage
+    * that removes SEGMENTS duplicated across the corpus (boilerplate,
+    * navigation chrome, repeated disclaimers) while keeping the rest
+    * of each document. Documents are segmented into fixed `w`-token
+    * chunks (segmentation is a parameter — real pipelines pass
+    * line/paragraph boundaries; the fixed-width form is the same
+    * plumbing and deterministic on any corpus); a chunk is "duplicated"
+    * when more than one distinct doc contains it.
+    *
+    * Returns per doc: n_chunks, n_dup_chunks, and `kept_md5` — the md5
+    * of the surviving text (non-duplicated chunks joined in original
+    * order; NULL when nothing survives), so the oracle verifies the
+    * REMOVAL itself, not just counts (ta_pii discipline).
+    *
+    * Scale shape: the corpus-wide duplicate count shuffles on the
+    * chunk's FNV-64 (8-byte keys, map-side combined, one row per
+    * distinct chunk); the per-doc rebuild shuffles doc-sized rows
+    * keyed by doc_id. Nothing is ever O(pairs): unlike the pair
+    * operators, chunk dedup needs only the per-chunk doc count. */
+  def chunkDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val lastChunk = floor((size(toks) - 1) / w).cast("int")
+    val chunks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .where(size(toks) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lastChunk),
+          i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))).as(Seq("pos", "chunk")))
+      .withColumn("chunk_hash",
+        graft.functions.TextExpressions.fnv64(col("chunk")))
+    val docCounts = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("nd"))
+    val kept = filter(array_sort(collect_list(struct(col("pos"), col("chunk"), col("nd")))),
+      s => s.getField("nd") === 1)
+    chunks.join(docCounts, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        when(size(kept) === 0, lit(null))
+          .otherwise(md5(encode(
+            array_join(transform(kept, s => s.getField("chunk")), " "), "UTF-8")))
+          .as("kept_md5"))
+  }
+
   /** Exact-dedup groups: normalized-text md5 → (hash, copies, keeper).
     * At scale: hash-shuffle on a 32-char key, map-side pre-aggregated. */
   def exactGroups(docs: DataFrame): DataFrame =

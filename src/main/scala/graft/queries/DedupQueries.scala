@@ -99,6 +99,43 @@ object DedupQueries {
         .orderBy("canonical_url")
     },
 
+    // dd88 (round 5): paragraph/chunk-level dedup (the CCNet/
+    // RefinedWeb stage): segments duplicated ACROSS docs are removed,
+    // the rest of each doc survives. kept_md5 fingerprints the
+    // surviving text itself (ta_pii discipline: the removal is
+    // verified, not just counted). Spark shuffles 8-byte FNV chunk
+    // hashes for the corpus-wide count; the oracle groups literal
+    // chunks (the dd35 stand-in contract) and rebuilds the kept text
+    // with an ordered string_agg.
+    QueryDef.sql(
+      "dd_para", {
+        import OracleSql._
+        val w = 10
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tokens("text")} AS w FROM documents
+           |), c0 AS (
+           |  SELECT doc_id, w,
+           |    unnest(range(0, (len(w) + ${w - 1}) // $w)) AS pos
+           |  FROM t WHERE len(w) >= 1
+           |), c AS (
+           |  SELECT doc_id, pos,
+           |    array_to_string(w[(pos*$w + 1):(pos*$w + $w)], ' ') AS chunk
+           |  FROM c0
+           |), d AS (
+           |  SELECT chunk, count(DISTINCT doc_id) AS nd FROM c GROUP BY chunk
+           |), j AS (
+           |  SELECT c.doc_id, c.pos, c.chunk, d.nd FROM c JOIN d USING (chunk)
+           |)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  md5(string_agg(CASE WHEN nd = 1 THEN chunk END, ' ' ORDER BY pos)) AS kept_md5
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.chunkDedup(Tables.load(s, dir, "documents"), w = 10)
+        .orderBy("doc_id")
+    },
+
     // dd83 (round 5): exact shared-substring pairs (ExactSubstr, Lee
     // et al. '22) — longest shared k-token span + matched-gram count
     // per doc pair, via positional FNV k-grams, a boilerplate cap

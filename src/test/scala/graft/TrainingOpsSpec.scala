@@ -81,6 +81,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
   }
 
+  test("chunkDedup: cross-doc duplicated chunks removed, kept text fingerprinted") {
+    // w=3 chunks; 'a b c' appears in docs 1, 2 and 4 -> duplicated.
+    // doc 4 is NOTHING BUT the duplicated chunk -> kept_md5 NULL.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x"), (3L, "z z z"), (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(docs, w = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, Some(md5hex("d e f"))),
+      (2L, 2L, 1L, Some(md5hex("x"))),
+      (3L, 1L, 0L, Some(md5hex("z z z"))),
+      (4L, 1L, 1L, None)))
+  }
+
   test("spanPairs: longest shared span via diagonal runs, boilerplate cap") {
     // k=3. doc1/doc2 share "a b c d" (grams 'a b c','b c d' on one
     // diagonal -> run 2 -> span 2+3-1=4). doc1/doc3 share 'c d e' at
