@@ -54,6 +54,30 @@ object TextOps {
         sum(when(col("c") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"))
   }
 
+  /** One BPE merge round — the core tokenizer-training step (Sennrich
+    * et al. '16): corpus-weighted counts of adjacent symbol pairs,
+    * most frequent first (the pair a trainer would merge next). Round
+    * 1 operates at the character level; later rounds differ only in
+    * the symbol segmentation.
+    *
+    * 100 TB shape: the corpus collapses to (word, count) FIRST
+    * (map-side combined), so pair explosion runs over the DISTINCT
+    * vocabulary — work scales with vocab size, not corpus size; the
+    * pair aggregate is bounded by observed-alphabet², and the final
+    * top-k is TakeOrdered, never a global sort. Each occurrence
+    * counts ("aaa" contains "aa" twice), exactly as BPE counts. */
+  def bpePairs(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    words.where(length(col("word")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** TF-IDF keyword extraction, top-`topK` terms per document. IDF in
     * the same INTEGER log2 domain as [[lmScore]] — floor(log2 N) −
     * floor(log2 df(w)) bits, exact cross-engine where ln() is not —

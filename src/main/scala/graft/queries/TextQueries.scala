@@ -188,6 +188,30 @@ object TextQueries {
       TextOps.tfidf(Tables.load(s, dir, "documents")).orderBy("doc_id", "rank")
     },
 
+    // ta89 (round 5): one BPE merge round — the core tokenizer-
+    // training step: corpus-weighted adjacent character-pair counts,
+    // the most frequent pair being what a BPE trainer merges next.
+    // The corpus collapses to (word, count) before pair explosion, so
+    // the heavy stage runs over the DISTINCT vocab (work scales with
+    // vocab, not corpus); top-k is (count desc, pair asc) — a total
+    // order, deterministic LIMIT in both engines.
+    QueryDef.sql(
+      "ta_bpe",
+      s"""WITH w AS (
+         |  SELECT unnest(${OracleSql.tokens("text")}) AS word FROM documents
+         |), wc AS (
+         |  SELECT word, count(*) AS wc FROM w GROUP BY word
+         |), p AS (
+         |  SELECT wc, unnest(list_transform(range(1, length(word)),
+         |    i -> word[i:i+1])) AS pair
+         |  FROM wc WHERE length(word) >= 2
+         |)
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.bpePairs(Tables.load(s, dir, "documents"), topK = 20)
+    },
+
     // ta39: language ID via the stopword heuristic. Each per-lang score
     // is one exact-int division, so the argmax (score desc, then
     // lexically-largest lang — Spark's struct array_max order) is

@@ -81,6 +81,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
   }
 
+  test("bpePairs: corpus-weighted adjacent pairs, every occurrence counts") {
+    // words: aaa x1 (pairs aa,aa), bc x2, ab x1
+    val docs = Seq((1L, "aaa bc"), (2L, "bc ab")).toDF("doc_id", "text")
+    val got = TextOps.bpePairs(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("aa", 2L), ("bc", 2L), ("ab", 1L)))
+  }
+
   test("chunkDedup: cross-doc duplicated chunks removed, kept text fingerprinted") {
     // w=3 chunks; 'a b c' appears in docs 1, 2 and 4 -> duplicated.
     // doc 4 is NOTHING BUT the duplicated chunk -> kept_md5 NULL.
