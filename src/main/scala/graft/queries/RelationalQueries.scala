@@ -680,6 +680,30 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // q40 (round 5): CORRELATED scalar subquery — orders exceeding
+    // 1.5× their own customer's average order value (q22 is the
+    // uncorrelated global-scalar form; q36 the EXISTS form). The
+    // Spark side is the decorrelated plan Catalyst would produce:
+    // per-customer aggregate once (one custkey shuffle, map-side
+    // combined), joined back on custkey — never a per-row subquery
+    // execution. Mean through exact decimal (Det) in both engines;
+    // 1.5 is binary-exact so the double product is reproducible.
+    QueryDef.sql(
+      "q40_correlated_scalar",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val custAvg = o.groupBy("o_custkey")
+        .agg((sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("cavg"))
+      o.join(custAvg, "o_custkey")
+        .filter(col("o_totalprice") > lit(1.5) * col("cavg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // q36 (round 4): correlated EXISTS / NOT EXISTS in one query —
     // customers with at least one big-ticket order but none cancelled.
     // Catalyst decorrelates to a semi join + anti join (audited shape:
