@@ -124,6 +124,45 @@ object MicroBlockQueries {
         .orderBy("block_id")
     },
 
+    // mb91 (round 5): small-file compaction — the operational pass any
+    // file-skipping layout needs at 100 TB (streaming appends fragment
+    // blocks; footer reads, index rows and task counts all scale with
+    // file count). Runs on its OWN scratch copy (never the shared
+    // engine layout), merges the sub-minRows tail into targetRows
+    // blocks, and audits in-query: row count and an exact decimal
+    // quantity sum must survive byte-for-byte, the rewritten zone
+    // ranges must still be non-overlapping on the cluster key, and a
+    // second compaction must be a no-op.
+    QueryDef.rowsOnly("mb_compact") { (s, dir) =>
+      import s.implicits._
+      val out = s"target/scratch/compact/${new java.io.File(dir).getName}"
+      val li = graft.engine.Tables.load(s, dir, "lineitem")
+      graft.sources.MicroBlockWriter.write(li, out, "l_shipdate", 24)
+      def fingerprint() = s.read.parquet(out)
+        .agg(count(lit(1)).cast("long"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string"))
+        .collect().head
+      val pre = fingerprint()
+      val filesBefore = graft.sources.MicroBlockIndex.listParquetFiles(out).size
+      val st = graft.sources.MicroBlockWriter.compact(
+        s, out, "l_shipdate", minRows = li.count() / 12, targetRows = li.count() / 6)
+      val post = fingerprint()
+      val filesAfter = graft.sources.MicroBlockIndex.listParquetFiles(out).size
+      val stats = graft.sources.MicroBlockIndex.build(s, out, "lineitem")
+        .collect().filter(_.column == "l_shipdate").sortBy(_.blockId)
+      val ranges0verlap = stats.sliding(2).exists {
+        case Array(a, b) => a.maxNum.get > b.minNum.get
+        case _ => false
+      }
+      val st2 = graft.sources.MicroBlockWriter.compact(
+        s, out, "l_shipdate", minRows = li.count() / 12, targetRows = li.count() / 6)
+      Seq((filesBefore.toLong, filesAfter.toLong, st.smallFiles.toLong,
+        st.mergedFiles.toLong, st.rowsMoved, pre == post, ranges0verlap,
+        st2.mergedFiles.toLong))
+        .toDF("files_before", "files_after", "small_files", "merged_files",
+          "rows_moved", "data_identical", "zone_overlap_after", "second_pass_merged")
+    },
+
     // mb55: row-offset range scan (reference microblock_reader
     // scan_range): blocks covering global rows [25%, 50%) of the
     // table, block-aligned like the reference. The summary row pins

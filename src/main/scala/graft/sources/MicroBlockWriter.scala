@@ -28,6 +28,63 @@ object MicroBlockWriter {
       .option("parquet.block.size", (256L * 1024 * 1024).toString)
       .parquet(outPath)
 
+  /** Result of [[compact]]: how many undersized blocks were rewritten
+    * into how many merged blocks, and the rows that moved. */
+  final case class CompactStats(smallFiles: Int, mergedFiles: Int, rowsMoved: Long)
+
+  /** Compact the SMALL-FILE TAIL of a micro-block table — the classic
+    * operational need of any file-skipping layout at 100 TB: streaming
+    * appends and partial rewrites accumulate undersized blocks, each
+    * costing a footer read, an index row, and a task, while zone-map
+    * effectiveness decays as ranges fragment. Files with fewer than
+    * `minRows` rows are re-clustered (repartitionByRange on the zone
+    * column — a distributed sort-shuffle over ONLY the small tail,
+    * never the whole table) into ceil(rows/targetRows) replacement
+    * blocks written alongside the survivors; originals are deleted
+    * after the rewrite lands. Block-count decisions are metadata-scale
+    * (per-file row counts from footers); row data never touches the
+    * driver.
+    *
+    * Contract: rebuild (or refresh after filtering removed files) the
+    * stats index afterward — compaction reassigns rows to new blocks,
+    * so per-block row offsets are re-derived. [[graft.engine
+    * .GraftEngine]] builds its index at construction, so a fresh
+    * engine over the compacted path sees consistent state. */
+  def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      clusterBy: String, minRows: Long, targetRows: Long): CompactStats = {
+    import org.apache.spark.sql.functions._
+    val stats = MicroBlockIndex.build(spark, tablePath, "compact_probe")
+    val perFile = stats.filter(col("column") === clusterBy)
+      .groupBy("file").agg(sum("rows").as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // file-listing scale
+    val small = perFile.filter(_._2 < minRows)
+    if (small.length < 2) return CompactStats(small.length, 0, 0L)
+    val rowsMoved = small.map(_._2).sum
+    val nGroups = math.max(1, math.ceil(rowsMoved.toDouble / targetRows).toInt)
+    val tmp = s"$tablePath/_compact_tmp"
+    spark.read.parquet(small.map(_._1): _*)
+      .repartitionByRange(nGroups, col(clusterBy))
+      .sortWithinPartitions(clusterBy)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256L * 1024 * 1024).toString)
+      .parquet(tmp)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(tablePath).getFileSystem(conf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (s, i) =>
+      fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(tablePath, f"compact-$stamp-$i%05d.parquet"))
+    }
+    small.foreach { case (f, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    CompactStats(small.length, parts.size, rowsMoved)
+  }
+
   /** Hive-style partitioned layout: directory per `partitionCol` value,
     * micro-blocks range-clustered on `clusterBy` inside each partition.
     * The coarse layer prunes at the *directory listing* (Catalyst

@@ -30,6 +30,42 @@ class MicroBlockSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction merges the small-file tail; data and query results survive") {
+    val out = "target/scratch/test/microblocks-compact"
+    val li = Tables.load(spark, dir, "lineitem")
+    // 24 blocks of 6000 rows = 250 rows each — all "small" vs minRows=1000
+    MicroBlockWriter.write(li, out, "l_shipdate", 24)
+    val before = MicroBlockIndex.listParquetFiles(out)
+    assert(before.size == 24)
+    val pre = spark.read.parquet(out)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect().head
+    val st = MicroBlockWriter.compact(spark, out, "l_shipdate",
+      minRows = 1000L, targetRows = 1500L)
+    assert(st.smallFiles == 24 && st.rowsMoved == 6000L)
+    val after = MicroBlockIndex.listParquetFiles(out)
+    assert(after.size == st.mergedFiles && after.size < before.size)
+    // every byte survives: same count, same exact quantity sum
+    val post = spark.read.parquet(out)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect().head
+    assert(post == pre)
+    // rebuilt index is consistent and zone ranges still prune:
+    // clustered rewrite keeps non-overlapping l_shipdate ranges
+    val stats = MicroBlockIndex.build(spark, out, "lineitem").collect()
+    assert(stats.groupBy(_.blockId).map(_._2.head.rows).sum == 6000L)
+    val ship = stats.filter(_.column == "l_shipdate").sortBy(_.blockId)
+    ship.sliding(2).foreach {
+      case Array(a, b) => assert(a.maxNum.get <= b.minNum.get)
+      case _ =>
+    }
+    // mixed layout: a second compaction with nothing small is a no-op
+    val st2 = MicroBlockWriter.compact(spark, out, "l_shipdate",
+      minRows = 1000L, targetRows = 1500L)
+    assert(st2.mergedFiles == 0)
+    assert(MicroBlockIndex.listParquetFiles(out).size == after.size)
+  }
+
   test("index save/load round-trips (save_metadata.py parity)") {
     val idx = MicroBlockIndex.build(spark, mbPath, "lineitem")
     val path = "target/scratch/test/index-saved"

@@ -150,6 +150,37 @@ class StreamingSpec extends AnyFunSuite {
       s"stateful streaming diverges from batch: ${streamed.toSeq.sorted.take(3)} vs ${batch.toSeq.sorted.take(3)}")
   }
 
+  test("watermark actually DROPS late data in append mode (bounded state is real)") {
+    // controlled micro-batches via MemoryStream: batch 1 advances the
+    // watermark (max 20:00 − 2h = 18:00) past the 10:00 window; batch
+    // 2's 10:30 row is later than the watermark and must be DISCARDED,
+    // not merged; batch 3 closes the 20:00 window. If expiry were not
+    // enforced, the 10:00 window would show n=2 / sum=6.0.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreams.hourlyAggStream(
+        ms.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((t("10:15"), "click", 1.0), (t("20:00"), "click", 2.0))
+      q.processAllAvailable()
+      ms.addData((t("10:30"), "click", 5.0)) // LATE: watermark is 18:00
+      q.processAllAvailable()
+      ms.addData((t("23:30"), "click", 3.0)) // watermark → 21:30, closes 20:00
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(out("2024-01-01 10:00") == ((1L, 1.0)),
+        s"late row leaked into a closed window: $out")
+      assert(out("2024-01-01 20:00") == ((1L, 2.0)))
+      assert(!out.values.exists(_._2 == 6.0), s"late value merged: $out")
+    } finally q.stop()
+  }
+
   test("stateful sessionization carries state ACROSS micro-batches") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.SessState
