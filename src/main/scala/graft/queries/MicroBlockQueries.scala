@@ -136,7 +136,11 @@ object MicroBlockQueries {
     QueryDef.rowsOnly("mb_compact") { (s, dir) =>
       import s.implicits._
       val out = s"target/scratch/compact/${new java.io.File(dir).getName}"
+      // compaction semantics don't depend on input size — a
+      // deterministic quarter keeps the three relayout passes (write,
+      // compact, no-op check) from dominating the bench
       val li = graft.engine.Tables.load(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
       graft.sources.MicroBlockWriter.write(li, out, "l_shipdate", 24)
       def fingerprint() = s.read.parquet(out)
         .agg(count(lit(1)).cast("long"),
