@@ -54,6 +54,42 @@ object TextOps {
         sum(when(col("c") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. '03 — the MOSS
+    * algorithm): hash every k-gram, slide a w-hash window, keep each
+    * window's MINIMUM. The selection guarantee: any two docs sharing a
+    * substring of at least w+k−1 tokens share at least one
+    * fingerprint, while only ~2/(w+1) of positions are kept — the
+    * standard sublinear-index primitive for plagiarism/overlap
+    * detection. Returns per-doc fingerprint-set stats (gram count,
+    * full-window count, distinct fingerprints, min/max fingerprint).
+    *
+    * 100 TB shape: grams and window minima are computed inside a
+    * (doc, position) window — partitioned by doc, never a global
+    * sort; state is one w-row frame. Short docs (< k+w−1 tokens, no
+    * full window) are absent from the output in both engines. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .where(size(toks) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleHashes(toks, k)).as(Seq("p", "h")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    grams
+      .withColumn("n_grams", count(lit(1)).over(perDoc))
+      .withColumn("wmin", min("h").over(frame))
+      .filter(col("p") <= col("n_grams") - w) // full windows only
+      .groupBy("doc_id")
+      .agg(
+        max("n_grams").as("n_grams"),
+        count(lit(1)).as("n_windows"),
+        countDistinct("wmin").as("n_fingerprints"),
+        min("wmin").as("min_fp"),
+        max("wmin").as("max_fp"))
+  }
+
   /** One BPE merge round — the core tokenizer-training step (Sennrich
     * et al. '16): corpus-weighted counts of adjacent symbol pairs,
     * most frequent first (the pair a trainer would merge next). Round

@@ -478,6 +478,27 @@ object RelationalQueries {
       rich.intersect(big).except(building).orderBy("c_custkey")
     },
 
+    // q41 (round 5): BAG-semantics set ops — INTERSECT ALL / EXCEPT
+    // ALL keep multiplicities (a customer with 3 urgent and 2 big
+    // orders survives the intersect twice), which q29's distinct
+    // variants erase. Spark plans these as aggregate-count + generate
+    // (min/difference of per-key counts) — no row-pair matching, one
+    // shuffle per operand on the compare key.
+    QueryDef.sql(
+      "q41_setops_all",
+      """(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT ALL
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val big = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+      val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      urgent.intersectAll(big).exceptAll(done).orderBy("o_custkey")
+    },
+
     // q30: mergeable cardinality sketches — the 100 TB answer to
     // COUNT(DISTINCT): per-partition HLL sketches merge associatively,
     // so distinct counts aggregate without a global shuffle of keys

@@ -188,6 +188,47 @@ object TextQueries {
       TextOps.tfidf(Tables.load(s, dir, "documents")).orderBy("doc_id", "rank")
     },
 
+    // ta92 (round 5): winnowing fingerprints (MOSS): k-gram FNV
+    // hashes → w-window minima → per-doc fingerprint-set stats. The
+    // guarantee (shared substring ≥ w+k−1 tokens ⇒ shared
+    // fingerprint) at ~2/(w+1) the index size is the classic overlap-
+    // detection primitive. The oracle replays graft's FNV-1a 64
+    // byte-for-byte in HUGEINT arithmetic and the same ROWS window.
+    QueryDef.sql(
+      "ta_winnow", {
+        import OracleSql._
+        val k = 3; val w = 4
+        val gram = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tokens("text")} AS w FROM documents
+           |), sh AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, len(w) - ${k - 2}), i -> $gram) AS s
+           |  FROM t WHERE len(w) >= $k
+           |), g0 AS (
+           |  SELECT doc_id, unnest(range(0, len(s))) AS p, unnest(s) AS gram
+           |  FROM sh
+           |), g AS (
+           |  SELECT doc_id, p, ${toSigned(fnv1a64Unsigned("gram"))} AS h FROM g0
+           |), wm AS (
+           |  SELECT doc_id, p,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_grams,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+           |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+           |  FROM g
+           |)
+           |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+           |  CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+           |  CAST(min(wmin) AS BIGINT) AS min_fp,
+           |  CAST(max(wmin) AS BIGINT) AS max_fp
+           |FROM wm WHERE p <= n_grams - $w
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.winnow(Tables.load(s, dir, "documents"), k = 3, w = 4)
+        .orderBy("doc_id")
+    },
+
     // ta89 (round 5): one BPE merge round — the core tokenizer-
     // training step: corpus-weighted adjacent character-pair counts,
     // the most frequent pair being what a BPE trainer merges next.

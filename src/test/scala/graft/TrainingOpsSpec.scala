@@ -81,6 +81,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
   }
 
+  test("winnow: window counts, short-doc exclusion, identical text -> identical prints") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 toks -> 5 grams -> 2 full windows
+      (2L, "a b c d e f g"),   // identical text: stats must match doc 1
+      (3L, "x y z q w"),       // 5 toks -> 3 grams < w=4 -> absent
+      (4L, "p q")              // < k -> absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.winnow(docs, k = 3, w = 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 5L && got(0)._3 == 2L)       // grams, full windows
+    assert(got(0)._4 >= 1L && got(0)._4 <= 2L)       // 1..2 distinct minima
+    assert((got(0)._2, got(0)._3, got(0)._4, got(0)._5, got(0)._6) ==
+      (got(1)._2, got(1)._3, got(1)._4, got(1)._5, got(1)._6))
+  }
+
   test("bpePairs: corpus-weighted adjacent pairs, every occurrence counts") {
     // words: aaa x1 (pairs aa,aa), bc x2, ab x1
     val docs = Seq((1L, "aaa bc"), (2L, "bc ab")).toDF("doc_id", "text")
