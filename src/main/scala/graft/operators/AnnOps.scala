@@ -73,6 +73,61 @@ object AnnOps {
         .join(broadcast(queriesOf(base, numQueries)), "query_id"), k)
   }
 
+  /** Per-row nearest-centroid (cosine, lowest-tie) projection over a
+    * driver-side centroid matrix shipped in the plan. */
+  private def nearestCentroidCol(cents: Seq[(Int, Seq[Double])]) =
+    graft.functions.TextExpressions.nearest_centroid(
+      col("embedding"), cents.map(_._1), cents.map(_._2))
+
+  /** Spherical k-means centroids (the Lloyd loop shared by [[ivfTopK]]
+    * and [[kmeansAssign]]). Deterministic by construction: init = the
+    * first `ivfK` vectors by vec_id; per-dimension means via exact
+    * floor-scaled integer sums (order-independent), so centroids are
+    * identical run-to-run regardless of shuffle order. Driver holds
+    * only k×dim doubles; every step is one distributed aggregation. */
+  def kmeansCentroids(base: DataFrame, ivfK: Int, iters: Int,
+      scale: Double): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] = base.filter(col("vec_id") < ivfK)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      // deterministic means via exact integer sums: each element is
+      // floor-scaled to a long (2^24 keeps float precision), summed
+      // order-independently, divided once in double — reproducible in
+      // the DuckDB oracle with no decimal rounding-mode edge cases.
+      val sums = (0 until dim).map(i =>
+        sum(floor(element_at(col("embedding"), i + 1).cast("double") * scale)).as(s"s$i"))
+      cents = base
+        .groupBy(nearestCentroidCol(cents).as("cluster"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("cnt")
+          (r.getAs[Int]("cluster"),
+            (0 until dim).map(i => r.getLong(i + 2) / (n * scale)).toSeq)
+        }
+        .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** vec → k-means cluster assignment over a [[prep]]-shaped frame:
+    * (vec_id, embedding, nrm, cluster). The clustering substrate for
+    * IVF serving and semantic dedup. */
+  def kmeansAssign(rawBase: DataFrame, ivfK: Int, iters: Int,
+      scale: Double): DataFrame = {
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
+    base.withColumn("cluster",
+      nearestCentroidCol(kmeansCentroids(base, ivfK, iters, scale)))
+  }
+
   /** IVF (inverted-file) top-k: spherical k-means centroids, then each
     * query searches only its `nprobe` nearest clusters.
     *
@@ -104,37 +159,8 @@ object AnnOps {
       cents.toDF("cluster", "c_emb")
         .select(col("cluster"), col("c_emb"), l2norm(col("c_emb")).as("c_nrm"))
 
-    def nearest(cents: Seq[(Int, Seq[Double])]) =
-      graft.functions.TextExpressions.nearest_centroid(
-        col("embedding"), cents.map(_._1), cents.map(_._2))
-
-    var cents: Seq[(Int, Seq[Double])] = base.filter(col("vec_id") < ivfK)
-      .orderBy("vec_id")
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
-      .toSeq
-    val dim = cents.head._2.length
-    for (_ <- 1 to iters) {
-      // deterministic means via exact integer sums: each element is
-      // floor-scaled to a long (2^24 keeps float precision), summed
-      // order-independently, divided once in double — reproducible in
-      // the DuckDB oracle with no decimal rounding-mode edge cases.
-      val sums = (0 until dim).map(i =>
-        sum(floor(element_at(col("embedding"), i + 1).cast("double") * scale)).as(s"s$i"))
-      cents = base
-        .groupBy(nearest(cents).as("cluster"))
-        .agg(count(lit(1)).as("cnt"), sums: _*)
-        .collect()
-        .map { r =>
-          val n = r.getAs[Long]("cnt")
-          (r.getAs[Int]("cluster"),
-            (0 until dim).map(i => r.getLong(i + 2) / (n * scale)).toSeq)
-        }
-        .toSeq.sortBy(_._1)
-    }
-
-    val assigned = base.withColumn("cluster", nearest(cents)).persist()
+    val cents = kmeansCentroids(base, ivfK, iters, scale)
+    val assigned = base.withColumn("cluster", nearestCentroidCol(cents)).persist()
     // probe list: each query's nprobe nearest centroids
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cluster"))
     val probes = assigned.filter(col("vec_id") < numQueries)

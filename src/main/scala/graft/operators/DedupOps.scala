@@ -379,6 +379,30 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** SEMANTIC dedup pairs (SemDeDup, Abbas et al. '23): cluster the
+    * embedding space with spherical k-means, then compute exact
+    * cosine only WITHIN clusters — semantically-redundant documents
+    * land in the same cluster, so the candidate set is cluster-local
+    * instead of O(n²). The same shape as [[embeddingPairs]] with
+    * learned (data-adaptive) buckets instead of random hyperplanes:
+    * LSH buckets split near-dups that straddle a hyperplane, k-means
+    * buckets follow the density. At 100 TB: centroids are k×dim
+    * driver-side constants shipped in the plan, assignment is a
+    * scan-local projection, and the only data shuffle is the
+    * cluster-keyed self-join. */
+  def semanticPairs(vecs: DataFrame, ivfK: Int = 32, iters: Int = 2,
+      scale: Double = (1L << 24).toDouble): DataFrame = {
+    val assigned = graft.operators.AnnOps
+      .kmeansAssign(graft.operators.AnnOps.prep(vecs), ivfK, iters, scale)
+      .persist()
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    l.join(r, col("l.cluster") === col("r.cluster") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosineFromDot(dot(col("l.embedding"), col("r.embedding")),
+          col("l.nrm"), col("r.nrm")).as("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs: `bits`-bit random-hyperplane LSH
     * buckets, exact cosine only within buckets. */
   def embeddingPairs(vecs: DataFrame, bits: Int = 12): DataFrame = {

@@ -340,6 +340,34 @@ object DedupQueries {
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopK""".stripMargin) { (s, dir) =>
       DedupOps.embeddingPairs(Tables.load(s, dir, "embeddings"), bits = 12)
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(TopK)
+    },
+
+    // dd94 (round 5): SEMANTIC dedup (SemDeDup, Abbas et al. '23) —
+    // k-means the embedding space, exact cosine only within clusters:
+    // data-adaptive buckets where dd_embedding's hyperplanes are
+    // random (LSH splits near-dups straddling a plane; k-means
+    // follows the density). The oracle unrolls the same deterministic
+    // k-means (shared annKmeansCtes — first-k init, floor-scaled
+    // integer means) so even the learned clustering hash-matches,
+    // then replays the within-cluster pair join.
+    QueryDef.sql(
+      "dd_semantic", {
+        import OracleSql._
+        s"""WITH $annBaseCtes,
+           |${annKmeansCtes(32, 2, 1L << 24)},
+           |pr AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    ${cosine("na.e", "nb.e", "na.nrm", "nb.nrm")} AS cosine
+           |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  JOIN n na ON na.vec_id = a.vec_id
+           |  JOIN n nb ON nb.vec_id = b.vec_id
+           |)
+           |SELECT vec_a, vec_b, cosine FROM pr
+           |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopK""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.semanticPairs(Tables.load(s, dir, "embeddings"),
+          ivfK = 32, iters = 2)
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(TopK)
     }
   )
 }

@@ -243,13 +243,14 @@ object OracleSql {
        |  JOIN n q ON q.vec_id = lcand.query_id
        |), ${topkCte("lp", outRel, k)}""".stripMargin
 
-  /** IVF top-k with the k-means loop UNROLLED: `n` → `outRel`.
-    * Replays graft's deterministic spherical k-means exactly — first-k
-    * init, nearest assignment with (cos, cluster) max ties, and
-    * floor-scaled integer mean sums (see AnnQueries.ivfTopK) — so even
-    * the learned index is hash-comparable. */
-  def annIvfCtes(outRel: String, ivfK: Int, iters: Int, nprobe: Int,
-      numQueries: Int, k: Int, scale: Long): String = {
+  /** The unrolled spherical k-means SHARED by [[annIvfCtes]] and the
+    * semantic-dedup oracle: `n` → CTEs ending in `af` (vec_id →
+    * cluster, the final assignment). Replays graft's deterministic
+    * k-means exactly — first-k init, nearest assignment with (cos,
+    * cluster) max ties, floor-scaled integer mean sums (see
+    * AnnOps.kmeansCentroids) — so even the learned index is
+    * hash-comparable. */
+  def annKmeansCtes(ivfK: Int, iters: Int, scale: Long): String = {
     def cnrmWrap(inner: String) =
       s"""SELECT cluster, c,
          |    sqrt(list_reduce(list_transform(c, x -> x*x), (a,b) -> a+b)) AS cnrm
@@ -278,13 +279,22 @@ object OracleSql {
          |)""".stripMargin
     }
     val last = s"c$iters"
-    val fin = s"""af AS MATERIALIZED (
+    val af = s"""af AS MATERIALIZED (
        |  SELECT vec_id, cluster FROM (
        |    SELECT n.vec_id, cp.cluster,
        |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS cos
        |    FROM n, $last cp)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) = 1
-       |), probes AS MATERIALIZED (
+       |)""".stripMargin
+    (Seq(c0) ++ iterCtes ++ Seq(af)).mkString(", ")
+  }
+
+  /** IVF top-k with the k-means loop UNROLLED: `n` → `outRel` (serving
+    * CTEs appended to [[annKmeansCtes]]). */
+  def annIvfCtes(outRel: String, ivfK: Int, iters: Int, nprobe: Int,
+      numQueries: Int, k: Int, scale: Long): String = {
+    val last = s"c$iters"
+    val fin = s"""probes AS MATERIALIZED (
        |  SELECT query_id, qe, qnrm, cluster FROM (
        |    SELECT af.vec_id AS query_id, n.e AS qe, n.nrm AS qnrm, cp.cluster,
        |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS ccos
@@ -299,7 +309,7 @@ object OracleSql {
        |  JOIN n ON n.vec_id = a.vec_id
        |  WHERE a.vec_id <> p.query_id
        |), ${topkCte("ip", outRel, k)}""".stripMargin
-    (Seq(c0) ++ iterCtes ++ Seq(fin)).mkString(", ")
+    Seq(annKmeansCtes(ivfK, iters, scale), fin).mkString(", ")
   }
 
   /** Product-quantization top-k with every per-subspace k-means UNROLLED:
