@@ -167,6 +167,35 @@ object MicroBlockQueries {
           "rows_moved", "data_identical", "zone_overlap_after", "second_pass_merged")
     },
 
+    // mb95 (round 5): hive-partitioned two-level layout — the standard
+    // 100 TB fact arrangement (coarse partition directories pruned at
+    // the LISTING level, zone-mapped micro-blocks inside each). The
+    // audit is in-query: a partition-filtered read must touch strictly
+    // fewer files than the layout holds, return exactly the rows a
+    // direct source-table filter returns, and show PartitionFilters in
+    // its executed plan (listing-level pruning, zero I/O for skipped
+    // partitions — also pinned in PlanAuditSpec).
+    QueryDef.rowsOnly("mb_partition_prune") { (s, dir) =>
+      import s.implicits._
+      val out = s"target/scratch/partitioned/${new java.io.File(dir).getName}"
+      val orders = graft.engine.Tables.load(s, dir, "orders")
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        graft.sources.MicroBlockWriter.writePartitioned(
+          orders, out, "o_orderstatus", "o_orderkey", 4)
+      val df = s.read.parquet(out)
+      val filtered = df.filter(col("o_orderstatus") === "F")
+      val filesRead = filtered.select(input_file_name()).distinct().count()
+      val filesTotal = df.select(input_file_name()).distinct().count()
+      val rowsRead = filtered.count()
+      val rowsExpected = orders.filter(col("o_orderstatus") === "F").count()
+      val planPruned = filtered.queryExecution.executedPlan.toString
+        .contains("PartitionFilters")
+      Seq((filesTotal, filesRead, rowsRead, rowsExpected,
+        rowsRead == rowsExpected, filesRead < filesTotal, planPruned))
+        .toDF("files_total", "files_read", "rows_read", "rows_expected",
+          "rows_match", "fewer_files", "partition_filters_in_plan")
+    },
+
     // mb55: row-offset range scan (reference microblock_reader
     // scan_range): blocks covering global rows [25%, 50%) of the
     // table, block-aligned like the reference. The summary row pins
