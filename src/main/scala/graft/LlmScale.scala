@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
 object LlmScale {
 
   val DefaultOps: Seq[String] = Seq(
-    "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span",
-    "ta_lm", "pipe_pack", "ann_ivf", "ann_pq")
+    "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span", "dd_semantic",
+    "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -136,6 +136,42 @@ object PipelineE2E {
       graft.operators.PackingOps
         .packSequences(Tables.load(s, dir, "documents"), budget = 512, shards = 8)
         .orderBy("doc_id")
+    },
+
+    // pipe96 (round 5): deterministic training-order shuffle — the
+    // "shuffle the corpus before each epoch" step, WITHOUT rand()
+    // (nondeterministic functions break task retries: a re-executed
+    // partition would deal different rows — the Salting.scala rule).
+    // Order = FNV-64 of a seeded key string; shard + position within
+    // shard are fully partitioned (64 independent per-shard windows —
+    // a GLOBAL row_number would serialize the corpus through one
+    // task; training readers consume shards in order, which is the
+    // scalable contract). Changing the seed literal re-deals the
+    // whole permutation.
+    QueryDef.sql(
+      "pipe_shuffle", {
+        import OracleSql._
+        val key = toSigned(fnv1a64Unsigned("'epoch42:' || CAST(doc_id AS VARCHAR)"))
+        s"""WITH k AS (
+           |  SELECT doc_id, $key AS k FROM documents
+           |)
+           |SELECT doc_id, CAST(${toUnsigned("k")} % 64 AS BIGINT) AS shard,
+           |  CAST(row_number() OVER (
+           |    PARTITION BY ${toUnsigned("k")} % 64
+           |    ORDER BY k, doc_id) AS BIGINT) AS pos_in_shard
+           |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = graft.functions.TextExpressions.fnv64(
+        concat(lit("epoch42:"), col("doc_id").cast("string")))
+      val shard = pmod(col("k"), lit(64))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), key.as("k"))
+        .select(col("doc_id"), col("k"), shard.as("shard"))
+        .withColumn("pos_in_shard",
+          row_number().over(Window.partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos_in_shard"))
+        .orderBy("doc_id")
     }
   )
 }
