@@ -27,6 +27,7 @@ object LlmScale {
 
   val DefaultOps: Seq[String] = Seq(
     "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span", "dd_semantic",
+    "dd_semantic_scaledk",
     "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
@@ -83,14 +84,35 @@ object LlmScale {
       spark.range(1000000).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional 4th arg: comma-list restricting which ops to measure
+    // (for re-measuring one op without repeating the sweep)
+    val ops =
+      if (args.length > 3) DefaultOps.filter(args(3).split(',').toSet)
+      else DefaultOps
+    // "dd_semantic_scaledk" is the SIZING lesson the fixed-parameter
+    // dd_semantic query teaches at x100: with ivfK fixed, cluster
+    // SIZE grows with the corpus and within-cluster pair generation
+    // is quadratic. Production SemDeDup keeps cluster size constant
+    // (ivfK ∝ n); this variant measures exactly that and should
+    // restore the ~linear slope.
+    def runScaledK(): Long =
+      graft.operators.DedupOps.semanticPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          ivfK = 32 * factor, iters = 2)
+        .orderBy(org.apache.spark.sql.functions.col("cosine").desc,
+          org.apache.spark.sql.functions.col("vec_a"),
+          org.apache.spark.sql.functions.col("vec_b"))
+        .limit(50).count()
     val probeStart = probe()
-    val results = DefaultOps.map { name =>
-      val q = SparkEntry.queries(name)
+    val results = ops.map { name =>
+      val body: () => Unit =
+        if (name == "dd_semantic_scaledk") () => runScaledK()
+        else { val q = SparkEntry.queries(name); () => q(spark, dir).count() }
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        q(spark, dir).count()
+        body()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = times(times.length / 2)
