@@ -88,6 +88,60 @@ case class Fnv64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The `nHash` Bloom-filter bit positions of a 64-bit hash under
+  * Kirsch–Mitzenmacher double hashing: posᵢ = (h + i·g) mod mBits with
+  * g = splitmix64(h), i ∈ [0, nHash). Native because the wrapping
+  * multiply/add runs in Java long semantics (Column arithmetic errors
+  * on overflow under Spark 4's default ANSI mode), and `mBits` is
+  * restricted to powers of two so the mod is an unsigned bit-mask —
+  * exactly replayable in the oracle's HUGEINT mod-2^64 arithmetic
+  * (2^k divides 2^64, so the signed wrap never changes the residue). */
+case class BloomPositions(child: Expression, mBits: Int, nHash: Int)
+    extends UnaryExpression {
+  require(mBits >= 128 && Integer.bitCount(mBits) == 1,
+    s"mBits must be a power of two >= 128, got $mBits")
+  require(nHash >= 1 && nHash <= 16, s"nHash must be in [1,16], got $nHash")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_bloom_positions",
+      _ == LongType, "BIGINT")
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val g = MinHashSig.splitmix64(h)
+    val mask = (mBits - 1).toLong
+    val out = new Array[Int](nHash)
+    var i = 0
+    while (i < nHash) { out(i) = ((h + i * g) & mask).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val g = ctx.freshName("g")
+      val z = ctx.freshName("z")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |long $z = $c + 0x9e3779b97f4a7c15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |long $g = $z ^ ($z >>> 31);
+         |int[] $out = new int[$nHash];
+         |for (int $i = 0; $i < $nHash; $i++) {
+         |  $out[$i] = (int) (($c + $i * $g) & ${mBits - 1}L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
 /** LSH band keys from a MinHash signature: key of band b is the
   * wrapping polynomial fold h=b; h = h*31 + component over the band's
   * `rowsPerBand` consecutive signature components. Native because
@@ -482,4 +536,6 @@ object TextExpressions {
   def fnv64(c: Column): Column = ColumnBridge.column(Fnv64(expr(c)))
   def band_keys(c: Column, rowsPerBand: Int): Column =
     ColumnBridge.column(BandKeys(expr(c), rowsPerBand))
+  def bloom_positions(c: Column, mBits: Int, nHash: Int): Column =
+    ColumnBridge.column(BloomPositions(expr(c), mBits, nHash))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Salting
-import graft.functions.TextExpressions.simhash64
+import graft.functions.TextExpressions.{bloom_positions, simhash64}
 import graft.functions.TextFunctions._
 
 /** DataFrame-level deduplication operators (SURVEY.md §2c) — the
@@ -126,6 +126,63 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared_shingles"),
         countDistinct("eval_doc").as("n_eval_docs"))
+  }
+
+  /** Bloom-filter decontamination pre-filter (SURVEY.md §2c dd97) —
+    * the at-scale front half of [[decontaminate]]: instead of
+    * broadcasting EVERY eval-set shingle hash to every task (an eval
+    * suite can carry millions of shingles), the eval side folds into a
+    * fixed `mBits`-bit Bloom bitmap (ONE distributed bit_or
+    * aggregation, collected at mBits/64 longs — 16 KB at the default
+    * 2^17), and the 100 TB train side probes it as a pure scan-local
+    * codegen'd expression: no join, no shuffle, no broadcast table.
+    * Bloom-positive shingles (true hits + false positives at rate
+    * ≈ (1-e^{-kn/m})^k) then pass to the exact verification join
+    * against the true eval hash set, which now sees only the surviving
+    * sliver. Returns per-train-doc (n_candidate_shingles,
+    * n_true_shingles); candidate − true quantifies the FP traffic the
+    * exact stage absorbed. Positions use Kirsch–Mitzenmacher double
+    * hashing from the shingle's FNV-64
+    * ([[graft.functions.BloomPositions]]), so the oracle replays the
+    * whole bitmap bit-for-bit in HUGEINT arithmetic. */
+  def bloomDecontaminate(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, k: Int = 4,
+      mBits: Int = 1 << 17, nHash: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    def shingled(side: DataFrame): DataFrame =
+      side.select(col("doc_id"),
+        explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
+
+    // 1) eval-side bitmap: distinct shingle hashes → bit positions →
+    //    ONE bit_or aggregation over at most mBits/64 words. Eval is
+    //    small by contract (benchmarks vs a 100 TB corpus), so the job
+    //    and the collect are metadata-sized.
+    val evalSh = shingled(docs.filter(isEval)).select("h").distinct()
+    val words = new Array[Long](mBits / 64)
+    evalSh
+      .select(explode(bloom_positions(col("h"), mBits, nHash)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("pos"), lit(64)))).as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+
+    // 2) train-side probe: positions + bitmask test entirely inside the
+    //    scan (whole-stage codegen; the bitmap rides as a literal)
+    val wordsLit = typedLit(words.toSeq)
+    val member = forall(bloom_positions(col("h"), mBits, nHash), p =>
+      element_at(wordsLit, shiftright(p, 6) + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64))))
+        =!= lit(0L))
+    val cand = shingled(docs.filter(!isEval)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .filter(member)
+
+    // 3) exact verification — broadcast only the true hash set, against
+    //    only the bloom-positive sliver
+    cand.join(broadcast(evalSh.withColumn("is_true", lit(true))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_candidate_shingles"),
+        countDistinct(when(col("is_true"), col("h"))).as("n_true_shingles"))
   }
 
   /** Exact shared-SUBSTRING pairs (the ExactSubstr half of Lee et al.

@@ -79,4 +79,39 @@ object TemporalOps {
       .filter(isLeft)
       .drop("_re", "_rv")
   }
+
+  /** Key-LESS interval join via bin decomposition (SURVEY.md §2 q42):
+    * per left row, count/sum right rows with
+    * `r.t ∈ [l.t - windowUs, l.t)` when the sides share NO equi key —
+    * [[lookbackStats]]'s keyed window does not apply, and Spark plans
+    * a raw inequality-only join as BroadcastNestedLoopJoin: O(n·m),
+    * dead at scale. Both sides instead quantize time into bins of
+    * exactly `windowUs`: a right row lives in bin `t DIV w`; a left
+    * row's window spans exactly the two bins {t DIV w − 1, t DIV w},
+    * so exploding the LEFT side ×2 and equi-joining on the bin turns
+    * the interval predicate into an ordinary hash join plus a residual
+    * range filter — the standard range-join decomposition (Databricks
+    * ships it as a hint; open-source Spark has no native form). Each
+    * right row's bin matches at most one of a left row's two distinct
+    * exploded bins, so no post-join dedup is needed. The shuffle is
+    * keyed by time bin: time-clustered corpora skew hot bins, which
+    * AQE skew-join splitting (on in [[graft.engine.GraftSession]])
+    * re-partitions at runtime. Integer `DIV` keeps binning exact —
+    * double division rounds near bin edges at epoch-µs magnitudes. */
+  def intervalBinStats(left: DataFrame, idCols: Seq[String],
+      leftTimeUs: Column, right: DataFrame, rightTimeUs: Column,
+      valueCol: Column, windowUs: Long): DataFrame = {
+    require(windowUs > 0)
+    val lb = left.withColumn("_t", leftTimeUs.cast("long"))
+      .withColumn("_bin",
+        explode(array(expr(s"_t DIV $windowUs - 1"), expr(s"_t DIV $windowUs"))))
+    val rb = right.select(rightTimeUs.cast("long").as("_rt"), valueCol.as("_rv"))
+      .withColumn("_bin", expr(s"_rt DIV $windowUs"))
+    lb.join(rb,
+        lb("_bin") === rb("_bin") &&
+          col("_rt") >= col("_t") - windowUs && col("_rt") < col("_t"),
+        "left")
+      .groupBy(idCols.map(col): _*)
+      .agg(count(col("_rt")).as("range_count"), sum(col("_rv")).as("range_sum"))
+  }
 }

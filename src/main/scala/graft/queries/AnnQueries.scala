@@ -152,6 +152,39 @@ object AnnQueries {
       recallOf("lsh", exact, topK(base, useLsh = true))
         .unionAll(recallOf("ivf", exact, ivfTopK(base)))
         .orderBy("method", "query_id")
+    },
+
+    // ann98 (round 5): recall@K of the PQ path against the exact
+    // baseline — completes the eval family (ann_recall covers
+    // LSH/IVF). PQ trades recall for 64× memory compression; this is
+    // the number that says whether the trade held. Same per-query +
+    // macro-average (query_id = -1) shape, same composed-oracle
+    // discipline: bf and the full unrolled PQ pipeline run in one
+    // DuckDB statement.
+    QueryDef.sql(
+      "ann_pq_recall", {
+        s"""WITH ${OracleSql.annBaseCtes},
+           |${OracleSql.annBruteforceCtes("bf", NumQueries, K)},
+           |${OracleSql.annPqCtes("pqk", PqM, PqKsub, PqIters, NumQueries, K, IvfScale.toLong)},
+           |r_pq AS MATERIALIZED (
+           |  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+           |  FROM bf e LEFT JOIN pqk a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id
+           |)
+           |SELECT 'pq' AS method, query_id, recall_at_k FROM r_pq
+           |UNION ALL
+           |SELECT 'pq', CAST(-1 AS BIGINT),
+           |  CAST(SUM(CAST(recall_at_k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           |FROM r_pq
+           |ORDER BY method, query_id""".stripMargin
+      }) { (s, dir) =>
+      val base = prepBase(s, dir)
+      val exact = topK(base, useLsh = false)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf("pq", exact,
+          AnnOps.pqTopK(base, PqM, PqKsub, PqIters, IvfScale, NumQueries, K))
+        .orderBy("method", "query_id")
     }
   )
 }

@@ -51,6 +51,70 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // dd97 (round 5): Bloom-filter decontamination pre-filter — the
+    // at-scale front half of dd_decontaminate. The eval side folds
+    // into a 2^17-bit bitmap (one bit_or aggregation, 16 KB); the
+    // train side probes it scan-locally (no join/shuffle/broadcast),
+    // and only bloom-POSITIVE shingles reach the exact verification
+    // join. Output separates n_candidate (bloom-positive) from n_true
+    // (exact) per doc, so the false-positive traffic is visible and
+    // itself hash-checked: the oracle rebuilds the identical bitmap —
+    // FNV-64 shingle hash, splitmix64 double-hash step, power-of-two
+    // mod — in HUGEINT arithmetic and must reproduce every FP.
+    QueryDef.sql(
+      "dd_bloom", {
+        import OracleSql._
+        val mBits = 1 << 17
+        val (smCtes, smLast) = splitmixCtes("sx", "u0", Seq("h"), "bm")
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tokens("text")} AS w FROM documents
+           |), shs AS MATERIALIZED (
+           |  SELECT doc_id, doc_id % 53 = 0 AS is_eval,
+           |    list_distinct(${shinglesK("w", 4)}) AS s
+           |  FROM t
+           |), hh AS MATERIALIZED (
+           |  SELECT doc_id, is_eval, ${toSigned(fnv1a64Unsigned("sg"))} AS h
+           |  FROM (SELECT doc_id, is_eval, unnest(s) AS sg FROM shs)
+           |), hd AS (
+           |  SELECT DISTINCT h FROM hh
+           |), sx AS MATERIALIZED (
+           |  SELECT h, ${toUnsigned("h")} AS u0 FROM hd
+           |),
+           |$smCtes,
+           |hp AS MATERIALIZED (
+           |  SELECT h, CAST(z5 AS HUGEINT) AS g FROM $smLast
+           |), pos AS MATERIALIZED (
+           |  SELECT hh.doc_id, hh.is_eval, hh.h, i.i AS i,
+           |    CAST((${toUnsigned("hh.h")} + CAST(i.i AS HUGEINT) * hp.g)
+           |      % $mBits AS INT) AS pos
+           |  FROM hh JOIN hp USING (h), (SELECT unnest(range(3)) AS i) i
+           |), bloom AS MATERIALIZED (
+           |  SELECT pos // 64 AS w,
+           |    bit_or(CAST(1 AS HUGEINT) << (pos % 64)) AS word
+           |  FROM pos WHERE is_eval GROUP BY pos // 64
+           |), probe AS MATERIALIZED (
+           |  SELECT p.doc_id, p.h, count(*) AS hits
+           |  FROM (SELECT * FROM pos WHERE NOT is_eval) p
+           |  JOIN bloom b ON p.pos // 64 = b.w
+           |    AND (b.word & (CAST(1 AS HUGEINT) << (p.pos % 64))) <> 0
+           |  GROUP BY p.doc_id, p.h
+           |), ev AS (
+           |  SELECT DISTINCT h FROM hh WHERE is_eval
+           |), cand AS (
+           |  SELECT pr.doc_id, pr.h, ev.h IS NOT NULL AS is_true
+           |  FROM probe pr LEFT JOIN ev ON pr.h = ev.h WHERE pr.hits = 3
+           |)
+           |SELECT doc_id,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS n_candidate_shingles,
+           |  CAST(count(DISTINCT CASE WHEN is_true THEN h END) AS BIGINT)
+           |    AS n_true_shingles
+           |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.bloomDecontaminate(Tables.load(s, dir, "documents"),
+          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4)
+        .orderBy("doc_id")
+    },
+
     // dd77 (round 5): URL canonicalization dedup — group a crawl by
     // canonical URL after stripping scheme/www/default-port/fragment/
     // tracking-params/trailing-slash (host lowercased, path case

@@ -70,6 +70,42 @@ object TemporalQueries {
         .select(col("event_id"), col("user_id"), col("lookback_count"),
           col("lookback_sum").cast("double").as("lookback_sum"))
         .orderBy("event_id")
+    },
+
+    // q42 (round 5): KEY-LESS interval join — per error event, count +
+    // value-sum of ALL clicks (any user) in the strictly-prior 5
+    // minutes. No equi key exists, so q32's keyed range window doesn't
+    // apply and a naive inequality join is a BroadcastNestedLoopJoin;
+    // the operator decomposes into time bins of exactly the window
+    // width (left side exploded ×2, equi-join on bin, residual range
+    // filter) — audited in PlanAuditSpec as hash-join-only. Oracle:
+    // DuckDB's native inequality join (IEJoin) over the same range.
+    QueryDef.sql(
+      "q42_range_join",
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id,
+        |  CAST(COUNT(c.t) AS BIGINT) AS nearby_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS nearby_value
+        |FROM e LEFT JOIN c ON c.t >= e.t - 300000000 AND c.t < e.t
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val clk = ev.filter(col("event_type") === "click")
+      TemporalOps.intervalBinStats(
+          err, Seq("event_id"), unix_micros(col("ts")),
+          clk, unix_micros(col("ts")),
+          valueCol = col("value").cast("decimal(18,2)"),
+          windowUs = 300000000L)
+        .select(col("event_id"), col("range_count").as("nearby_clicks"),
+          col("range_sum").cast("double").as("nearby_value"))
+        .orderBy("event_id")
     }
   )
 }

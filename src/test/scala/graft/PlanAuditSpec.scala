@@ -170,6 +170,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd_bloom probes scan-locally: the bitmap is a literal, no join below the filter") {
+    val df = SparkEntry.queries("dd_bloom")(spark, dir)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the membership test is a codegen'd Filter expression over the
+    // positions array — present in-plan, NOT implemented as a join
+    assert(p.toLowerCase.contains("bloompositions"),
+      s"bloom probe must be an in-scan expression:\n${p.take(2000)}")
+    // the only join is the exact-verification broadcast; the 100 TB
+    // train side never sort-merge-joins or cartesians
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"train side must not shuffle into a join:\n${p.take(2000)}")
+  }
+
+  test("q42_range_join decomposes to an equi hash join — never a nested-loop") {
+    val df = SparkEntry.queries("q42_range_join")(spark, dir)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the interval predicate must ride an equi bin join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"expected a hash/merge join on the bin:\n${p.take(2000)}")
+  }
+
   test("pipe_pack shuffles ONCE (the shard exchange) and never sorts globally") {
     val df = graft.operators.PackingOps.packSequences(
       Tables.load(spark, dir, "documents"), budget = 512, shards = 8)

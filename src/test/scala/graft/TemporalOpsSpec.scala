@@ -9,6 +9,39 @@ class TemporalOpsSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(cores = 4, appName = "graft-temporal-test")
 
+  test("intervalBinStats: key-less range join, bin edges hand-computed") {
+    import spark.implicits._
+    // window = 100: left row at t matches right rows in [t-100, t)
+    val left = Seq((1L, 250L), (2L, 300L), (3L, 1000L))
+      .toDF("id", "t")
+    val right = Seq(
+      (150L, 1.0),  // = 250-100: inclusive lower edge for id 1; < 200 bin boundary
+      (200L, 2.0),  // in [150,250) and [200,300): ids 1 and 2
+      (249L, 4.0),  // id 1 (and id 2's window [200,300))
+      (250L, 8.0),  // = id 1's t: excluded (strict upper); id 2 keeps it
+      (300L, 16.0), // = id 2's t: excluded; matches nobody
+      (999L, 32.0)) // id 3 only
+      .toDF("rt", "v")
+    val got = TemporalOps.intervalBinStats(
+        left, Seq("id"), col("t"), right, col("rt"), col("v"), windowUs = 100L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(7.0)),   // 150+200+249
+      (2L, 3L, Some(14.0)),  // 200+249+250
+      (3L, 1L, Some(32.0))))
+  }
+
+  test("intervalBinStats: left rows with no matches survive with count 0") {
+    import spark.implicits._
+    val left = Seq((1L, 5000L)).toDF("id", "t")
+    val right = Seq((10L, 1.0)).toDF("rt", "v")
+    val got = TemporalOps.intervalBinStats(
+        left, Seq("id"), col("t"), right, col("rt"), col("v"), windowUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, 0L, None)))
+  }
+
   test("asofJoin picks the latest right row at-or-before each left time, per key") {
     import spark.implicits._
     val left = Seq(

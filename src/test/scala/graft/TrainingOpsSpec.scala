@@ -81,6 +81,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1L), (12L, 2L, 1L)))
   }
 
+  test("bloomDecontaminate: candidates ⊇ exact hits; tiny bitmap forces FPs the exact stage rejects") {
+    // 5 eval docs (25 distinct 4-shingles), 100 clean train docs with
+    // doc-unique vocab, one truly contaminated doc sharing eval doc
+    // 0's leading 4-gram. At mBits=128 the eval set saturates ~half
+    // the bitmap, so clean-doc shingles false-positive with p≈(load)³;
+    // at the default 2^17 the same corpus probes clean.
+    val evalDocs = (0 until 5).map(e =>
+      (e.toLong, (0 until 8).map(j => s"e${e}t$j").mkString(" ")))
+    val train = (0 until 100).map(i =>
+      (100L + i, (0 until 5).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = (evalDocs ++ train ++ Seq((300L, "e0t0 e0t1 e0t2 e0t3 zzz")))
+      .toDF("doc_id", "text")
+    val isEval = col("doc_id") < 10
+
+    val exact = DedupOps.decontaminate(docs, isEval, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val tiny = DedupOps.bloomDecontaminate(docs, isEval, k = 4, mBits = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    tiny.foreach { case (id, cand, tru) =>
+      assert(cand >= tru)
+      assert(tru == exact.getOrElse(id, 0L))
+    }
+    // no false negatives (the Bloom guarantee): every exact hit survives
+    assert(exact == tiny.filter(_._3 > 0).map(t => t._1 -> t._3).toMap)
+    // the overloaded bitmap DID produce false positives, all rejected
+    assert(tiny.map(t => t._2 - t._3).sum > 0)
+
+    val big = DedupOps.bloomDecontaminate(docs, isEval, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(big.map(t => t._1 -> t._3).toMap == exact)
+    assert(big.forall(t => t._2 == t._3))
+  }
+
   test("winnow: window counts, short-doc exclusion, identical text -> identical prints") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 toks -> 5 grams -> 2 full windows
