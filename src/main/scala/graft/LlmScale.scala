@@ -27,7 +27,7 @@ object LlmScale {
 
   val DefaultOps: Seq[String] = Seq(
     "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span", "dd_semantic",
-    "dd_semantic_scaledk",
+    "dd_semantic_scaledk", "dd_bloom", "dd_bloom_scaledm",
     "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
@@ -103,10 +103,28 @@ object LlmScale {
           org.apache.spark.sql.functions.col("vec_a"),
           org.apache.spark.sql.functions.col("vec_b"))
         .limit(50).count()
+    // "dd_bloom_scaledm" is the bitmap twin of the SemDeDup sizing
+    // lesson: the registered dd_bloom keeps mBits fixed at 2^17, so a
+    // ×factor eval set saturates the bitmap (per-shingle FP rate → 1)
+    // and the exact-verify stage degrades toward full
+    // dd_decontaminate traffic. Production sizing holds n/m constant:
+    // mBits rounds up to the next power of two ≥ 2^17 × factor (the
+    // position mod stays a bit-mask; 2^k | 2^64 keeps the oracle
+    // replay exact at every size).
+    def runScaledM(): Long = {
+      val target = (1L << 17) * factor
+      var m = 1 << 17
+      while (m < target) m <<= 1
+      graft.operators.DedupOps.bloomDecontaminate(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m)
+        .count()
+    }
     val probeStart = probe()
     val results = ops.map { name =>
       val body: () => Unit =
         if (name == "dd_semantic_scaledk") () => runScaledK()
+        else if (name == "dd_bloom_scaledm") () => runScaledM()
         else { val q = SparkEntry.queries(name); () => q(spark, dir).count() }
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
