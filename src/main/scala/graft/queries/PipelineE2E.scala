@@ -172,6 +172,48 @@ object PipelineE2E {
           row_number().over(Window.partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
         .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos_in_shard"))
         .orderBy("doc_id")
+    },
+
+    // pipe100 (round 5): deterministic weighted-mixture interleave
+    // (stride scheduling) — the curriculum/mixture scheduler: source
+    // srcN gets weight (N mod 4)+1, and any prefix of the emitted
+    // order carries sources in proportion to their weights. The
+    // headline scale property: graft computes each doc's GLOBAL
+    // position in closed form (integer arithmetic against per-source
+    // totals — no global sort, no single-partition window; audited),
+    // while the oracle computes it the opposite way, row_number over
+    // an ACTUAL global sort of the stride keys — the hash match
+    // cross-validates the closed form against a real sort every run.
+    QueryDef.sql(
+      "pipe_mix", {
+        import OracleSql._
+        val key = toSigned(fnv1a64Unsigned("'mix42:' || CAST(doc_id AS VARCHAR)"))
+        s"""WITH base AS (
+           |  SELECT doc_id, source, $key AS k FROM documents
+           |), sh AS (
+           |  SELECT doc_id, source, k,
+           |    CAST(${toUnsigned("k")} % 64 AS INT) AS shard
+           |  FROM base
+           |), r AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY shard, k, doc_id) AS r
+           |  FROM sh
+           |), kk AS (
+           |  SELECT doc_id, source, r,
+           |    (2*r - 1) * (12 // ((CAST(regexp_extract(source, '([0-9]+)', 1)
+           |      AS INT) % 4) + 1)) AS kkey
+           |  FROM r
+           |)
+           |SELECT doc_id, source, CAST(r AS BIGINT) AS src_rank,
+           |  CAST(row_number() OVER (ORDER BY kkey, source) AS BIGINT)
+           |    AS global_pos
+           |FROM kk ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      graft.operators.MixOps.strideMix(
+          Tables.load(s, dir, "documents"),
+          weightOf = src => src.replaceAll("\\D", "").toInt % 4 + 1)
+        .orderBy("doc_id")
     }
   )
 }

@@ -140,4 +140,31 @@ class PipelineSpec extends AnyFunSuite {
       .select("lang_pred").distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
   }
+
+  test("strideMix: closed-form positions = sort ranks; prefix carries the weight mixture") {
+    // sources A..D, weights 1..4, 20 docs each
+    val docs = (0 until 80).map { i =>
+      (i.toLong, "ABCD" (i % 4).toString, s"text $i")
+    }.toDF("doc_id", "source", "text")
+    val weights = Map("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 4)
+    val got = graft.operators.MixOps.strideMix(docs, weights(_))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // global_pos is a permutation of 1..n
+    assert(got.map(_._4).sorted.toSeq == (1L to 80L).toSeq)
+    // closed form == rank from an actual sort of the stride keys
+    val p = 12L
+    def key(src: String, r: Long) = (2 * r - 1) * (p / weights(src))
+    val sorted = got.sortBy(t => (key(t._2, t._3), t._2))
+    sorted.zipWithIndex.foreach { case (t, i) =>
+      assert(t._4 == i + 1, s"doc ${t._1}: closed form ${t._4} != sort rank ${i + 1}")
+    }
+    // a full stride period (sum of weights = 10) carries the exact mixture
+    val first10 = sorted.take(10).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(first10 == Map("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 4))
+    // deterministic under repartitioning
+    val again = graft.operators.MixOps.strideMix(docs.repartition(13), weights(_))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }

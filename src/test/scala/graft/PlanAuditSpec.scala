@@ -195,6 +195,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("SortMergeJoin"), s"expected a hash/merge join on the bin:\n${p.take(2000)}")
   }
 
+  test("pipe_mix computes global order without a single-partition stage") {
+    val df = SparkEntry.queries("pipe_mix")(spark, dir)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // closed-form position: no global row_number → no Exchange
+    // SinglePartition anywhere (the output orderBy is a range
+    // partition, which scales; one reducer does not)
+    assert(!p.contains("SinglePartition"),
+      s"global position must not serialize through one task:\n${p.take(2000)}")
+  }
+
   test("pipe_pack shuffles ONCE (the shard exchange) and never sorts globally") {
     val df = graft.operators.PackingOps.packSequences(
       Tables.load(spark, dir, "documents"), budget = 512, shards = 8)
