@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   *
   * Decode runs partition-batched over the binary column with a fixed
   * output schema — the same shape a mapInPandas/codec-backed decoder
-  * drops into for JPEG/MP3/video.
+  * drops into for MP3/video.
   */
 object MediaOps {
 
@@ -586,4 +586,180 @@ object MediaOps {
           m.sampleMd5)
       }
     }(Encoders.row(sampleSchema))
+
+  // ---------------------------------------------------------------- JPEG
+
+  /** Standard Huffman tables from the public JPEG spec (ITU T.81
+    * Annex K, tables K.3/K.5): (BITS counts for code lengths 1..16,
+    * HUFFVAL symbol list). Codes are derived canonically, so only
+    * these public constants are embedded. */
+  private val JpegDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = (0 to 11).toArray
+  private val JpegAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 C.2): symbols get
+    * consecutive codes within each length, lengths ascending. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(vi) -> (code, len)
+        code += 1
+        vi += 1
+        i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  /** Encode a baseline grayscale JFIF JPEG whose image is flat 8×8
+    * tiles (`tilesW`×`tilesH` tiles, `tileVals` row-major, each an
+    * EVEN value in [0, 254]) — hand-rolled from the public JPEG spec
+    * (T.81): SOI/APP0/DQT/SOF0/DHT/SOS markers, uniform quant table
+    * (all 16), Annex-K Huffman tables, MSB-first entropy coding with
+    * 0xFF byte stuffing, DC coded as a category + ones'-complement
+    * difference chain, each block closed with EOB.
+    *
+    * A flat block's DCT has ONE nonzero coefficient: F(0,0) =
+    * 8·(v−128). With Q[0,0] = 16 the quantized DC is (v−128)/2 —
+    * exact for even v — and the decoder's dequantize+IDCT returns
+    * exactly v: the values sit on the quantization lattice, so the
+    * lossy pipeline is exactly lossless and the decoded stats stay
+    * closed-form for the oracle (the mm_png/mm_gif discipline,
+    * extended to a transform codec). */
+  def jpegBytes(tilesW: Int, tilesH: Int, tileVals: Array[Int]): Array[Byte] = {
+    require(tileVals.length == tilesW * tilesH, "need one value per tile")
+    require(tileVals.forall(v => v >= 0 && v <= 254 && v % 2 == 0),
+      "tile values must be even in [0, 254] (the Q=16 DC lattice)")
+    val w = tilesW * 8
+    val h = tilesH * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    marker(0xdb, (Array(0x00) ++ Array.fill(64)(16)).map(_.toByte)) // DQT, table 0
+    marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      1, 1, 0x11, 0).map(_.toByte)) // SOF0: 8-bit, 1 component, 1x1
+    marker(0xc4, (Array(0x00) ++ JpegDcBits ++ JpegDcVals).map(_.toByte))
+    marker(0xc4, (Array(0x10) ++ JpegAcBits ++ JpegAcVals).map(_.toByte))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    var acc = 0L
+    var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    var prevDc = 0
+    tileVals.foreach { v =>
+      val dc = (v - 128) / 2
+      val diff = dc - prevDc
+      prevDc = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag) // bits in |diff|
+      val (c, l) = dcCodes(cat)
+      put(c, l)
+      if (cat > 0) put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      val (ec, el) = acCodes(0x00) // EOB: all 63 AC coefficients zero
+      put(ec, el)
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decoded grayscale stats: dimensions + sum and max of the raw
+    * RASTER samples (no ColorModel conversion — `getRGB` on a gray
+    * image applies a gray↔sRGB color-space transform that is not the
+    * identity; the raster holds the decoder's actual output). */
+  final case class JpegMeta(width: Int, height: Int, graySum: Long, grayMax: Long)
+
+  /** Decode a JPEG payload via `javax.imageio` (an independent decoder
+    * implementation — the JDK's libjpeg-derived plugin) and fold
+    * gray-sample sum/max from the raster. */
+  def decodeJpegGray(bytes: Array[Byte]): JpegMeta = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    require(raster.getNumBands == 1, s"expected grayscale, got ${raster.getNumBands} bands")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var max = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toLong
+        sum += v
+        if (v > max) max = v
+        x += 1
+      }
+      y += 1
+    }
+    JpegMeta(w, h, sum, max)
+  }
+
+  private val jpegDecodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("gray_sum", LongType),
+    StructField("gray_max", LongType)))
+
+  /** Partition-batched JPEG decode over a binary column (same contract
+    * as [[decodePngDF]]). */
+  def decodeJpegDF(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(df.col(idCol), df.col(payloadCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val m = decodeJpegGray(payload)
+        Row(r.getLong(0), payload.length.toLong, m.width.toLong,
+          m.height.toLong, m.graySum, m.grayMax)
+      }
+    }(Encoders.row(jpegDecodeSchema))
 }

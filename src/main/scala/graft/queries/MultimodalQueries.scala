@@ -14,8 +14,10 @@ import graft.engine.Tables
   * (hand-rolled RIFF parser), BMP (hand-rolled header/pixel parser),
   * PNG and GIF (the JDK's own `javax.imageio` readers against
   * hand-rolled spec encoders, GIF's with a real compress-convention
-  * LZW compressor). Only modalities whose lossless decode genuinely
-  * isn't available in a stock JVM (JPEG/MP3/video) keep a
+  * LZW compressor), and JPEG (hand-rolled baseline T.81 encoder
+  * against the JDK's libjpeg-derived reader, exact on the DC
+  * quantization lattice). Only modalities with no JVM codec at all
+  * (MP3/video) keep a
   * clearly-marked deterministic STUB (byte-histogram "features");
   * everything around it — binary column, metadata struct,
   * mapPartitions batching, explicit result schema — is the real
@@ -228,7 +230,57 @@ object MultimodalQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  private def jpegOracle: String = {
+    // tile t's gray value is 2*((doc_id*31 + t*97) % 128); a flat 8x8
+    // tile decodes to exactly that value (DC-only block on the Q=16
+    // quantization lattice), so sum = 64 * sum(tile values)
+    s"""WITH g AS (
+       |  SELECT doc_id, 1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, tw, th,
+       |    list_transform(range(0, CAST(tw*th AS BIGINT)),
+       |      t -> 2 * ((doc_id*31 + t*97) % 128)) AS vals
+       |  FROM g
+       |)
+       |SELECT doc_id, 'image/jpeg' AS modality,
+       |  CAST(tw * 8 AS BIGINT) AS width, CAST(th * 8 AS BIGINT) AS height,
+       |  CAST(64 * list_sum(vals) AS BIGINT) AS gray_sum,
+       |  CAST(list_max(vals) AS BIGINT) AS gray_max
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // mm101 (round 5): JPEG decode — the transform-codec modality,
+    // same cross-implementation recipe as mm_png/mm_gif: a hand-rolled
+    // baseline JFIF ENCODER (T.81 markers, Annex-K Huffman tables,
+    // MSB-first entropy coding with byte stuffing, DC difference
+    // chain) against the JDK's libjpeg-derived ImageIO READER. JPEG is
+    // lossy in general, so the fixture pins every 8x8 block to a flat
+    // tile whose value sits on the Q=16 DC quantization lattice
+    // (even values): the block's only nonzero coefficient is
+    // F(0,0)=8(v-128), quantized exactly, and the decoder returns
+    // exactly v — verified exhaustively for all 128 lattice values in
+    // MediaOpsSpec. The byte-histogram stub now stands ONLY for
+    // modalities with no JVM codec at all (MP3/video).
+    QueryDef.sql("mm_jpeg", jpegOracle) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val tw = 1 + (id % 3).toInt
+          val th = 1 + (id % 2).toInt
+          val vals = Array.tabulate(tw * th)(t => 2 * ((id * 31 + t * 97) % 128).toInt)
+          Row(id, graft.operators.MediaOps.jpegBytes(tw, th, vals))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavGenSchema))
+      graft.operators.MediaOps.decodeJpegDF(fixture, "doc_id", "payload")
+        .select(
+          col("doc_id"), lit("image/jpeg").as("modality"),
+          col("width"), col("height"), col("gray_sum"), col("gray_max"))
+        .orderBy("doc_id")
+    },
     // mm76: GIF decode — hand-rolled GIF89a writer with a real
     // compress-convention LZW compressor (variable code width,
     // dictionary resets) against the JDK's own ImageIO GIF reader, the
@@ -236,9 +288,9 @@ object MultimodalQueries {
     // lossless palette lookup, so DuckDB recomputes the decoded
     // per-channel stats closed-form from doc_id. With GIF landed, the
     // byte-histogram stub below stands ONLY for modalities whose
-    // codecs genuinely aren't in a stock JVM (JPEG's DCT pipeline is in
-    // ImageIO too but lossy — stats wouldn't be closed-form; MP3/video
-    // need external codecs).
+    // codecs genuinely aren't in a stock JVM (MP3/video; JPEG's
+    // lossiness is handled by mm_jpeg's quantization-lattice fixture,
+    // which makes the transform pipeline exactly lossless).
     QueryDef.sql("mm_gif", gifOracle) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
@@ -307,7 +359,7 @@ object MultimodalQueries {
     // independently. byte_len is deliberately absent: deflate output
     // size isn't closed-form, and the oracle checks DECODE, not the
     // compressor. With WAV+BMP+PNG real, the histogram stub below
-    // stands only for codec-requiring modalities (JPEG/MP3/video).
+    // stands only for codec-requiring modalities (MP3/video).
     QueryDef.sql("mm_png", pngOracle) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
@@ -338,7 +390,7 @@ object MultimodalQueries {
     // against DuckDB's closed-form replay of the fixture. Together
     // with mm_decode (WAV), both codec-free modalities now decode for
     // real; the histogram stub stands only where a codec would be
-    // required (JPEG/MP3/video).
+    // required (MP3/video).
     QueryDef.sql("mm_image", bmpOracle) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)

@@ -221,4 +221,29 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(5)).forall(_ == 5L)) // n_frames
     assert(out(3).getSeq[Long](7) == Seq(3L + 4 + 5 + 6 + 7)) // sums for id=3
   }
+
+  test("jpeg: EXHAUSTIVE lattice roundtrip — every even value decodes to itself") {
+    // hand-rolled T.81 encoder vs the JDK's independent decoder: a
+    // flat 8x8 tile on the Q=16 DC lattice survives the full
+    // DCT→quantize→Huffman→decode pipeline EXACTLY, for all 128 values
+    (0 to 254 by 2).foreach { v =>
+      val m = MediaOps.decodeJpegGray(MediaOps.jpegBytes(1, 1, Array(v)))
+      assert(m.width == 8 && m.height == 8, s"v=$v dims")
+      assert(m.graySum == 64L * v && m.grayMax == v,
+        s"v=$v decoded sum=${m.graySum} max=${m.grayMax}")
+    }
+  }
+
+  test("jpeg: multi-tile DC difference chain, both signs, boundary values") {
+    val vals = Array(200, 10, 254, 0, 128, 64)
+    val m = MediaOps.decodeJpegGray(MediaOps.jpegBytes(3, 2, vals))
+    assert(m.width == 24 && m.height == 16)
+    assert(m.graySum == 64L * vals.sum)
+    assert(m.grayMax == 254L)
+    // off-lattice values are rejected up-front: the fixture contract
+    // (exactness) is enforced, not silently approximated
+    intercept[IllegalArgumentException] {
+      MediaOps.jpegBytes(1, 1, Array(101))
+    }
+  }
 }
