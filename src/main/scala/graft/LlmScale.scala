@@ -113,11 +113,12 @@ object LlmScale {
     // replay exact at every size).
     def runScaledM(): Long = {
       val target = (1L << 17) * factor
-      var m = 1 << 17
+      var m = 1L << 17
       while (m < target) m <<= 1
+      require(m <= (1L << 30), s"scaled mBits $m exceeds the Int bitmap bound")
       graft.operators.DedupOps.bloomDecontaminate(
           spark.read.parquet(s"$dir/documents.parquet"),
-          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m)
+          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m.toInt)
         .count()
     }
     val probeStart = probe()

@@ -156,8 +156,11 @@ object DedupOps {
     // 1) eval-side bitmap: distinct shingle hashes → bit positions →
     //    ONE bit_or aggregation over at most mBits/64 words. Eval is
     //    small by contract (benchmarks vs a 100 TB corpus), so the job
-    //    and the collect are metadata-sized.
-    val evalSh = shingled(docs.filter(isEval)).select("h").distinct()
+    //    and the collect are metadata-sized. Persisted: the same
+    //    distinct-hash set feeds the verify broadcast in step 3, and
+    //    without the cache the eval scan+shingle pipeline would run
+    //    twice (once per job).
+    val evalSh = shingled(docs.filter(isEval)).select("h").distinct().persist()
     val words = new Array[Long](mBits / 64)
     evalSh
       .select(explode(bloom_positions(col("h"), mBits, nHash)).as("pos"))

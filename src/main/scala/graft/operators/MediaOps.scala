@@ -658,6 +658,8 @@ object MediaOps {
     * closed-form for the oracle (the mm_png/mm_gif discipline,
     * extended to a transform codec). */
   def jpegBytes(tilesW: Int, tilesH: Int, tileVals: Array[Int]): Array[Byte] = {
+    require(tilesW >= 1 && tilesH >= 1 && tilesW * 8 <= 65535 && tilesH * 8 <= 65535,
+      s"dimensions ${tilesW}x$tilesH tiles outside JPEG's 16-bit frame size")
     require(tileVals.length == tilesW * tilesH, "need one value per tile")
     require(tileVals.forall(v => v >= 0 && v <= 254 && v % 2 == 0),
       "tile values must be even in [0, 254] (the Q=16 DC lattice)")

@@ -97,9 +97,12 @@ object MixOps {
       val n2 = nOf(s2)
       val below = expr(
         s"greatest(0L, least(${n2}L, (kk + ${3 * q2 - 1}) DIV ${2 * q2} - 1))")
-      val tie = expr(
-        s"CASE WHEN '$s2' < source AND kk % $q2 = 0 AND (kk DIV $q2) % 2 = 1" +
-          s" AND (kk DIV $q2 + 1) DIV 2 <= ${n2}L THEN 1L ELSE 0L END")
+      // the source NAME only ever rides as a Column literal — never
+      // spliced into SQL text (names are data; quotes must be inert)
+      val tie = when(lit(s2) < col("source") &&
+          expr(s"kk % $q2 = 0 AND (kk DIV $q2) % 2 = 1" +
+            s" AND (kk DIV $q2 + 1) DIV 2 <= ${n2}L"),
+        lit(1L)).otherwise(lit(0L))
       when(col("source") === lit(s2), lit(0L)).otherwise(below + tie)
     }
     ranked

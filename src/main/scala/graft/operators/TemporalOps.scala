@@ -102,6 +102,12 @@ object TemporalOps {
       leftTimeUs: Column, right: DataFrame, rightTimeUs: Column,
       valueCol: Column, windowUs: Long): DataFrame = {
     require(windowUs > 0)
+    // internal working columns would silently shadow same-named caller
+    // columns via withColumn (the right side is insulated by its
+    // select; the left is not)
+    val reserved = Set("_t", "_bin", "_rt", "_rv")
+    require(!left.columns.exists(reserved), s"left input may not use " +
+      s"reserved columns ${reserved.mkString(", ")}")
     val lb = left.withColumn("_t", leftTimeUs.cast("long"))
       .withColumn("_bin",
         explode(array(expr(s"_t DIV $windowUs - 1"), expr(s"_t DIV $windowUs"))))
