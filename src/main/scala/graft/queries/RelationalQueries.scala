@@ -747,6 +747,53 @@ object RelationalQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
+    },
+
+    // q43 (round 5): CDC MERGE — the lakehouse `MERGE INTO` semantic
+    // join as a library operator (CdcOps.mergeCdc): a deterministic
+    // changes batch (deletes %17, balance updates %5, inserted new
+    // keys %13) applied to customer. The base table never shuffles:
+    // one scan, one broadcast hash join against the CDC batch, a
+    // scan-local CASE projection, and a union of the inserts. Balance
+    // arithmetic rides DECIMAL(18,2) in both engines (the Det rule);
+    // unchanged rows pass the raw double through untouched.
+    QueryDef.sql(
+      "q43_merge_cdc",
+      """WITH ch AS (
+        |  SELECT c_custkey, 'D' AS op, CAST(NULL AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 17 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'U',
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', CAST(c_custkey % 1000 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |)
+        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment,
+        |  CASE WHEN ch.op = 'U' THEN ch.bal ELSE b.c_acctbal END AS c_acctbal
+        |FROM customer b LEFT JOIN ch ON b.c_custkey = ch.c_custkey
+        |WHERE ch.op IS NULL OR ch.op <> 'D'
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS INT), CAST(NULL AS VARCHAR), bal
+        |FROM ch WHERE op = 'I'
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val deletes = cust.filter(k % 17 === 0)
+        .select(k.as("c_custkey"), lit("D").as("_op"),
+          lit(null).cast("double").as("c_acctbal"))
+      val updates = cust.filter(k % 5 === 0 && k % 17 =!= 0)
+        .select(k.as("c_custkey"), lit("U").as("_op"),
+          (col("c_acctbal").cast("decimal(18,2)") + lit(100))
+            .cast("double").as("c_acctbal"))
+      val inserts = cust.filter(k % 13 === 0)
+        .select((k + lit(1000000L)).as("c_custkey"), lit("I").as("_op"),
+          (k % 1000).cast("double").as("c_acctbal"))
+      graft.operators.CdcOps.mergeCdc(
+          cust, deletes.unionByName(updates).unionByName(inserts), "c_custkey")
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
     }
   )
 }

@@ -106,6 +106,37 @@ object TemporalQueries {
         .select(col("event_id"), col("range_count").as("nearby_clicks"),
           col("range_sum").cast("double").as("nearby_value"))
         .orderBy("event_id")
+    },
+
+    // q44 (round 5): SCD2 history construction — turn a change stream
+    // (each user's 'view' events as attribute versions) into the
+    // type-2 slowly-changing-dimension shape: per key, each version
+    // carries [valid_from, valid_to) with valid_to = the next
+    // version's start (NULL = current). One keyed window (shuffle on
+    // user_id, sort by time) — the same partitioned-lead shape at any
+    // scale; no self-join, no global sort. Oracle: identical window
+    // SQL in DuckDB.
+    QueryDef.sql(
+      "q44_scd2",
+      """SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |  value AS val,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        |  lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS valid_to_us,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'view'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          col("value").as("val"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "version")
     }
   )
 }

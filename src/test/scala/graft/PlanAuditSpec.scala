@@ -195,6 +195,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("SortMergeJoin"), s"expected a hash/merge join on the bin:\n${p.take(2000)}")
   }
 
+  test("q43_merge_cdc broadcasts the CDC batch — the base table never shuffles") {
+    val df = SparkEntry.queries("q43_merge_cdc")(spark, dir)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"changes batch must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the base scan must not shuffle into the merge join:\n${p.take(2000)}")
+  }
+
   test("pipe_mix computes global order without a single-partition stage") {
     val df = SparkEntry.queries("pipe_mix")(spark, dir)
     df.collect() // AQE: audit the final plan

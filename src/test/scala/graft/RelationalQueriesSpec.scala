@@ -12,6 +12,31 @@ class RelationalQueriesSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.local(cores = 8, appName = "graft-test")
   private val dir = "/root/testdata/sf0.001"
 
+  test("mergeCdc: update/delete/insert/no-op semantics, hand-computed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "U", Some(99.0)),  // update bal, name untouched
+      (3L, "D", None),        // delete
+      (9L, "I", Some(9.5))    // insert (name absent from changes -> null)
+    ).toDF("k", "_op", "bal")
+    val got = graft.operators.CdcOps.mergeCdc(base, changes, "k")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), Some(10.0)),   // untouched
+      (2L, Some("b"), Some(99.0)),   // updated payload, kept name
+      (4L, Some("d"), Some(40.0)),   // untouched
+      (9L, None, Some(9.5))))        // inserted, absent cols null
+    // column names and types preserved (nullability may widen: inserts
+    // can introduce nulls in columns absent from the changes batch)
+    val out = graft.operators.CdcOps.mergeCdc(base, changes, "k").schema
+    assert(out.fields.map(f => (f.name, f.dataType)).toSeq ==
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("every declared query runs and has its oracle-aligned columns") {
     SparkEntry.allDefs.foreach { q =>
       val df = q.run(spark, dir)
