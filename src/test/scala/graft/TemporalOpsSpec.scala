@@ -42,6 +42,21 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, None)))
   }
 
+  test("intervalBinStats: correct under a pathological hot bin (all rows one window)") {
+    import spark.implicits._
+    // every right row lands in the SAME time bin — the worst skew the
+    // bin key can see; counts must still be exact
+    val left = Seq((1L, 1000L), (2L, 1050L)).toDF("id", "t")
+    val right = (0 until 10000).map(i => (900L + (i % 100), 1.0)).toDF("rt", "v")
+    val got = TemporalOps.intervalBinStats(
+        left, Seq("id"), col("t"), right, col("rt"), col("v"), windowUs = 100L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // id 1 window [900,1000): all 10000 rows (900..999); id 2 window
+    // [950,1050): rt in 950..999 -> 50 of each 100-cycle = 5000 rows
+    assert(got == Seq((1L, 10000L), (2L, 5000L)))
+  }
+
   test("asofJoin picks the latest right row at-or-before each left time, per key") {
     import spark.implicits._
     val left = Seq(
