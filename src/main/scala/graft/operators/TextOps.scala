@@ -54,6 +54,41 @@ object TextOps {
         sum(when(col("c") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"))
   }
 
+  /** Conditional bigram-LM surprisal (SURVEY.md §2c ta104) — ta_lm's
+    * unigram model upgraded to the CONDITIONAL form real CCNet-style
+    * quality filters use (KenLM n-grams): per doc,
+    * Σ −log₂ p(w|prev) with p(w|prev) = c(prev,w)/c(prev), scored in
+    * the integer floor-log2 domain (bits(n) = MSB position =
+    * length(bin(n))) so both engines agree exactly — no IEEE logs
+    * cross engines. Corpus count tables are data-derived and
+    * unbounded → JOINED by key (never broadcast); bigram construction
+    * is a per-doc lag window (shuffle by doc_id, ordered by position
+    * — no positional self-join). Docs under 2 tokens have no bigrams
+    * and are absent, matching the oracle. */
+  def bigramLmScore(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val toks = tokens(col("text"))
+    val pos = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val bi = pos.withColumn("prev", lag(col("w"), 1).over(wdoc))
+      .filter(col("prev").isNotNull)
+    val db = bi.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("k"))
+    val cb = bi.groupBy("prev", "w").agg(count(lit(1)).as("cbi"))
+    val cc = bi.groupBy("prev").agg(count(lit(1)).as("cctx"))
+    def bits(x: org.apache.spark.sql.Column) = length(bin(x))
+    db.join(cb, Seq("prev", "w")).join(cc, Seq("prev"))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").as("n_bigrams"),
+        sum(col("k") * (bits(col("cctx")) - bits(col("cbi"))).cast("long"))
+          .as("surprisal_bits"),
+        min("cbi").as("min_bigram_count"),
+        sum(when(col("cbi") <= rareMax, col("k")).otherwise(0L)).as("rare_bigrams"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. '03 — the MOSS
     * algorithm): hash every k-gram, slide a w-hash window, keep each
     * window's MINIMUM. The selection guarantee: any two docs sharing a

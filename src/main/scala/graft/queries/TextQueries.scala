@@ -164,6 +164,46 @@ object TextQueries {
       TextOps.lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // ta104 (round 5): conditional bigram-LM surprisal — ta_lm's
+    // unigram model upgraded to the conditional form CCNet-class
+    // filters actually use (KenLM n-grams): Σ −log₂ c(prev,w)/c(prev)
+    // per doc, in the same cross-engine-exact integer floor-log2
+    // domain. Count tables joined (unbounded, never broadcast);
+    // bigrams built by a per-doc lag window, no positional self-join.
+    QueryDef.sql(
+      "ta_bigram_lm",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ws FROM documents
+         |),
+         |pos AS (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |    unnest(range(1, len(ws) + 1)) AS p
+         |  FROM toks WHERE len(ws) >= 2
+         |),
+         |bif AS (
+         |  SELECT doc_id, prev, w FROM (
+         |    SELECT doc_id, w, p,
+         |      lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+         |    FROM pos) WHERE prev IS NOT NULL
+         |),
+         |db AS (SELECT doc_id, prev, w, CAST(COUNT(*) AS BIGINT) AS k
+         |       FROM bif GROUP BY doc_id, prev, w),
+         |cb AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cbi
+         |       FROM bif GROUP BY prev, w),
+         |cc AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cctx
+         |       FROM bif GROUP BY prev)
+         |SELECT db.doc_id,
+         |  CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(k * (LENGTH(bin(cctx)) - LENGTH(bin(cbi)))) AS BIGINT)
+         |    AS surprisal_bits,
+         |  CAST(MIN(cbi) AS BIGINT) AS min_bigram_count,
+         |  CAST(SUM(CASE WHEN cbi <= 2 THEN k ELSE 0 END) AS BIGINT)
+         |    AS rare_bigrams
+         |FROM db JOIN cb USING (prev, w) JOIN cc USING (prev)
+         |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.bigramLmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ta82 (round 5): TF-IDF keyword extraction — top-3 terms per doc,
     // IDF in the integer log2 domain (floor-log2 via MSB position, same
     // cross-engine-exact trick as ta_lm), ties broken term-ascending so

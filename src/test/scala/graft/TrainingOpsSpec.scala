@@ -36,6 +36,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 3L, 2L, 3L), (2L, 2L, 3L, 1L, 2L)))
   }
 
+  test("bigramLmScore: conditional integer-bit surprisal, hand-computed") {
+    // bigram instances: doc1 (x,a),(a,a),(a,b); doc2 (a,a); doc3 none
+    // corpus: c(x,a)=1 c(a,a)=2 c(a,b)=1; contexts: c(x)=1 c(a)=3
+    val docs = Seq((1L, "x a a b"), (2L, "a a"), (3L, "q")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc1: bits(1)-bits(1)=0 for (x,a); bits(3)-bits(2)=0 for (a,a);
+    //       bits(3)-bits(1)=1 for (a,b) -> surprisal 1; all cbi<=2 rare
+    // doc2: (a,a): bits(3)-bits(2)=0; doc3: <2 tokens -> absent
+    assert(got.toSeq == Seq((1L, 3L, 1L, 1L, 3L), (2L, 1L, 0L, 2L, 1L)))
+  }
+
   test("tfidf: integer-bit idf argmax with term-ascending ties, hand-computed") {
     // N=4 docs → bits(4)=3. df: a→4 (idf 3-3=0), b→2 (3-2=1), c→1 (3-1=2), d→1 (2)
     val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a d d"), (4L, "a")).toDF("doc_id", "text")
