@@ -794,6 +794,93 @@ object RelationalQueries {
           cust, deletes.unionByName(updates).unionByName(inserts), "c_custkey")
         .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // q45 (round 6): FULL OUTER join — per-nation counts of premium
+    // customers vs premium suppliers, where the filters deliberately
+    // leave nations matched on only one side (both null directions
+    // exercised at sf0.01: 10 customer-only, 4 supplier-only nations).
+    // Scale shape: BOTH fact sides collapse to per-key counts first
+    // (map-side partial agg), so the full-outer join sees at most
+    // |nation| rows per side — the join input is aggregate-sized no
+    // matter how large customer/supplier grow. COALESCE re-keys the
+    // output; counts stay NULL (not 0) on the unmatched side, the
+    // outer-join semantics under test.
+    QueryDef.sql(
+      "q45_join_full",
+      """SELECT COALESCE(c.nk, s.nk) AS n_nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("cnk") === col("snk"), "full_outer")
+        .select(
+          coalesce(col("cnk"), col("snk")).as("n_nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("n_nationkey")
+    },
+
+    // q46 (round 6): CUBE — all 2^2 grouping combinations of
+    // (returnflag, linestatus) in ONE pass. Like q28's ROLLUP and
+    // q35's GROUPING SETS, CUBE plans as a single Expand + one
+    // HashAggregate over one scan (never 4 scans); GROUPING() bits
+    // disambiguate subtotal NULLs from data NULLs. Completes the
+    // grouping-analytics family.
+    QueryDef.sql(
+      "q46_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping("l_returnflag").cast("int").as("g_rf"),
+          grouping("l_linestatus").cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          dsum2(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // q47 (round 6): QUALIFY / keep-latest-per-key — each customer's
+    // most recent order, the canonical "latest snapshot per key"
+    // pattern every CDC/SCD pipeline ends with. One custkey-partitioned
+    // window (single key shuffle, per-partition sort bounded by one
+    // customer's orders) then a rank filter — never a groupBy-max +
+    // self-join (two shuffles + a re-scan) and never a global sort.
+    // Tie-break on o_orderkey makes the winner total-order determined.
+    QueryDef.sql(
+      "q47_qualify",
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_date,
+        |       o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("last_date"), col("o_totalprice"))
+        .orderBy("o_custkey")
     }
   )
 }
