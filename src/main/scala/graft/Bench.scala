@@ -27,6 +27,31 @@ object Bench {
   private def probe(spark: SparkSession): Double =
     timeOnce { spark.range(1000000).selectExpr("sum(id)").collect() }
 
+  /** Core-SATURATING noise canary. The trivial `range.count` probe read
+    * clean (0.16 s) in round 6's sick window while untouched heavies ran
+    * 4× slow — a single-stage trivial job can't see CPU contention. A
+    * 32M-row parallel hash aggregate (one task per core, ~1M distinct
+    * keys) keeps every core busy long enough that hypervisor steal shows
+    * up in the probe itself. */
+  private def satProbe(spark: SparkSession): Double =
+    timeOnce {
+      val p = spark.sparkContext.defaultParallelism
+      spark.range(0, 32000000L, 1, p)
+        .selectExpr("id % 1048576 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+    }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,27 +86,44 @@ object Bench {
           s"engine warmup build failed: ${t.getClass.getName}: ${t.getMessage}")
     }
     val probeStart = probe(spark)
+    val satStart = satProbe(spark)
+    var satMid = -1.0
+    val midIdx = SparkEntry.allDefs.size / 2
     // fixed order + a cache clear per rep: several operators persist()
     // intermediates, and leftover cached blocks would otherwise bleed
     // GC pressure into whichever query happens to run next.
-    val results = SparkEntry.allDefs.map { q =>
-      val reps = (1 to Reps).map { _ =>
-        spark.catalog.clearCache()
-        timeOnce {
-          try { q.run(spark, sfDir).count() }
-          catch {
-            case t: Throwable =>
-              System.err.println(
-                s"${q.name} failed: ${t.getClass.getName}: ${t.getMessage}")
+    // A failing query is recorded as an {"err":...} entry — NEVER as its
+    // failure duration, which round 6 proved is indistinguishable from a
+    // fast pass in the artifact.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.allDefs.zipWithIndex.map { case (q, i) =>
+        if (i == midIdx) satMid = satProbe(spark)
+        var err: Option[String] = None
+        val reps = (1 to Reps).map { _ =>
+          spark.catalog.clearCache()
+          timeOnce {
+            if (err.isEmpty) {
+              try { q.run(spark, sfDir).count() }
+              catch {
+                case t: Throwable =>
+                  System.err.println(
+                    s"${q.name} failed: ${t.getClass.getName}: ${t.getMessage}")
+                  err = Some(s"${t.getClass.getName}: " +
+                    Option(t.getMessage).getOrElse("").take(300))
+              }
+            }
           }
-        }
-      }.sorted
-      q.name -> reps(reps.length / 2)
-    }
+        }.sorted
+        q.name -> err.toLeft(reps(reps.length / 2))
+      }
     val probeEnd = probe(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val satEnd = satProbe(spark)
+    val qs = results.map {
+      case (k, Right(v)) => jstr(k) + ":" + v
+      case (k, Left(m))  => jstr(k) + ":{\"err\":" + jstr(m) + "}"
+    }.mkString("{", ",", "}")
+    val failedCount = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
     // benchmark2.py-parity A/B: the same selective query via full scan /
     // engine without pruning / engine with pruning (cold + warm cache)
     val ab = try {
@@ -109,7 +151,7 @@ object Bench {
         "null"
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

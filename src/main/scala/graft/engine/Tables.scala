@@ -17,13 +17,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and surface a
-    * microsecond TIMESTAMP column — same wall-clock under the UTC
-    * session as DuckDB's nanosecond-truncated naive timestamp. */
+  /** events.ts encoding varies across testdata generations (int64
+    * epoch-nanos vs native timestamp[us]/NTZ). Keep the nanos legacy
+    * conf on (harmless otherwise) and let [[EventStreams.normalizeTs]]
+    * branch on the actual file schema — same wall-clock under the UTC
+    * session as DuckDB's naive-timestamp read either way. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.streaming.EventStreams.normalizeTs(spark.read.parquet(path(dir, "events")))
+  }
+
+  /** Format-agnostic read (north-star parity: "Parquet/ORC"). Parquet
+    * and ORC share Spark's vectorized columnar reader, predicate
+    * pushdown, and column pruning, so every graft operator runs
+    * unchanged over either; events get the same ts normalization. */
+  def loadAs(spark: SparkSession, path: String, format: String,
+             isEvents: Boolean = false): DataFrame = {
+    val df = spark.read.format(format).load(path)
+    if (isEvents) graft.streaming.EventStreams.normalizeTs(df) else df
   }
 
   /** Register every test table as a temp view named after itself. */

@@ -12,27 +12,42 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema after ts normalization (nanos → TIMESTAMP). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos in the parquet
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Normalize `ts` to a session-zone TIMESTAMP regardless of how the
+    * producer encoded it in parquet — the "run SQL on whatever the
+    * parquet says" robustness contract. Encodings seen in the wild
+    * (the driver's testdata has shipped both):
+    *
+    *   - int64 epoch-NANOS (parquet TIMESTAMP(NANOS) surfaced as
+    *     LongType via `spark.sql.legacy.parquet.nanosAsLong`): nanos →
+    *     micros must use INTEGER division — `col / 1000L` promotes to
+    *     double, whose ~256ns ulp at epoch scale truncates to the
+    *     wrong microsecond for ~13% of values (1µs earlier than
+    *     DuckDB's exact ns-truncation, this conversion's parity
+    *     contract).
+    *   - parquet timestamp[us] with isAdjustedToUTC=false, which Spark
+    *     reads as TIMESTAMP_NTZ: cast to TIMESTAMP — under the UTC
+    *     session zone (all graft sessions) the wall clock is preserved
+    *     exactly, matching DuckDB's naive-timestamp read.
+    *   - TIMESTAMP (µs, UTC-adjusted): already the target type.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported type $other (expected int64-nanos, timestamp_ntz, or timestamp)")
+  }
 
-  /** nanos → micros must use INTEGER division: `col / 1000L` promotes
-    * to double, whose ~256ns ulp at epoch scale truncates to the wrong
-    * microsecond for ~13% of values (1µs earlier than DuckDB's exact
-    * ns-truncation, which is this conversion's parity contract). */
-  def normalizeTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-
-  /** Streaming read of an events directory (nanos handled as in the
-    * batch path). */
+  /** Streaming read of an events directory. FileStreamSource needs an
+    * explicit schema; take it from the files themselves (a one-off
+    * footer read) so every ts encoding the batch path accepts streams
+    * identically. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.readStream.schema(schema).parquet(path))
+    val fileSchema = spark.read.parquet(path).schema
+    normalizeTs(spark.readStream.schema(fileSchema).parquet(path))
   }
 
   /** Tumbling-window aggregation: hourly counts + exact value sums per

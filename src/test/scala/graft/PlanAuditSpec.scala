@@ -268,4 +268,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"),
       s"sliding-window agg must combine map-side:\n${p.take(1500)}")
   }
+
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q45 full-outer join inputs are BOTH pre-aggregated (join sees key-sized sides)") {
+    val p = plan("q45_join_full")
+    val lines = p.linesIterator.toSeq
+    val joinLine = lines.indexWhere(_.contains("FullOuter"))
+    assert(joinLine >= 0, s"expected a full-outer join:\n${p.take(2000)}")
+    // children print BELOW the join node: partial+final aggregate per
+    // side = >=4 HashAggregates under it. An un-collapsed plan (join
+    // raw facts, aggregate after) would put aggregates ABOVE instead.
+    val below = lines.drop(joinLine + 1)
+    assert(below.count(_.contains("HashAggregate")) >= 4,
+      s"both join inputs must be aggregates:\n${p.take(2500)}")
+    assert(!lines.take(joinLine).exists(_.contains("HashAggregate")),
+      s"no aggregation may run on the join OUTPUT (fact-sized):\n${p.take(2500)}")
+  }
+
+  test("q46 CUBE plans as ONE Expand + one aggregation over one scan") {
+    val p = plan("q46_cube")
+    assert(occurrences(p, "Expand") == 1,
+      s"CUBE must expand once, not re-scan per grouping set:\n${p.take(2000)}")
+    assert(p.linesIterator.count(l => l.contains("FileScan") || l.contains("BatchScan")) == 1,
+      s"CUBE must read lineitem exactly once:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      s"cube aggregation must combine map-side:\n${p.take(1500)}")
+  }
+
+  test("q47 QUALIFY is one partitioned window: single key shuffle, no join, local sort") {
+    val p = plan("q47_qualify")
+    assert(occurrences(p, "Window") >= 1 && !p.contains("Join"),
+      s"latest-per-key must be a window, never groupBy-max + self-join:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange hashpartitioning") == 1 &&
+      p.contains("o_custkey"),
+      s"exactly one exchange (the custkey window shuffle):\n${p.take(2000)}")
+    // the window's sort is per-partition (global=false); the only
+    // global sort allowed is the final presentation orderBy
+    assert(occurrences(p, "Exchange rangepartitioning") <= 1,
+      s"no global sort besides the output orderBy:\n${p.take(2000)}")
+  }
 }
