@@ -881,6 +881,72 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("last_date"), col("o_totalprice"))
         .orderBy("o_custkey")
+    },
+
+    // q48 (round 7): time-series GAP FILL — daily order counts per
+    // priority with missing days materialized as zero rows, the
+    // densification every downstream forecaster/charting layer needs.
+    // Scale shape: the fact table shuffles ONCE (into per-(key, day)
+    // counts); the date spine is generated from the per-key min/max
+    // AGGREGATE via sequence()+explode — spine size is bounded by
+    // keys × calendar days, never by fact rows, and the fill join is
+    // aggregate-vs-aggregate. The naive form (calendar cross-join
+    // against the raw fact table) is fact-sized and never planned here.
+    QueryDef.sql(
+      "q48_gapfill",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT pri, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT pri, CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |         CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds)
+        |SELECT s.pri, s.d, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+        |FROM spine s LEFT JOIN daily USING (pri, d)
+        |ORDER BY pri, d""".stripMargin) { (s, dir) =>
+      // persist the (tiny, keys×days) daily aggregate: without it
+      // Catalyst collapses the bounds agg-over-agg onto the RAW scan
+      // and the fact table is read twice (audited single-scan below)
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val spine = daily.groupBy("pri")
+        .agg(min("d").as("lo"), max("d").as("hi"))
+        .select(col("pri"), explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(daily, Seq("pri", "d"), "left")
+        .select(col("pri"), col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("pri", "d")
+    },
+
+    // q49 (round 7): fixed-width HISTOGRAM / feature bucketization —
+    // width_bucket semantics with clamped under/overflow buckets, the
+    // discretization step of every feature-engineering pipeline and the
+    // stats histogram every optimizer builds. Bucket ids are computed
+    // SCAN-LOCALLY (one codegen'd expression, no lookup join), then one
+    // partial-aggregated shuffle over ≤20 keys; the double division is
+    // bit-identical across engines (same IEEE ops), sums are exact
+    // decimal.
+    QueryDef.sql(
+      "q49_histogram",
+      s"""SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 900.0) / 5000.0) AS INT), 0), 19) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${Det.sqlSum2("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          least(greatest(floor((col("l_extendedprice") - lit(900.0)) / lit(5000.0))
+            .cast("int"), lit(0)), lit(19)).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket")
     }
   )
 }

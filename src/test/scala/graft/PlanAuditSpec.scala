@@ -309,4 +309,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "Exchange rangepartitioning") <= 1,
       s"no global sort besides the output orderBy:\n${p.take(2000)}")
   }
+
+  test("q48 gapfill scans the fact table ONCE (spine + fill both read the cached aggregate)") {
+    val df = SparkEntry.queries("q48_gapfill")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both the bounds branch and the join's fill side must read the
+    // persisted daily aggregate — never re-scan raw orders (FileScan
+    // appears only INSIDE the InMemoryRelation definition)
+    assert(occurrences(p, "InMemoryTableScan") >= 2,
+      s"spine and fill sides must reuse the cached daily agg:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"the fill join is aggregate-vs-aggregate and broadcastable:\n${p.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q49 histogram buckets scan-locally with partial aggregation") {
+    val p = plan("q49_histogram")
+    assert(p.contains("partial_"),
+      s"bucket counts must combine map-side:\n${p.take(1500)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
+      s"scan must read only the bucketed column: $readSchema")
+  }
 }
