@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingHash, SimHash64}
+import graft.functions.{CharEntropyStats, RollingHash, SimHash64}
 import graft.plans.ZoneMapPruneRule
 
 /** Spark extension point: `SparkSession.builder()
@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SimHash64], "graft_simhash64",
         "graft_simhash64(array<string>) - 64-bit SimHash"),
       unary("graft_simhash64")(SimHash64(_))))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      info(classOf[CharEntropyStats], "graft_char_entropy",
+        "graft_char_entropy(str) - struct<n_chars,distinct_chars," +
+          "sum_c_log2c,entropy_bits_floor> in the exact floor-log2 domain"),
+      unary("graft_char_entropy")(CharEntropyStats(_))))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
   }
 }

@@ -508,6 +508,91 @@ case class NearestCentroidL2(child: Expression, ids: Seq[Int], cents: Seq[Seq[Do
     copy(child = newChild)
 }
 
+/** Per-document character-distribution entropy statistics in ONE
+  * scan-local pass (SURVEY.md §2c ta_entropy) — the "is this text or
+  * line noise" quality signal (compressed/random blobs max out
+  * entropy; repeated boilerplate minimizes it).
+  *
+  * Everything is exact-integer so the result hash-matches DuckDB:
+  * floor(log2 c) is the MSB position (= LENGTH(bin(c)) - 1 in the
+  * oracle), and the entropy numerator n·⌊log2 n⌋ − Σ cᵢ·⌊log2 cᵢ⌋ is
+  * an exact BIGINT ("floor-log2 bits", the same cross-engine domain
+  * as ta_lm). Counts are per Unicode CODE POINT, matching DuckDB's
+  * `string_split(text, '')`.
+  *
+  * 100 TB shape: the whole histogram lives inside one generated-code
+  * call per row — no explode to char rows, no shuffle at all for the
+  * per-doc output (the oracle's unnest-to-chars plan is the shape this
+  * expression exists to avoid). Codegen emits a static call, keeping
+  * the projection inside whole-stage codegen.
+  */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructType, StructField}
+  override def dataType: DataType = CharEntropyStats.schema
+  override def checkInputDataTypes() =
+    GraftTypeChecks.expect(child, "graft_char_entropy",
+      _ == org.apache.spark.sql.types.StringType, "STRING")
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyStats.rowOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyStats.rowOf($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  import org.apache.spark.sql.types.{StructType, StructField}
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("sum_c_log2c", LongType, nullable = false),
+    StructField("entropy_bits_floor", LongType, nullable = false)))
+
+  def floorLog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  def rowOf(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = other.get(cp)
+        if (cell == null) other.put(cp, Array(1L)) else cell(0) += 1
+      }
+    }
+    var distinct = 0L
+    var sum = 0L
+    var j = 0
+    while (j < 128) {
+      val c = ascii(j)
+      if (c > 0) { distinct += 1; sum += c * floorLog2(c) }
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        distinct += 1
+        sum += c * floorLog2(c)
+      }
+    }
+    val ent = if (n == 0) 0L else n * floorLog2(n) - sum
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, sum, ent))
+  }
+}
+
 /** Shared analysis-time input-type validation (AbstractDataType /
   * ExpectsInputTypes are private[sql] in Spark 4, so the check is
   * spelled directly). */
@@ -538,4 +623,6 @@ object TextExpressions {
     ColumnBridge.column(BandKeys(expr(c), rowsPerBand))
   def bloom_positions(c: Column, mBits: Int, nHash: Int): Column =
     ColumnBridge.column(BloomPositions(expr(c), mBits, nHash))
+  def char_entropy(c: Column): Column =
+    ColumnBridge.column(CharEntropyStats(expr(c)))
 }

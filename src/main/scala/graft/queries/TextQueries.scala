@@ -411,6 +411,43 @@ object TextQueries {
          |  ${OracleSql.rollingHash(OracleSql.signedBytes("shx", "sbl"))} AS source_fp
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ta_entropy (round 7): character-distribution entropy — the
+    // "text vs line noise" quality signal (random/compressed blobs max
+    // it out, boilerplate repetition minimizes it). All statistics in
+    // the exact integer floor-log2 domain (ta_lm's trick): ⌊log2 c⌋ =
+    // MSB position = LENGTH(bin(c))-1, entropy numerator
+    // n·⌊log2 n⌋ − Σ cᵢ·⌊log2 cᵢ⌋ summed as BIGINT. graft computes the
+    // whole per-doc histogram in ONE codegen'd scan pass (native
+    // CharEntropyStats expression — no explode, no shuffle); the
+    // oracle must explode to char rows and aggregate, which is exactly
+    // the fact-×-chars shape the expression avoids at 100 TB.
+    QueryDef.sql(
+      "ta_entropy",
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0
+        |),
+        |cc AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM chars GROUP BY doc_id, ch
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+        |  CAST(SUM(c * (LENGTH(bin(c)) - 1)) AS BIGINT) AS sum_c_log2c,
+        |  CAST(SUM(c) * (LENGTH(bin(CAST(SUM(c) AS BIGINT))) - 1)
+        |       - SUM(c * (LENGTH(bin(c)) - 1)) AS BIGINT) AS entropy_bits_floor
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.char_entropy(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_chars"), col("e.distinct_chars"),
+          col("e.sum_c_log2c"), col("e.entropy_bits_floor"))
+        .orderBy("doc_id")
     }
   )
 }

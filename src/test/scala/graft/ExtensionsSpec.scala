@@ -37,6 +37,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L)
   }
 
+  test("graft_char_entropy: exact floor-log2 stats, unicode-codepoint counts, codegen path") {
+    // 'aaab': counts a=3 b=1 -> n=4, distinct=2,
+    // sum = 3*floor(log2 3) + 1*floor(log2 1) = 3*1 + 0 = 3,
+    // entropy = 4*floor(log2 4) - 3 = 8 - 3 = 5
+    val r = spark.sql(
+      "SELECT graft_char_entropy('aaab') AS e").select("e.*").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 2L, 3L, 5L)))
+    // é counts as ONE code point (DuckDB string_split parity), not 2 bytes
+    val u = spark.sql(
+      "SELECT graft_char_entropy('héé') AS e").select("e.*").collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) == ((3L, 2L, 2L)))
+    // empty input: all zeros, no log of 0
+    val z = spark.sql(
+      "SELECT graft_char_entropy('') AS e").select("e.*").collect().head
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) == ((0L, 0L, 0L, 0L)))
+    // runs through a column (codegen'd projection), not just constant folding
+    import spark.implicits._
+    val fromCol = Seq("aaab").toDF("t")
+      .selectExpr("graft_char_entropy(t) AS e").select("e.*").collect().head
+    assert(fromCol.getLong(3) == 5L)
+  }
+
   test("optimizer rule prunes files transparently for registered tables") {
     val mbPath = "target/scratch/test/ext-microblocks"
     MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), mbPath, "l_shipdate", 8)
