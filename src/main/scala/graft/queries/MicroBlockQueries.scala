@@ -4,8 +4,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftEngine, MarkovPrefetcher, PrefetchEval}
-import graft.plans.{Between, Pred, PredValue}
-import graft.sources.MicroBlockWriter
+import graft.plans.{And, Between, Pred, PredValue}
+import graft.sources.{MicroBlockIndex, MicroBlockWriter}
 
 /** SURVEY.md §2b — the reference's own micro-block machinery exposed as
   * verifiable queries (rows-only checks: outputs are deterministic but
@@ -299,6 +299,58 @@ object MicroBlockQueries {
         PrefetchEval.summarize(s, PrefetchEval.replay(m, test, k = 3), k = 3)
           .withColumn("model", lit(name))
       row("markov", markov).unionAll(row("logistic", learned))
+    },
+
+    // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
+    // against single-key clustering on the same data. Both layouts are
+    // micro-blocked lineitem copies; the output is the file-pruning
+    // scoreboard of the zone-map index for a quantity-only, price-only,
+    // and quantity∧price predicate on each layout. The single-key
+    // layout (clustered on l_quantity) prunes only its own key; the
+    // z-ordered layout (quantile-bucketed Morton interleave of
+    // quantity × price) prunes on BOTH dimensions — the measured
+    // reason a 100 TB fact table with two hot filter columns gets
+    // OPTIMIZE ZORDER BY instead of a second sorted copy.
+    QueryDef.rowsOnly("mb_zorder") { (s, dir) =>
+      import s.implicits._
+      val (linIdx, zIdx) = zorderIndexes(s, dir)
+      val qty = Between("l_quantity", PredValue(11L), PredValue(13L))
+      val price = Between("l_extendedprice", PredValue(20000L), PredValue(26000L))
+      val preds = Seq("qty" -> qty, "price" -> price, "both" -> And(qty, price))
+      val rows = for {
+        (layout, idx) <- Seq("linear_qty" -> linIdx, "zorder_qty_price" -> zIdx)
+        (pname, p) <- preds
+      } yield {
+        val total = idx.select("file").distinct.count()
+        val skipped = graft.plans.IndexPruning.skippedFiles(idx, p).size.toLong
+        (layout, pname, total, total - skipped)
+      }
+      rows.toDF("layout", "predicate", "total_files", "kept_files")
+        .orderBy("layout", "predicate")
     }
   )
+
+  private val zIdxCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+  /** Build (once per sf dir) a single-key layout clustered on
+    * l_quantity and a z-ordered layout on (l_quantity,
+    * l_extendedprice), both 16 blocks, and return their stats
+    * indices. */
+  private def zorderIndexes(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      zIdxCache.getOrElseUpdate(dir, {
+        val sfName = Paths.get(dir).getFileName.toString
+        val linOut = s"target/scratch/zorder/$sfName/lineitem_linear"
+        val zOut = s"target/scratch/zorder/$sfName/lineitem_z"
+        val li = graft.engine.Tables.load(s, dir, "lineitem")
+        if (!Files.exists(Paths.get(linOut, "_SUCCESS")))
+          MicroBlockWriter.write(li, linOut, "l_quantity", NumBlocks)
+        if (!Files.exists(Paths.get(zOut, "_SUCCESS")))
+          MicroBlockWriter.writeZOrdered(
+            li, zOut, Seq("l_quantity", "l_extendedprice"), NumBlocks)
+        (MicroBlockIndex.build(s, linOut, "lineitem_linear").toDF.cache(),
+          MicroBlockIndex.build(s, zOut, "lineitem_z").toDF.cache())
+      })
+    }
 }

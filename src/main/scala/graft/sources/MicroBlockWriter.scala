@@ -104,4 +104,43 @@ object MicroBlockWriter {
       .partitionBy(partitionCol)
       .option("parquet.block.size", (256L * 1024 * 1024).toString)
       .parquet(outPath)
+
+  /** Z-ORDERED micro-block layout: range-cluster on the Morton
+    * interleave of quantile-bucket ids over `zCols` (Delta/Iceberg
+    * OPTIMIZE ZORDER BY semantics). Single-key clustering gives zone
+    * maps selectivity on ONE column; the z-value keeps rows close in
+    * every z dimension, so each block gets a tight min/max box on ALL
+    * of them and multi-column predicates prune files on every
+    * dimension at once.
+    *
+    * Two passes, both fully distributed: (1) one aggregation computes
+    * 2^bits−1 approximate quantile boundaries per column (skew-proof
+    * bucketing — linear min/max scaling would collapse under a hot
+    * value); (2) bucket ids are computed SCAN-LOCALLY against the
+    * literal boundary arrays, interleaved by the codegen'd [[graft
+    * .functions.ZValue]], and range-repartitioned. The sort key is
+    * dropped before writing — the layout, not the schema, carries it. */
+  def writeZOrdered(df: DataFrame, outPath: String, zCols: Seq[String],
+      numBlocks: Int, bits: Int = 6): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty && zCols.size * bits <= 63,
+      s"zorder: ${zCols.size} dims x $bits bits must fit in 63")
+    val nB = 1 << bits
+    val cuts = (1 until nB).map(_.toDouble / nB).toArray
+    val boundsRow = df.select(zCols.map(c =>
+      percentile_approx(df.col(c).cast("double"), typedlit(cuts), lit(10000)).as(c)): _*)
+      .head()
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      graft.functions.ZOrder.bucket(df.col(c).cast("double"),
+        boundsRow.getSeq[Double](i))
+    }
+    df.withColumn("_graft_z", graft.functions.ZOrder.zvalue(buckets, bits))
+      .repartitionByRange(numBlocks, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", (256L * 1024 * 1024).toString)
+      .parquet(outPath)
+  }
 }
