@@ -127,6 +127,21 @@ object StreamingQueries {
           count(lit(1)).as("n_events"),
           (lit(1) + sum(when(col("gap_s") > 1800, 1).otherwise(0))).cast("bigint").as("n_sessions"))
         .orderBy("user_id")
+    },
+
+    // st_topk (round 7): streaming TOP-K leaderboard — the k most
+    // active users, re-emitted per micro-batch in complete mode. The
+    // sort+limit run over the AGGREGATE (state bounded by distinct
+    // users), never the raw stream; ties broken by user_id so the cut
+    // is total-order deterministic in both engines. Streaming twin
+    // equivalence in StreamingSpec.
+    QueryDef.sql(
+      "st_topk",
+      """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin) { (s, dir) =>
+      EventStreams.topUsers(Tables.load(s, dir, "events"), 5)
     }
   )
 }

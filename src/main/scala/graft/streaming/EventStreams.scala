@@ -151,6 +151,20 @@ object EventStreams {
       broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
       col("c_custkey") === lit(1) + pmod(col("user_id"), lit(100)), "left")
 
+  /** Streaming TOP-K (st_topk): the k most active users by event
+    * count, exact value sums, ties broken by user_id so the cut is
+    * total-order deterministic. In complete-mode streaming the sort +
+    * limit run over the AGGREGATE (state bounded by distinct users,
+    * the result re-emitted per micro-batch) — the live leaderboard
+    * shape; the raw stream itself is never sorted. */
+  def topUsers(events: DataFrame, k: Int): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
   /** Compact deterministic summary of [[enrich]]: events + exact value
     * sums per (segment, event_type). Works unchanged in batch and
     * (complete-mode) streaming. */

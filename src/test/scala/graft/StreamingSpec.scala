@@ -26,6 +26,20 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("top-k leaderboard: streaming (complete mode) == batch result") {
+    val batch = EventStreams.topUsers(Tables.load(spark, dir, "events"), 5)
+      .collect().map(_.toString).toSeq
+
+    val q = EventStreams.topUsers(EventStreams.readStream(spark, streamDir), 5)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("topk_out").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("hourly agg: streaming result == batch result") {
     val batch = EventStreams.hourlyAgg(Tables.load(spark, dir, "events"))
       .orderBy("hour_start", "event_type").collect()
