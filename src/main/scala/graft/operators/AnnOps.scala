@@ -285,6 +285,30 @@ object AnnOps {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage ANN serving: PQ ADC shortlist, then EXACT cosine
+    * re-rank of only the shortlist pairs — the standard
+    * compressed-index + refine architecture (Jegou et al. '11 §V).
+    * Stage 1 runs entirely in the compressed domain (raw vectors never
+    * shuffle); stage 2 touches shortlist·queries pairs, so the exact
+    * math costs O(S·Q·dim) regardless of corpus size. Recall
+    * approaches exact for modest S because re-ranking fixes ADC's
+    * within-shortlist ordering errors — only the compressed cut can
+    * lose a true neighbor. */
+  def pqRefineTopK(rawBase: DataFrame, m: Int, ksub: Int, iters: Int,
+      scale: Double, numQueries: Int, shortlist: Int, k: Int): DataFrame = {
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
+    val short = pqTopK(base, m, ksub, iters, scale, numQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs = short
+      .join(base, base("vec_id") === short("neighbor_id"))
+      .drop("neighbor_id")
+      .join(broadcast(queriesOf(base, numQueries)), "query_id")
+    rankTopK(pairs, k)
+  }
+
   /** recall@K of an approximate method against the exact baseline:
     * per-query rows plus a macro-average row (query_id = -1). */
   def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {

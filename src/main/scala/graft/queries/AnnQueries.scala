@@ -28,6 +28,7 @@ object AnnQueries {
   private val PqM = 4        // subspaces
   private val PqKsub = 16    // centroids per subspace codebook
   private val PqIters = 2    // Lloyd iterations per subspace
+  private val RefineShortlist = 30 // ADC shortlist size for ann_refine
 
   // Thin wrappers over the DataFrame-level library operators
   // (graft.operators.AnnOps) with this module's fixed parameters.
@@ -185,6 +186,30 @@ object AnnQueries {
       recallOf("pq", exact,
           AnnOps.pqTopK(base, PqM, PqKsub, PqIters, IvfScale, NumQueries, K))
         .orderBy("method", "query_id")
+    },
+
+    // ann_refine (round 7): two-stage serving — PQ ADC shortlist
+    // (Shortlist=30, compressed domain, raw vectors never shuffle)
+    // then EXACT cosine re-rank of only the shortlist pairs. The
+    // production ANN architecture: memory-bound index does the cut,
+    // exact math runs on O(S·Q) pairs independent of corpus size.
+    // Oracle composes the full unrolled PQ pipeline with a cosine
+    // re-rank join in one DuckDB statement.
+    QueryDef.sql(
+      "ann_refine",
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annPqCtes("pqs", PqM, PqKsub, PqIters, NumQueries, RefineShortlist, IvfScale.toLong)},
+         |rrp AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${OracleSql.cosine("c.e", "q.e", "c.nrm", "q.nrm")} AS cosine
+         |  FROM pqs s
+         |  JOIN n c ON c.vec_id = s.neighbor_id
+         |  JOIN n q ON q.vec_id = s.query_id
+         |), ${OracleSql.topkCte("rrp", "rfk", K)}
+         |SELECT * FROM rfk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      AnnOps.pqRefineTopK(prepBase(s, dir), PqM, PqKsub, PqIters, IvfScale,
+          NumQueries, RefineShortlist, K)
+        .orderBy("query_id", "rank")
     }
   )
 }
