@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+import graft.plans.{Between, IndexPruning, PredValue}
+import graft.streaming.{EventStreams, StreamIngest}
+
+/** Streaming ingestion into the micro-block layout: rows survive
+  * exactly, the index refreshes incrementally per micro-batch, and
+  * pruning is immediately correct over freshly-landed files.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-ingest-test")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshDirs(tag: String): (String, String) = {
+    val src = s"target/scratch/test/ingest/$tag/src"
+    val out = s"target/scratch/test/ingest/$tag/table"
+    val fs = new java.io.File(src); fs.mkdirs()
+    Seq(src, out).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) { // clean slate per run
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+        }
+        rm(f)
+      }
+      f.mkdirs()
+    }
+    (src, out)
+  }
+
+  test("ingest lands all rows, refreshes the index per batch, prunes correctly") {
+    val (src, out) = freshDirs("basic")
+    // split events into two source files => two micro-batches
+    // (maxFilesPerTrigger=1)
+    val ev = Tables.load(spark, dir, "events")
+    val n = ev.count()
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 =!= 0)
+    half.coalesce(1).write.mode("overwrite").parquet(s"$src/a")
+    rest.coalesce(1).write.mode("overwrite").parquet(s"$src/b")
+    // stage as flat files for the file stream source
+    val fs = new java.io.File(src)
+    Seq("a", "b").zipWithIndex.foreach { case (sub, i) =>
+      val part = new java.io.File(s"$src/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$src/events-$i.parquet").toPath)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(new java.io.File(s"$src/$sub"))
+    }
+
+    val ingest = new StreamIngest(spark, out, "events_ingest", "ts", 2)
+    val stream = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(src).schema
+      EventStreams.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+    }
+    val q = ingest.start(stream, "ingest_test")
+    try q.processAllAvailable() finally q.stop()
+
+    // every row landed
+    assert(spark.read.parquet(out).count() == n)
+
+    val idx = ingest.index.toDF.cache()
+    // the index covers exactly the landed files
+    val landed = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(idx.select("file").distinct.count() == landed && landed >= 3,
+      s"expected >=3 files (2 batches x up to 2 blocks), got $landed")
+    // block ids unique, row ranges contiguous from 0 to n-1
+    val metas = idx.select("blockId", "rowStart", "rowEnd").distinct
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(metas.map(_._1).distinct.length == metas.length)
+    assert(metas.head._2 == 0L)
+    assert(metas.last._3 == n - 1)
+    metas.sliding(2).foreach {
+      case Array((_, _, e1), (_, s2, _)) => assert(s2 == e1 + 1)
+      case _ =>
+    }
+
+    // pruning over freshly ingested data: skipped files provably hold
+    // zero matching rows and kept files serve the full answer
+    val tsLo = "2024-03-01 00:00:00"
+    val tsHi = "2024-03-08 00:00:00"
+    val pred = Between("ts", PredValue.ts(tsLo), PredValue.ts(tsHi))
+    val skipped = IndexPruning.skippedFiles(idx, pred)
+    val matches = (d: org.apache.spark.sql.DataFrame) => d.filter(
+      col("ts") >= lit(tsLo).cast("timestamp") &&
+        col("ts") <= lit(tsHi).cast("timestamp")).count()
+    if (skipped.nonEmpty)
+      assert(matches(spark.read.parquet(skipped: _*)) == 0)
+    val kept = IndexPruning.keptFiles(idx, pred)
+    assert(matches(spark.read.parquet(kept: _*)) == matches(spark.read.parquet(out)))
+  }
+
+  test("index refresh is incremental: existing block ids and offsets are stable") {
+    val (src, out) = freshDirs("incr")
+    val ev = Tables.load(spark, dir, "events").limit(1000).cache()
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$src/stage")
+    val part = new java.io.File(s"$src/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+
+    val ingest = new StreamIngest(spark, out, "events_incr", "ts", 2)
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$src/f0.parquet").toPath)
+    def mkStream = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$src/f0.parquet").schema
+      EventStreams.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(src))
+    }
+    val q = ingest.start(mkStream, "ingest_incr")
+    try {
+      q.processAllAvailable()
+      val before = ingest.index.toDF
+        .select("blockId", "file", "rowStart", "rowEnd").distinct
+        .collect().map(_.toString).toSet
+
+      // second wave of data arrives while the query is live
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$src/f1.parquet").toPath)
+      q.processAllAvailable()
+      val after = ingest.index.toDF
+        .select("blockId", "file", "rowStart", "rowEnd").distinct
+        .collect().map(_.toString).toSet
+
+      // strictly grew, and every pre-existing (id, file, range) survived
+      assert(before.subsetOf(after) && after.size > before.size)
+      assert(spark.read.parquet(out).count() == 2000)
+    } finally q.stop()
+  }
+}
