@@ -448,6 +448,70 @@ object TextQueries {
         .select(col("doc_id"), col("e.n_chars"), col("e.distinct_chars"),
           col("e.sum_c_log2c"), col("e.entropy_bits_floor"))
         .orderBy("doc_id")
+    },
+
+    // ta_cms_topk (round 7): COUNT-MIN SKETCH heavy hitters —
+    // completes the sketch family (q30 HLL cardinality, dd_bloom
+    // membership, now CMS frequency). The sketch is d=4 × w=512
+    // counters built by ONE map-side-combined aggregation over the
+    // token stream (the 100 TB shape: counter cells, not terms, bound
+    // the state); estimates come from joining the DISTINCT terms back
+    // to the tiny sketch (broadcast) and taking min over the d rows —
+    // the classic CMS upper bound, so est >= exact always. Hash rows
+    // use graft's FNV-1a with row-seed prefixes; the oracle replays
+    // the byte fold in HUGEINT and the whole sketch in SQL. Output:
+    // top-20 terms by exact count with their CMS estimates (exact
+    // ties broken by term).
+    QueryDef.sql(
+      "ta_cms_topk", {
+        val d = 4; val w = 512
+        val tok = OracleSql.tokens("text")
+        def bucket(row: Int) =
+          s"CAST(${OracleSql.fnv1a64Unsigned(s"concat('cms$row:', w)")} % $w AS BIGINT)"
+        val bucketRows = (0 until d)
+          .map(r => s"SELECT $r AS hrow, w, ${bucket(r)} AS bucket FROM terms")
+          .mkString(" UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT unnest($tok) AS w FROM documents
+           |),
+           |terms AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY w),
+           |tb AS MATERIALIZED ($bucketRows),
+           |sketch AS MATERIALIZED (
+           |  SELECT hrow, bucket, CAST(SUM(exact_n) AS BIGINT) AS cnt
+           |  FROM tb JOIN terms USING (w) GROUP BY hrow, bucket
+           |),
+           |est AS (
+           |  SELECT tb.w, CAST(MIN(s.cnt) AS BIGINT) AS cms_est
+           |  FROM tb JOIN sketch s ON s.hrow = tb.hrow AND s.bucket = tb.bucket
+           |  GROUP BY tb.w
+           |)
+           |SELECT t.w AS term, t.exact_n, e.cms_est
+           |FROM terms t JOIN est e ON e.w = t.w
+           |ORDER BY t.exact_n DESC, t.w LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val d = 4; val w = 512
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      // exact per-term counts (one map-side-combined aggregation);
+      // reused by the sketch build so the token stream scans ONCE
+      val terms = toks.groupBy("w").agg(count(lit(1)).as("exact_n")).persist()
+      def bucketCol(row: Int) =
+        pmod(graft.functions.TextExpressions.fnv64(
+          concat(lit(s"cms$row:"), col("w"))), lit(w.toLong))
+      // every term contributes its count to one cell per hash row
+      val tb = terms.select(col("w"), col("exact_n"),
+          explode(array((0 until d).map(r =>
+            struct(lit(r).as("hrow"), bucketCol(r).as("bucket"))): _*)).as("hb"))
+        .select(col("w"), col("exact_n"), col("hb.hrow"), col("hb.bucket"))
+      val sketch = tb.groupBy("hrow", "bucket")
+        .agg(sum("exact_n").as("cnt"))           // d×w cells, tiny
+      val est = tb.join(broadcast(sketch), Seq("hrow", "bucket"))
+        .groupBy("w").agg(min("cnt").as("cms_est"))
+      terms.join(est, "w")
+        .select(col("w").as("term"), col("exact_n"), col("cms_est"))
+        .orderBy(col("exact_n").desc, col("term"))
+        .limit(20)
     }
   )
 }
