@@ -67,6 +67,10 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // warm the saturating probe's codegen path too: its first run
+      // pays one-time class generation (~2x), which would misread as a
+      // noisy start-of-run window
+      satProbe(spark)
     } catch {
       case t: Throwable =>
         System.err.println(
