@@ -314,6 +314,34 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** MinHash ESTIMATION ACCURACY on the LSH candidate pairs: exact
+    * shingle-set Jaccard next to the signature estimate (fraction of
+    * agreeing components — the E[est]=J MinHash property). This is the
+    * eval that justifies replacing the exact verify with the estimate
+    * at 100 TB: the estimate costs O(numPerms) per pair on the already
+    * tiny signatures, where exact needs both shingle SETS shipped to
+    * the pair — and n/numPerms is exact in doubles, so the result is
+    * hash-comparable cross-engine. */
+  def minhashEstPairs(docs: DataFrame, numPerms: Int = 64,
+      rowsPerBand: Int = 4): DataFrame = {
+    val prepped = docShingles(docs)
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .withColumn("bands", minhashBands(col("sig"), rowsPerBand))
+      .persist()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    bucketPairs(prepped, "bands")
+      .join(prepped.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("exact_jaccard"),
+        (matches.cast("double") / numPerms).as("est_jaccard"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, `bands`×(64/bands)-bit
     * band bucketing, Hamming distance on candidates. */
   def simhashPairs(docs: DataFrame, bands: Int = 4): DataFrame = {

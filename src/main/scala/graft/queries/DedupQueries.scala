@@ -285,6 +285,45 @@ object DedupQueries {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
     },
 
+    // dd_minhash_est (round 7): the estimation-accuracy eval for the
+    // MinHash pipeline — exact shingle-set Jaccard next to the
+    // signature estimate (fraction of agreeing components) for the
+    // same LSH candidate pairs. E[est] = J is the property that lets
+    // a 100 TB dedup verify pairs on O(numPerms) signatures instead
+    // of shipping both shingle SETS; n/64 is exact in doubles so the
+    // comparison hash-matches cross-engine (full splitmix64 signature
+    // replay in the oracle).
+    QueryDef.sql(
+      "dd_minhash_est", {
+        import OracleSql._
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), est AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |    CAST(SUM(CASE WHEN sa.c = sb.c THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.doc_a
+           |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
+           |  GROUP BY p.doc_a, p.doc_b
+           |)
+           |SELECT e.doc_a, e.doc_b,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS exact_jaccard,
+           |  e.est_jaccard
+           |FROM est e
+           |JOIN sh x ON x.doc_id = e.doc_a
+           |JOIN sh y ON y.doc_id = e.doc_b
+           |ORDER BY exact_jaccard DESC, doc_a, doc_b LIMIT $TopK""".stripMargin
+      }) { (s, dir) =>
+      DedupOps.minhashEstPairs(Tables.load(s, dir, "documents"), 64, 4)
+        .orderBy(col("exact_jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
+    },
+
     // dd61: duplicate clusters — connected components over the
     // MinHash-verified (Jaccard >= 0.8) pair graph, so transitive
     // near-dups collapse to one keeper. Spark side: distributed
