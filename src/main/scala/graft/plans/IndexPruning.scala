@@ -39,6 +39,7 @@ object IndexPruning {
     case Between(c, _, _) => Set(c)
     case In(c, _)         => Set(c)
     case Cmp(_, c, _)     => Set(c)
+    case NullCheck(c, _)  => Set(c)
   }
 
   /** May-match as a Column over `stats: map<string, struct<minNum,
@@ -94,6 +95,18 @@ object IndexPruning {
         f <- numCmp(st.getField("minStr"), st.getField("maxStr"))
       } yield when(strDefined(st), f(lit(x)))
       coalesce(num.toSeq ++ str.toSeq :+ lit(true): _*)
+
+    // mirrors mayMatch's NullCheck: nullCount==0 refutes IS NULL,
+    // nullCount==rows refutes IS NOT NULL; missing entry or negative
+    // count (footer omitted stats) keeps conservatively
+    case NullCheck(c, negated) =>
+      val st = element_at(stats, lit(c))
+      val nc = st.getField("nullCount")
+      val n = st.getField("rows")
+      val decided =
+        if (!negated) when(st.isNotNull && nc.isNotNull && nc >= 0, nc > lit(0L))
+        else when(st.isNotNull && nc.isNotNull && nc >= 0 && n.isNotNull, nc < n)
+      coalesce(decided, lit(true))
   }
 
   private def numDefined(st: Column): Column =
@@ -114,7 +127,7 @@ object IndexPruning {
     val refs = refColumns(pred).toSeq
     val entry = when(col("column").isin(refs: _*),
       struct(col("column").as("key"),
-        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr")).as("value")))
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
     index.groupBy(col("blockId").as("block_id"), col("file"))
       .agg(
         first(col("rows")).as("rows"),
@@ -136,7 +149,7 @@ object IndexPruning {
     val refs = preds.flatMap(refColumns).distinct
     val entry = when(col("column").isin(refs: _*),
       struct(col("column").as("key"),
-        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr")).as("value")))
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
     index.groupBy(col("blockId").as("block_id"), col("file"))
       .agg(
         first(col("rows")).as("rows"),

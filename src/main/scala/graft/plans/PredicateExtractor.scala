@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
   And => CAnd, Or => COr, EqualTo, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual, Not, In => CIn, AttributeReference,
-  Cast, Expression, Literal}
+  Cast, Expression, IsNotNull, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,6 +52,11 @@ object PredicateExtractor {
     case LessThan(a, b)           => cmp("<", a, b)
     case LessThanOrEqual(a, b)    => cmp("<=", a, b)
     case Not(EqualTo(a, b))       => cmp("!=", a, b)
+
+    case IsNull(attrOf(c))         => Some(NullCheck(c, negated = false))
+    case IsNotNull(attrOf(c))      => Some(NullCheck(c, negated = true))
+    case Not(IsNull(attrOf(c)))    => Some(NullCheck(c, negated = true))
+    case Not(IsNotNull(attrOf(c))) => Some(NullCheck(c, negated = false))
 
     case CIn(attrOf(name), list) =>
       val vs = list.flatMap { case litOf(l) => literal(l); case _ => None }

@@ -22,6 +22,8 @@ sealed trait Pred {
     case Cmp(">", c, v)     => col(c) > lit(v.value)
     case Cmp(">=", c, v)    => col(c) >= lit(v.value)
     case Cmp(op, _, _)      => throw new IllegalArgumentException(s"op $op")
+    case NullCheck(c, false) => col(c).isNull
+    case NullCheck(c, true)  => col(c).isNotNull
   }
 }
 final case class And(l: Pred, r: Pred) extends Pred
@@ -30,6 +32,11 @@ final case class Between(column: String, lo: PredValue, hi: PredValue) extends P
 final case class In(column: String, values: Seq[PredValue]) extends Pred
 /** op ∈ {=, !=, <, <=, >, >=} */
 final case class Cmp(op: String, column: String, v: PredValue) extends Pred
+/** IS NULL (negated=false) / IS NOT NULL (negated=true) — pruned from
+  * the footer NULL COUNTS, which min/max alone can't see: a block with
+  * nullCount=0 refutes IS NULL; one with nullCount=rows refutes
+  * IS NOT NULL (round 7; beyond the reference's min/max-only algebra). */
+final case class NullCheck(column: String, negated: Boolean) extends Pred
 
 /** A literal in a predicate.
   *

@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.{BlockStat, MicroBlockIndex}
 
-/** Column stats for one block, as seen by the pruner. */
+/** Column stats for one block, as seen by the pruner. `nullCount` /
+  * `rows` (None when the footer omitted them) feed the round-7
+  * NullCheck cases; min/max feed everything else. */
 final case class ColStats(
     minNum: Option[Double], maxNum: Option[Double],
-    minStr: Option[String], maxStr: Option[String]) {
+    minStr: Option[String], maxStr: Option[String],
+    nullCount: Option[Long] = None, rows: Option[Long] = None) {
   def defined: Boolean = minNum.isDefined || minStr.isDefined
 }
 
@@ -76,6 +79,19 @@ object ZoneMapPruner {
             }
           }
       }
+
+    // null-count pruning (min/max can't see nulls): nullCount==0
+    // refutes IS NULL; nullCount==rows (all-null block) refutes
+    // IS NOT NULL. Missing/negative counts keep conservatively.
+    case NullCheck(c, negated) =>
+      stats.get(c) match {
+        case None => true
+        case Some(st) => (st.nullCount.filter(_ >= 0), st.rows) match {
+          case (Some(nc), _) if !negated => nc > 0
+          case (Some(nc), Some(n)) if negated => nc < n
+          case _ => true
+        }
+      }
   }
 
   private def cmpMayMatch(op: String, mn: Double, mx: Double, x: Double): Boolean = op match {
@@ -121,7 +137,8 @@ object ZoneMapPruner {
     stats.groupBy(b => (b.blockId, b.file)).toSeq
       .map { case ((id, file), cols) =>
         (id, file, cols.head.rows,
-          cols.map(c => c.column -> ColStats(c.minNum, c.maxNum, c.minStr, c.maxStr)).toMap)
+          cols.map(c => c.column -> ColStats(c.minNum, c.maxNum, c.minStr, c.maxStr,
+            Some(c.nullCount).filter(_ >= 0), Some(c.rows))).toMap)
       }
       .sortBy(_._1)
 

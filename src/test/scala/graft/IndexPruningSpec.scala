@@ -34,7 +34,14 @@ class IndexPruningSpec extends AnyFunSuite {
     Seq("=", "!=", "<", "<=", ">", ">=")(rnd.nextInt(6)),
     "s", PredValue(pool(rnd.nextInt(pool.size))))
 
-  private def leaf(): Pred = if (rnd.nextInt(4) == 0) strLeaf() else numLeaf()
+  private def nullLeaf(): Pred =
+    NullCheck(Seq("x", "s", "y", "z")(rnd.nextInt(4)), negated = rnd.nextBoolean())
+
+  private def leaf(): Pred = rnd.nextInt(8) match {
+    case 0 | 1 => strLeaf()
+    case 2     => nullLeaf()
+    case _     => numLeaf()
+  }
 
   private def pred(): Pred = rnd.nextInt(4) match {
     case 0 => leaf()
@@ -46,10 +53,12 @@ class IndexPruningSpec extends AnyFunSuite {
   /** One random block's index entries: numeric col x, string col s,
     * and an unrelated col y; stats sometimes missing entirely. */
   private def blockEntries(id: Int): Seq[BlockStat] = {
+    // null counts: none / some / all-null / footer-omitted (-1)
+    def nc(): Long = Seq(0L, rnd.between(1L, 10L), 10L, -1L)(rnd.nextInt(4))
     def stat(column: String, mn: Option[Double], mx: Option[Double],
         ms: Option[String], xs: Option[String]) =
       BlockStat("t", s"f$id", id, id * 10L, id * 10L + 9, column,
-        10L, 0L, 100L, "SNAPPY", mn, mx, ms, xs)
+        10L, nc(), 100L, "SNAPPY", mn, mx, ms, xs)
     val (a, b) = (value(), value())
     val xEntry =
       if (rnd.nextInt(6) == 0) stat("x", None, None, None, None) // no stats
@@ -73,7 +82,8 @@ class IndexPruningSpec extends AnyFunSuite {
         .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
       blocks.foreach { case (id, entries) =>
         val stats = entries.map(e =>
-          e.column -> ColStats(e.minNum, e.maxNum, e.minStr, e.maxStr)).toMap
+          e.column -> ColStats(e.minNum, e.maxNum, e.minStr, e.maxStr,
+            Some(e.nullCount).filter(_ >= 0), Some(e.rows))).toMap
         assert(got(id) == ZoneMapPruner.mayMatch(p, stats),
           s"block $id disagrees for $p (stats=$stats)")
       }
@@ -155,7 +165,8 @@ class IndexPruningSpec extends AnyFunSuite {
         lit(10L).as("rows"), (col("id") * 10).as("rowStart"), (col("id") * 10 + 9).as("rowEnd"),
         lit("x").as("column"),
         (col("id") * maxVal / 4.0).as("minNum"), ((col("id") + 1) * maxVal / 4.0).as("maxNum"),
-        lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"))
+        lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"),
+        lit(0L).as("nullCount"))
     val pred = graft.plans.Cmp(">", "x", graft.plans.PredValue(150.0))
     val roots = Seq("memtest-root")
     // index says values span [0, 100] -> everything above 150 skippable
@@ -170,6 +181,44 @@ class IndexPruningSpec extends AnyFunSuite {
       val skip2 = graft.plans.ZoneMapPruneRule.skipSet(roots, Seq(syntheticIndex(1000)), pred)
       assert(skip2.isEmpty, s"refreshed index spans [0,1000]: nothing refutable, got $skip2")
     } finally graft.plans.ZoneMapPruneRule.unregister("memtest-root")
+  }
+
+  test("IS NULL / IS NOT NULL prune from real footer null counts, end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = "target/scratch/test/nullprune"
+    // file A: v never null; file B: v always null; file C: mixed
+    (0 until 100).map(i => (i.toLong, Some(i.toDouble)))
+      .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(path)
+    (100 until 200).map(i => (i.toLong, Option.empty[Double]))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(path)
+    (200 until 300).map(i => (i.toLong, if (i % 2 == 0) Some(i.toDouble) else None))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(path)
+    val idx = graft.sources.MicroBlockIndex.build(spark, path, "np").toDF
+
+    // the extractor reads IS (NOT) NULL off the analyzed plan
+    val raw = spark.read.parquet(path)
+    assert(PredicateExtractor.fromDataFrame(raw.filter(col("v").isNull))
+      .contains(NullCheck("v", negated = false)))
+    assert(PredicateExtractor.fromDataFrame(raw.filter(col("v").isNotNull))
+      .contains(NullCheck("v", negated = true)))
+
+    def audit(p: Pred): Unit = {
+      val skipped = IndexPruning.skippedFiles(idx, p)
+      assert(skipped.nonEmpty, s"$p should prune something")
+      // conservativeness: skipped files hold zero matching rows
+      assert(spark.read.parquet(skipped: _*).filter(p.toColumn).count() == 0)
+      // coverage: kept files serve the full answer
+      val kept = IndexPruning.keptFiles(idx, p)
+      val full = raw.filter(p.toColumn).count()
+      assert(full > 0 &&
+        spark.read.parquet(kept: _*).filter(p.toColumn).count() == full)
+    }
+    audit(NullCheck("v", negated = false)) // skips the no-null file
+    audit(NullCheck("v", negated = true))  // skips the all-null file
+    // composes with range predicates through And
+    audit(And(NullCheck("v", negated = true),
+      Between("v", PredValue(0L), PredValue(50L))))
   }
 
   test("10k-file index: decisions stay distributed, driver gets only the skip list") {
@@ -187,7 +236,8 @@ class IndexPruningSpec extends AnyFunSuite {
         (col("blockId") * 10.0).as("minNum"),
         (col("blockId") * 10.0 + 9.0).as("maxNum"),
         lit(null).cast("string").as("minStr"),
-        lit(null).cast("string").as("maxStr"))
+        lit(null).cast("string").as("maxStr"),
+        lit(0L).as("nullCount"))
     val p = Between("x", PredValue(500.0), PredValue(999.0))
     val skipped = IndexPruning.skippedFiles(index, p)
     assert(skipped.size == 9950, s"expected 9950 skipped, got ${skipped.size}")
