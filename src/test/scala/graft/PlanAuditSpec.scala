@@ -148,7 +148,8 @@ class PlanAuditSpec extends AnyFunSuite {
       lit(10L).as("rows"), (col("id") * 10).as("rowStart"), (col("id") * 10 + 9).as("rowEnd"),
       explode(array(lit("x"), lit("y"))).as("column"),
       (col("id") * 1.0).as("minNum"), (col("id") * 1.0 + 9).as("maxNum"),
-      lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"))
+      lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"),
+      lit(0L).as("nullCount"))
     val p = graft.plans.IndexPruning
       .decide(index, graft.plans.Between("x",
         graft.plans.PredValue(10.0), graft.plans.PredValue(50.0)))
