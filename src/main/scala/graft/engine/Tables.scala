@@ -14,8 +14,23 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Table `name` in `dir`: `<name>.parquet` when present, else
+    * `<name>.orc` — so a whole warehouse can be ORC and every graft
+    * operator runs unchanged (north-star "Parquet/OrC" parity; both
+    * formats share the vectorized reader + pushdown + pruning). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
+    if (name == "events") loadEvents(spark, dir)
+    else sourceOf(spark, dir, name) match {
+      case (p, "parquet") => spark.read.parquet(p)
+      case (p, fmt)       => spark.read.format(fmt).load(p)
+    }
+
+  private def sourceOf(spark: SparkSession, dir: String, name: String): (String, String) = {
+    val pq = new org.apache.hadoop.fs.Path(path(dir, name))
+    val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pq)) (pq.toString, "parquet")
+    else (s"$dir/$name.orc", "orc")
+  }
 
   /** events.ts encoding varies across testdata generations (int64
     * epoch-nanos vs native timestamp[us]/NTZ). Keep the nanos legacy
@@ -24,7 +39,11 @@ object Tables {
     * session as DuckDB's naive-timestamp read either way. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.streaming.EventStreams.normalizeTs(spark.read.parquet(path(dir, "events")))
+    val df = sourceOf(spark, dir, "events") match {
+      case (p, "parquet") => spark.read.parquet(p)
+      case (p, fmt)       => spark.read.format(fmt).load(p)
+    }
+    graft.streaming.EventStreams.normalizeTs(df)
   }
 
   /** Format-agnostic read (north-star parity: "Parquet/ORC"). Parquet

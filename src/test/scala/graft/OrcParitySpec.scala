@@ -60,6 +60,30 @@ class OrcParitySpec extends AnyFunSuite {
       s"ORC scan must read only projected columns: $readSchema")
   }
 
+  test("a full ORC warehouse serves real queries identically to parquet") {
+    // mirror EVERY table to <name>.orc in a fresh dir; Tables.load
+    // falls back to ORC when no parquet exists, so the whole query
+    // surface runs unchanged over the ORC warehouse
+    val mirror = "target/scratch/orc-warehouse"
+    graft.engine.Tables.names.foreach { n =>
+      val src =
+        if (n == "events") graft.engine.Tables.load(spark, dir, n) // ts normalized once
+        else spark.read.parquet(s"$dir/$n.parquet")
+      src.write.mode("overwrite").orc(s"$mirror/$n.orc")
+    }
+    // one representative per family: relational agg, join chain,
+    // window, temporal as-of, text, dedup, streaming twin
+    val sample = Seq("q1_agg", "q12_join_multi", "q47_qualify", "q31_asof",
+      "ta_quality", "dd_exact", "st_window_agg")
+    sample.foreach { name =>
+      val pq = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).toSeq
+      val orc = SparkEntry.queries(name)(spark, mirror)
+        .collect().map(_.toString).toSeq
+      assert(pq.nonEmpty && pq == orc, s"$name diverges over the ORC warehouse")
+    }
+  }
+
   test("events round-trip through ORC with identical normalized timestamps") {
     val p = "target/scratch/orc/events"
     val canonical = Tables.load(spark, dir, "events")
