@@ -947,6 +947,41 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           dsum2(col("l_extendedprice")).as("sum_price"))
         .orderBy("bucket")
+    },
+
+    // q50 (round 7): UNPIVOT / melt — wide metric columns to tall
+    // (metric, value) rows, the inverse of q33's PIVOT and the reshape
+    // every metrics store ingests. Plans as an Expand over the ALREADY
+    // AGGREGATED wide table (map-side row generation, no extra
+    // shuffle — the fact table was reduced to |returnflag| rows
+    // first). The oracle replays Spark's unpivot via the portable
+    // UNION ALL lowering; all measures cast to DOUBLE so the value
+    // column types agree.
+    QueryDef.sql(
+      "q50_unpivot",
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    ${Det.sqlSum2("l_quantity")} AS sum_qty,
+         |    ${Det.sqlSum2("l_extendedprice")} AS sum_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_items
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'n_items', n_items FROM wide
+         |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
     }
   )
 }
