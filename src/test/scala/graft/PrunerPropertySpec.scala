@@ -82,4 +82,33 @@ class PrunerPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("null-check pruning is conservative against real row sets (3000 cases)") {
+    for (_ <- 1 to 3000) {
+      // a block of rows where each is null with random probability
+      val n = 1 + rnd.nextInt(20)
+      val rows = Seq.fill(n)(if (rnd.nextInt(3) == 0) None else Some(value()))
+      val nullCount = rows.count(_.isEmpty).toLong
+      val present = rows.flatten
+      // footer stats: min/max over present values, exact null count;
+      // sometimes the footer omits the count (-1 → None)
+      val ncStat = if (rnd.nextInt(5) == 0) None else Some(nullCount)
+      val stats = Map("x" -> ColStats(
+        present.minOption, present.maxOption, None, None, ncStat, Some(n.toLong)))
+      val isNull = NullCheck("x", negated = false)
+      val isNotNull = NullCheck("x", negated = true)
+      if (nullCount > 0)
+        assert(ZoneMapPruner.mayMatch(isNull, stats),
+          s"pruned a block holding nulls: nc=$nullCount stat=$ncStat")
+      if (present.nonEmpty)
+        assert(ZoneMapPruner.mayMatch(isNotNull, stats),
+          s"pruned a block holding non-nulls: nc=$nullCount/$n stat=$ncStat")
+      // effectiveness on exact stats: all-null refutes IS NOT NULL,
+      // no-null refutes IS NULL
+      if (ncStat.contains(0L))
+        assert(!ZoneMapPruner.mayMatch(isNull, stats))
+      if (ncStat.contains(n.toLong))
+        assert(!ZoneMapPruner.mayMatch(isNotNull, stats))
+    }
+  }
 }
