@@ -410,18 +410,109 @@ object DedupOps {
   /** Duplicate-CLUSTER formation: connected components over verified
     * near-dup pairs — the step a dedup pipeline runs after pair
     * generation, so "A≈B, B≈C" collapses to one keeper even when A and
-    * C never pair directly. Min-label propagation: every node starts
-    * as its own label; each round every node takes the min of its own
-    * and its neighbors' labels (one join + one aggregation, all
-    * distributed); converges in O(component diameter) rounds — small
-    * by construction for near-dup clusters (they're dense). The driver
-    * only orchestrates rounds and reads the single `changed` count
-    * (same discipline as the IVF Lloyd loop); at web scale the
-    * round count is cut further by star-contraction variants
-    * (Kiveris et al. '14), which this API deliberately leaves room
-    * for. Returns (doc_id, cluster_id = component-min id,
-    * cluster_size), nodes = every doc appearing in a pair. */
+    * C never pair directly. Runs alternating two-phase star
+    * contraction (large-star / small-star, Kiveris et al. '14
+    * "Connected Components in MapReduce and Beyond" — public
+    * knowledge), which converges in O(log² n) rounds worst-case and
+    * ~log n in practice, INDEPENDENT of component diameter — a 100 TB
+    * corpus with a long chain of pairwise near-dups (template drift)
+    * pays log-many shuffles, not diameter-many. Each round is two
+    * map-side-combinable min-aggregations plus two joins, all
+    * distributed; the driver only orchestrates rounds and reads edge
+    * counts. Returns (doc_id, cluster_id = component-min id,
+    * cluster_size), nodes = every doc appearing in a pair. Output is
+    * identical to diameter-bounded min-label propagation
+    * ([[duplicateClustersLabelProp]]); StarContractionSpec pins the
+    * equivalence and the round bound on a pathological chain. */
   def duplicateClusters(pairs: DataFrame, checkpointEvery: Int = 5): DataFrame = {
+    // checkpointEvery is retained for source compatibility with the
+    // label-prop signature; star contraction checkpoints every round
+    // (rounds are O(log n), so lineage is already bounded).
+    val _ = checkpointEvery
+    val (labels, _) = starContract(pairs)
+    val out = labels
+      .join(labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    out
+  }
+
+  /** Alternating large-star/small-star contraction to a star forest
+    * rooted at each component's minimum id. Returns the node→root
+    * label table and the number of (large+small) rounds taken — the
+    * spec's handle for asserting rounds ≪ diameter.
+    *
+    * Edge orientation invariant: every emitted edge points
+    * large-id → small-id, so `min` aggregations are map-side partial
+    * and no collect_list of neighborhoods ever materializes (hot
+    * nodes cost a skewed shuffle key, never driver or single-task
+    * neighborhood blowup). Convergence = edge-set fixpoint, which for
+    * this operator pair is exactly the star forest. */
+  private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    // For each node u (over the SYMMETRIZED neighborhood), m(u) =
+    // min(Γ(u) ∪ {u}); large-star rewires every strictly-larger
+    // neighbor v > u to m(u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.filter(col("dst") > col("src"))
+        .join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // Small-star: orient each edge large→small, group by the large
+    // endpoint u; m = min smaller-neighbor; rewire u and every
+    // smaller neighbor to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val m = or.groupBy("src").agg(min("dst").as("mn"))
+      or.join(m, "src")
+        .select(col("dst").as("node"), col("mn"))
+        .unionAll(m.select(col("src").as("node"), col("mn")))
+        .filter(col("node") =!= col("mn"))
+        .select(col("node").as("src"), col("mn").as("dst"))
+        .distinct()
+    }
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = edgeCount == 0
+    while (!converged) {
+      rounds += 1
+      val next0 = smallStar(largeStar(edges))
+      // localCheckpoint every round: each round's plan chains two
+      // groupBy+join stages over the last, so lineage truncation keeps
+      // per-round planning O(1) in the round count (rounds are only
+      // O(log n), but plan depth would still be 4× that in joins).
+      val next = next0.localCheckpoint()
+      val nextCount = next.count()
+      // Star-forest fixpoint check: both steps are deterministic set
+      // maps, so set equality ⇔ count equal AND no new edges.
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edges = next
+      edgeCount = nextCount
+    }
+    // At the fixpoint every edge is (member, component-min); roots
+    // appear only on the dst side.
+    val labels = edges.select(col("src").as("doc_id"), col("dst").as("label"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("label")))
+      .distinct().localCheckpoint()
+    (labels, rounds)
+  }
+
+  /** Diameter-bounded min-label propagation — the pre-round-8
+    * cluster path, kept as the independently-derived reference
+    * implementation that StarContractionSpec checks
+    * [[duplicateClusters]] against. Converges in O(component
+    * diameter) rounds; fine for dense near-dup clusters, pathological
+    * on long chains — which is why the default path is star
+    * contraction. */
+  private[graft] def duplicateClustersLabelProp(pairs: DataFrame, checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
