@@ -300,8 +300,11 @@ object AnnOps {
       if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         rawBase.persist()
       else rawBase
-    val short = pqTopK(base, m, ksub, iters, scale, numQueries, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+    // the shortlist is S·Q rows by construction — broadcast it
+    // EXPLICITLY so the corpus side never shuffles (auto-broadcast at
+    // toy SF picks the corpus side, which inverts at 100 TB)
+    val short = broadcast(pqTopK(base, m, ksub, iters, scale, numQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id")))
     val pairs = short
       .join(base, base("vec_id") === short("neighbor_id"))
       .drop("neighbor_id")

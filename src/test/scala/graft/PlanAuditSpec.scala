@@ -333,4 +333,75 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
       s"scan must read only the bucketed column: $readSchema")
   }
+
+  test("q50 unpivot is ONE Expand over the aggregated wide table, no extra exchange") {
+    val p = plan("q50_unpivot")
+    val lines = p.linesIterator.toSeq
+    assert(occurrences(p, "Expand") == 1,
+      s"unpivot must expand once (map-side row generation):\n${p.take(2000)}")
+    // Expand runs on the |returnflag|-sized aggregate, not the raw
+    // fact table: it prints ABOVE the aggregates, and the only hash
+    // exchange is the groupBy's own
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    val firstAggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(expandIdx >= 0 && firstAggIdx > expandIdx,
+      s"Expand must sit over the wide aggregate:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange hashpartitioning") == 1,
+      s"only the groupBy shuffle is allowed:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange rangepartitioning") <= 1,
+      s"only the presentation orderBy may range-partition:\n${p.take(2000)}")
+  }
+
+  test("ta_entropy is one codegen'd scan pass: no explode, no shuffle below the sort") {
+    val p = plan("ta_entropy")
+    assert(!p.contains("Generate"),
+      s"the char histogram must come from the native expression, never explode:\n${p.take(2000)}")
+    assert(p.contains("charentropystats"),
+      s"expected the CharEntropyStats expression in the plan:\n${p.take(2000)}")
+    assert(p.linesIterator.count(l => l.contains("FileScan") || l.contains("BatchScan")) == 1,
+      s"documents must scan exactly once:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange hashpartitioning") == 0,
+      s"scan-local expression — no hash shuffle anywhere:\n${p.take(2000)}")
+  }
+
+  test("ta_cms_topk broadcasts the d×w sketch, never the exploded term stream") {
+    val p = plan("ta_cms_topk")
+    val lines = p.linesIterator.toSeq
+    assert(p.contains("BroadcastHashJoin [hrow"),
+      s"estimate join must be a broadcast join on the sketch cells:\n${p.take(2500)}")
+    // the broadcast build side IS the sketch aggregation (keys hrow,
+    // bucket — d×w counter cells, corpus-size-independent)
+    val bIdx = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).map(_._2)
+    assert(bIdx.exists(i => i + 1 < lines.length &&
+        lines(i + 1).contains("HashAggregate(keys=[hrow")),
+      s"the sketch aggregate must be the broadcast side:\n${p.take(3000)}")
+    // the term×d exploded stream must never sit under a broadcast
+    // (it is corpus-vocabulary-sized; only cell-bounded or cached
+    // term-count relations may broadcast)
+    assert(!bIdx.exists(i => lines.slice(i + 1, i + 4).exists(_.contains("Generate explode"))),
+      s"never broadcast the exploded (term × hash-row) stream:\n${p.take(3000)}")
+    // token stream aggregates map-side and scans once (cached terms)
+    assert(p.contains("partial_sum") && p.contains("InMemoryTableScan"),
+      s"sketch build must combine map-side over the cached term counts:\n${p.take(2000)}")
+  }
+
+  test("ann_refine: exact cosine only ABOVE the broadcast shortlist join") {
+    val p = plan("ann_refine")
+    val lines = p.linesIterator.toSeq
+    // exact cosine is computed exactly once, in the re-rank projection
+    val cosIdx = lines.zipWithIndex.filter(_._1.contains("AS cosine#")).map(_._2)
+    assert(cosIdx.length == 1,
+      s"exact cosine must appear once (re-rank only), got ${cosIdx.length}:\n${p.take(2500)}")
+    // the PQ shortlist cut (rank <= shortlist) sits BELOW the cosine
+    // projection — compressed-domain math does the cut, exact math
+    // touches only S·Q pairs
+    val shortIdx = lines.indexWhere(_.contains("<= 30"))
+    assert(shortIdx > cosIdx.head,
+      s"shortlist filter must feed the re-rank, not follow it:\n${p.take(2500)}")
+    // the shortlist side is the EXPLICIT broadcast build of the join
+    // against corpus vectors, so the corpus never shuffles for it
+    val joinIdx = lines.indexWhere(l => l.contains("BroadcastHashJoin [neighbor_id"))
+    assert(joinIdx > cosIdx.head && joinIdx < shortIdx && lines(joinIdx).contains("BuildLeft"),
+      s"corpus vectors must join a BROADCAST shortlist (BuildLeft):\n${p.take(2500)}")
+  }
 }
