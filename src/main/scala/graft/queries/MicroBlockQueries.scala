@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftEngine, MarkovPrefetcher, PrefetchEval}
@@ -330,23 +331,48 @@ object MicroBlockQueries {
     }
   )
 
+  // keyed by (session, dir): cached DataFrames are bound to the
+  // SparkSession that built them — a new session in the same JVM must
+  // rebuild, not serve frames of a stopped session
   private val zIdxCache =
-    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  /** Build (once per sf dir) a single-key layout clustered on
-    * l_quantity and a z-ordered layout on (l_quantity,
-    * l_extendedprice), both 16 blocks, and return their stats
-    * indices. */
+  /** mtime of the newest file directly under `dir` matching `name*`
+    * (the source table may be a file or a directory). */
+  private def sourceMtime(dir: String, name: String): Long = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) 0L
+    else {
+      val it = Files.list(d)
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(name))
+        .map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max)
+      finally it.close()
+    }
+  }
+
+  /** Build (once per (session, sf dir)) a single-key layout clustered
+    * on l_quantity and a z-ordered layout on (l_quantity,
+    * l_extendedprice), both 16 blocks, and return their stats indices.
+    * A scratch layout is reused only while it is NEWER than the source
+    * table — regenerated testdata invalidates it (stale layouts would
+    * silently serve the old rows). */
   private def zorderIndexes(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
-      zIdxCache.getOrElseUpdate(dir, {
+      zIdxCache.getOrElseUpdate((s, dir), {
         val sfName = Paths.get(dir).getFileName.toString
         val linOut = s"target/scratch/zorder/$sfName/lineitem_linear"
         val zOut = s"target/scratch/zorder/$sfName/lineitem_z"
+        val srcMtime = sourceMtime(dir, "lineitem")
         val li = graft.engine.Tables.load(s, dir, "lineitem")
-        if (!Files.exists(Paths.get(linOut, "_SUCCESS")))
+        def stale(out: String): Boolean = {
+          val success = Paths.get(out, "_SUCCESS")
+          !Files.exists(success) ||
+            Files.getLastModifiedTime(success).toMillis < srcMtime
+        }
+        if (stale(linOut))
           MicroBlockWriter.write(li, linOut, "l_quantity", NumBlocks)
-        if (!Files.exists(Paths.get(zOut, "_SUCCESS")))
+        if (stale(zOut))
           MicroBlockWriter.writeZOrdered(
             li, zOut, Seq("l_quantity", "l_extendedprice"), NumBlocks)
         (MicroBlockIndex.build(s, linOut, "lineitem_linear").toDF.cache(),

@@ -46,9 +46,32 @@ object EventStreams {
     * identically. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(path).schema
+    // an empty directory is a normal start state for file-stream
+    // ingestion (files land after the stream is defined) — fall back
+    // to the canonical events schema instead of failing the batch
+    // inference read
+    val fileSchema =
+      try spark.read.parquet(path).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
+              || e.getMessage.contains("PATH_NOT_FOUND") =>
+          defaultEventsSchema
+      }
     normalizeTs(spark.readStream.schema(fileSchema).parquet(path))
   }
+
+  /** The driver testdata's events shape with the current-generation ts
+    * encoding (timestamp[us]) — what an empty ingest directory will
+    * contain once files land. */
+  private[graft] val defaultEventsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
   /** Tumbling-window aggregation: hourly counts + exact value sums per
     * event type. In streaming mode add `withWatermark` before this. */

@@ -32,13 +32,48 @@ final class StreamIngest(
     idx.getOrElse(MicroBlockIndex.build(spark, outPath, table))
   }
 
-  private def ingestBatch(batch: DataFrame): Unit = {
+  /** Land one micro-batch EXACTLY ONCE. foreachBatch is at-least-once:
+    * a batch that fails mid-append (or whose marker write is lost)
+    * replays with the same batchId, so the write must be idempotent —
+    * a naive append would duplicate rows AND the refresh would index
+    * the duplicate files as new. Protocol, crash-safe at every step:
+    *  1. committed marker `_graft_commits/<batchId>` exists → no-op;
+    *  2. delete any `b<batchId>-*` remnants of a failed attempt (part
+    *     filenames carry a fresh job UUID per attempt, so remnants
+    *     never collide with — and would otherwise double — the redo);
+    *  3. write to `_staging_<batchId>` (underscore-hidden from reads
+    *     and from the flat index listing), rename into the flat
+    *     layout under the `b<batchId>-` prefix;
+    *  4. create the marker — the atomic commit point — THEN refresh.
+    * The index only ever sees fully-committed files: a crash before
+    * the marker leaves remnants that step 2 removes before anything
+    * re-indexes, and the in-memory index is rebuilt from the
+    * directory on restart. */
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(out, s"_graft_commits/$batchId")
+    if (fs.exists(marker)) return
+    if (fs.exists(out)) fs.listStatus(out)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(s"b$batchId-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val staging = new org.apache.hadoop.fs.Path(out, s"_staging_$batchId")
     batch
       .repartitionByRange(blocksPerBatch, batch.col(clusterBy))
       .sortWithinPartitions(clusterBy)
-      .write.mode("append")
+      .write.mode("overwrite")
       .option("parquet.block.size", (256L * 1024 * 1024).toString)
-      .parquet(outPath)
+      .parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(out, s"b$batchId-${s.getPath.getName}"))
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
     synchronized {
       idx = Some(idx match {
         case None => MicroBlockIndex.build(spark, outPath, table)
@@ -52,6 +87,6 @@ final class StreamIngest(
   def start(stream: DataFrame, queryName: String): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
-      .foreachBatch((batch: DataFrame, _: Long) => ingestBatch(batch))
+      .foreachBatch((batch: DataFrame, id: Long) => ingestBatch(batch, id))
       .start()
 }

@@ -57,6 +57,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val fromCol = Seq("aaab").toDF("t")
       .selectExpr("graft_char_entropy(t) AS e").select("e.*").collect().head
     assert(fromCol.getLong(3) == 5L)
+    // COMBINING SEQUENCES: the agreed cross-engine domain is CODE
+    // POINTS, not grapheme clusters. "éé" (two 'é'
+    // rendered glyphs built from e + COMBINING ACUTE) is FOUR code
+    // points — two distinct — on both engines: DuckDB
+    // string_split(s,'') also splits per code point (verified:
+    // string_split('e'||chr(769)||'x','') = ['e', chr(769), 'x']).
+    val comb = spark.sql(
+      "SELECT graft_char_entropy('e\u0301e\u0301') AS e").select("e.*").collect().head
+    // n=4, distinct=2 (e, U+0301), sum = 2*1 + 2*1 = 4,
+    // entropy = 4*2 - 4 = 4
+    assert((comb.getLong(0), comb.getLong(1), comb.getLong(2), comb.getLong(3))
+      == ((4L, 2L, 4L, 4L)))
   }
 
   test("optimizer rule prunes files transparently for registered tables") {

@@ -101,6 +101,57 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(matches(spark.read.parquet(kept: _*)) == matches(spark.read.parquet(out)))
   }
 
+  test("batch replay and crash remnants land exactly once (idempotent ingest)") {
+    val (_, out) = freshDirs("idem")
+    val ev = Tables.load(spark, dir, "events").limit(500).cache()
+    val n = ev.count()
+    val ingest = new StreamIngest(spark, out, "events_idem", "ts", 2)
+
+    // simulate a CRASHED first attempt: data files landed under the
+    // batch-0 prefix but no commit marker was written
+    val scratch = "target/scratch/test/ingest/idem/remnant"
+    ev.limit(100).coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(out).mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$out/b0-part-remnant.parquet").toPath)
+
+    // the redo of batch 0 must sweep the remnant, never double rows
+    ingest.ingestBatch(ev.toDF, 0L)
+    assert(spark.read.parquet(out).count() == n)
+    // at-least-once replay of a COMMITTED batch is a no-op
+    ingest.ingestBatch(ev.toDF, 0L)
+    assert(spark.read.parquet(out).count() == n)
+    // the next batch still appends normally
+    val more = Tables.load(spark, dir, "events").limit(800).exceptAll(ev)
+    val m = more.count()
+    ingest.ingestBatch(more.toDF, 1L)
+    assert(spark.read.parquet(out).count() == n + m)
+    // the index covers exactly the committed files — no remnant, no
+    // staging leftovers, no double-indexed replay
+    val landed = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && f.getName.startsWith("b"))
+    val idx = ingest.index.toDF
+    assert(idx.select("file").distinct.count() == landed)
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_staging")))
+  }
+
+  test("readStream on an empty ingest directory starts with the default events schema") {
+    val empty = "target/scratch/test/ingest/empty-src"
+    val f = new java.io.File(empty); f.mkdirs()
+    Option(f.listFiles()).foreach(_.foreach(_.delete()))
+    // a normal start state for file-stream ingestion: the directory
+    // exists but no files have landed yet — defining the stream must
+    // not throw on schema inference
+    val df = EventStreams.readStream(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("index refresh is incremental: existing block ids and offsets are stable") {
     val (src, out) = freshDirs("incr")
     val ev = Tables.load(spark, dir, "events").limit(1000).cache()
