@@ -4,8 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.collection.mutable
 
-/** One logged query access: which blocks a query touched. */
-final case class Access(queryIdx: Long, table: String, blocks: Seq[Int])
+/** One logged query access: which blocks a query touched, and which
+  * columns its predicate filtered (empty for non-predicate paths like
+  * range scans) — the signal workload-adaptive clustering reads. */
+final case class Access(queryIdx: Long, table: String, blocks: Seq[Int],
+    cols: Seq[String] = Nil)
 
 /** Append-only access log + bounded global history.
   *
@@ -20,8 +23,9 @@ final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) 
   private val history = mutable.ArrayDeque.empty[Int]
   private var nextIdx = 0L
 
-  def log(table: String, blocks: Seq[Int]): Access = synchronized {
-    val a = Access(nextIdx, table, blocks)
+  def log(table: String, blocks: Seq[Int],
+      cols: Seq[String] = Nil): Access = synchronized {
+    val a = Access(nextIdx, table, blocks, cols)
     nextIdx += 1
     accesses += a
     blocks.foreach { b =>
@@ -35,7 +39,13 @@ final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) 
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-      val line = s"""{"queryIdx":${a.queryIdx},"table":"$tableJson","blocks":[${a.blocks.mkString(",")}]}\n"""
+      val colsJson = a.cols.map(c => "\"" + c.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+        case ch => ch.toString
+      } + "\"").mkString(",")
+      val line = s"""{"queryIdx":${a.queryIdx},"table":"$tableJson","blocks":[${a.blocks.mkString(",")}],"cols":[$colsJson]}\n"""
       Files.write(Paths.get(p), line.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }

@@ -192,7 +192,8 @@ final class GraftEngine(
   /** Reference-parity query path (prune → log → cache → execute). */
   def query(pred: Pred): DataFrame = {
     val ids = candidates(pred)
-    accessLog.log(table, ids)
+    accessLog.log(table, ids,
+      graft.plans.IndexPruning.refColumns(pred).toSeq.sorted)
     serve(ids).filter(pred.toColumn)
   }
 
@@ -295,7 +296,7 @@ final class GraftEngine(
     import org.apache.spark.sql.functions._
     require(k >= 1, "k must be >= 1")
     val ids = topKBlockIds(colName, k, ascending, includeNullBlocks = false)
-    accessLog.log(table, ids)
+    accessLog.log(table, ids, Seq(colName))
     val primary = if (ascending) col(colName).asc else col(colName).desc
     serve(ids)
       .filter(col(colName).isNotNull)
@@ -312,7 +313,7 @@ final class GraftEngine(
     import org.apache.spark.sql.functions._
     require(k >= 1, "k must be >= 1")
     val ids = topKBlockIds(colName, k, ascending, includeNullBlocks = false)
-    accessLog.log(table, ids)
+    accessLog.log(table, ids, Seq(colName))
     val files = ids.map(fileOf).distinct
     val primary = if (ascending) col(colName).asc else col(colName).desc
     (if (files.isEmpty) emptyFrame else spark.read.parquet(files: _*))
@@ -324,7 +325,8 @@ final class GraftEngine(
   /** Single pruned scan (no per-block caching) — see class doc. */
   def queryDirect(pred: Pred): DataFrame = {
     val d = decisions(pred)
-    accessLog.log(table, d.filter(_._4).map(_._1))
+    accessLog.log(table, d.filter(_._4).map(_._1),
+      graft.plans.IndexPruning.refColumns(pred).toSeq.sorted)
     val kept = d.filter(_._4).map(_._2).distinct
     val files = if (kept.isEmpty) d.map(_._2).distinct else kept
     spark.read.parquet(files: _*).filter(pred.toColumn)
@@ -464,7 +466,9 @@ final class GraftEngine(
     val ids = pred.map(candidates)
       .orElse(if (allFilters == 0) topkIds else None)
       .getOrElse(blockIds)
-    accessLog.log(table, ids)
+    accessLog.log(table, ids,
+      pred.map(p => graft.plans.IndexPruning.refColumns(p).toSeq.sorted)
+        .getOrElse(Nil))
     // Serve the candidate superset WITHOUT re-applying the extracted
     // predicate — the SQL's own WHERE does the row-level filtering, so
     // a lossy extraction can never change results, only pruning.

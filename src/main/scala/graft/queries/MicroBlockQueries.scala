@@ -309,6 +309,40 @@ object MicroBlockQueries {
         .unionAll(row("gru", gru))
     },
 
+    // mb_adaptive_layout (round 8): WORKLOAD-ADAPTIVE clustering — the
+    // access log (the same telemetry that trains the prefetcher)
+    // elects the cluster-key set: most-filtered columns win, one key →
+    // range clustering, two → z-order. The output scoreboard replays
+    // the logged workload against every candidate layout's stats index
+    // and reports the row volume each would scan — pure index math, no
+    // data reads — with the elected layout flagged. The spec asserts
+    // the election picks the workload's measured-best layout
+    // (AdaptiveLayoutSpec); at 100 TB this is the closed loop the
+    // reference only gestures at: telemetry in, physical design out.
+    QueryDef.rowsOnly("mb_adaptive_layout") { (s, dir) =>
+      import s.implicits._
+      val e = engine(s, dir)
+      // a fresh log of a two-hot-column workload: quantity and price
+      // dominate, shipdate is an also-ran below the election threshold
+      val wl = adaptiveWorkload
+      val log = new graft.engine.AccessLog()
+      e.candidatesMany(wl.distinct)
+      wl.foreach(p => log.log("lineitem",
+        e.candidates(p), graft.plans.IndexPruning.refColumns(p).toSeq.sorted))
+      val keys = graft.engine.AdaptiveLayout.chooseKeys(log)
+      val layouts = adaptiveLayouts(s, dir) // name -> (keys, index)
+      val chosenName = layouts.collectFirst {
+        case (name, (ks, _)) if ks == keys => name
+      }.getOrElse("unbuilt")
+      val rows = layouts.map { case (name, (ks, idx)) =>
+        (name, ks.mkString(","),
+          graft.engine.AdaptiveLayout.replayScanVolume(s, idx, wl),
+          name == chosenName)
+      }.toSeq
+      rows.toDF("layout", "keys", "replay_scan_rows", "chosen")
+        .orderBy("layout")
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning
@@ -337,6 +371,53 @@ object MicroBlockQueries {
         .orderBy("layout", "predicate")
     }
   )
+
+  /** The adaptive-clustering election's workload: quantity and price
+    * carry 7 filtered accesses each (4 two-dim + 3 single-dim), the
+    * shipdate straggler 1 of 11 (~9% share — below the 20% election
+    * threshold, so it must NOT cost a z-order dimension). */
+  private[graft] def adaptiveWorkload: Seq[Pred] = {
+    val qtys = Seq((5L, 10L), (11L, 13L), (20L, 30L))
+      .map { case (lo, hi) => Between("l_quantity", PredValue(lo), PredValue(hi)) }
+    val prices = Seq((10000L, 20000L), (20000L, 26000L), (40000L, 55000L))
+      .map { case (lo, hi) => Between("l_extendedprice", PredValue(lo), PredValue(hi)) }
+    val both = Seq(
+      And(qtys(0), prices(0)), And(qtys(1), prices(1)),
+      And(qtys(2), prices(2)), And(qtys(1), prices(2)))
+    both ++ qtys ++ prices :+ benchPred
+  }
+
+  private val adaptiveCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), Seq[(String, (Seq[String], DataFrame))]]
+
+  /** Candidate layouts for the adaptive election at this sf dir: the
+    * incumbent shipdate clustering plus each single hot key and the
+    * two-key z-order, with their stats indices (built once per
+    * (session, dir), reusing the shared zorder scratch). */
+  private def adaptiveLayouts(s: SparkSession, dir: String)
+      : Seq[(String, (Seq[String], DataFrame))] = synchronized {
+    adaptiveCache.getOrElseUpdate((s, dir), {
+      val sfName = Paths.get(dir).getFileName.toString
+      val li = graft.engine.Tables.load(s, dir, "lineitem")
+      // 64 blocks: a 2-key z-order needs per-dimension granularity
+      // (8×8 tiles) — at the engine's default 16 a single-dimension
+      // predicate can't keep fewer than a quarter of the files, which
+      // would understate every candidate's pruning power equally but
+      // z-order's most
+      val adaptiveBlocks = 64
+      def layout(tag: String, keys: Seq[String]): (String, (Seq[String], DataFrame)) = {
+        val out = s"target/scratch/adaptive/$sfName/$tag"
+        if (!Files.exists(Paths.get(out, "_SUCCESS")))
+          graft.engine.AdaptiveLayout.cluster(li, out, keys, adaptiveBlocks)
+        (tag, (keys, MicroBlockIndex.build(s, out, s"lineitem_$tag").toDF.cache()))
+      }
+      Seq(
+        layout("linear_shipdate", Seq("l_shipdate")),
+        layout("linear_qty", Seq("l_quantity")),
+        layout("linear_price", Seq("l_extendedprice")),
+        layout("zorder_price_qty", Seq("l_extendedprice", "l_quantity")))
+    })
+  }
 
   // keyed by (session, dir): cached DataFrames are bound to the
   // SparkSession that built them — a new session in the same JVM must
