@@ -35,9 +35,13 @@ object Shell {
     val modelDir = "target/scratch/shell/model"
     val preloaded =
       graft.engine.ModelIO.exists(spark, modelDir) &&
-        (try { engine.prefetcher.restore(spark, modelDir); true }
-         catch { case e: Exception =>
-           println(s"saved model ignored: ${e.getMessage}"); false })
+        (try {
+          // load WHATEVER class was trained (markov/logistic/gru) —
+          // the reference's run_with_prefetch_loop reload contract
+          engine.prefetcher = graft.engine.PrefetchModels.load(spark, modelDir)
+          true
+        } catch { case e: Exception =>
+          println(s"saved model ignored: ${e.getMessage}"); false })
     engine.service.start()
     println(s"graft shell — ${engine.blockIds.size} micro-blocks of lineitem" +
       (if (preloaded) " (saved prefetch model loaded)" else "") + "; \\q to exit")
@@ -51,6 +55,19 @@ object Shell {
             s"misses=${engine.cache.misses} prefetched=${engine.service.prefetched}")
         case "\\retrain" =>
           engine.retrain(); println(s"model fitted=${engine.prefetcher.fitted}")
+        case r if r.startsWith("\\model") =>
+          r.split("\\s+").drop(1) match {
+            case Array("markov") =>
+              engine.prefetcher = new graft.engine.MarkovPrefetcher(2)
+              engine.retrain(); println("serving model: markov (retrained)")
+            case Array("logistic") =>
+              engine.prefetcher = new graft.engine.LogisticPrefetcher(order = 2, epochs = 25)
+              engine.retrain(); println("serving model: logistic (retrained)")
+            case Array("gru") =>
+              engine.prefetcher = new graft.engine.GruPrefetcher(hidden = 24, epochs = 120, lr = 0.8)
+              engine.retrain(); println("serving model: gru (retrained)")
+            case _ => println("usage: \\model markov|logistic|gru")
+          }
         case "\\save" =>
           if (engine.prefetcher.fitted) {
             engine.prefetcher.save(spark, modelDir)

@@ -57,7 +57,10 @@ final class GraftEngine(
 
   val cache = new BlockCacheManager(cacheCapacity)
   val accessLog = new AccessLog(logPath)
-  val prefetcher = new MarkovPrefetcher(markovOrder)
+  /** The serving model — swappable at runtime (shell `\model`, or a
+    * [[PrefetchModels.load]] at startup); the service re-reads it
+    * every cycle. Markov is the reference-parity default. */
+  @volatile var prefetcher: Prefetcher = new MarkovPrefetcher(markovOrder)
 
   /** Cache entries are keyed by FILE, not block id: with the
     * micro-block layout one block == one file, and for generic
@@ -66,7 +69,7 @@ final class GraftEngine(
     * PER block id (duplicate rows in the union, duplicate storage). */
   private def keyOf(id: Int): String = s"file-${fileOf(id)}"
 
-  val service = new PrefetchService(accessLog, prefetcher, cache, loadBlock _, keyOf _)
+  val service = new PrefetchService(accessLog, () => prefetcher, cache, loadBlock _, keyOf _)
 
   def blockIds: Seq[Int] = blocks.map(_.blockId)
 
@@ -485,12 +488,18 @@ final class GraftEngine(
     GraftEngine.viewLocks.computeIfAbsent(
       GraftEngine.sessionId(spark) + " " + table, _ => new Object)
 
-  /** Re-fit the prefetch model from everything logged so far. */
+  /** Re-fit the CURRENT prefetch model class from everything logged so
+    * far — model-agnostic (each class refits from the same access
+    * sequence; the reference's retrain_model.py contract). */
   def retrain(): Unit = {
-    import spark.implicits._
-    val seq = accessLog.all.flatMap(_.blocks).zipWithIndex
-      .map { case (b, i) => (i.toLong, b) }
-    if (seq.nonEmpty) prefetcher.fit(spark, seq.toDF("seq", "block"))
+    val flat = accessLog.all.flatMap(_.blocks)
+    if (flat.nonEmpty) prefetcher match {
+      case m: MarkovPrefetcher => m.fitSeq(spark, flat)
+      case l: LogisticPrefetcher => l.fit(spark, flat)
+      case g: GruPrefetcher => g.fit(spark, flat)
+      case other => throw new UnsupportedOperationException(
+        s"don't know how to retrain ${other.getClass.getSimpleName}")
+    }
   }
 }
 

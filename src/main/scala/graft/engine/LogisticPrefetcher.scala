@@ -3,9 +3,30 @@ package graft.engine
 import org.apache.spark.sql.SparkSession
 
 /** Common serving contract for next-block predictors (the reference's
-  * model interface: train on history, suggest top-K next blocks). */
+  * model interface: train on history, suggest top-K next blocks,
+  * persist for load-at-startup). All three model classes (Markov
+  * table, log-linear, GRU) serve through this trait, so the engine's
+  * prefetch service and the shell are model-agnostic — the reference's
+  * run_with_prefetch_loop.py loads whatever was trained, and so does
+  * [[PrefetchModels.load]]. */
 trait Prefetcher {
   def suggest(recent: Seq[Int], k: Int): Seq[Int]
+  def fitted: Boolean
+  def save(spark: SparkSession, dir: String): Unit
+}
+
+/** Load-at-startup dispatch: the sidecar's `model` field names the
+  * class (markov / logistic / gru), mirroring the reference's
+  * trained_model.pt + mappings reload at service start. */
+object PrefetchModels {
+  def load(spark: SparkSession, dir: String): Prefetcher =
+    ModelIO.strField(ModelIO.readMeta(spark, dir), "model") match {
+      case "markov" => MarkovPrefetcher.load(spark, dir)
+      case "logistic" => LogisticPrefetcher.load(spark, dir)
+      case "gru" => GruPrefetcher.load(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"unknown prefetch model kind '$other' in $dir/meta.json")
+    }
 }
 
 /** LEARNED-WEIGHTS sequence predictor — graft's stand-in for the
@@ -58,6 +79,7 @@ final class LogisticPrefetcher(
   /** Fitted weight-vector size — (order·min(B,F) + 1)·B; the bound the
     * hashing trick guarantees (test hook). */
   def weightCount: Int = weights.length
+  override def fitted: Boolean = weights.nonEmpty
   // weight layout: pos p, context FEATURE f, class c -> ((p*nF + f) * nB) + c;
   // bias row at offset order*nF*nB
   private def wIdx(pos: Int, f: Int, c: Int): Int = (pos * nF + f) * nB + c

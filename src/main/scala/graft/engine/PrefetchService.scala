@@ -14,7 +14,7 @@ import org.apache.spark.sql.DataFrame
   */
 final class PrefetchService(
     log: AccessLog,
-    prefetcher: MarkovPrefetcher,
+    prefetcher: () => Prefetcher,
     cache: BlockCacheManager,
     loadBlock: Int => DataFrame,
     keyFor: Int => String = b => s"block-$b",
@@ -28,8 +28,9 @@ final class PrefetchService(
   /** One prediction+warm cycle (also callable synchronously in tests). */
   def tick(): Seq[Int] = {
     val recent = log.recent(historyLen)
-    if (recent.isEmpty || !prefetcher.fitted) return Seq.empty
-    val predicted = prefetcher.suggest(recent, topK)
+    val model = prefetcher() // re-read each cycle: \model swaps live
+    if (recent.isEmpty || !model.fitted) return Seq.empty
+    val predicted = model.suggest(recent, topK)
     val warmed = predicted.filter(b => cache.get(keyFor(b)).isEmpty)
     warmed.foreach { b =>
       // persist + materialize: the count() pulls the block into

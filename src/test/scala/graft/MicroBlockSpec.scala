@@ -203,7 +203,7 @@ class MicroBlockSpec extends AnyFunSuite {
     val log = new AccessLog()
     val cache = new BlockCacheManager(8)
     val m = new MarkovPrefetcher(1).fitSeq(spark, Seq.fill(5)(Seq(0, 1, 2)).flatten)
-    val svc = new PrefetchService(log, m, cache, id => spark.range(id * 10L, id * 10L + 10).toDF("id"))
+    val svc = new PrefetchService(log, () => m, cache, id => spark.range(id * 10L, id * 10L + 10).toDF("id"))
     log.log("t", Seq(0, 1))
     val warmed = svc.tick()
     assert(warmed.contains(2), s"expected block 2 prefetched, got $warmed")

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** The model-agnostic serving stack: any Prefetcher class loads at
+  * startup by sidecar dispatch, serves through PrefetchService, and
+  * retrains in place — the reference's run_with_prefetch_loop contract
+  * for whatever model was trained.
+  */
+class PrefetchServeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 4, appName = "graft-serve-test")
+
+  private val pattern: Seq[Int] = Seq.fill(10)(Seq(0, 1, 2, 3)).flatten
+
+  test("PrefetchModels.load dispatches on the sidecar's model kind") {
+    val base = "target/scratch/models/dispatch"
+    new MarkovPrefetcher(1).fitSeq(spark, pattern).save(spark, s"$base/m")
+    new LogisticPrefetcher(order = 1, epochs = 10).fit(spark, pattern).save(spark, s"$base/l")
+    new GruPrefetcher(hidden = 8, window = 4, epochs = 15).fit(spark, pattern).save(spark, s"$base/g")
+    assert(PrefetchModels.load(spark, s"$base/m").isInstanceOf[MarkovPrefetcher])
+    assert(PrefetchModels.load(spark, s"$base/l").isInstanceOf[LogisticPrefetcher])
+    assert(PrefetchModels.load(spark, s"$base/g").isInstanceOf[GruPrefetcher])
+    // every loaded class predicts (trait surface only)
+    for (sub <- Seq("m", "l", "g")) {
+      val p = PrefetchModels.load(spark, s"$base/$sub")
+      assert(p.fitted && p.suggest(Seq(0, 1), 2).nonEmpty, s"model $sub must serve")
+    }
+    ModelIO.writeMeta(spark, s"$base/bad", """{"model":"mystery"}""")
+    assertThrows[IllegalArgumentException](PrefetchModels.load(spark, s"$base/bad"))
+  }
+
+  test("a GRU serves the prefetch loop: tick warms the predicted next block") {
+    val log = new AccessLog()
+    pattern.foreach(b => log.log("t", Seq(b)))
+    val gru = new GruPrefetcher(hidden = 8, window = 6, epochs = 60, lr = 0.6)
+      .fit(spark, pattern)
+    val cache = new BlockCacheManager(8)
+    val svc = new PrefetchService(log, () => gru, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1)
+    val warmed = svc.tick()
+    // history ends ...2,3 in a 0,1,2,3 cycle: the next block is 0
+    assert(warmed == Seq(0), s"expected the cycle's next block, got $warmed")
+    assert(cache.get("block-0").nonEmpty)
+    // a second tick predicts the same block and warms nothing new
+    assert(svc.tick().isEmpty && svc.prefetched == 1)
+  }
+
+  test("the service follows a LIVE model swap (thunk, not captured reference)") {
+    val log = new AccessLog()
+    pattern.foreach(b => log.log("t", Seq(b)))
+    @volatile var model: Prefetcher = new MarkovPrefetcher(1) // unfitted
+    val cache = new BlockCacheManager(8)
+    val svc = new PrefetchService(log, () => model, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1)
+    assert(svc.tick().isEmpty) // unfitted model: no predictions
+    model = new GruPrefetcher(hidden = 8, window = 6, epochs = 60, lr = 0.6)
+      .fit(spark, pattern)
+    assert(svc.tick() == Seq(0)) // swapped model serves immediately
+  }
+
+  test("engine.retrain refits whatever model class is installed") {
+    import org.apache.spark.sql.functions.col
+    val mbPath = "target/scratch/test/serve-engine"
+    graft.sources.MicroBlockWriter.write(
+      Tables.load(spark, "/root/testdata/sf0.001", "lineitem"),
+      mbPath, "l_shipdate", 4)
+    val e = new GraftEngine(spark, mbPath, "lineitem")
+    // drive a few pruning queries so the log has a sequence
+    (1 to 3).foreach { _ =>
+      e.query(graft.plans.Between("l_shipdate",
+        graft.plans.PredValue.ts("1995-01-01"), graft.plans.PredValue.ts("1997-01-01"))).count()
+      e.query(graft.plans.Between("l_shipdate",
+        graft.plans.PredValue.ts("1999-01-01"), graft.plans.PredValue.ts("2001-01-01"))).count()
+    }
+    e.prefetcher = new GruPrefetcher(hidden = 8, window = 4, epochs = 30)
+    assert(!e.prefetcher.fitted)
+    e.retrain()
+    assert(e.prefetcher.fitted, "retrain must fit the installed GRU")
+    assert(e.prefetcher.suggest(e.accessLog.recent(4), 2).nonEmpty)
+  }
+}
