@@ -59,4 +59,22 @@ object Tables {
   /** Register every test table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** mtime of the newest file directly under `dir` matching `name*`
+    * (the source table may be a file or a directory) — the staleness
+    * handle every scratch-layout cache keys reuse on: a derived
+    * artifact is valid only while NEWER than its source table. */
+  def sourceMtime(dir: String, name: String): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) 0L
+    else {
+      val it = Files.list(d)
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(name))
+        .map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max)
+      finally it.close()
+    }
+  }
 }

@@ -324,6 +324,51 @@ object DedupQueries {
         .orderBy(col("exact_jaccard").desc, col("doc_a"), col("doc_b")).limit(TopK)
     },
 
+    // dd_incremental (round 8): INCREMENTAL dedup — the realistic
+    // daily shape at 100 TB: the "new batch" (doc_id % 7 = 0, a
+    // deterministic stand-in for today's arrivals) dedups against a
+    // PERSISTED signature store built once for the rest of the corpus
+    // (memoized under target/scratch/sigstore, staleness-guarded like
+    // every scratch layout). The base corpus is never re-shingled, the
+    // store never shuffles (band index streamed against a BROADCAST of
+    // the batch's band keys), base×base pairs are structurally
+    // impossible, and verification is by signature estimate — the
+    // dd_minhash_est-justified at-scale contract. The oracle computes
+    // the same answer the opposite way: full-corpus MinHash replay,
+    // pairs restricted to ≥1 batch endpoint — so the hash match
+    // cross-validates the incremental path against the monolithic one
+    // every run.
+    QueryDef.sql(
+      "dd_incremental", {
+        import OracleSql._
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0
+           |)
+           |SELECT p.doc_a, p.doc_b,
+           |  CAST(SUM(CASE WHEN sa.c = sb.c THEN 1 ELSE 0 END) AS DOUBLE) / 64
+           |    AS est_jaccard,
+           |  (p.doc_a % 7 <> 0 OR p.doc_b % 7 <> 0) AS vs_base
+           |FROM pairs p
+           |JOIN sig sa ON sa.doc_id = p.doc_a
+           |JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
+           |GROUP BY p.doc_a, p.doc_b
+           |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT $TopK""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = signatureStore(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+      DedupOps.incrementalPairs(store,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+        .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(TopK)
+    },
+
     // dd61: duplicate clusters — connected components over the
     // MinHash-verified (Jaccard >= 0.8) pair graph, so transitive
     // near-dups collapse to one keeper. Spark side: distributed
@@ -473,4 +518,32 @@ object DedupQueries {
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(TopK)
     }
   )
+
+  // keyed by (session, dir): cached frames are bound to the session
+  // that built them; the scratch store is reused only while NEWER than
+  // the source table (the zIdxCache staleness rule)
+  private val storeCache = scala.collection.mutable
+    .Map.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** The persisted MinHash signature store for the base corpus —
+    * built ONCE per (session, sf dir) under target/scratch/sigstore
+    * and read back as parquet, so dd_incremental exercises the real
+    * amortized artifact (a store READ, not a recompute) on every run
+    * after the first. */
+  private def signatureStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    synchronized {
+      storeCache.getOrElseUpdate((s, dir), {
+        import java.nio.file.{Files, Paths}
+        val sfName = Paths.get(dir).getFileName.toString
+        val out = s"target/scratch/sigstore/$sfName/base"
+        val success = Paths.get(out, "_SUCCESS")
+        val stale = !Files.exists(success) ||
+          Files.getLastModifiedTime(success).toMillis <
+            Tables.sourceMtime(dir, "documents")
+        if (stale)
+          DedupOps.signatureTable(base).write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      })
+    }
 }

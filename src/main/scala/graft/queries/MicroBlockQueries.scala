@@ -1,7 +1,6 @@
 package graft.queries
 
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftEngine, MarkovPrefetcher, PrefetchEval}
@@ -426,18 +425,9 @@ object MicroBlockQueries {
     scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   /** mtime of the newest file directly under `dir` matching `name*`
-    * (the source table may be a file or a directory). */
-  private def sourceMtime(dir: String, name: String): Long = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) 0L
-    else {
-      val it = Files.list(d)
-      try it.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(name))
-        .map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max)
-      finally it.close()
-    }
-  }
+    * (shared staleness handle — see [[graft.engine.Tables.sourceMtime]]). */
+  private def sourceMtime(dir: String, name: String): Long =
+    graft.engine.Tables.sourceMtime(dir, name)
 
   /** Build (once per (session, sf dir)) a single-key layout clustered
     * on l_quantity and a z-ordered layout on (l_quantity,

@@ -214,6 +214,78 @@ object PipelineE2E {
           Tables.load(s, dir, "documents"),
           weightOf = src => src.replaceAll("\\D", "").toInt % 4 + 1)
         .orderBy("doc_id")
+    },
+
+    // pipe_split (round 8): LEAKAGE-SAFE train/val/test split — the
+    // step every LLM data pipeline runs after dedup, done wrong by
+    // per-doc hashing: two near-duplicate documents split by doc hash
+    // can land one in train and one in test, and the "held-out" eval
+    // is contaminated. The safe unit is the near-dup CLUSTER: docs are
+    // grouped by MinHash-verified (J≥0.8) connected components
+    // (star-contracted — O(log n) rounds), unpaired docs are their own
+    // group, and the split is FNV-64 of the GROUP key mod 64
+    // (<52 train, <58 val, else test ≈ 81/9/9). Same group ⇒ same hash
+    // ⇒ same split, so no near-dup pair can ever straddle a split —
+    // structural, not probabilistic. Deterministic (no rand(): task
+    // retries re-deal nothing), re-runnable, and the assignment of any
+    // doc depends only on its group key — a grown corpus re-splits
+    // without moving old groups. Scale: cluster formation is the
+    // star-contraction path; the only other shuffles are the label
+    // join (keyed by doc_id, labels bounded by PAIRED docs, not the
+    // corpus) — the split hash itself is scan-local. Oracle: DuckDB
+    // recursive-CTE closure + byte-exact FNV replay.
+    QueryDef.sql(
+      "pipe_split", {
+        import OracleSql._
+        val u = fnv1a64Unsigned("'split42:' || CAST(group_key AS VARCHAR)")
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, cand AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN sh x ON x.doc_id = c.a
+           |  JOIN sh y ON y.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+           |), bidir AS (
+           |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+           |), reach AS (
+           |  SELECT DISTINCT a AS doc_id, a AS root FROM bidir
+           |  UNION
+           |  SELECT e.b AS doc_id, r.root FROM reach r JOIN bidir e ON e.a = r.doc_id
+           |), cc AS (
+           |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+           |), g AS (
+           |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_key
+           |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+           |), kb AS (
+           |  SELECT doc_id, group_key, CAST($u % 64 AS BIGINT) AS b FROM g
+           |)
+           |SELECT doc_id, group_key,
+           |  CASE WHEN b <= 51 THEN 'train' WHEN b <= 57 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM kb ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import graft.operators.DedupOps
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = DedupOps.minhashPairs(docs, 64, 4).filter(col("jaccard") >= 0.8)
+      val clusters = DedupOps.duplicateClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val keyed = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+      val b = pmod(graft.functions.TextExpressions.fnv64(
+        concat(lit("split42:"), col("group_key").cast("string"))), lit(64))
+      keyed.withColumn("b", b)
+        .select(col("doc_id"), col("group_key"),
+          when(col("b") <= 51, "train").when(col("b") <= 57, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -404,4 +404,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinIdx > cosIdx.head && joinIdx < shortIdx && lines(joinIdx).contains("BuildLeft"),
       s"corpus vectors must join a BROADCAST shortlist (BuildLeft):\n${p.take(2500)}")
   }
+
+  test("dd_incremental: store scan prunes to signatures (never reads shingle sets), batch broadcasts") {
+    val p = plan("dd_incremental")
+    val lines = p.linesIterator.toSeq
+    // the signature store's scan: only (doc_id, sig, bands) reach the
+    // reader — the sh shingle-set column (the store's biggest) is
+    // pruned because verification is by signature estimate
+    val storeScan = lines.find(l =>
+      (l.contains("FileScan") || l.contains("BatchScan")) && l.contains("sigstore"))
+    assert(storeScan.isDefined, s"expected a persisted-store scan:\n${p.take(2500)}")
+    val readSchema = storeScan.get.drop(storeScan.get.indexOf("ReadSchema"))
+    assert(readSchema.contains("sig") && readSchema.contains("bands")
+        && !readSchema.contains("sh:"),
+      s"store scan must prune the shingle-set column: $readSchema")
+    // the cross-candidate join broadcasts the BATCH side (BuildRight
+    // with the store streaming on the left)
+    val joinLine = lines.find(l => l.contains("BroadcastHashJoin [bkey"))
+    assert(joinLine.isDefined && joinLine.get.contains("BuildRight"),
+      s"store must stream into a broadcast probe of the batch bands:\n${p.take(2500)}")
+  }
+
+  test("pipe_split: split hash is scan-local — no rand, no cartesian, labels joined not broadcast-built from corpus") {
+    val p = plan("pipe_split")
+    assert(!p.toLowerCase.contains("rand("),
+      "split must be deterministic (no rand(): task retries re-deal nothing)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross-product anywhere in the split plan:\n${p.take(2500)}")
+    assert(p.contains("fnv64"),
+      s"the split key must be the native FNV expression (codegen, scan-local):\n${p.take(2500)}")
+    // the doc->group assignment is a LEFT join of docs against the
+    // (paired-docs-bounded) label table
+    assert(p.contains("LeftOuter"),
+      s"unpaired docs must survive via a left join:\n${p.take(2500)}")
+  }
 }
