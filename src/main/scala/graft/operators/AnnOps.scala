@@ -312,6 +312,69 @@ object AnnOps {
     rankTopK(pairs, k)
   }
 
+  /** Scalar-quantization (SQ8) top-k: every unit-vector dimension
+    * compresses to one byte on a per-dimension uniform [min,max] grid —
+    * the classic 4× vector-memory cut (vs PQ's 96×) that keeps recall
+    * near-exact because each dimension keeps its own resolution.
+    *
+    * The grid trains in ONE order-independent MIN/MAX aggregation pass
+    * (map-side combined; only 2·dim doubles reach the driver — at
+    * 100 TB the corpus is scanned once and nothing data-sized moves).
+    * Encoding is a scan-local projection against the plan-shipped grid
+    * literals; scoring is asymmetric (exact query values vs midpoint
+    * dequantization of the neighbor's codes), squared-L2 summed in
+    * fixed array order, so Spark and the DuckDB oracle agree
+    * bit-for-bit. Only the per-query top-k cut shuffles. Output:
+    * (query_id, neighbor_id, adist, rank) — adist ascending, the same
+    * approximate-squared-L2-on-unit-vectors scale as [[pqTopK]]. */
+  def sqTopK(rawBase: DataFrame, levels: Int, numQueries: Int, k: Int): DataFrame = {
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
+    val unit = transform(col("embedding"),
+      x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
+    val withU = base.select(col("vec_id"), unit.as("u")).persist()
+    val dim = withU.select(size(col("u"))).head.getInt(0)
+
+    // per-dimension [min,max]: MIN/MAX are order-independent, so the
+    // learned grid itself is cross-engine exact (unlike means, no
+    // integer-scaling trick is needed)
+    val statRows = withU.select(posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val mins = typedLit((0 until dim).map(i => statRows(i)._1))
+    val maxs = typedLit((0 until dim).map(i => statRows(i)._2))
+    def mn(i: org.apache.spark.sql.Column) = element_at(mins, (i + 1).cast("int"))
+    def mx(i: org.apache.spark.sql.Column) = element_at(maxs, (i + 1).cast("int"))
+
+    // encode: code_d = clamp(floor((u_d - min_d) / (max_d - min_d) * L))
+    // — scan-local; a constant dimension (max == min) codes to 0
+    val codeArr = transform(col("u"), (x, i) =>
+      when(mx(i) === mn(i), lit(0L))
+        .otherwise(least(lit(levels - 1L), greatest(lit(0L),
+          floor((x - mn(i)) / (mx(i) - mn(i)) * lit(levels.toDouble))))))
+    val coded = withU.select(col("vec_id"), col("u"), codeArr.as("codes"))
+
+    // ADC scoring: midpoint dequantization of the neighbor codes vs the
+    // exact query vector, squared-L2 left-folded in array order
+    val deq = transform(col("codes"), (c, i) =>
+      when(mx(i) === mn(i), mn(i))
+        .otherwise(mn(i) +
+          (c.cast("double") + lit(0.5)) * (mx(i) - mn(i)) / lit(levels.toDouble)))
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("q_u"))
+    val adist = aggregate(
+      zip_with(col("q_u"), deq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** recall@K of an approximate method against the exact baseline:
     * per-query rows plus a macro-average row (query_id = -1). */
   def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {

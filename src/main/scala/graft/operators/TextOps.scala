@@ -23,6 +23,54 @@ object TextOps {
       (size(array_distinct(toks)).cast("double") / size(toks)).as("lexical_diversity"))
   }
 
+  /** Gopher-rule quality filter (Rae et al. '21 appendix A1.1 — the
+    * published heuristic constants, public knowledge): per-document
+    * format statistics plus the conjunctive keep/drop flag every
+    * large-corpus pipeline applies before expensive dedup/scoring.
+    * One scan, zero shuffles, zero explodes — every statistic is a
+    * scan-local array fold, so at 100 TB this runs at I/O speed as the
+    * first pass of the pipeline. All arithmetic is exact-integer
+    * folds + single double divisions, so the DuckDB oracle replays it
+    * bit-for-bit. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val requiredStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = split(col("text"), " ")
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nBullet = size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+    val nEllipsis = size(filter(lines,
+      l => endswith(l, lit("...")) || endswith(l, lit("…"))))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val stopHits = requiredStopwords
+      .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    val stats = docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      (sumLen.cast("double") / nWords).as("mean_word_len"),
+      ((regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") / nWords)
+        .as("symbol_ratio"),
+      (nBullet.cast("double") / size(lines)).as("bullet_frac"),
+      (nEllipsis.cast("double") / size(lines)).as("ellipsis_frac"),
+      (nAlpha.cast("double") / nWords).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+    // per-rule verdicts ride along (the rule-level diagnostics real
+    // pipelines emit — at 100 TB you tune thresholds from these
+    // marginals, not by re-running the corpus per candidate threshold)
+    stats
+      .withColumn("r_words", col("n_words").between(50, 100000).cast("int"))
+      .withColumn("r_wordlen", col("mean_word_len").between(3.0, 10.0).cast("int"))
+      .withColumn("r_symbol", (col("symbol_ratio") < 0.1).cast("int"))
+      .withColumn("r_bullet", (col("bullet_frac") < 0.9).cast("int"))
+      .withColumn("r_ellipsis", (col("ellipsis_frac") < 0.3).cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac") > 0.8).cast("int"))
+      .withColumn("r_stop", (col("stop_hits") >= 2).cast("int"))
+      .withColumn("passes",
+        (col("r_words") * col("r_wordlen") * col("r_symbol") * col("r_bullet") *
+          col("r_ellipsis") * col("r_alpha") * col("r_stop")))
+  }
+
   /** Token counting: whitespace tokens, regex word tokens, chars/4
     * BPE-count heuristic. */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -25,6 +25,8 @@ object AnnQueries {
   private val IvfProbe = 4   // clusters searched per query
   private val IvfScale = 16777216.0 // 2^24: float-exact mean scaling
 
+  private val SqLevels = 256 // int8 scalar-quantization grid
+
   private val PqM = 4        // subspaces
   private val PqKsub = 16    // centroids per subspace codebook
   private val PqIters = 2    // Lloyd iterations per subspace
@@ -210,6 +212,57 @@ object AnnQueries {
       AnnOps.pqRefineTopK(prepBase(s, dir), PqM, PqKsub, PqIters, IvfScale,
           NumQueries, RefineShortlist, K)
         .orderBy("query_id", "rank")
+    },
+
+    // ann_sq (round 8): SCALAR quantization — the other standard
+    // compressed-domain ANN path, completing the quantization family
+    // (PQ = 96× compression via codebooks, SQ8 = 4× via a
+    // per-dimension uniform grid). The grid trains in ONE
+    // order-independent MIN/MAX pass (2·dim doubles to the driver);
+    // encoding and asymmetric midpoint-dequantization scoring are
+    // scan-local projections against plan-shipped grid literals, so at
+    // 100 TB the corpus is scanned once for training and once per
+    // query batch, and only the per-query top-k cut shuffles.
+    // Oracle-checked end-to-end: MIN/MAX, clamped floor codes, and the
+    // left-fold squared-L2 replay exactly in DuckDB.
+    QueryDef.sql(
+      "ann_sq",
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annSqCtes("sqk", SqLevels, NumQueries, K)}
+         |SELECT * FROM sqk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      AnnOps.sqTopK(prepBase(s, dir), SqLevels, NumQueries, K)
+        .orderBy("query_id", "rank")
+    },
+
+    // ann_sq_recall (round 8): recall@K of the SQ8 path against the
+    // exact baseline — the number that justifies the 4× memory cut.
+    // Expected near-exact (each dimension keeps 256 levels of its own
+    // range), vs PQ's lossier 96× trade measured by ann_pq_recall:
+    // together they map the compression/recall frontier. Same
+    // composed-oracle discipline as the other recall evals.
+    QueryDef.sql(
+      "ann_sq_recall", {
+        s"""WITH ${OracleSql.annBaseCtes},
+           |${OracleSql.annBruteforceCtes("bf", NumQueries, K)},
+           |${OracleSql.annSqCtes("sqk", SqLevels, NumQueries, K)},
+           |r_sq AS MATERIALIZED (
+           |  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+           |  FROM bf e LEFT JOIN sqk a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id
+           |)
+           |SELECT 'sq' AS method, query_id, recall_at_k FROM r_sq
+           |UNION ALL
+           |SELECT 'sq', CAST(-1 AS BIGINT),
+           |  CAST(SUM(CAST(recall_at_k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           |FROM r_sq
+           |ORDER BY method, query_id""".stripMargin
+      }) { (s, dir) =>
+      val base = prepBase(s, dir)
+      val exact = topK(base, useLsh = false)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf("sq", exact, AnnOps.sqTopK(base, SqLevels, NumQueries, K))
+        .orderBy("method", "query_id")
     }
   )
 }

@@ -397,6 +397,44 @@ object OracleSql {
     (Seq(pu) ++ subs ++ perSub ++ Seq(codes, fin)).mkString(", ")
   }
 
+  /** Scalar-quantization (SQ8) top-k: `n` → `outRel`. Replays
+    * [[graft.operators.AnnOps.sqTopK]] exactly — unit vectors, the
+    * per-dimension MIN/MAX grid (order-independent, so cross-engine
+    * exact without integer scaling), clamped floor codes, midpoint
+    * dequantization, and the left-fold asymmetric squared-L2. */
+  def annSqCtes(outRel: String, levels: Int, numQueries: Int, k: Int): String = {
+    val l = s"$levels.0"
+    s"""squ AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+       |  FROM n
+       |), sqstat AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM (
+       |    SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM (
+       |      SELECT unnest(range(1, len(u)+1)) AS pos, unnest(u) AS x FROM squ)
+       |    GROUP BY pos)
+       |), sqdeq AS MATERIALIZED (
+       |  SELECT vec_id, u, list_transform(range(1, len(u)+1), i ->
+       |    CASE WHEN s.maxs[i] = s.mins[i] THEN s.mins[i]
+       |         ELSE s.mins[i] +
+       |           (LEAST(${levels - 1}, GREATEST(0, CAST(FLOOR((u[i] - s.mins[i]) / (s.maxs[i] - s.mins[i]) * $l) AS BIGINT)))
+       |              + 0.5) * (s.maxs[i] - s.mins[i]) / $l END) AS deq
+       |  FROM squ, sqstat s
+       |), sqp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(q.u)+1),
+       |      i -> (q.u[i] - c.deq[i]) * (q.u[i] - c.deq[i])), (x,y) -> x+y) AS adist
+       |  FROM sqdeq c, sqdeq q
+       |  WHERE q.vec_id < $numQueries AND c.vec_id <> q.vec_id
+       |), $outRel AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adist, CAST(rk AS INT) AS "rank"
+       |  FROM (SELECT *, row_number() OVER
+       |          (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+       |        FROM sqp)
+       |  WHERE rk <= $k
+       |)""".stripMargin
+  }
+
   /** The MinHash+LSH band-key pipeline as a CTE block: from a relation
     * `shRel(doc_id, sh)` of string shingle sets to `bk(doc_id, bkey)`
     * of signed band keys — FNV shingle hashes, `numPerms` splitmix64

@@ -142,6 +142,28 @@ object StreamingQueries {
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin) { (s, dir) =>
       EventStreams.topUsers(Tables.load(s, dir, "events"), 5)
+    },
+
+    // st_cdc (round 8): streaming CDC LATEST-STATE view — the change
+    // stream folded into the current row per key, the materialized
+    // upsert view every CDC pipeline serves (batch-merge half:
+    // q43_merge_cdc). The batch twin is ONE partial-aggregable max_by
+    // keyed by (ts, event_id) — no per-key window sort, so at 100 TB
+    // the map side pre-combines to one candidate row per key per task
+    // before the only shuffle. The streaming twin
+    // (CdcState.latestStream, flatMapGroupsWithState, O(live keys)
+    // state) must converge to the identical snapshot — proven across
+    // multi-batch feeds in StreamingSpec.
+    QueryDef.sql(
+      "st_cdc",
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.streaming.CdcState.latestState(Tables.load(s, dir, "events"))
+        .orderBy("user_id")
     }
   )
 }

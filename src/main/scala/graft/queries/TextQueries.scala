@@ -120,6 +120,63 @@ object TextQueries {
       TextOps.quality(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // ta_gopher (round 8): the Gopher quality-filter rules (Rae et
+    // al. '21 appendix A1.1 — published public constants): word-count
+    // and mean-word-length bounds, symbol-to-word ratio, bullet /
+    // ellipsis line fractions, alphabetic-word fraction, and the
+    // required-stopword count, plus the conjunctive keep/drop flag.
+    // The first pass of every large-corpus pipeline: one scan, zero
+    // shuffles/explodes (audited in PlanAuditSpec), all stats exact
+    // integer folds + single double divisions so the oracle replays
+    // them bit-for-bit.
+    QueryDef.sql(
+      "ta_gopher", {
+        val stopCases = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH g AS (
+           |  SELECT doc_id, text,
+           |    string_split(text, ' ') AS toks,
+           |    string_split(text, chr(10)) AS lines
+           |  FROM documents
+           |), st AS (
+           |  SELECT doc_id,
+           |    CAST(LEN(toks) AS INT) AS n_words,
+           |    CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+           |      / LEN(toks) AS mean_word_len,
+           |    CAST(LEN(regexp_extract_all(text, '#'))
+           |      + LEN(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+           |      / LEN(toks) AS symbol_ratio,
+           |    CAST(LEN(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+           |      / LEN(lines) AS bullet_frac,
+           |    CAST(LEN(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+           |      / LEN(lines) AS ellipsis_frac,
+           |    CAST(LEN(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+           |      / LEN(toks) AS alpha_frac,
+           |    CAST($stopCases AS INT) AS stop_hits
+           |  FROM g
+           |)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           |  ellipsis_frac, alpha_frac, stop_hits,
+           |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_words,
+           |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_wordlen,
+           |  CAST(symbol_ratio < 0.1 AS INT) AS r_symbol,
+           |  CAST(bullet_frac < 0.9 AS INT) AS r_bullet,
+           |  CAST(ellipsis_frac < 0.3 AS INT) AS r_ellipsis,
+           |  CAST(alpha_frac > 0.8 AS INT) AS r_alpha,
+           |  CAST(stop_hits >= 2 AS INT) AS r_stop,
+           |  CAST(n_words BETWEEN 50 AND 100000 AS INT)
+           |    * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+           |    * CAST(symbol_ratio < 0.1 AS INT)
+           |    * CAST(bullet_frac < 0.9 AS INT)
+           |    * CAST(ellipsis_frac < 0.3 AS INT)
+           |    * CAST(alpha_frac > 0.8 AS INT)
+           |    * CAST(stop_hits >= 2 AS INT) AS passes
+           |FROM st ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.gopherQuality(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ta41: token counting — whitespace tokens, regex word tokens, and
     // the chars/4 BPE-count heuristic.
     QueryDef.sql(

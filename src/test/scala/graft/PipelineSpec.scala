@@ -115,6 +115,50 @@ class PipelineSpec extends AnyFunSuite {
       "codebook training + encoding must be run-to-run deterministic")
   }
 
+  test("ann_sq: ranked int8-grid neighbors, deterministic, near-exact recall") {
+    val rows = SparkEntry.queries("ann_sq")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.values.foreach { qr =>
+      assert(qr.length == 10)
+      val ad = qr.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adist"))
+      assert(ad.forall(_ >= 0.0))
+      assert(ad.toSeq == ad.sorted.toSeq, "rank follows ascending adist")
+    }
+    val again = SparkEntry.queries("ann_sq")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "grid training + encoding must be run-to-run deterministic")
+    // SQ8 keeps 256 levels per dimension — recall should be far above
+    // PQ's lossy trade; the macro-average row carries query_id = -1
+    val recall = SparkEntry.queries("ann_sq_recall")(spark, dir).collect()
+      .find(_.getAs[Long]("query_id") == -1L).get.getAs[Double]("recall_at_k")
+    assert(recall >= 0.8, s"SQ8 macro recall@10 unexpectedly low: $recall")
+  }
+
+  test("ta_gopher: published rule set, hand-computed on crafted docs") {
+    import graft.operators.TextOps
+    val passing = (Seq.fill(50)("word") ++ Seq("the", "with")).mkString(" ")
+    val docs = Seq(
+      (0L, passing),                                      // every rule holds
+      (1L, "the cat"),                                    // too few words
+      (2L, "- item one\n- item two...\n* item three"),    // bullet/ellipsis lines
+      (3L, Seq.fill(60)("###").mkString(" "))             // symbols, no alpha
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("passes") == 1)
+    assert(out(0L).getAs[Int]("n_words") == 52)
+    assert(out(0L).getAs[Int]("stop_hits") == 2)
+    assert(math.abs(out(0L).getAs[Double]("mean_word_len") - 207.0 / 52) < 1e-12)
+    assert(out(1L).getAs[Int]("passes") == 0) // word count below 50
+    assert(out(2L).getAs[Double]("bullet_frac") == 1.0)
+    assert(math.abs(out(2L).getAs[Double]("ellipsis_frac") - 1.0 / 3) < 1e-12)
+    assert(out(2L).getAs[Int]("passes") == 0)
+    assert(out(3L).getAs[Double]("symbol_ratio") == 3.0) // every '#' counts
+    assert(out(3L).getAs[Double]("alpha_frac") == 0.0)
+    assert(out(3L).getAs[Int]("passes") == 0)
+  }
+
   test("ann_lsh neighbors are a subset of bruteforce candidates' space") {
     val lsh = SparkEntry.queries("ann_lsh")(spark, dir).collect()
     assert(lsh.nonEmpty)

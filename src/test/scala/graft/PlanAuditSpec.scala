@@ -438,4 +438,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftOuter"),
       s"unpaired docs must survive via a left join:\n${p.take(2500)}")
   }
+
+  test("ann_sq: queries broadcast; corpus shuffles only for the top-k cut") {
+    val p = plan("ann_sq")
+    // the Q-row query side rides a broadcast into the scoring join —
+    // the corpus never shuffles to meet it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast against the corpus scan:\n${p.take(2500)}")
+    assert(occurrences(p, "BroadcastExchange") == 1,
+      s"exactly one broadcast (the query batch):\n${p.take(2500)}")
+    // the only hash shuffle is the per-query top-k window; encoding
+    // and dequantized scoring are scan-local projections
+    assert(occurrences(p, "Exchange hashpartitioning") == 1 &&
+      p.contains("query_id"),
+      s"one exchange only — the query_id window cut:\n${p.take(2500)}")
+    assert(!p.contains("Generate"),
+      s"grid encode/score are array projections, never explode:\n${p.take(2000)}")
+  }
+
+  test("ta_gopher is one scan-local pass: no explode, no shuffle, pruned read") {
+    val p = plan("ta_gopher")
+    assert(!p.contains("Generate"),
+      s"all Gopher stats are array folds, never explode:\n${p.take(2000)}")
+    assert(p.linesIterator.count(l => l.contains("FileScan") || l.contains("BatchScan")) == 1,
+      s"documents must scan exactly once:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange hashpartitioning") == 0,
+      s"scan-local stats — no hash shuffle anywhere:\n${p.take(2000)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang")
+        && !readSchema.contains("source"),
+      s"scan must read only doc_id+text: $readSchema")
+  }
+
+  test("st_cdc latest-state is ONE partial max_by aggregation — no per-key window sort") {
+    val p = plan("st_cdc")
+    assert(!p.contains("Window"),
+      s"latest-per-key must be max_by, never row_number (full sort at scale):\n${p.take(2000)}")
+    assert(p.contains("partial_max_by"),
+      s"the candidate row must combine map-side before the key shuffle:\n${p.take(2000)}")
+    assert(occurrences(p, "Exchange hashpartitioning") == 1,
+      s"one shuffle only — the user_id aggregation:\n${p.take(2000)}")
+  }
 }

@@ -164,6 +164,61 @@ class StreamingSpec extends AnyFunSuite {
       s"stateful streaming diverges from batch: ${streamed.toSeq.sorted.take(3)} vs ${batch.toSeq.sorted.take(3)}")
   }
 
+  test("CDC latest-state: streaming snapshot == oracle-checked batch twin") {
+    import graft.streaming.CdcState
+    // single micro-batch over the staged dir: every key emits exactly
+    // once, so the memory table IS the snapshot
+    val q = CdcState.latestStream(
+        CdcState.changesOf(EventStreams.readStream(spark, streamDir)))
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("cdc_out").collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+    val batch = CdcState.latestState(Tables.load(spark, dir, "events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("CDC latest-state: late changes never regress state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcState
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ms = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val q = CdcState.latestStream(CdcState.changesOf(
+        ms.toDF.toDF("user_id", "event_id", "event_type", "value", "ts")))
+      .writeStream.format("memory").queryName("cdc_mb_out")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, 1L, "a", 1.0, t("10:00")), (2L, 2L, "b", 2.0, t("10:00")))
+      q.processAllAvailable()
+      assert(spark.table("cdc_mb_out").count() == 2)
+      // user 1's change is LATE (older ts): state must NOT regress and
+      // must NOT re-emit; user 2's is newer and must emit
+      ms.addData((1L, 3L, "late", 9.0, t("09:00")), (2L, 4L, "c", 3.0, t("11:00")))
+      q.processAllAvailable()
+      assert(spark.table("cdc_mb_out").count() == 3)
+      // equal ts, higher event_id: the deterministic tiebreak advances
+      ms.addData((1L, 5L, "tie", 4.0, t("10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_mb_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (1L, 1L, "a", 1.0), (2L, 2L, "b", 2.0),
+        (2L, 4L, "c", 3.0), (1L, 5L, "tie", 4.0)))
+    } finally q.stop()
+    // pure-fold checks: within-batch late + tie handling
+    import graft.streaming.CdcState.{Change, Latest}
+    val s1 = CdcState.advance(None, Seq(Change(1, 10, "x", 1.0, 100)))
+    assert(s1.contains(Latest(100, 10, "x", 1.0)))
+    assert(CdcState.advance(s1, Seq(Change(1, 11, "old", 2.0, 50))).isEmpty)
+    assert(CdcState.advance(s1, Seq(Change(1, 11, "tie", 2.0, 100)))
+      .contains(Latest(100, 11, "tie", 2.0)))
+  }
+
   test("watermark actually DROPS late data in append mode (bounded state is real)") {
     // controlled micro-batches via MemoryStream: batch 1 advances the
     // watermark (max 20:00 − 2h = 18:00) past the 10:00 window; batch
