@@ -28,7 +28,8 @@ object LlmScale {
   val DefaultOps: Seq[String] = Seq(
     "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span", "dd_semantic",
     "dd_semantic_scaledk", "dd_bloom", "dd_bloom_scaledm",
-    "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq")
+    "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq",
+    "ta_gopher", "ann_sq")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

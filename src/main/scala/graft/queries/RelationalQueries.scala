@@ -982,6 +982,66 @@ object RelationalQueries {
           Array(col("sum_qty"), col("sum_price"), col("n_items")),
           "metric", "value")
         .orderBy("l_returnflag", "metric")
+    },
+
+    // q51_recursive (round 8): RECURSIVE CTE — the hierarchy/graph
+    // walk (org charts, category trees, BOM explosion) that plain
+    // joins can't express without knowing the depth in advance. The
+    // schema has no parent column, so the tree is derived (parent =
+    // custkey DIV 2, a binary tree rooted at 1 — both engines compute
+    // it with the same integer arithmetic) and each customer walks its
+    // ancestor chain to the root. Spark 4 executes this natively as a
+    // UnionLoop (audited in PlanAuditSpec): each iteration is one
+    // distributed self-join step, rounds = tree depth = O(log n), and
+    // every iteration's frontier aggregates map-side — the same plan
+    // shape a 100 TB hierarchy closure needs.
+    QueryDef.sql(
+      "q51_recursive",
+      """WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 1
+        |)
+        |SELECT c_custkey, CAST(MAX(depth) AS INT) AS depth,
+        |  COUNT(*) AS n_ancestors
+        |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q51_customer")
+      s.sql(
+        """WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM q51_customer
+          |  UNION ALL
+          |  SELECT c_custkey, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 1
+          |)
+          |SELECT c_custkey, CAST(MAX(depth) AS INT) AS depth,
+          |  COUNT(*) AS n_ancestors
+          |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    },
+
+    // q52_lateral (round 8): LATERAL join — the top-n-per-group idiom
+    // as a correlated inline subquery (each order's 2 priciest line
+    // items). Catalyst decorrelates the LATERAL into a set-based plan
+    // rather than executing a per-row subquery loop — the difference
+    // between O(orders) subqueries and one distributed pass at scale
+    // (audited in PlanAuditSpec: no CartesianProduct, single lineitem
+    // scan). Values are copied, not aggregated, so the oracle compares
+    // exactly; ties break on l_linenumber for a total order.
+    QueryDef.sql(
+      "q52_lateral",
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders o, LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |ORDER BY o.o_orderkey, t.l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q52_orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q52_lineitem")
+      s.sql(
+        """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM q52_orders o, LATERAL (
+          |  SELECT l_linenumber, l_extendedprice FROM q52_lineitem
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+          |ORDER BY o.o_orderkey, t.l_linenumber""".stripMargin)
     }
   )
 }

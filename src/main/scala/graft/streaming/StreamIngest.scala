@@ -23,7 +23,17 @@ final class StreamIngest(
     outPath: String,
     table: String,
     clusterBy: String,
-    blocksPerBatch: Int) {
+    blocksPerBatch: Int,
+    streamId: String = "") {
+
+  // Batch ids are only unique WITHIN one checkpointed streaming query.
+  // Two different streams landing in the same directory would collide
+  // on ids (skip each other's batches, sweep each other's files) — a
+  // non-empty streamId namespaces both the file prefix and the commit
+  // marker so multi-writer directories stay correct.
+  private val filePrefix = if (streamId.isEmpty) "b" else s"s$streamId-b"
+  private def markerName(batchId: Long): String =
+    if (streamId.isEmpty) batchId.toString else s"$streamId-$batchId"
 
   @volatile private var idx: Option[Dataset[BlockStat]] = None
 
@@ -53,12 +63,12 @@ final class StreamIngest(
     val conf = spark.sessionState.newHadoopConf()
     val out = new org.apache.hadoop.fs.Path(outPath)
     val fs = out.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(out, s"_graft_commits/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(out, s"_graft_commits/${markerName(batchId)}")
     if (fs.exists(marker)) return
     if (fs.exists(out)) fs.listStatus(out)
-      .filter(s => s.isFile && s.getPath.getName.startsWith(s"b$batchId-"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith(s"$filePrefix$batchId-"))
       .foreach(s => fs.delete(s.getPath, false))
-    val staging = new org.apache.hadoop.fs.Path(out, s"_staging_$batchId")
+    val staging = new org.apache.hadoop.fs.Path(out, s"_staging_${markerName(batchId)}")
     batch
       .repartitionByRange(blocksPerBatch, batch.col(clusterBy))
       .sortWithinPartitions(clusterBy)
@@ -69,7 +79,7 @@ final class StreamIngest(
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .foreach { s =>
         fs.rename(s.getPath,
-          new org.apache.hadoop.fs.Path(out, s"b$batchId-${s.getPath.getName}"))
+          new org.apache.hadoop.fs.Path(out, s"$filePrefix$batchId-${s.getPath.getName}"))
       }
     fs.delete(staging, true)
     fs.mkdirs(marker.getParent)

@@ -470,6 +470,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must read only doc_id+text: $readSchema")
   }
 
+  test("q51 recursive CTE runs as a native UnionLoop with a pruned frontier") {
+    val p = plan("q51_recursive")
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must execute as UnionLoop, not an unrolled union:\n${p.take(2500)}")
+    // the termination predicate sits INSIDE the loop step — each
+    // iteration's frontier shrinks before the next self-join round
+    val loopIdx = p.linesIterator.indexWhere(_.contains("UnionLoopRef"))
+    assert(loopIdx >= 0 && p.linesIterator.toSeq.take(loopIdx).exists(_.contains("> 1")),
+      s"frontier filter must apply within the recursion step:\n${p.take(2500)}")
+    assert(p.contains("partial_max"),
+      s"the closure aggregate must combine map-side:\n${p.take(2000)}")
+  }
+
+  test("q52 LATERAL decorrelates: map-side group-limit, no per-row subquery, no cartesian") {
+    val p = plan("q52_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the lateral must decorrelate to a set-based plan:\n${p.take(2500)}")
+    // the top-2 cut applies BEFORE the shuffle (Partial WindowGroupLimit)
+    // — at 100 TB only <=2 rows per (task, orderkey) cross the wire
+    assert(p.contains("WindowGroupLimit") &&
+      p.linesIterator.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"LIMIT-per-group must cut map-side:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the orders key side must broadcast:\n${p.take(2000)}")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("lineitem")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"),
+      s"lineitem scan must read only the three referenced columns: $readSchema")
+  }
+
   test("st_cdc latest-state is ONE partial max_by aggregation — no per-key window sort") {
     val p = plan("st_cdc")
     assert(!p.contains("Window"),

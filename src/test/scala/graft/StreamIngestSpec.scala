@@ -137,6 +137,27 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_staging")))
   }
 
+  test("two streams sharing one directory don't collide on batch ids (streamId namespacing)") {
+    val (_, out) = freshDirs("multi")
+    val ev = Tables.load(spark, dir, "events").limit(600).cache()
+    val a = ev.limit(200).cache(); val na = a.count()
+    val b = ev.limit(500).exceptAll(a).cache(); val nb = b.count()
+    val ingA = new StreamIngest(spark, out, "events_multi", "ts", 2, streamId = "A")
+    val ingB = new StreamIngest(spark, out, "events_multi", "ts", 2, streamId = "B")
+    // both streams land THEIR OWN batch 0: without namespacing, B's
+    // batch 0 would see A's commit marker and silently skip (or sweep
+    // A's files as "remnants of a failed attempt")
+    ingA.ingestBatch(a.toDF, 0L)
+    ingB.ingestBatch(b.toDF, 0L)
+    assert(spark.read.parquet(out).count() == na + nb)
+    // replays stay idempotent PER stream
+    ingA.ingestBatch(a.toDF, 0L)
+    ingB.ingestBatch(b.toDF, 0L)
+    assert(spark.read.parquet(out).count() == na + nb)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.startsWith("sA-b0-")) && files.exists(_.startsWith("sB-b0-")))
+  }
+
   test("readStream on an empty ingest directory starts with the default events schema") {
     val empty = "target/scratch/test/ingest/empty-src"
     val f = new java.io.File(empty); f.mkdirs()
