@@ -122,11 +122,24 @@ object LlmScale {
           isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m.toInt)
         .count()
     }
+    // ta_gopher is a PURE projection: under `.count()` Catalyst prunes
+    // every stat column and the measurement collapses to a row count
+    // (0.4 s flat at x1 and x100 — a fiction). Force the work with an
+    // aggregate that references every output column; the global agg
+    // itself is map-side-combined and adds nothing measurable.
+    def runGopher(): Unit =
+      graft.operators.TextOps.gopherQuality(
+          spark.read.parquet(s"$dir/documents.parquet"))
+        .agg(sum(col("n_words")), sum(col("stop_hits")), sum(col("passes")),
+          sum(col("mean_word_len") + col("symbol_ratio") + col("bullet_frac") +
+            col("ellipsis_frac") + col("alpha_frac")))
+        .collect()
     val probeStart = probe()
     val results = ops.map { name =>
       val body: () => Unit =
         if (name == "dd_semantic_scaledk") () => runScaledK()
         else if (name == "dd_bloom_scaledm") () => runScaledM()
+        else if (name == "ta_gopher") () => runGopher()
         else { val q = SparkEntry.queries(name); () => q(spark, dir).count() }
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()

@@ -286,6 +286,51 @@ object PipelineE2E {
           when(col("b") <= 51, "train").when(col("b") <= 57, "val")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    },
+
+    // pipe_curriculum (round 8): CURRICULUM ordering — easy→hard
+    // training order (Bengio et al. '09, public), the scheduling step
+    // between scoring and packing. Difficulty = lexical diversity
+    // (distinct/total words — the ta_quality-verified exact stat),
+    // quantized into 4 fixed buckets (fixed thresholds, not
+    // quantiles: quantile cuts are engine- and sample-dependent;
+    // fixed cuts are bit-portable and stable as the corpus grows).
+    // Order within each of 8 hash shards = (bucket asc, FNV-64 of a
+    // seeded doc key, doc_id) — every shard is its own easy→hard
+    // curriculum, so distributed readers consume shards in parallel
+    // with NO global sort (the pipe_shuffle rule: a global
+    // row_number serializes the corpus through one task). Intra-
+    // bucket order is a seeded deterministic shuffle — no rand(),
+    // task retries re-deal nothing, changing the seed re-deals every
+    // bucket. Oracle: same stats, same FNV, same per-shard window.
+    QueryDef.sql(
+      "pipe_curriculum", {
+        import OracleSql._
+        val k = toSigned(fnv1a64Unsigned("'cur42:' || CAST(doc_id AS VARCHAR)"))
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 8 AS shard,
+           |    CAST(LEAST(3, FLOOR(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |      / LEN(string_split(text, ' ')) * 4)) AS INT) AS bucket,
+           |    $k AS k
+           |  FROM documents
+           |)
+           |SELECT doc_id, shard, bucket,
+           |  CAST(row_number() OVER (PARTITION BY shard
+           |    ORDER BY bucket, k, doc_id) AS BIGINT) AS pos_in_shard
+           |FROM d ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val ld = size(array_distinct(toks)).cast("double") / size(toks)
+      val k = graft.functions.TextExpressions.fnv64(
+        concat(lit("cur42:"), col("doc_id").cast("string")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          least(lit(3L), floor(ld * 4)).cast("int").as("bucket"), k.as("k"))
+        .withColumn("pos_in_shard", row_number()
+          .over(Window.partitionBy("shard").orderBy("bucket", "k", "doc_id"))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("bucket"), col("pos_in_shard"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -159,6 +159,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("passes") == 0)
   }
 
+  test("pipe_curriculum: per-shard easy→hard order, dense positions, deterministic") {
+    val rows = SparkEntry.queries("pipe_curriculum")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.values.foreach { sr =>
+      val ordered = sr.sortBy(_.getAs[Long]("pos_in_shard"))
+      // positions are dense 1..n within the shard
+      assert(ordered.map(_.getAs[Long]("pos_in_shard")).toSeq ==
+        (1L to sr.length).toSeq)
+      // the defining curriculum property: difficulty bucket never
+      // decreases as the reader advances through the shard
+      val buckets = ordered.map(_.getAs[Int]("bucket"))
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b },
+        s"bucket order regressed in shard: ${buckets.take(20).mkString(",")}")
+    }
+    // more than one difficulty bucket is actually populated
+    assert(rows.map(_.getAs[Int]("bucket")).distinct.length > 1)
+    val again = SparkEntry.queries("pipe_curriculum")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("ann_lsh neighbors are a subset of bruteforce candidates' space") {
     val lsh = SparkEntry.queries("ann_lsh")(spark, dir).collect()
     assert(lsh.nonEmpty)
