@@ -107,7 +107,15 @@ object Bench {
           spark.catalog.clearCache()
           timeOnce {
             if (err.isEmpty) {
-              try { q.run(spark, sfDir).count() }
+              // noop sink, NOT count(): under count() Catalyst prunes
+              // every column a pure-projection operator computes, so
+              // scan-local operators (ta_quality/ta_entropy/ta_gopher…)
+              // were timed as bare row counts (caught in round 8 by
+              // ta_gopher's impossibly flat x1→x100 scale curve). The
+              // noop write materializes every output row in full —
+              // the work the query actually claims. Totals from
+              // rounds ≤ 8 undercount projection-shaped queries.
+              try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save() }
               catch {
                 case t: Throwable =>
                   System.err.println(
