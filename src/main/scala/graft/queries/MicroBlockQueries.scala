@@ -342,6 +342,44 @@ object MicroBlockQueries {
         .orderBy("layout")
     },
 
+    // mb_selectivity (round 8): HISTOGRAM selectivity estimation — the
+    // stats index one level past min/max. Zone maps answer "CAN this
+    // block match?"; the per-file equi-width histograms
+    // (sources/BlockHistograms, ONE scan, map-side-combined counter
+    // cells, grid bounds straight from the zone-map index) answer "HOW
+    // MANY rows will?" — the number scan-vs-serve decisions, prefetch
+    // sizing, and layout election actually need at 100 TB. Output: per
+    // file, estimated vs ACTUAL matching rows for the shared bench
+    // predicate plus a TOTAL row — the estimator publishes its own
+    // measured accuracy every run instead of being trusted
+    // (SelectivitySpec pins bounds + accuracy on synthetic and real
+    // layouts).
+    QueryDef.rowsOnly("mb_selectivity") { (s, dir) =>
+      import s.implicits._
+      val path = microPath(s, dir)
+      val e = engine(s, dir)
+      val hists = graft.sources.BlockHistograms.buildFromIndex(
+          s, path, "lineitem", "l_shipdate", e.index, buckets = 32)
+        .collect() // file-list scale: one small row per file
+      val (qLo, qHi) = benchPred match {
+        case Between(_, lo, hi) => (lo.num.get, hi.num.get)
+        case p => throw new IllegalStateException(s"range pred expected: $p")
+      }
+      val actual = s.read.parquet(path).filter(benchPred.toColumn)
+        .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def base(f: String) = java.nio.file.Paths.get(
+        new java.net.URI(f).getPath).getFileName.toString
+      val perFile = hists.map { h =>
+        (base(h.file), h.rows,
+          graft.sources.BlockHistograms.estimateRange(h, qLo, qHi),
+          actual.getOrElse(h.file, 0L))
+      }.sortBy(_._1).toSeq
+      val total = ("TOTAL", perFile.map(_._2).sum,
+        perFile.map(_._3).sum, perFile.map(_._4).sum)
+      (perFile :+ total).toDF("file", "file_rows", "est_rows", "actual_rows")
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning
