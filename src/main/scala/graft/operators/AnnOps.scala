@@ -194,6 +194,59 @@ object AnnOps {
     * and the only shuffle is the per-query top-k cut. Output:
     * (query_id, neighbor_id, adist, rank) — adist ascending (an
     * approximate squared L2 on unit vectors, = 2 - 2·cos_approx). */
+  /** Unit-normalized view of `embedding` (zero-norm guard mirrors
+    * cosine's 0 convention). */
+  private def unitCol = transform(col("embedding"),
+    x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
+
+  private def subCol(mi: Int, dsub: Int) = slice(col("u"), mi * dsub + 1, dsub)
+
+  private def nearestSub(mi: Int, dsub: Int, cents: Seq[(Int, Seq[Double])]) =
+    graft.functions.TextExpressions.nearest_centroid_l2(
+      subCol(mi, dsub), cents.map(_._1), cents.map(_._2))
+
+  /** Per-subspace PQ codebooks over a frame with a unit-vector column
+    * `u`: first-ksub init, `iters` Lloyd passes with exact
+    * floor-scaled integer mean sums (order-independent). All m
+    * subspaces train in ONE aggregation per Lloyd iteration: each row
+    * inline-explodes to (mi, cluster, sv) triples and the sums group
+    * by (mi, cluster) — same math as training each subspace alone, but
+    * `iters` distributed jobs instead of m*iters. At 100 TB the corpus
+    * is scanned `iters` times total, not m*iters times. Shared by
+    * [[pqTopK]] and [[ivfPqTopK]] (identical codebooks for either). */
+  private[graft] def trainPqCodebooks(withU: DataFrame, m: Int, dsub: Int,
+      ksub: Int, iters: Int, scale: Double): Map[Int, Seq[(Int, Seq[Double])]] = {
+    val init: Map[Int, Seq[(Int, Seq[Double])]] = {
+      val rows = withU.filter(col("vec_id") < ksub).orderBy("vec_id")
+        .select(col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      (0 until m).map(mi =>
+        mi -> rows.map { case (id, u) =>
+          (id, u.slice(mi * dsub, (mi + 1) * dsub))
+        }.toSeq).toMap
+    }
+    var cbs: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map(init)
+    for (_ <- 1 to iters) {
+      val stacked = withU.select(inline(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"), nearestSub(mi, dsub, cbs(mi)).as("cluster"),
+          subCol(mi, dsub).as("sv"))): _*)))
+      val sums = (0 until dsub).map(i =>
+        sum(floor(element_at(col("sv"), i + 1) * scale)).as(s"s$i"))
+      val byMi = stacked.groupBy(col("mi"), col("cluster"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+        .groupBy(_.getInt(0))
+      cbs = (0 until m).map { mi =>
+        byMi(mi).map { r =>
+          val n = r.getAs[Long]("cnt")
+          (r.getAs[Int]("cluster"),
+            (0 until dsub).map(i => r.getLong(i + 3) / (n * scale)).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    (0 until m).map(mi => mi -> cbs(mi)).toMap
+  }
+
   def pqTopK(rawBase: DataFrame, m: Int, ksub: Int, iters: Int,
       scale: Double, numQueries: Int, k: Int): DataFrame = {
     val base =
@@ -205,56 +258,15 @@ object AnnOps {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val dsub = dim / m
 
-    // unit vectors (zero-norm guard mirrors cosine's 0 convention)
-    val unit = transform(col("embedding"),
-      x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
-    val withU = base.select(col("vec_id"), col("nrm"), unit.as("u"))
+    val withU = base.select(col("vec_id"), col("nrm"), unitCol.as("u"))
       .persist()
-    def subCol(mi: Int) = slice(col("u"), mi * dsub + 1, dsub)
-
+    def subColM(mi: Int) = subCol(mi, dsub)
     def nearest(mi: Int, cents: Seq[(Int, Seq[Double])]) =
-      graft.functions.TextExpressions.nearest_centroid_l2(
-        subCol(mi), cents.map(_._1), cents.map(_._2))
+      nearestSub(mi, dsub, cents)
 
     // per-subspace codebooks: first-ksub init, `iters` Lloyd passes
     // with exact floor-scaled integer mean sums (order-independent)
-    val init: Map[Int, Seq[(Int, Seq[Double])]] = {
-      val rows = withU.filter(col("vec_id") < ksub).orderBy("vec_id")
-        .select(col("vec_id"), col("u")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      (0 until m).map(mi =>
-        mi -> rows.map { case (id, u) =>
-          (id, u.slice(mi * dsub, (mi + 1) * dsub))
-        }.toSeq).toMap
-    }
-    // all m subspaces train in ONE aggregation per Lloyd iteration:
-    // each row inline-explodes to (mi, cluster, sv) triples and the
-    // floor-scaled integer sums group by (mi, cluster) — same
-    // order-independent math as training each subspace alone, but
-    // `iters` distributed jobs instead of m*iters. At 100 TB the
-    // corpus is scanned `iters` times total, not m*iters times.
-    val codebooks: Map[Int, Seq[(Int, Seq[Double])]] = {
-      var cbs: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map(init)
-      for (_ <- 1 to iters) {
-        val stacked = withU.select(inline(array((0 until m).map(mi =>
-          struct(lit(mi).as("mi"), nearest(mi, cbs(mi)).as("cluster"),
-            subCol(mi).as("sv"))): _*)))
-        val sums = (0 until dsub).map(i =>
-          sum(floor(element_at(col("sv"), i + 1) * scale)).as(s"s$i"))
-        val byMi = stacked.groupBy(col("mi"), col("cluster"))
-          .agg(count(lit(1)).as("cnt"), sums: _*)
-          .collect()
-          .groupBy(_.getInt(0))
-        cbs = (0 until m).map { mi =>
-          byMi(mi).map { r =>
-            val n = r.getAs[Long]("cnt")
-            (r.getAs[Int]("cluster"),
-              (0 until dsub).map(i => r.getLong(i + 3) / (n * scale)).toSeq)
-          }.toSeq.sortBy(_._1)
-        }
-      }
-      (0 until m).map(mi => mi -> cbs(mi)).toMap
-    }
+    val codebooks = trainPqCodebooks(withU, m, dsub, ksub, iters, scale)
 
     // encode: m codebook indices per vector — scan-local projection
     val coded = withU.select(
@@ -268,7 +280,7 @@ object AnnOps {
     // subspace order (deterministic double sum)
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id") +:
-        (0 until m).map(mi => subCol(mi).as(s"q_sub_$mi")): _*)
+        (0 until m).map(mi => subColM(mi).as(s"q_sub_$mi")): _*)
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
     val centMap = (0 until m).map { mi =>
@@ -310,6 +322,82 @@ object AnnOps {
       .drop("neighbor_id")
       .join(broadcast(queriesOf(base, numQueries)), "query_id")
     rankTopK(pairs, k)
+  }
+
+  /** IVF+PQ top-k — the composed production ANN architecture (Jegou
+    * '11 IVFADC; the FAISS big-corpus default): a coarse k-means
+    * quantizer cuts the search to `nprobe` of `ivfK` cluster lists,
+    * and inside the probed lists candidates score by PQ asymmetric
+    * distance in the compressed domain. Memory = m codes + one cluster
+    * id per vector; per-query work = (nprobe/ivfK) of the corpus, in
+    * codes; raw vectors appear nowhere after indexing. The coarse
+    * quantizer is [[kmeansCentroids]] (identical to [[ivfTopK]]'s) and
+    * the codebooks are [[trainPqCodebooks]] (identical to
+    * [[pqTopK]]'s), so the composed index is oracle-replayable from
+    * the two already-verified unrolled loops. Output: (query_id,
+    * neighbor_id, adist, rank) — adist ascending over probed
+    * candidates only. */
+  def ivfPqTopK(rawBase: DataFrame, ivfK: Int, ivfIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int, scale: Double,
+      numQueries: Int, k: Int): DataFrame = {
+    val base =
+      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        rawBase.persist()
+      else rawBase
+    val s = base.sparkSession
+    import s.implicits._
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+
+    // coarse quantizer: the ivfTopK loop, verbatim
+    val cents = kmeansCentroids(base, ivfK, ivfIters, scale)
+    val centroidDf = cents.toDF("cluster", "c_emb")
+      .select(col("cluster"), col("c_emb"), l2norm(col("c_emb")).as("c_nrm"))
+    val withU = base
+      .withColumn("cluster", nearestCentroidCol(cents))
+      .select(col("vec_id"), col("cluster"), unitCol.as("u"))
+      .persist()
+
+    // fine quantizer: the pqTopK codebooks, verbatim (no residuals —
+    // codes are comparable across clusters, so one codebook set serves
+    // the whole corpus and the ADC math matches ann_pq's oracle)
+    val codebooks = trainPqCodebooks(withU, m, dsub, ksub, pqIters, scale)
+    val coded = withU.select(
+      col("vec_id") +: col("cluster") +: col("u").as("u") +:
+        (0 until m).map(mi => nearestSub(mi, dsub, codebooks(mi)).as(s"code_$mi")): _*)
+
+    // probe list: each query's nprobe nearest centroids (ivfTopK's cut)
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cluster"))
+    val probes = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroidDf))
+      .select(col("query_id"), col("cluster"),
+        cosineFromDot(dot(col("q_emb"), col("c_emb")), col("q_nrm"), col("c_nrm")).as("ccos"))
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until m).map(mi => subCol(mi, dsub).as(s"q_sub_$mi")): _*)
+    // nprobe×Q rows: ride a broadcast so the coded corpus never shuffles
+    val probeQ = broadcast(probes.join(queries, "query_id"))
+
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val centMap = (0 until m).map { mi =>
+      typedLit(codebooks(mi).map { case (id, c) => id -> c }.toMap)
+    }
+    val adist = (0 until m).map { mi =>
+      d2(col(s"q_sub_$mi"), element_at(centMap(mi), col(s"code_$mi")))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    coded.join(probeQ, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Scalar-quantization (SQ8) top-k: every unit-vector dimension

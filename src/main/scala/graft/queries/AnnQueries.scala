@@ -263,6 +263,29 @@ object AnnQueries {
         .select(col("query_id"), col("neighbor_id"))
       recallOf("sq", exact, AnnOps.sqTopK(base, SqLevels, NumQueries, K))
         .orderBy("method", "query_id")
+    },
+
+    // ann_ivfpq (round 8): IVF+PQ — the COMPOSED production ANN
+    // architecture (IVFADC, Jegou '11; the standard big-corpus
+    // design): the k-means coarse quantizer cuts the search to
+    // nprobe/ivfK of the corpus, and inside the probed lists
+    // candidates score by PQ asymmetric distance in the compressed
+    // domain. Memory = m codes + a cluster id per vector; raw vectors
+    // appear nowhere after indexing — at 100 TB this is the only ANN
+    // shape here whose per-query cost AND memory both shrink with the
+    // index. The coarse loop is ann_ivf's and the codebooks are
+    // ann_pq's (both already hash-verified); the oracle composes the
+    // two unrolled pipelines and the probe cut in one statement, so
+    // even the composed learned index is hash-compared end-to-end.
+    QueryDef.sql(
+      "ann_ivfpq",
+      s"""WITH ${OracleSql.annBaseCtes},
+         |${OracleSql.annIvfPqCtes("ipqk", IvfK, IvfIters, IvfProbe,
+             PqM, PqKsub, PqIters, NumQueries, K, IvfScale.toLong)}
+         |SELECT * FROM ipqk ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      AnnOps.ivfPqTopK(prepBase(s, dir), IvfK, IvfIters, IvfProbe,
+          PqM, PqKsub, PqIters, IvfScale, NumQueries, K)
+        .orderBy("query_id", "rank")
     }
   )
 }

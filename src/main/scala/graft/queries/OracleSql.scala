@@ -319,13 +319,20 @@ object OracleSql {
     * with lowest-cluster ties, floor-scaled integer mean sums, and ADC
     * scoring whose m partial distances add in fixed subspace order —
     * so even the compressed-code index is hash-comparable. */
-  def annPqCtes(outRel: String, m: Int, ksub: Int, iters: Int,
-      numQueries: Int, k: Int, scale: Long): String = {
-    // left-fold squared-L2 of two equal-length list expressions (the
-    // same fold order as Spark's aggregate(zip_with(...), 0.0, +))
-    def d2(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, len($a)+1), " +
-        s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x,y) -> x+y)"
+  /** Left-fold squared-L2 of two equal-length list expressions (the
+    * same fold order as Spark's aggregate(zip_with(...), 0.0, +)). */
+  private def d2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x,y) -> x+y)"
+
+  /** The PQ ENCODING pipeline as CTEs: `n` → `pcodes` (vec_id →
+    * per-subspace codebook indices), with the trained final codebooks
+    * in `pc<mi>_<iters>` and query subvectors available from
+    * `psub<mi>`. Shared by [[annPqCtes]] and [[annIvfPqCtes]] — the
+    * codebooks are corpus-global (no residuals), so one encoding
+    * serves both the flat and the IVF-probed serving paths. */
+  def annPqCodeCtes(m: Int, ksub: Int, iters: Int, scale: Long): String = {
+    def d2(a: String, b: String) = d2Sql(a, b)
     val pu =
       """pu AS MATERIALIZED (
         |  SELECT vec_id,
@@ -374,11 +381,21 @@ object OracleSql {
          |  SELECT c0.vec_id, ${(0 until m).map(mi => s"c$mi.cluster AS k$mi").mkString(", ")}
          |  FROM pcode0 c0 $codeJoin
          |)""".stripMargin
-    val centJoins = (0 until m)
-      .map(mi => s"JOIN pc${mi}_$iters cc$mi ON cc$mi.cluster = c.k$mi").mkString("\n  ")
-    val qJoins = (1 until m)
-      .map(mi => s"JOIN psub$mi qs$mi ON qs$mi.vec_id = qs0.vec_id").mkString(" ")
-    val adist = (0 until m).map(mi => d2(s"qs$mi.sv", s"cc$mi.c")).mkString(" + ")
+    (Seq(pu) ++ subs ++ perSub ++ Seq(codes)).mkString(", ")
+  }
+
+  /** ADC select fragments over `pcodes` + `psub*`: (centroid joins,
+    * query-subvector joins, the fixed-order summed distance). */
+  private def pqAdcParts(m: Int, iters: Int): (String, String, String) = (
+    (0 until m)
+      .map(mi => s"JOIN pc${mi}_$iters cc$mi ON cc$mi.cluster = c.k$mi").mkString("\n  "),
+    (1 until m)
+      .map(mi => s"JOIN psub$mi qs$mi ON qs$mi.vec_id = qs0.vec_id").mkString(" "),
+    (0 until m).map(mi => d2Sql(s"qs$mi.sv", s"cc$mi.c")).mkString(" + "))
+
+  def annPqCtes(outRel: String, m: Int, ksub: Int, iters: Int,
+      numQueries: Int, k: Int, scale: Long): String = {
+    val (centJoins, qJoins, adist) = pqAdcParts(m, iters)
     val fin =
       s"""pqd AS (
          |  SELECT qs0.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -394,7 +411,46 @@ object OracleSql {
          |        FROM pqd)
          |  WHERE rk <= $k
          |)""".stripMargin
-    (Seq(pu) ++ subs ++ perSub ++ Seq(codes, fin)).mkString(", ")
+    Seq(annPqCodeCtes(m, ksub, iters, scale), fin).mkString(", ")
+  }
+
+  /** IVF+PQ (IVFADC, Jegou '11) with BOTH learned stages unrolled:
+    * `n` → `outRel`. Composes [[annKmeansCtes]] (the coarse quantizer,
+    * identical to ann_ivf's) with [[annPqCodeCtes]] (the codebooks,
+    * identical to ann_pq's): each query's nprobe nearest clusters by
+    * final-centroid cosine, ADC scoring only inside the probed
+    * lists. */
+  def annIvfPqCtes(outRel: String, ivfK: Int, ivfIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int, numQueries: Int, k: Int,
+      scale: Long): String = {
+    val (centJoins, qJoins, adist) = pqAdcParts(m, pqIters)
+    val fin =
+      s"""ipqpr AS MATERIALIZED (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT af.vec_id AS query_id, cp.cluster,
+         |      ${cosine("n.e", "cp.c", "n.nrm", "cp.cnrm")} AS ccos
+         |    FROM af JOIN n USING (vec_id), c$ivfIters cp
+         |    WHERE af.vec_id < $numQueries)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cluster) <= $nprobe
+         |), ipqd AS (
+         |  SELECT qs0.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $adist AS adist
+         |  FROM pcodes c
+         |  $centJoins
+         |  JOIN af ca ON ca.vec_id = c.vec_id
+         |  JOIN ipqpr pr ON pr.cluster = ca.cluster
+         |  , psub0 qs0 $qJoins
+         |  WHERE qs0.vec_id < $numQueries AND c.vec_id <> qs0.vec_id
+         |    AND pr.query_id = qs0.vec_id
+         |), $outRel AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, adist, CAST(rk AS INT) AS "rank"
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+         |        FROM ipqd)
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    Seq(annKmeansCtes(ivfK, ivfIters, scale),
+      annPqCodeCtes(m, ksub, pqIters, scale), fin).mkString(", ")
   }
 
   /** Scalar-quantization (SQ8) top-k: `n` → `outRel`. Replays

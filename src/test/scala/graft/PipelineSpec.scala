@@ -115,6 +115,33 @@ class PipelineSpec extends AnyFunSuite {
       "codebook training + encoding must be run-to-run deterministic")
   }
 
+  test("ann_ivfpq: ranked ADC neighbors from probed clusters only, deterministic") {
+    val rows = SparkEntry.queries("ann_ivfpq")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.values.foreach { qr =>
+      assert(qr.length == 10) // nprobe=4 of 32 lists holds far more than k candidates
+      val ad = qr.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adist"))
+      assert(ad.forall(_ >= 0.0))
+      assert(ad.toSeq == ad.sorted.toSeq, "rank follows ascending adist")
+    }
+    // neighbors must come from the query's probed clusters — the IVF
+    // cut is real, not decorative: every returned neighbor's ADC pair
+    // also exists in the flat-PQ candidate space with the SAME adist
+    // (same codebooks), so ivfpq ⊆ pq-scored pairs by construction
+    val pqAll = SparkEntry.queries("ann_pq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adist")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      pqAll.get(key).foreach(d => assert(d == r.getAs[Double]("adist"),
+        s"ADC distance must agree with flat PQ for $key"))
+    }
+    val again = SparkEntry.queries("ann_ivfpq")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "coarse+fine training must be run-to-run deterministic")
+  }
+
   test("ann_sq: ranked int8-grid neighbors, deterministic, near-exact recall") {
     val rows = SparkEntry.queries("ann_sq")(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -456,6 +456,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grid encode/score are array projections, never explode:\n${p.take(2000)}")
   }
 
+  test("ann_ivfpq: probe list broadcasts into the coded corpus; corpus never shuffles pre-cut") {
+    val p = plan("ann_ivfpq")
+    val lines = p.linesIterator.toSeq
+    // the scoring join is the coded corpus streaming against a
+    // BROADCAST of the (nprobe × Q) probe/query rows — BuildRight,
+    // never the corpus side
+    val scoring = lines.find(l => l.contains("BroadcastHashJoin [cluster"))
+    assert(scoring.isDefined && scoring.get.contains("BuildRight"),
+      s"coded corpus must stream into a broadcast probe join:\n${p.take(3000)}")
+    // exactly two hash shuffles, both query_id-keyed and both CUT:
+    // the probe-list window (Q × ivfK rows — metadata-scale) and the
+    // final top-k window, whose Partial WindowGroupLimit trims to ≤ k
+    // rows per (task, query) BEFORE the wire
+    assert(occurrences(p, "Exchange hashpartitioning") == 2,
+      s"only the two query_id window cuts may shuffle:\n${p.take(3000)}")
+    assert(lines.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"the ADC top-k must cut map-side before its shuffle:\n${p.take(3000)}")
+  }
+
   test("ta_gopher is one scan-local pass: no explode, no shuffle, pruned read") {
     val p = plan("ta_gopher")
     assert(!p.contains("Generate"),
