@@ -13,20 +13,37 @@ object TextFunctions {
   /** Whitespace tokens of a (already normalized) text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
+    * variable. Higher-order-function lambdas re-evaluate any captured
+    * outer EXPRESSION once per element (HOFs run interpreted — no
+    * common-subexpression elimination), so an expensive expression
+    * like the `tokens` regex referenced inside a `transform` lambda
+    * turns O(len) work into O(len²) per document — measured 20×+ on
+    * ta_repetition/dd_* before this binding (round 8). Wrapping the
+    * value in a 1-element array and transforming it binds the value
+    * to a NamedLambdaVariable, which element accesses read for free. */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Normalize for exact dedup: lowercase, trim, collapse whitespace. */
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** Word k-shingles: overlapping k-grams joined by single spaces.
     * k=3 word shingles are the standard near-dup unit (Broder '97). */
-  def shingles(toks: Column, k: Int): Column = {
-    // for i in 0..(n-k): concat_ws(' ', slice(toks, i+1, k))
-    val n = size(toks)
-    when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingles(toks: Column, k: Int): Column =
+    // for i in 0..(n-k): concat_ws(' ', slice(w, i+1, k)) — with the
+    // token expression BOUND once per row ([[bindOnce]]): callers pass
+    // `tokens(col("text"))` directly, and an unbound `toks` would
+    // re-run the tokenizer regex for every shingle (O(len²) per doc —
+    // the difference between a scan and a stall on megabyte docs)
+    bindOnce(toks) { w =>
+      val n = size(w)
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", w)))
+    }
 
   /** Hashed word k-shingles: FNV-1a 64 of each k-gram joined by single
     * spaces. For set-similarity purposes a 64-bit hash is a faithful

@@ -271,13 +271,17 @@ object DedupOps {
     * operators, chunk dedup needs only the per-chunk doc count. */
   def chunkDedup(docs: DataFrame, w: Int = 10): DataFrame = {
     val toks = tokens(col("text"))
-    val lastChunk = floor((size(toks) - 1) / w).cast("int")
+    // tokenizer bound once per row (TextFunctions.bindOnce): the slice
+    // lambda would otherwise re-run the regex per chunk — O(len²/w)
+    val chunkArr = graft.functions.TextFunctions.bindOnce(toks) { tw =>
+      transform(sequence(lit(0), floor((size(tw) - 1) / w).cast("int")),
+        i => concat_ws(" ", slice(tw, i * w + 1, lit(w))))
+    }
     val chunks = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .where(size(toks) >= 1)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lastChunk),
-          i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))).as(Seq("pos", "chunk")))
+        posexplode(chunkArr).as(Seq("pos", "chunk")))
       .withColumn("chunk_hash",
         graft.functions.TextExpressions.fnv64(col("chunk")))
     val docCounts = chunks.groupBy("chunk_hash")

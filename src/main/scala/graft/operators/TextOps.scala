@@ -254,14 +254,22 @@ object TextOps {
   def repetition(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     // bigrams = w[i] + ' ' + w[i+1] for i in 1..n-1 (element_at is
-    // 1-based, mirroring the oracle's 1-based DuckDB lists)
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val biStats = docs.select(col("doc_id"),
-      size(bigrams).as("n_bigrams"),
-      size(array_distinct(bigrams)).as("n_dist"))
+    // 1-based, mirroring the oracle's 1-based DuckDB lists). The token
+    // array is BOUND once per row and the bigram array is projected to
+    // a real column before the two consumers: HOF lambdas re-evaluate
+    // captured expressions per element, so the unbound form re-ran the
+    // tokenizer regex 2(n-1) times per doc — measured 4.7 s → 0.2 s on
+    // sf0.1 for this stage alone.
+    val bigrams = graft.functions.TextFunctions.bindOnce(t) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val biStats = docs.select(col("doc_id"), bigrams.as("b"))
+      .select(col("doc_id"),
+        size(col("b")).as("n_bigrams"),
+        size(array_distinct(col("b"))).as("n_dist"))
     val top = docs.select(col("doc_id"), explode(t).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
