@@ -363,9 +363,12 @@ object AnnOps {
     // codes are comparable across clusters, so one codebook set serves
     // the whole corpus and the ADC math matches ann_pq's oracle)
     val codebooks = trainPqCodebooks(withU, m, dsub, ksub, pqIters, scale)
+    // persisted: both the corpus side and the query-subvector side of
+    // the scoring join read it (same guard as pqTopK's coded)
     val coded = withU.select(
       col("vec_id") +: col("cluster") +: col("u").as("u") +:
         (0 until m).map(mi => nearestSub(mi, dsub, codebooks(mi)).as(s"code_$mi")): _*)
+      .persist()
 
     // probe list: each query's nprobe nearest centroids (ivfTopK's cut)
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cluster"))

@@ -286,6 +286,41 @@ object AnnQueries {
       AnnOps.ivfPqTopK(prepBase(s, dir), IvfK, IvfIters, IvfProbe,
           PqM, PqKsub, PqIters, IvfScale, NumQueries, K)
         .orderBy("query_id", "rank")
+    },
+
+    // ann_ivfpq_recall (round 8): recall@K of the composed IVF+PQ path
+    // — completes the eval family (lsh/ivf in ann_recall, pq, sq, and
+    // now the composed index). The delta vs ann_pq_recall isolates
+    // what the IVF CUT loses on top of code quantization — the number
+    // that prices nprobe at 100 TB. Same composed-oracle discipline:
+    // bf + both unrolled learned stages + the probe cut in one DuckDB
+    // statement.
+    QueryDef.sql(
+      "ann_ivfpq_recall", {
+        s"""WITH ${OracleSql.annBaseCtes},
+           |${OracleSql.annBruteforceCtes("bf", NumQueries, K)},
+           |${OracleSql.annIvfPqCtes("ipqk", IvfK, IvfIters, IvfProbe,
+               PqM, PqKsub, PqIters, NumQueries, K, IvfScale.toLong)},
+           |r_ivfpq AS MATERIALIZED (
+           |  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+           |  FROM bf e LEFT JOIN ipqk a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id
+           |)
+           |SELECT 'ivfpq' AS method, query_id, recall_at_k FROM r_ivfpq
+           |UNION ALL
+           |SELECT 'ivfpq', CAST(-1 AS BIGINT),
+           |  CAST(SUM(CAST(recall_at_k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           |FROM r_ivfpq
+           |ORDER BY method, query_id""".stripMargin
+      }) { (s, dir) =>
+      val base = prepBase(s, dir)
+      val exact = topK(base, useLsh = false)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf("ivfpq", exact,
+          AnnOps.ivfPqTopK(base, IvfK, IvfIters, IvfProbe,
+            PqM, PqKsub, PqIters, IvfScale, NumQueries, K))
+        .orderBy("method", "query_id")
     }
   )
 }
