@@ -274,13 +274,23 @@ object AnnOps {
         (0 until m).map(mi => nearest(mi, codebooks(mi)).as(s"code_$mi")): _*)
       .persist()
 
-    // ADC: queries ride broadcast with their subvectors; each
-    // neighbor's centroid per subspace comes from a plan-shipped
-    // id->centroid map literal; the m partial distances add in FIXED
-    // subspace order (deterministic double sum)
+    // ADC: queries ride broadcast with their subvectors; the m partial
+    // distances add in FIXED subspace order (deterministic double sum)
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id") +:
         (0 until m).map(mi => subColM(mi).as(s"q_sub_$mi")): _*)
+    adcRank(coded.crossJoin(broadcast(queries)), codebooks, m, k)
+  }
+
+  /** ADC score + per-query top-k over joined (corpus `vec_id`/`code_*`
+    * × query `query_id`/`q_sub_*`) pairs: each neighbor's centroid per
+    * subspace comes from a plan-shipped id→centroid map literal, the m
+    * partial squared-L2 folds add in fixed subspace order, and the cut
+    * is the query_id window (adist asc, neighbor_id ties). The ONE
+    * scoring definition behind [[pqTopK]] and [[ivfPqTopK]] —
+    * mirroring the oracle side's shared pqAdcParts. */
+  private def adcRank(pairs: DataFrame,
+      codebooks: Map[Int, Seq[(Int, Seq[Double])]], m: Int, k: Int): DataFrame = {
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
     val centMap = (0 until m).map { mi =>
@@ -290,7 +300,7 @@ object AnnOps {
       d2(col(s"q_sub_$mi"), element_at(centMap(mi), col(s"code_$mi")))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
-    coded.crossJoin(broadcast(queries))
+    pairs
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
       .withColumn("rank", row_number().over(w))
@@ -386,21 +396,7 @@ object AnnOps {
         (0 until m).map(mi => subCol(mi, dsub).as(s"q_sub_$mi")): _*)
     // nprobe×Q rows: ride a broadcast so the coded corpus never shuffles
     val probeQ = broadcast(probes.join(queries, "query_id"))
-
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    val centMap = (0 until m).map { mi =>
-      typedLit(codebooks(mi).map { case (id, c) => id -> c }.toMap)
-    }
-    val adist = (0 until m).map { mi =>
-      d2(col(s"q_sub_$mi"), element_at(centMap(mi), col(s"code_$mi")))
-    }.reduceLeft(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
-    coded.join(probeQ, Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    adcRank(coded.join(probeQ, Seq("cluster")), codebooks, m, k)
   }
 
   /** Scalar-quantization (SQ8) top-k: every unit-vector dimension
@@ -419,13 +415,10 @@ object AnnOps {
     * (query_id, neighbor_id, adist, rank) — adist ascending, the same
     * approximate-squared-L2-on-unit-vectors scale as [[pqTopK]]. */
   def sqTopK(rawBase: DataFrame, levels: Int, numQueries: Int, k: Int): DataFrame = {
-    val base =
-      if (rawBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        rawBase.persist()
-      else rawBase
-    val unit = transform(col("embedding"),
-      x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
-    val withU = base.select(col("vec_id"), unit.as("u")).persist()
+    // no persist guard on the raw frame: unlike the Lloyd-loop
+    // operators, SQ reads the source exactly once (everything after —
+    // dim, grid stats, encoding, scoring — reads the persisted withU)
+    val withU = rawBase.select(col("vec_id"), unitCol.as("u")).persist()
     val dim = withU.select(size(col("u"))).head.getInt(0)
 
     // per-dimension [min,max]: MIN/MAX are order-independent, so the

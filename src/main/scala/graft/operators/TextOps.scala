@@ -34,8 +34,17 @@ object TextOps {
     * bit-for-bit. */
   def gopherQuality(docs: DataFrame): DataFrame = {
     val requiredStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val toks = split(col("text"), " ")
-    val lines = split(col("text"), "\n")
+    // word tokens split on ANY whitespace (a single-space split would
+    // glue words across newlines — "one\n- item" → token "one\n-" —
+    // corrupting every word-level stat on multi-line documents, and
+    // both engines would agree on the corruption so the oracle can't
+    // see it); tokens/lines are projected to REAL columns first so
+    // the interpreted HOF folds below read them instead of
+    // re-tokenizing per expression
+    val bound = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("w"), split(col("text"), "\n").as("ln"))
+    val toks = col("w")
+    val lines = col("ln")
     val nWords = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nBullet = size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
@@ -44,7 +53,7 @@ object TextOps {
     val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
     val stopHits = requiredStopwords
       .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
-    val stats = docs.select(
+    val stats = bound.select(
       col("doc_id"),
       nWords.as("n_words"),
       (sumLen.cast("double") / nWords).as("mean_word_len"),

@@ -136,7 +136,7 @@ object TextQueries {
           .mkString(" + ")
         s"""WITH g AS (
            |  SELECT doc_id, text,
-           |    string_split(text, ' ') AS toks,
+           |    ${OracleSql.tokens("text")} AS toks,
            |    string_split(text, chr(10)) AS lines
            |  FROM documents
            |), st AS (

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Per-file equi-width histogram over one column — CBO-grade statistics
   * for the micro-block layout, one level finer than the zone map.
@@ -32,12 +32,15 @@ final case class FileHistogram(
 
 object BlockHistograms {
 
-  /** Numeric view of a column, aligned with [[graft.plans.PredValue]]:
-    * timestamps as epoch MICROS (the physical INT64 in Spark-written
-    * parquet), numerics as double. */
+  /** Numeric view of a column, aligned with the zone-map footer units
+    * ([[MicroBlockIndex]] / [[graft.plans.PredValue]]): timestamps as
+    * epoch MICROS (physical INT64 in Spark-written parquet), dates as
+    * epoch DAYS (physical INT32 — a double cast would throw and the
+    * footer bounds are day-valued anyway), numerics as double. */
   private def numericView(df: org.apache.spark.sql.DataFrame, column: String) =
     df.schema(column).dataType match {
       case TimestampType | TimestampNTZType => unix_micros(col(column).cast("timestamp"))
+      case DateType => unix_date(col(column))
       case _ => col(column).cast("double")
     }
 
