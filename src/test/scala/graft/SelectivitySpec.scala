@@ -53,6 +53,23 @@ class SelectivitySpec extends AnyFunSuite {
     }
   }
 
+  test("DATE columns histogram in epoch-day units (the footer's INT32 view)") {
+    import spark.implicits._
+    val out = "target/scratch/test/selectivity/dates"
+    // 400 consecutive days from 2024-01-01
+    spark.range(400)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int")).as("d"))
+      .repartitionByRange(2, col("d")).sortWithinPartitions("d")
+      .write.mode("overwrite").parquet(out)
+    val lo = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    val hists = BlockHistograms.build(spark, out, "t", "d", lo, lo + 399, buckets = 8)
+      .collect()
+    assert(hists.map(_.rows).sum == 400)
+    // first 100 days, inclusive: uniform truth = 100
+    val est = hists.map(BlockHistograms.estimateRange(_, lo, lo + 99)).sum
+    assert(math.abs(est - 100.0) / 100.0 < 0.02, s"est $est vs 100")
+  }
+
   test("mb_selectivity on the real layout: totals match and the estimate is accurate") {
     val rows = SparkEntry.queries("mb_selectivity")(spark, "/root/testdata/sf0.001").collect()
     val total = rows.find(_.getString(0) == "TOTAL").get
