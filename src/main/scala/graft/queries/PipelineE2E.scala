@@ -331,6 +331,121 @@ object PipelineE2E {
           .cast("long"))
         .select(col("doc_id"), col("shard"), col("bucket"), col("pos_in_shard"))
         .orderBy("doc_id")
+    },
+
+    // pipe_full (round 8): the COMPOSED modern pipeline — every stage
+    // verified alone elsewhere, threaded end-to-end here exactly as a
+    // production corpus build runs them: Gopher FORMAT rules (the
+    // word-count/word-length/symbol/alpha subset — the stopword rule
+    // is an English-corpus gate and the synthetic corpus is word
+    // salad, so applying it would truthfully empty the pipeline;
+    // ta_gopher reports all rules) → exact dedup (min-doc keeper per
+    // normalized hash) → MinHash J≥0.8 near-dedup with star-contracted
+    // clusters (keeper = component min) → FNV split → per-(split,
+    // shard) easy→hard curriculum positions. Scale shape: each stage
+    // keeps its own audited plan (scan-local filter, hash-agg dedup,
+    // banded LSH, O(log n) contraction, window per shard) — composing
+    // them adds joins on doc_id keys only, never a new O(pairs)
+    // stage. The oracle replays all five stages in ONE DuckDB
+    // statement (recursive closure + FNV + window), so the composed
+    // keep/split/order decisions hash-match end-to-end.
+    QueryDef.sql(
+      "pipe_full", {
+        import OracleSql._
+        val splitKey = fnv1a64Unsigned("'full42:' || CAST(doc_id AS VARCHAR)")
+        val curKey = toSigned(fnv1a64Unsigned("'cur42full:' || CAST(doc_id AS VARCHAR)"))
+        s"""WITH RECURSIVE fdoc AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, ${tokens("text")} AS toks FROM documents)
+           |  WHERE LEN(toks) BETWEEN 50 AND 100000
+           |    AND CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+           |      / LEN(toks) BETWEEN 3.0 AND 10.0
+           |    AND CAST(LEN(regexp_extract_all(text, '#'))
+           |      + LEN(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / LEN(toks) < 0.1
+           |    AND CAST(LEN(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+           |      / LEN(toks) > 0.8
+           |), ex AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM (
+           |    SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS h
+           |    FROM fdoc)
+           |  GROUP BY h
+           |), uq AS (
+           |  SELECT f.doc_id, f.text FROM fdoc f JOIN ex USING (doc_id)
+           |), ftoks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM uq
+           |), shf AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM ftoks
+           |), ${minhashBandCtes("shf", 64, 4)}, cand AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN shf x ON x.doc_id = c.a
+           |  JOIN shf y ON y.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+           |), bidir AS (
+           |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+           |), reach AS (
+           |  SELECT DISTINCT a AS doc_id, a AS root FROM bidir
+           |  UNION
+           |  SELECT e.b AS doc_id, r.root FROM reach r JOIN bidir e ON e.a = r.doc_id
+           |), cc AS (
+           |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+           |), surv AS (
+           |  SELECT u.doc_id, u.text FROM uq u LEFT JOIN cc ON cc.doc_id = u.doc_id
+           |  WHERE cc.cluster_id IS NULL OR cc.cluster_id = u.doc_id
+           |), cur AS (
+           |  SELECT doc_id,
+           |    CASE WHEN CAST($splitKey % 64 AS BIGINT) <= 51 THEN 'train'
+           |         WHEN CAST($splitKey % 64 AS BIGINT) <= 57 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    doc_id % 8 AS shard,
+           |    CAST(LEAST(3, FLOOR(CAST(LEN(list_distinct(${tokens("text")})) AS DOUBLE)
+           |      / LEN(${tokens("text")}) * 4)) AS INT) AS bucket,
+           |    $curKey AS k
+           |  FROM surv
+           |)
+           |SELECT doc_id, split, shard, bucket,
+           |  CAST(row_number() OVER (PARTITION BY split, shard
+           |    ORDER BY bucket, k, doc_id) AS BIGINT) AS pos_in_shard
+           |FROM cur ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import graft.operators.{DedupOps, TextOps}
+      val docs = Tables.load(s, dir, "documents")
+      val format = TextOps.gopherQuality(docs)
+        .filter(col("r_words") === 1 && col("r_wordlen") === 1 &&
+          col("r_symbol") === 1 && col("r_alpha") === 1)
+        .select("doc_id")
+      val clean = docs.join(format, "doc_id")
+      val keepers = DedupOps.exactGroups(clean)
+        .select(col("keeper_doc_id").as("doc_id"))
+      val uniq = clean.join(keepers, "doc_id")
+      val pairs = DedupOps.minhashPairs(uniq, 64, 4).filter(col("jaccard") >= 0.8)
+      val clusters = DedupOps.duplicateClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val surv = uniq.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      val b = pmod(graft.functions.TextExpressions.fnv64(
+        concat(lit("full42:"), col("doc_id").cast("string"))), lit(64))
+      val toks = tokens(col("text"))
+      val ld = size(array_distinct(toks)).cast("double") / size(toks)
+      val curK = graft.functions.TextExpressions.fnv64(
+        concat(lit("cur42full:"), col("doc_id").cast("string")))
+      surv
+        .withColumn("b", b)
+        .select(col("doc_id"),
+          when(col("b") <= 51, "train").when(col("b") <= 57, "val")
+            .otherwise("test").as("split"),
+          (col("doc_id") % 8).as("shard"),
+          least(lit(3L), floor(ld * 4)).cast("int").as("bucket"),
+          curK.as("k"))
+        .withColumn("pos_in_shard", row_number()
+          .over(Window.partitionBy("split", "shard").orderBy("bucket", "k", "doc_id"))
+          .cast("long"))
+        .select(col("doc_id"), col("split"), col("shard"), col("bucket"),
+          col("pos_in_shard"))
+        .orderBy("doc_id")
     }
   )
 }

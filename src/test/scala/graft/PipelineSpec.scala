@@ -207,6 +207,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("pipe_full: composed stages hold their invariants end-to-end") {
+    import graft.operators.DedupOps
+    val rows = SparkEntry.queries("pipe_full")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == rows.length, "one output row per surviving doc")
+    // near-dedup really happened: no surviving pair is J>=0.8 similar
+    // (exactly one doc per near-dup component may survive)
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+    val survPairs = DedupOps.minhashPairs(docs, 64, 4)
+      .filter(col("jaccard") >= 0.8).count()
+    assert(survPairs == 0, s"$survPairs near-dup pairs survived the pipeline")
+    // per-(split, shard) curriculum: dense 1..n positions, buckets
+    // never regress as the reader advances
+    rows.groupBy(r => (r.getAs[String]("split"), r.getAs[Long]("shard")))
+      .values.foreach { grp =>
+        val ordered = grp.sortBy(_.getAs[Long]("pos_in_shard"))
+        assert(ordered.map(_.getAs[Long]("pos_in_shard")).toSeq ==
+          (1L to grp.length).toSeq)
+        val buckets = ordered.map(_.getAs[Int]("bucket"))
+        assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b })
+      }
+    val again = SparkEntry.queries("pipe_full")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("ann_lsh neighbors are a subset of bruteforce candidates' space") {
     val lsh = SparkEntry.queries("ann_lsh")(spark, dir).collect()
     assert(lsh.nonEmpty)
