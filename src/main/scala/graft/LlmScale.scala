@@ -96,14 +96,21 @@ object LlmScale {
     // is quadratic. Production SemDeDup keeps cluster size constant
     // (ivfK ∝ n); this variant measures exactly that and should
     // restore the ~linear slope.
-    def runScaledK(): Long =
-      graft.operators.DedupOps.semanticPairs(
+    // noop sink, NOT count(): same measurement rule as Bench.scala —
+    // under count() Catalyst prunes every column a pure projection
+    // computes, so window/projection-shaped ops (pipe_shuffle,
+    // pipe_pack, ta_* stats) were timed as bare row counts. The noop
+    // write materializes every output row in full.
+    def mat(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def runScaledK(): Unit =
+      mat(graft.operators.DedupOps.semanticPairs(
           spark.read.parquet(s"$dir/embeddings.parquet"),
           ivfK = 32 * factor, iters = 2)
         .orderBy(org.apache.spark.sql.functions.col("cosine").desc,
           org.apache.spark.sql.functions.col("vec_a"),
           org.apache.spark.sql.functions.col("vec_b"))
-        .limit(50).count()
+        .limit(50))
     // "dd_bloom_scaledm" is the bitmap twin of the SemDeDup sizing
     // lesson: the registered dd_bloom keeps mBits fixed at 2^17, so a
     // ×factor eval set saturates the bitmap (per-shingle FP rate → 1)
@@ -112,35 +119,21 @@ object LlmScale {
     // mBits rounds up to the next power of two ≥ 2^17 × factor (the
     // position mod stays a bit-mask; 2^k | 2^64 keeps the oracle
     // replay exact at every size).
-    def runScaledM(): Long = {
+    def runScaledM(): Unit = {
       val target = (1L << 17) * factor
       var m = 1L << 17
       while (m < target) m <<= 1
       require(m <= (1L << 30), s"scaled mBits $m exceeds the Int bitmap bound")
-      graft.operators.DedupOps.bloomDecontaminate(
+      mat(graft.operators.DedupOps.bloomDecontaminate(
           spark.read.parquet(s"$dir/documents.parquet"),
-          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m.toInt)
-        .count()
+          isEval = pmod(col("doc_id"), lit(53)) === 0, k = 4, mBits = m.toInt))
     }
-    // ta_gopher is a PURE projection: under `.count()` Catalyst prunes
-    // every stat column and the measurement collapses to a row count
-    // (0.4 s flat at x1 and x100 — a fiction). Force the work with an
-    // aggregate that references every output column; the global agg
-    // itself is map-side-combined and adds nothing measurable.
-    def runGopher(): Unit =
-      graft.operators.TextOps.gopherQuality(
-          spark.read.parquet(s"$dir/documents.parquet"))
-        .agg(sum(col("n_words")), sum(col("stop_hits")), sum(col("passes")),
-          sum(col("mean_word_len") + col("symbol_ratio") + col("bullet_frac") +
-            col("ellipsis_frac") + col("alpha_frac")))
-        .collect()
     val probeStart = probe()
     val results = ops.map { name =>
       val body: () => Unit =
         if (name == "dd_semantic_scaledk") () => runScaledK()
         else if (name == "dd_bloom_scaledm") () => runScaledM()
-        else if (name == "ta_gopher") () => runGopher()
-        else { val q = SparkEntry.queries(name); () => q(spark, dir).count() }
+        else { val q = SparkEntry.queries(name); () => mat(q(spark, dir)) }
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()

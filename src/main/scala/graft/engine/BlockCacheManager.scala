@@ -26,6 +26,14 @@ final class BlockCacheManager(capacity: Int,
     v
   }
 
+  /** Presence probe that neither bumps the hit/miss counters nor
+    * refreshes LRU recency — for the prefetch service's "already
+    * cached?" check. The counters measure SERVING accesses (the
+    * reference's hit-rate metric); a background existence probe is not
+    * a serve, and counting it would distort the prefetch A/B's
+    * hit-rate exactly where it matters. */
+  def peek(key: String): Boolean = synchronized(lru.containsKey(key))
+
   /** Cache a block scan; evicts LRU entries beyond capacity. Returns
     * the persisted DataFrame (materialization is caller-triggered). */
   def put(key: String, df: DataFrame): DataFrame = synchronized {

@@ -67,7 +67,7 @@ final class GraftEngine(
     * multi-row-group files all of a file's blocks share one entry —
     * per-block keys would read and cache a multi-row-group file once
     * PER block id (duplicate rows in the union, duplicate storage). */
-  private def keyOf(id: Int): String = s"file-${fileOf(id)}"
+  private[engine] def keyOf(id: Int): String = s"file-${fileOf(id)}"
 
   val service = new PrefetchService(accessLog, () => prefetcher, cache, loadBlock _, keyOf _)
 

@@ -31,7 +31,9 @@ final class PrefetchService(
     val model = prefetcher() // re-read each cycle: \model swaps live
     if (recent.isEmpty || !model.fitted) return Seq.empty
     val predicted = model.suggest(recent, topK)
-    val warmed = predicted.filter(b => cache.get(keyFor(b)).isEmpty)
+    // peek, not get: the existence probe is not a serving access and
+    // must not count toward the cache's hit/miss serving metrics
+    val warmed = predicted.filter(b => !cache.peek(keyFor(b)))
     warmed.foreach { b =>
       // persist + materialize: the count() pulls the block into
       // executor storage so the next query is a cache hit.

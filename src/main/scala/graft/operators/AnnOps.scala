@@ -373,10 +373,12 @@ object AnnOps {
     // codes are comparable across clusters, so one codebook set serves
     // the whole corpus and the ADC math matches ann_pq's oracle)
     val codebooks = trainPqCodebooks(withU, m, dsub, ksub, pqIters, scale)
-    // persisted: both the corpus side and the query-subvector side of
-    // the scoring join read it (same guard as pqTopK's coded)
+    // persisted: the corpus-side index is codes + cluster id ONLY — the
+    // raw unit vector stays out of the persisted index (the operator's
+    // memory model: m codes + one cluster id per vector); the
+    // query-subvector side derives from the already-persisted withU
     val coded = withU.select(
-      col("vec_id") +: col("cluster") +: col("u").as("u") +:
+      col("vec_id") +: col("cluster") +:
         (0 until m).map(mi => nearestSub(mi, dsub, codebooks(mi)).as(s"code_$mi")): _*)
       .persist()
 
@@ -391,7 +393,7 @@ object AnnOps {
       .withColumn("prn", row_number().over(wq))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("cluster"))
-    val queries = coded.filter(col("vec_id") < numQueries)
+    val queries = withU.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id") +:
         (0 until m).map(mi => subCol(mi, dsub).as(s"q_sub_$mi")): _*)
     // nprobe×Q rows: ride a broadcast so the coded corpus never shuffles

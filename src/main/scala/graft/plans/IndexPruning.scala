@@ -186,4 +186,69 @@ object IndexPruning {
     * row-group pushdown inside survivors + row-level filter. */
   def prunedRead(spark: SparkSession, index: DataFrame, pred: Pred): DataFrame =
     spark.read.parquet(keptFiles(index, pred): _*).filter(pred.toColumn)
+
+  /** The files a stats-only TOP-K cut can PROVE irrelevant for
+    * `ORDER BY colName [ASC|DESC] LIMIT k` — [[graft.engine.GraftEngine]]'s
+    * `topKBlockIds` contract at file level, for the transparent
+    * optimizer rule ([[ZoneMapPruneRule]]):
+    *
+    *   1. order blocks by their best bound (max desc / min asc);
+    *   2. take the shortest prefix whose non-null row counts cover k —
+    *      those rows prove the k-th value is at least theta (the
+    *      weakest weak bound in the prefix);
+    *   3. a block whose best bound cannot tie-or-beat theta cannot hold
+    *      a top-k row; a file is skippable when every block in it is
+    *      refuted.
+    *
+    * Ties kept (equal-valued rows may displace the k-th under a
+    * secondary sort key, so the cut is sound for any tie-break
+    * columns — the k-th row's FIRST key is the k-th largest/smallest
+    * first-key value regardless of later keys). Conservative cases,
+    * each returning "no skip" or keeping the block: a column with no
+    * index rows anywhere; blocks with missing numeric bounds or
+    * unknown null counts; stats that cannot cover k non-null rows
+    * (NULLS LAST then cannot be proven past the top k either);
+    * `nullsFirst` orderings keep every null-holding block (those null
+    * rows ARE the top of the result). One aggregation over the index;
+    * the driver receives one small row per block — file-listing scale,
+    * the same contract as [[skippedFiles]]. */
+  def topKSkippedFiles(index: DataFrame, colName: String, k: Int,
+      ascending: Boolean, nullsFirst: Boolean): Seq[String] = {
+    val blocks = index.groupBy(col("blockId"), col("file"))
+      .agg(first(col("rows")).as("rows"),
+        min(when(col("column") === colName, col("minNum"))).as("mn"),
+        max(when(col("column") === colName, col("maxNum"))).as("mx"),
+        max(when(col("column") === colName, col("nullCount"))).as("nc"),
+        max(when(col("column") === colName, lit(1)).otherwise(lit(0))).as("has"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getInt(6) == 1))
+    if (!blocks.exists(_._6)) return Nil // column unindexed: no cut
+    // stated = numeric bounds + a trusted null count, and (for NULLS
+    // FIRST) provably null-free; everything else keeps conservatively
+    val (stated, statless) = blocks.partition(b =>
+      b._6 && b._3.isDefined && b._4.isDefined && b._5.exists(_ >= 0) &&
+        !(nullsFirst && b._5.exists(_ > 0)))
+    val ordered =
+      if (ascending) stated.sortBy(_._3.get) // by min asc
+      else stated.sortBy(-_._4.get)          // by max desc
+    var acc = 0L
+    var n = 0
+    while (n < ordered.length && acc < k) {
+      acc += math.max(0L, ordered(n)._2 - ordered(n)._5.get) // non-null rows
+      n += 1
+    }
+    if (acc < k) return Nil // stats can't cover k rows: no cut
+    val prefix = ordered.take(math.max(1, n))
+    val theta =
+      if (ascending) prefix.map(_._4.get).max // max of prefix maxes
+      else prefix.map(_._3.get).min           // min of prefix mins
+    val kept = ordered.filter(b =>
+      if (ascending) b._3.get <= theta else b._4.get >= theta)
+    val keptFiles = (kept ++ statless).map(_._1).toSet
+    blocks.map(_._1).distinct.filterNot(keptFiles.contains).toSeq
+  }
 }

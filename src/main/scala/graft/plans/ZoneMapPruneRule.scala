@@ -2,7 +2,10 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, AttributeReference, IntegerLiteral, NullsFirst}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -66,6 +69,22 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Filter(cond, pruned)
             }
         }
+
+      // The q9 shape: ORDER BY col [ASC|DESC] LIMIT k over a bare
+      // registered table — the zone-map TOP-K cut (the engine's
+      // topKBlockIds contract, IndexPruning.topKSkippedFiles) applied
+      // transparently, so the plain SQL surface gets the O(k)-blocks
+      // serve the engine path already measured (BENCH_TOPK_SF100:
+      // 1 file vs 256). The Sort+Limit stay in place over the shrunk
+      // file list, so a conservative cut only costs extra scan, never
+      // rows. Only attribute-preserving Projects may sit on the path
+      // (a Filter below the Sort would change WHICH rows compete for
+      // the top k, so any other node disqualifies the rewrite).
+      case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, inner))
+          if k >= 1 =>
+        ZoneMapPruneRule.topKRewrite(spark, k, inner)
+          .map(pruned => gl.copy(child = ll.copy(child = pruned)))
+          .getOrElse(gl)
     }
 }
 
@@ -91,6 +110,85 @@ object ZoneMapPruneRule {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Pred), Set[String]]): Boolean = size > 512
     })
+
+  /** Rewrite `inner` (the plan under LocalLimit) when it is
+    * [attr-only Projects]* → Sort(global) → [attr-only Projects]* →
+    * a registered parquet relation, and the sort's FIRST key is a bare
+    * column of that relation: shrink the relation's file list to the
+    * stats-proven top-k candidates. None = shape doesn't match, or the
+    * index can't prove a cut. */
+  private[plans] def topKRewrite(
+      spark: SparkSession, k: Int, inner: LogicalPlan): Option[LogicalPlan] = {
+    def attrOnly(p: Project): Boolean =
+      p.projectList.forall(_.isInstanceOf[AttributeReference])
+    def belowSort(sortKey: AttributeReference, ascending: Boolean,
+        nullsFirst: Boolean, q: LogicalPlan): Option[LogicalPlan] = q match {
+      case p: Project if attrOnly(p) =>
+        belowSort(sortKey, ascending, nullsFirst, p.child).map(c => p.copy(child = c))
+      case rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)
+          if rel.output.exists(_.exprId == sortKey.exprId) =>
+        val roots = hfs.location.rootPaths.toSeq.map(_.toString)
+        val indices = roots.flatMap(indexFor)
+        if (indices.isEmpty) None
+        else {
+          val skip = topKSkipSet(roots, indices, sortKey.name, k, ascending, nullsFirst)
+          if (skip.isEmpty) None
+          else {
+            val current = hfs.location.inputFiles.toSeq
+            val kept = current.filterNot(p => skip.contains(normFile(p)))
+            if (kept.size >= current.size) None
+            else {
+              val newLocation = new InMemoryFileIndex(
+                spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
+              Some(rel.copy(relation =
+                hfs.copy(location = newLocation)(hfs.sparkSession)))
+            }
+          }
+        }
+      case _ => None
+    }
+    inner match {
+      case p: Project if attrOnly(p) =>
+        topKRewrite(spark, k, p.child).map(c => p.copy(child = c))
+      case s @ Sort(order, true, child, _) if order.nonEmpty =>
+        order.head.child match {
+          case a: AttributeReference =>
+            belowSort(a, order.head.direction == Ascending,
+                order.head.nullOrdering == NullsFirst, child)
+              .map(c => s.copy(child = c))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Memoized top-k skip sets, same cache discipline as [[skipSet]]. */
+  private val topkCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Int, Boolean, Boolean), Set[String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Boolean, Boolean), Set[String]])
+          : Boolean = size > 512
+    })
+
+  private def topKSkipSet(roots: Seq[String], indices: Seq[DataFrame],
+      colName: String, k: Int, ascending: Boolean, nullsFirst: Boolean): Set[String] = {
+    val key = (roots.map(normFile).sorted.mkString(" "),
+      colName, k, ascending, nullsFirst)
+    val hit = topkCache.get(key)
+    if (hit != null) hit
+    else {
+      inRule.set(java.lang.Boolean.TRUE)
+      val skip =
+        try {
+          val index = indices.reduce(_ unionAll _)
+          IndexPruning.topKSkippedFiles(index, colName, k, ascending, nullsFirst)
+            .map(normFile).toSet
+        } finally inRule.set(java.lang.Boolean.FALSE)
+      topkCache.put(key, skip)
+      skip
+    }
+  }
 
   private[graft] def skipSet(
       roots: Seq[String], indices: Seq[DataFrame], pred: Pred): Set[String] = {
@@ -126,6 +224,7 @@ object ZoneMapPruneRule {
   def register(rootPath: String, index: DataFrame): Unit = {
     registry.put(norm(rootPath), index)
     decisionCache.clear()
+    topkCache.clear()
   }
 
   /** Convenience overload for an already-collected (test-scale) index. */
@@ -138,6 +237,7 @@ object ZoneMapPruneRule {
   def unregister(rootPath: String): Unit = {
     registry.remove(norm(rootPath))
     decisionCache.clear()
+    topkCache.clear()
   }
 
   /** Registry lookup on the PLANNING hot path: every Filter over any

@@ -309,8 +309,8 @@ object PipelineE2E {
         val k = toSigned(fnv1a64Unsigned("'cur42:' || CAST(doc_id AS VARCHAR)"))
         s"""WITH d AS (
            |  SELECT doc_id, doc_id % 8 AS shard,
-           |    CAST(LEAST(3, FLOOR(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           |      / LEN(string_split(text, ' ')) * 4)) AS INT) AS bucket,
+           |    CAST(LEAST(3, FLOOR(CAST(LEN(list_distinct(${tokens("text")})) AS DOUBLE)
+           |      / LEN(${tokens("text")}) * 4)) AS INT) AS bucket,
            |    $k AS k
            |  FROM documents
            |)
@@ -319,7 +319,9 @@ object PipelineE2E {
            |    ORDER BY bucket, k, doc_id) AS BIGINT) AS pos_in_shard
            |FROM d ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val toks = split(col("text"), " ")
+      // same regex whitespace tokenizer as pipe_full / ta_quality — the
+      // lexical-diversity bucket must be the one stat, not two variants
+      val toks = tokens(col("text"))
       val ld = size(array_distinct(toks)).cast("double") / size(toks)
       val k = graft.functions.TextExpressions.fnv64(
         concat(lit("cur42:"), col("doc_id").cast("string")))

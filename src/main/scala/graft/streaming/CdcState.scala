@@ -33,9 +33,11 @@ object CdcState {
     a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
 
   /** Fold a batch of changes into the state; returns the new state
-    * only if it advanced (late/duplicate changes don't re-emit). */
-  def advance(state: Option[Latest], changes: Seq[Change]): Option[Latest] =
-    changes.foldLeft(Option.empty[Latest]) { (acc, c) =>
+    * only if it advanced (late/duplicate changes don't re-emit).
+    * Takes the changes as a one-pass iterator so a hot key's
+    * micro-batch never buffers in memory — per-key state is O(1). */
+  def advance(state: Option[Latest], changes: IterableOnce[Change]): Option[Latest] =
+    changes.iterator.foldLeft(Option.empty[Latest]) { (acc, c) =>
       val cur = acc.orElse(state)
       if (cur.forall(s => newer((c.tsMicros, c.event_id), (s.tsMicros, s.eventId))))
         Some(Latest(c.tsMicros, c.event_id, c.event_type, c.value))
@@ -62,7 +64,7 @@ object CdcState {
       .flatMapGroupsWithState[Latest, LatestRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, cs: Iterator[Change], state: GroupState[Latest]) =>
-          advance(state.getOption, cs.toSeq) match {
+          advance(state.getOption, cs) match {
             case Some(next) =>
               state.update(next)
               Iterator.single(

@@ -169,6 +169,85 @@ class ExtensionsSpec extends AnyFunSuite {
         "ZoneMapPruneRule's match arm is dead — add a DSv2 arm")
   }
 
+  test("top-k rule: ORDER BY + LIMIT over a registered table reads only the stats-proven files") {
+    val mbPath = "target/scratch/test/ext-topk"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), mbPath, "l_shipdate", 8)
+    val stats = MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq
+    ZoneMapPruneRule.register(mbPath, stats)
+    try {
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }.get
+      val totalFiles = MicroBlockIndex.listParquetFiles(mbPath).size
+      val raw = Tables.load(spark, dir, "lineitem")
+
+      // the q9 shape through PLAIN spark.sql — the engine-path serve
+      // (mb_topk's stats-only cut) now fires transparently
+      spark.read.parquet(mbPath).createOrReplaceTempView("ext_topk_li")
+      val sql =
+        """SELECT l_orderkey, l_linenumber, l_shipdate FROM ext_topk_li
+          |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 12""".stripMargin
+      val viaRule = spark.sql(sql)
+      val expected = raw
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(12).select("l_orderkey", "l_linenumber", "l_shipdate").collect()
+      assert(viaRule.collect().toSeq == expected.toSeq, "top-k rows must be identical")
+      // the cut must match the engine path's stats-only block selection
+      val skip = graft.plans.IndexPruning.topKSkippedFiles(
+        MicroBlockIndex.build(spark, mbPath, "lineitem").toDF(), "l_shipdate", 12,
+        ascending = false, nullsFirst = false)
+      assert(skip.nonEmpty, "clustered layout must prove a cut for k=12")
+      assert(scannedFiles(viaRule) == totalFiles - skip.size,
+        s"expected ${totalFiles - skip.size} files, scanned ${scannedFiles(viaRule)}")
+      assert(scannedFiles(viaRule) < totalFiles)
+
+      // ASC via the DataFrame API (no SQL view needed for the rule)
+      val asc = spark.read.parquet(mbPath)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey"), col("l_linenumber"))
+        .limit(7)
+      val ascExpected = raw
+        .orderBy(col("l_shipdate").asc, col("l_orderkey"), col("l_linenumber"))
+        .limit(7).collect()
+      assert(asc.collect().toSeq == ascExpected.toSeq)
+      assert(scannedFiles(asc) < totalFiles)
+
+      // NULLS FIRST: null rows ARE the top — the cut must keep every
+      // null-holding block; on this null-free layout it simply stays
+      // correct (the conservative arm is exercised by the statless
+      // branch of topKSkippedFiles)
+      val nf = spark.read.parquet(mbPath)
+        .orderBy(col("l_shipdate").desc_nulls_first, col("l_orderkey"), col("l_linenumber"))
+        .limit(5)
+      val nfExpected = raw
+        .orderBy(col("l_shipdate").desc_nulls_first, col("l_orderkey"), col("l_linenumber"))
+        .limit(5).collect()
+      assert(nf.collect().toSeq == nfExpected.toSeq)
+
+      // a Filter below the Sort disqualifies the top-k rewrite (the
+      // filtered top-k can live in blocks the unfiltered cut skips);
+      // the Filter arm of the rule still prunes, and rows stay right
+      val filtered = spark.read.parquet(mbPath)
+        .filter(col("l_quantity") <= 3)
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(5)
+      val filteredExpected = raw.filter(col("l_quantity") <= 3)
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(5).collect()
+      assert(filtered.collect().toSeq == filteredExpected.toSeq)
+
+      // unclustered sort column: stats straddle, no cut, full correctness
+      val unclustered = spark.read.parquet(mbPath)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(5)
+      val unclusteredExpected = raw
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(5).collect()
+      assert(unclustered.collect().toSeq == unclusteredExpected.toSeq)
+    } finally ZoneMapPruneRule.unregister(mbPath)
+  }
+
   test("rule is a no-op for unregistered tables and prune-everything predicates") {
     val raw = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 0)
     assert(raw.count() > 0)
