@@ -162,8 +162,21 @@ object Bench {
           s"topk_ab failed: ${t.getClass.getName}: ${t.getMessage}")
         "null"
     }
+    // histogram-driven serve-path choice vs both fixed paths (round 9)
+    val serveAb = try {
+      spark.catalog.clearCache()
+      val e = graft.queries.MicroBlockQueries.engineFor(spark, sfDir)
+      graft.engine.PruningBench.runServeChoice(
+        spark, e, graft.queries.MicroBlockQueries.benchPred,
+        graft.queries.MicroBlockQueries.sparsePred, reps = 3)
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"serve_auto_ab failed: ${t.getClass.getName}: ${t.getMessage}")
+        "null"
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

@@ -29,7 +29,11 @@ object LlmScale {
     "dd_exact", "dd_para", "dd_minhash_lsh", "dd_span", "dd_semantic",
     "dd_semantic_scaledk", "dd_bloom", "dd_bloom_scaledm",
     "ta_lm", "ta_winnow", "pipe_pack", "pipe_shuffle", "ann_ivf", "ann_pq",
-    "ta_gopher", "ann_sq")
+    "ta_gopher", "ann_sq",
+    // round-8 operators (round-9 ask: their scale claims were
+    // plan-audited but unmeasured): the incremental store shape, the
+    // leakage-safe split, the composed production pipeline, IVFADC
+    "dd_incremental", "pipe_split", "pipe_full", "ann_ivfpq")
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -27,6 +27,7 @@ object TopKScale {
     val blocks = if (args.length > 2) args(2).toInt else 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions) // the transparent top-k rule arm
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -80,11 +81,38 @@ object TopKScale {
     val probeStart = probe()
     val rows = PruningBench.runTopK(
       spark, engine, "l_shipdate", 10, Seq("l_orderkey", "l_linenumber"), reps)
+
+    // round 9: the TRANSPARENT serve — the same q9 shape through plain
+    // spark.sql with the index registered and ZoneMapPruneRule's
+    // Sort+Limit arm firing; no engine call in the query path at all
+    graft.plans.ZoneMapPruneRule.register(mbPath, engine.index.toDF())
+    spark.read.parquet(mbPath).createOrReplaceTempView("topk_scale_li")
+    val ruleSql =
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM topk_scale_li
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    def ruleScanFiles: Long = {
+      val df = spark.sql(ruleSql)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length.toLong
+      }.getOrElse(-1L)
+    }
+    val ruleFiles = ruleScanFiles // decision job + codegen warm-up
+    val ruleTimes = (1 to reps).map { _ =>
+      System.gc()
+      val s = System.nanoTime(); spark.sql(ruleSql).collect()
+      (System.nanoTime() - s) / 1e9
+    }.sorted
+    val ruleRow = PruningBench.AbRow(
+      "sql_rule_topk", ruleTimes(ruleTimes.length / 2), ruleFiles, 10)
+    graft.plans.ZoneMapPruneRule.unregister(mbPath)
+
     val probeEnd = probe()
     val line =
       s"""{"bench":"topk_scale","sf":"$sfDir","reps":$reps,"blocks":$blocks,""" +
         s""""mb_build_sec":$buildSec,"probe_start_sec":$probeStart,""" +
-        s""""probe_end_sec":$probeEnd,"topk_ab":${PruningBench.toJson(rows)}}"""
+        s""""probe_end_sec":$probeEnd,"topk_ab":${PruningBench.toJson(rows :+ ruleRow)}}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/topk_scale.json")

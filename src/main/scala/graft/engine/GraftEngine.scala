@@ -325,6 +325,87 @@ final class GraftEngine(
       .limit(k)
   }
 
+  /** Per-column per-file histograms ([[graft.sources.BlockHistograms]]),
+    * built lazily on first estimate request and memoized — ONE data
+    * scan per column ever, the same pay-once contract as the zone-map
+    * index. None when the column has no numeric zone-map bounds. */
+  private val histMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Option[Map[String, graft.sources.FileHistogram]]]
+
+  private def histogramsFor(colName: String)
+      : Option[Map[String, graft.sources.FileHistogram]] =
+    histMemo.getOrElseUpdate(colName,
+      try Some(graft.sources.BlockHistograms
+        .buildFromIndex(spark, tablePath, table, colName, index)
+        .collect()
+        .map(h => graft.plans.ZoneMapPruneRule.normFile(h.file) -> h).toMap)
+      catch { case _: IllegalArgumentException => None })
+
+  /** Histogram row estimate for `pred` over `files` (normalized paths).
+    * Range predicates estimate by equi-width interpolation; AND takes
+    * the min of its sides (a safe upper bound — never the independence
+    * product, which can undershoot and flip a serve decision on
+    * correlated columns), OR the capped sum. None = not estimable
+    * (non-range shape, or no histogram for the column). */
+  private def estimateRows(pred: Pred, files: Seq[String]): Option[Double] = {
+    def forRange(c: String, lo: Double, hi: Double): Option[Double] =
+      histogramsFor(c).map(m =>
+        files.flatMap(m.get).map(
+          graft.sources.BlockHistograms.estimateRange(_, lo, hi)).sum)
+    pred match {
+      case graft.plans.Between(c, lo, hi) =>
+        for { l <- lo.num; h <- hi.num; e <- forRange(c, l, h) } yield e
+      case graft.plans.Cmp(op, c, v) =>
+        v.num.flatMap { x =>
+          op match {
+            case ">" | ">=" => forRange(c, x, Double.MaxValue)
+            case "<" | "<=" => forRange(c, -Double.MaxValue, x)
+            case "=" => forRange(c, x, x)
+            case _ => None // != : min/max histograms can't bound it
+          }
+        }
+      case graft.plans.And(l, r) =>
+        (estimateRows(l, files), estimateRows(r, files)) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case graft.plans.Or(l, r) =>
+        for { a <- estimateRows(l, files); b <- estimateRows(r, files) }
+          yield a + b
+      case _ => None
+    }
+  }
+
+  /** Estimated fraction of the CANDIDATE blocks' rows `pred` keeps —
+    * the number the serve-path choice runs on. None when the
+    * histograms can't estimate this shape. */
+  def estimateSelectivity(pred: Pred): Option[Double] = {
+    val kept = decisions(pred).filter(_._4)
+    val candRows = kept.map(_._3).sum
+    if (candRows == 0L) return None
+    estimateRows(pred, kept.map(t =>
+        graft.plans.ZoneMapPruneRule.normFile(t._2)).distinct)
+      .map(est => math.min(1.0, est / candRows))
+  }
+
+  /** Histogram-driven serve-path choice — the consumer the selectivity
+    * estimator exists for. Zone maps decide WHICH blocks can match;
+    * the histogram decides HOW to serve them: a DENSE read (the query
+    * consumes most of the rows caching would pin) takes the LRU
+    * [[query]] path — materializing the blocks pays off because the
+    * working set is what gets re-read; a SPARSE read (few matching
+    * rows inside candidate blocks — e.g. a narrow range on an
+    * UNCLUSTERED column, where every zone straddles and pruning keeps
+    * everything) serves as ONE direct pruned scan ([[queryDirect]]):
+    * parquet row-group pushdown skips inside the files, and nothing
+    * data-sized is persisted to serve a trickle of rows. Falls back to
+    * the reference-parity cache path when the shape isn't estimable. */
+  def queryAuto(pred: Pred, denseThreshold: Double = 0.25): DataFrame =
+    estimateSelectivity(pred) match {
+      case Some(sel) if sel < denseThreshold => queryDirect(pred)
+      case _ => query(pred)
+    }
+
   /** Single pruned scan (no per-block caching) — see class doc. */
   def queryDirect(pred: Pred): DataFrame = {
     val d = decisions(pred)

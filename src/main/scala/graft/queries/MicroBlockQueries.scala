@@ -69,6 +69,14 @@ object MicroBlockQueries {
   val benchPred: Pred = Between("l_shipdate",
     PredValue.ts("2000-01-01"), PredValue.ts("2000-07-01"))
 
+  /** The serve-choice A/B's SPARSE shape: a narrow range on an
+    * UNCLUSTERED column — every zone straddles it, so the zone map
+    * keeps all files, but the histogram sees the row trickle and
+    * routes the serve to one direct pushdown scan instead of
+    * materializing every block into the LRU. */
+  val sparsePred: Pred = Between("l_extendedprice",
+    PredValue(20000L), PredValue(20200L))
+
   /** Replay the workload's pruning decisions into a FRESH access log
     * (mb29-31 need per-query clean logs) without rebuilding the
     * zone-map index — the memoized engine's stats are reused. */

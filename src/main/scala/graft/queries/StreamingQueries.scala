@@ -164,6 +164,46 @@ object StreamingQueries {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
       graft.streaming.CdcState.latestState(Tables.load(s, dir, "events"))
         .orderBy("user_id")
+    },
+
+    // st_neardup (round 9): STREAMING near-duplicate detection — the
+    // streaming counterpart the dd_ family lacked (st_dedup is
+    // exact-key only). Batch twin: estimate-verified MinHash pairs at
+    // tau=0.5 — only signatures ever reach a pair (the at-scale
+    // verification contract dd_minhash_est measured; exact shingle
+    // sets appear nowhere). Streaming twin: each micro-batch
+    // MinHash-signs scan-locally and compares against
+    // flatMapGroupsWithState band-key state (the signature store AS
+    // state — streaming/MinHashDedup.scala), proven convergent to this
+    // batch answer over multi-batch feeds incl. cross-batch pairs in
+    // StreamingSpec. Oracle replays signatures + band collisions +
+    // the n/64 estimate exactly.
+    QueryDef.sql(
+      "st_neardup", {
+        import OracleSql._
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${tokens("text")} AS t FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ${shingles3("t")} AS sh FROM toks
+           |), ${minhashBandCtes("sh", 64, 4)}, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), est AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |    CAST(SUM(CASE WHEN sa.c = sb.c THEN 1 ELSE 0 END) AS DOUBLE) / 64
+           |      AS est_jaccard
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.doc_a
+           |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
+           |  GROUP BY p.doc_a, p.doc_b
+           |)
+           |SELECT doc_a, doc_b, est_jaccard FROM est
+           |WHERE est_jaccard >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, dir) =>
+      graft.streaming.MinHashDedup
+        .pairsBatch(Tables.load(s, dir, "documents"), 64, 4, 0.5)
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

@@ -70,6 +70,49 @@ class SelectivitySpec extends AnyFunSuite {
     assert(math.abs(est - 100.0) / 100.0 < 0.02, s"est $est vs 100")
   }
 
+  test("serve-path choice: the estimator routes dense reads to the LRU, sparse to direct") {
+    import graft.plans.{Between, PredValue}
+    val dir = "/root/testdata/sf0.001"
+    // a FRESH engine: the choice is observed through cache population,
+    // so the shared memoized engine's warm LRU would mask it
+    val engine = new graft.engine.GraftEngine(
+      spark, graft.queries.MicroBlockQueries.microPath(spark, dir), "lineitem")
+    val raw = spark.read.parquet(graft.queries.MicroBlockQueries.microPath(spark, dir))
+
+    // sparse: narrow range on the UNCLUSTERED price column — zone maps
+    // keep every file (all zones straddle), but the rows are a trickle
+    val sparse = graft.queries.MicroBlockQueries.sparsePred
+    val selSparse = engine.estimateSelectivity(sparse)
+    assert(selSparse.exists(_ < 0.25),
+      s"sparse predicate must estimate sparse, got $selSparse")
+    val nSparse = engine.queryAuto(sparse).count()
+    assert(nSparse == raw.filter(sparse.toColumn).count())
+    assert(nSparse > 0, "sparse predicate must still match SOME rows")
+    assert(engine.cache.size == 0,
+      "sparse serve must be the direct path: nothing admitted to the LRU")
+
+    // dense: the cluster-key range — candidate blocks are mostly
+    // matching rows, the working set the cache exists to pin
+    val dense = graft.queries.MicroBlockQueries.benchPred
+    val selDense = engine.estimateSelectivity(dense)
+    assert(selDense.exists(_ >= 0.25),
+      s"dense predicate must estimate dense, got $selDense")
+    val nDense = engine.queryAuto(dense).count()
+    assert(nDense == raw.filter(dense.toColumn).count())
+    assert(engine.cache.size > 0,
+      "dense serve must be the cache path: candidate blocks admitted to the LRU")
+
+    // unestimable shapes fall back to the reference-parity cache path
+    assert(engine.estimateSelectivity(
+      graft.plans.Cmp("!=", "l_quantity", PredValue(1L))).isEmpty)
+
+    // the estimator itself: a full-range predicate on the cluster key
+    // estimates ~everything
+    val all = Between("l_shipdate",
+      PredValue.ts("1990-01-01"), PredValue.ts("2010-01-01"))
+    assert(engine.estimateSelectivity(all).exists(_ > 0.9))
+  }
+
   test("mb_selectivity on the real layout: totals match and the estimate is accurate") {
     val rows = SparkEntry.queries("mb_selectivity")(spark, "/root/testdata/sf0.001").collect()
     val total = rows.find(_.getString(0) == "TOTAL").get

@@ -219,6 +219,61 @@ class StreamingSpec extends AnyFunSuite {
       .contains(Latest(100, 11, "tie", 2.0)))
   }
 
+  test("streaming near-dup dedup converges to the batch estimate-pair answer across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.MinHashDedup
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(docs.nonEmpty)
+    // the corpus carries planted near-dups; the batch answer must be
+    // non-trivial or this test proves nothing
+    val batch = MinHashDedup.pairsBatch(
+        Tables.load(spark, dir, "documents"), 64, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "no planted near-dups at est >= 0.5 — fixture broke")
+
+    // three micro-batches split doc_id % 3 — planted duplicate pairs
+    // land both within one batch and ACROSS batches, so the state path
+    // (store-accumulate) and the intra-batch fold both carry weight
+    val ms = MemoryStream[(Long, String)]
+    val q = MinHashDedup.pairsStream(
+        MinHashDedup.bandRows(ms.toDF.toDF("doc_id", "text")), tau = 0.5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { i =>
+        ms.addData(docs.filter(_._1 % 3 == i))
+        q.processAllAvailable()
+      }
+      // distinct over band-collision multiplicity == the batch pair set
+      val streamed = spark.table("neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs != batch ${batch.size}: " +
+          s"missing ${batch -- streamed}, extra ${streamed -- batch}")
+    } finally q.stop()
+
+    // pure-fold checks: replay idempotence + intra-batch ordering
+    import graft.streaming.MinHashDedup.{BandRow, BandState, DocSig}
+    val sigA = Seq.fill(64)(7L)
+    val sigB = Seq.tabulate(64)(i => if (i < 32) 7L else 9L) // est 0.5
+    val (p1, st1) = MinHashDedup.advance(BandState(Nil),
+      Seq(BandRow("k", 2L, sigB), BandRow("k", 1L, sigA)), tau = 0.5)
+    assert(p1 == Seq(MinHashDedup.NearDupPair(1L, 2L, 0.5)),
+      "intra-batch fold must pair in doc_id order")
+    assert(st1.entries.map(_.doc_id).toSet == Set(1L, 2L))
+    // re-delivery of doc 2 (at-least-once replay): no duplicate pair,
+    // no duplicate state entry
+    val (p2, st2) = MinHashDedup.advance(st1, Seq(BandRow("k", 2L, sigB)), 0.5)
+    assert(p2.isEmpty && st2.entries.size == 2)
+    // a genuinely new doc pairs against the accumulated store
+    val (p3, _) = MinHashDedup.advance(st2, Seq(BandRow("k", 3L, sigA)), 0.5)
+    assert(p3.map(p => (p.doc_a, p.doc_b)).toSet == Set((1L, 3L), (2L, 3L)))
+  }
+
   test("watermark actually DROPS late data in append mode (bounded state is real)") {
     // controlled micro-batches via MemoryStream: batch 1 advances the
     // watermark (max 20:00 − 2h = 18:00) past the 10:00 window; batch
