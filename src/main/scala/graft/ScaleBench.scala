@@ -27,7 +27,11 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle width defaults to core count; big-shuffle shapes (q12's
+      // 600M-row join at sf100) can override — more partitions = less
+      // per-task build memory and spill (SPARK_GRAFT_SHUFFLE_PARTITIONS)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")

@@ -261,11 +261,14 @@ final class GraftEngine(
     val nullful =
       if (includeNullBlocks) colStats.filter(_._5 > 0).map(_._1).toSet
       else Set.empty[Int]
-    // blocks the index has NO row for under this column are statless too
+    // blocks the index has NO row for under this column are statless
+    // too, as are blocks with an UNKNOWN null count (footer omitted,
+    // recorded as -1): their non-null coverage can't be trusted toward
+    // the k-row proof, so they always scan and never count
     val known = colStats.map(_._1).toSet
     val unknown = blocks.collect { case b if !known.contains(b.blockId) => b.blockId }
     val (statlessRows, stated) =
-      colStats.partition(s => s._3.isEmpty || s._4.isEmpty)
+      colStats.partition(s => s._3.isEmpty || s._4.isEmpty || s._5 < 0)
     val statless = (statlessRows.map(_._1) ++ unknown ++ nullful).distinct
     val ordered =
       if (ascending) stated.sortBy(_._3.get) // by min asc

@@ -197,7 +197,12 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders").filter(col("o_orderdate") >= "1996-01-01 00:00:00"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        // customer is NOT hinted: it is a dim at test sf (auto-broadcast
+        // fires under the threshold) but FACT-SIZED at 100x dims — a
+        // forced broadcast at sf100 builds a 15M-row driver hash table
+        // (measured round 9: 144 s vs 46 s without the hint). nation/
+        // region are constant-size — always broadcast.
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
