@@ -38,6 +38,15 @@ final class GraftEngine(
   val index: Dataset[BlockStat] =
     MicroBlockIndex.build(spark, tablePath, table).persist()
 
+  // Building an engine REGISTERS its index with the transparent
+  // optimizer rule: when the session has GraftExtensions installed,
+  // plain spark.sql / DataFrame queries over this table path get
+  // file-level zone-map pruning and the Sort+Limit top-k cut with no
+  // engine call in the query path (the rule is session-guarded, so a
+  // later session's engine simply re-registers). Results never change
+  // — the rule only shrinks file lists conservatively.
+  graft.plans.ZoneMapPruneRule.register(tablePath, index.toDF())
+
   /** Per-block serving metadata (id, file, row range) — ONE small row
     * per block, column-count-independent, the driver-side footprint the
     * LRU cache / access log / prefetcher orchestration needs. Bounded

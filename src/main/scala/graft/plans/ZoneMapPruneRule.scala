@@ -47,7 +47,7 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // (unindexed root, stale index) never enters the skip set.
       case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)) =>
         val roots = hfs.location.rootPaths.toSeq.map(_.toString)
-        val indices = roots.flatMap(p => ZoneMapPruneRule.indexFor(p))
+        val indices = roots.flatMap(p => ZoneMapPruneRule.indexFor(p, spark))
         if (indices.isEmpty) f
         else PredicateExtractor.convert(cond) match {
           case None => f
@@ -128,7 +128,7 @@ object ZoneMapPruneRule {
       case rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)
           if rel.output.exists(_.exprId == sortKey.exprId) =>
         val roots = hfs.location.rootPaths.toSeq.map(_.toString)
-        val indices = roots.flatMap(indexFor)
+        val indices = roots.flatMap(p => indexFor(p, spark))
         if (indices.isEmpty) None
         else {
           val skip = topKSkipSet(roots, indices, sortKey.name, k, ascending, nullsFirst)
@@ -255,6 +255,16 @@ object ZoneMapPruneRule {
         if (cheap.startsWith("/")) None
         else Option(registry.get(norm(rootPath))))
     }
+
+  /** [[indexFor]] guarded to the PLANNING session: an index DataFrame
+    * is bound to the SparkSession that built it, and engines
+    * auto-register on construction ([[graft.engine.GraftEngine]]) —
+    * a new session in the same JVM must see "unregistered", never a
+    * stopped session's frame (running a query over it would throw
+    * inside the optimizer rule and break unrelated queries). */
+  def indexFor(rootPath: String,
+      session: SparkSession): Option[DataFrame] =
+    indexFor(rootPath).filter(_.sparkSession eq session)
 
   /** Cheap per-path normalization (no fs round-trip): strip any
     * scheme, collapse `.`/`..`/doubled slashes, drop trailing slashes
