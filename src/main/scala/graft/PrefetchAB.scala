@@ -48,6 +48,7 @@ object PrefetchAB {
     // 16-file working set so the OFF arm keeps missing at steady
     // state — see PrefetchLoopBench's honesty rules.
     val capacity = 6
+    val (trainPasses, evalPasses, topK, historyLen) = (2, 3, 4, 4)
     val path = graft.queries.MicroBlockQueries.microPath(spark, sfDir)
     val engine = new graft.engine.GraftEngine(
       spark, path, "lineitem", cacheCapacity = capacity)
@@ -55,13 +56,15 @@ object PrefetchAB {
 
     val satStart = satProbe(spark)
     val rows = graft.engine.PrefetchLoopBench.run(
-      spark, engine, cycle, trainPasses = 2, evalPasses = 3, reps = reps)
+      spark, engine, cycle, trainPasses = trainPasses, evalPasses = evalPasses,
+      reps = reps, topK = topK, historyLen = historyLen)
     val satEnd = satProbe(spark)
 
     val line =
       s"""{"sf":"$sfDir","reps":$reps,"stat":"median","cache_capacity":$capacity,""" +
         s""""files_total":${engine.blocks.map(_.file).distinct.size},""" +
-        s""""topk":4,"history_len":4,"train_passes":2,"eval_passes":3,""" +
+        s""""topk":$topK,"history_len":$historyLen,""" +
+        s""""train_passes":$trainPasses,"eval_passes":$evalPasses,""" +
         s""""sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,""" +
         s""""arms":${graft.engine.PrefetchLoopBench.toJson(rows)}}"""
     println(line)

@@ -83,9 +83,9 @@ object TopKScale {
       spark, engine, "l_shipdate", 10, Seq("l_orderkey", "l_linenumber"), reps)
 
     // round 9: the TRANSPARENT serve — the same q9 shape through plain
-    // spark.sql with the index registered and ZoneMapPruneRule's
-    // Sort+Limit arm firing; no engine call in the query path at all
-    graft.plans.ZoneMapPruneRule.register(mbPath, engine.index.toDF())
+    // spark.sql with ZoneMapPruneRule's Sort+Limit arm firing; no
+    // engine call in the query path at all. No explicit registration:
+    // constructing the GraftEngine above already registered its index.
     spark.read.parquet(mbPath).createOrReplaceTempView("topk_scale_li")
     val ruleSql =
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM topk_scale_li
@@ -99,14 +99,15 @@ object TopKScale {
       }.getOrElse(-1L)
     }
     val ruleFiles = ruleScanFiles // decision job + codegen warm-up
+    var ruleRows = 0L
     val ruleTimes = (1 to reps).map { _ =>
       System.gc()
-      val s = System.nanoTime(); spark.sql(ruleSql).collect()
+      val s = System.nanoTime()
+      ruleRows = spark.sql(ruleSql).collect().length.toLong
       (System.nanoTime() - s) / 1e9
     }.sorted
     val ruleRow = PruningBench.AbRow(
-      "sql_rule_topk", ruleTimes(ruleTimes.length / 2), ruleFiles, 10)
-    graft.plans.ZoneMapPruneRule.unregister(mbPath)
+      "sql_rule_topk", ruleTimes(ruleTimes.length / 2), ruleFiles, ruleRows)
 
     val probeEnd = probe()
     val line =

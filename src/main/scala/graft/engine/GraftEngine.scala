@@ -372,7 +372,11 @@ final class GraftEngine(
           op match {
             case ">" | ">=" => forRange(c, x, Double.MaxValue)
             case "<" | "<=" => forRange(c, -Double.MaxValue, x)
-            case "=" => forRange(c, x, x)
+            // "=" through a zero-width range would always read 0;
+            // estimatePoint reads the containing bucket's density
+            case "=" => histogramsFor(c).map(m =>
+              files.flatMap(m.get).map(
+                graft.sources.BlockHistograms.estimatePoint(_, x)).sum)
             case _ => None // != : min/max histograms can't bound it
           }
         }
@@ -413,9 +417,18 @@ final class GraftEngine(
     * data-sized is persisted to serve a trickle of rows. Falls back to
     * the reference-parity cache path when the shape isn't estimable. */
   def queryAuto(pred: Pred, denseThreshold: Double = 0.25): DataFrame =
-    estimateSelectivity(pred) match {
-      case Some(sel) if sel < denseThreshold => queryDirect(pred)
+    servePath(pred, denseThreshold) match {
+      case "direct" => queryDirect(pred)
       case _ => query(pred)
+    }
+
+  /** The route [[queryAuto]] takes for `pred` — exposed so harnesses
+    * and logs report the decision the serve actually made, never a
+    * re-derived copy of the threshold logic. */
+  def servePath(pred: Pred, denseThreshold: Double = 0.25): String =
+    estimateSelectivity(pred) match {
+      case Some(sel) if sel < denseThreshold => "direct"
+      case _ => "cache"
     }
 
   /** Single pruned scan (no per-block caching) — see class doc. */

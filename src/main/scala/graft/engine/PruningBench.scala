@@ -135,7 +135,7 @@ object PruningBench {
     }
     val parts = for ((pname, pred) <- Seq("dense" -> dense, "sparse" -> sparse)) yield {
       val sel = engine.estimateSelectivity(pred)
-      val path = if (sel.exists(_ < 0.25)) "direct" else "cache"
+      val path = engine.servePath(pred) // the route queryAuto takes
       val (tCache, nCache) = timedWorkload(engine.query(pred).count())
       val (tDirect, nDirect) = timedWorkload(engine.queryDirect(pred).count())
       val (tAuto, nAuto) = timedWorkload(engine.queryAuto(pred).count())

@@ -173,7 +173,7 @@ object ZoneMapPruneRule {
 
   private def topKSkipSet(roots: Seq[String], indices: Seq[DataFrame],
       colName: String, k: Int, ascending: Boolean, nullsFirst: Boolean): Set[String] = {
-    val key = (roots.map(normFile).sorted.mkString(" "),
+    val key = (roots.map(normFile).sorted.mkString("\u0000"),
       colName, k, ascending, nullsFirst)
     val hit = topkCache.get(key)
     if (hit != null) hit

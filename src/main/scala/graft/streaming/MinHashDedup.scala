@@ -44,18 +44,17 @@ object MinHashDedup {
   final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
   /** Scan-local banding of a (batch or streaming) documents frame:
-    * one row per (band key, doc), the signature riding along. Staged
-    * selects keep every expression bound once (the SURVEY §5
-    * HOF-capture rule). */
+    * one row per (band key, doc), the signature riding along. Built
+    * on [[graft.operators.DedupOps.signatureTable]] — the ONE
+    * signature pipeline both twins share, so the streaming-converges-
+    * to-batch guarantee can never be broken by the two paths drifting
+    * (a second copy of the shingle/perm/band fold would have to be
+    * kept bit-identical by hand). */
   def bandRows(docs: DataFrame, numPerms: Int = 64,
       rowsPerBand: Int = 4): Dataset[BandRow] = {
     implicit val enc = Encoders.product[BandRow]
-    docs
-      .select(col("doc_id"),
-        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), numPerms).as("sig"))
-      .select(explode(minhashBands(col("sig"), rowsPerBand)).as("bkey"),
-        col("doc_id"), col("sig"))
+    graft.operators.DedupOps.signatureTable(docs, numPerms, rowsPerBand)
+      .select(explode(col("bands")).as("bkey"), col("doc_id"), col("sig"))
       .as[BandRow]
   }
 

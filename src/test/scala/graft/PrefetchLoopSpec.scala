@@ -49,13 +49,15 @@ class PrefetchLoopSpec extends AnyFunSuite {
     }
 
     // wall-time: medians of 3; external load can invert one window
-    // (the PruningBenchSpec rule), so re-measure once before failing
+    // (the PruningBenchSpec rule), so an arm passes if it beats off in
+    // EITHER window — only arms that failed the first window re-judge
+    // against the retry (an arm that already won must not re-roll)
     val slower = Seq("logistic", "gru").filter(a =>
       ab(("periodic", a)).serveSec >= off.serveSec)
     if (slower.nonEmpty) {
       val retry = measure()
       val off2 = retry(("periodic", "off"))
-      for (arm <- Seq("logistic", "gru")) {
+      for (arm <- slower) {
         val on2 = retry(("periodic", arm))
         assert(on2.serveSec < off2.serveSec,
           s"$arm serve median not below off in either window: " +

@@ -106,6 +106,15 @@ class SelectivitySpec extends AnyFunSuite {
     assert(engine.estimateSelectivity(
       graft.plans.Cmp("!=", "l_quantity", PredValue(1L))).isEmpty)
 
+    // equality IS estimable (bucket density, not a zero-width range —
+    // which would constant-fold every '=' to sel 0): one of 50
+    // quantity values is a sparse read and routes direct
+    val eqSel = engine.estimateSelectivity(
+      graft.plans.Cmp("=", "l_quantity", PredValue(12L)))
+    assert(eqSel.exists(s => s > 0.0 && s < 0.25), s"eq sel: $eqSel")
+    assert(engine.servePath(
+      graft.plans.Cmp("=", "l_quantity", PredValue(12L))) == "direct")
+
     // the estimator itself: a full-range predicate on the cluster key
     // estimates ~everything
     val all = Between("l_shipdate",
