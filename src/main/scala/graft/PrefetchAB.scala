@@ -58,15 +58,25 @@ object PrefetchAB {
     val rows = graft.engine.PrefetchLoopBench.run(
       spark, engine, cycle, trainPasses = trainPasses, evalPasses = evalPasses,
       reps = reps, topK = topK, historyLen = historyLen)
+    val satMid = satProbe(spark)
+    // the OVERLAPPED experiment: warming on the service's background
+    // thread during think-time gaps, end-to-end wall time reported —
+    // two think-times so a negative result still locates the crossover
+    val overlapped = Seq(100L, 250L).flatMap(t =>
+      graft.engine.PrefetchLoopBench.runOverlapped(
+        spark, engine, cycle, trainPasses = 1, evalPasses = evalPasses,
+        reps = reps, topK = topK, historyLen = historyLen, thinkMs = t))
     val satEnd = satProbe(spark)
 
     val line =
-      s"""{"sf":"$sfDir","reps":$reps,"stat":"median","cache_capacity":$capacity,""" +
+      s"""{"sf":"$sfDir","reps":$reps,"stat":"median_rep","cache_capacity":$capacity,""" +
         s""""files_total":${engine.blocks.map(_.file).distinct.size},""" +
         s""""topk":$topK,"history_len":$historyLen,""" +
         s""""train_passes":$trainPasses,"eval_passes":$evalPasses,""" +
-        s""""sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,""" +
-        s""""arms":${graft.engine.PrefetchLoopBench.toJson(rows)}}"""
+        s""""sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,""" +
+        s""""sat_probe_end_sec":$satEnd,""" +
+        s""""arms":${graft.engine.PrefetchLoopBench.toJson(rows)},""" +
+        s""""overlapped":${graft.engine.PrefetchLoopBench.toJsonOverlapped(overlapped)}}"""
     println(line)
     val out = java.nio.file.Paths.get("target/prefetch_ab.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -351,7 +351,17 @@ final class GraftEngine(
         .buildFromIndex(spark, tablePath, table, colName, index)
         .collect()
         .map(h => graft.plans.ZoneMapPruneRule.normFile(h.file) -> h).toMap)
-      catch { case _: IllegalArgumentException => None })
+      catch {
+        // ANY failure of the lazy histogram build (non-numeric column,
+        // Spark job failure, IO/schema error) degrades serving to the
+        // reference-parity cache path instead of failing the query;
+        // memoized so the broken build is attempted once, not per call
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"histogram build for '$colName' failed; serve-path " +
+              s"estimation disabled for this column: $e")
+          None
+      })
 
   /** Histogram row estimate for `pred` over `files` (normalized paths).
     * Range predicates estimate by equi-width interpolation; AND takes
@@ -415,7 +425,11 @@ final class GraftEngine(
     * everything) serves as ONE direct pruned scan ([[queryDirect]]):
     * parquet row-group pushdown skips inside the files, and nothing
     * data-sized is persisted to serve a trickle of rows. Falls back to
-    * the reference-parity cache path when the shape isn't estimable. */
+    * the reference-parity cache path when the shape isn't estimable —
+    * including every predicate over a STRING (or otherwise
+    * non-numeric) column: histograms cover numeric/timestamp/date
+    * columns only, so `estimateSelectivity` is None there and the
+    * route is always the cache path (pinned in SelectivitySpec). */
   def queryAuto(pred: Pred, denseThreshold: Double = 0.25): DataFrame =
     servePath(pred, denseThreshold) match {
       case "direct" => queryDirect(pred)

@@ -24,10 +24,10 @@ object DedupOps {
     * stage — repartitioned so small inputs still use every core (at
     * corpus scale the scan already has enough splits and AQE coalesces
     * the no-op exchange). */
-  def docShingles(docs: DataFrame): DataFrame =
+  def docShingles(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id") +: carry.map(col) :+
+        array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"): _*)
 
   /** Candidate pairs via any shared key in `keysCol` (exploded bucket
     * join). `a < b` canonicalization + distinct dedups multi-bucket
@@ -314,8 +314,8 @@ object DedupOps {
     * Persisted as parquet this IS the signature store a daily dedup
     * pipeline maintains (~0.5 KB/doc at 64 perms vs the raw text). */
   def signatureTable(docs: DataFrame, numPerms: Int = 64,
-      rowsPerBand: Int = 4): DataFrame =
-    docShingles(docs)
+      rowsPerBand: Int = 4, carry: Seq[String] = Nil): DataFrame =
+    docShingles(docs, carry)
       .withColumn("sig", minhashSignature(col("sh"), numPerms))
       .withColumn("bands", minhashBands(col("sig"), rowsPerBand))
 

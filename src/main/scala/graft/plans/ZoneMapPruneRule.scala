@@ -222,10 +222,26 @@ object ZoneMapPruneRule {
     * index table); queries over `rootPath` will be file-pruned from
     * here on. */
   def register(rootPath: String, index: DataFrame): Unit = {
-    registry.put(norm(rootPath), index)
+    val old = registry.put(norm(rootPath), index)
+    // Lifecycle: the replaced entry's cached blocks are freed (it is
+    // unreachable from the registry now), and entries whose owning
+    // session has stopped are dropped — the session guard already
+    // hides them from lookups, but hiding never freed them.
+    if ((old ne null) && (old ne index)) unpersistQuietly(old)
+    val it = registry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
     decisionCache.clear()
     topkCache.clear()
+    discoveryCache.clear()
   }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try if (!df.sparkSession.sparkContext.isStopped)
+      df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Convenience overload for an already-collected (test-scale) index. */
   def register(rootPath: String, stats: Seq[BlockStat]): Unit = {
@@ -235,9 +251,13 @@ object ZoneMapPruneRule {
   }
 
   def unregister(rootPath: String): Unit = {
+    // NOT unpersisted: a live GraftEngine registers a toDF() view of
+    // the index it still serves from — unregistering only removes the
+    // transparent-rule binding, never the owner's cache
     registry.remove(norm(rootPath))
     decisionCache.clear()
     topkCache.clear()
+    discoveryCache.clear()
   }
 
   /** Registry lookup on the PLANNING hot path: every Filter over any
@@ -261,10 +281,79 @@ object ZoneMapPruneRule {
     * auto-register on construction ([[graft.engine.GraftEngine]]) —
     * a new session in the same JVM must see "unregistered", never a
     * stopped session's frame (running a query over it would throw
-    * inside the optimizer rule and break unrelated queries). */
+    * inside the optimizer rule and break unrelated queries).
+    *
+    * When no live registration exists, the path's SIDECAR
+    * (`<root>/_graft_index`, [[graft.sources.MicroBlockIndex.saveSidecar]])
+    * is probed ONCE per (root, session) — a fresh session reading a
+    * previously indexed table gets transparent pruning with no engine
+    * constructed and no register call. Guarded by the same staleness
+    * rule the engine-side scratch caches use: the sidecar counts only
+    * if its `_SUCCESS` is no older than the newest data file directly
+    * under the root (a stale index could skip files rewritten in place
+    * since it was built — unknown files are safe, rewritten ones are
+    * not). Probe results (positive and negative) are memoized, so an
+    * unindexed table costs one filesystem round-trip per session ever. */
   def indexFor(rootPath: String,
       session: SparkSession): Option[DataFrame] =
     indexFor(rootPath).filter(_.sparkSession eq session)
+      .orElse(discoverSidecar(rootPath, session))
+
+  /** Convenience: load a table's persisted sidecar index and register
+    * it for transparent pruning — the explicit form of the discovery
+    * [[indexFor]] does lazily (use after [[graft.sources
+    * .MicroBlockIndex.saveSidecar]] in the SAME session, where a
+    * memoized earlier negative probe would otherwise hide the new
+    * sidecar). Throws if the sidecar doesn't exist. */
+  def registerSaved(tablePath: String,
+      session: SparkSession = SparkSession.active): Unit =
+    register(tablePath, session.read.parquet(
+      graft.sources.MicroBlockIndex.sidecarPath(tablePath)).persist())
+
+  /** Sidecar probe memo: (root, session-uuid) → discovered index (None
+    * = probed, nothing fresh there). Bounded LRU like the decision
+    * caches; cleared on register/unregister so explicit registration
+    * always wins. */
+  private val discoveryCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Option[DataFrame]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Option[DataFrame]]): Boolean =
+        size > 256
+    })
+
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  private def discoverSidecar(rootPath: String,
+      session: SparkSession): Option[DataFrame] = {
+    val key = (normFile(rootPath), sessionKey(session))
+    val hit = discoveryCache.get(key)
+    if (hit != null) hit
+    else {
+      val found =
+        try {
+          val conf = session.sparkContext.hadoopConfiguration
+          val root = new Path(rootPath)
+          val fs = root.getFileSystem(conf)
+          val sidecar = new Path(root, "_graft_index")
+          val success = new Path(sidecar, "_SUCCESS")
+          if (!fs.exists(success)) None
+          else {
+            val sidecarTime = fs.getFileStatus(success).getModificationTime
+            val newestData = fs.listStatus(root).iterator
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .map(_.getModificationTime).foldLeft(0L)(math.max)
+            if (sidecarTime < newestData) None // stale: data newer than index
+            else Some(session.read.parquet(sidecar.toString).persist())
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      discoveryCache.put(key, found)
+      found
+    }
+  }
 
   /** Cheap per-path normalization (no fs round-trip): strip any
     * scheme, collapse `.`/`..`/doubled slashes, drop trailing slashes

@@ -423,6 +423,10 @@ object MicroBlockQueries {
     * defaults underfit at 40 epochs). */
   private[graft] def prefetchEvalModels(s: SparkSession, dir: String)
       : (Seq[Int], Seq[(String, graft.engine.Prefetcher)]) = synchronized {
+    // entries keyed by a stopped session are dead weight (they pin the
+    // SparkSession and its fitted models for the JVM's life) — swept
+    // on access, so the memo only ever holds live sessions' models
+    prefetchModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     prefetchModelCache.getOrElseUpdate((s, dir), {
       val flat = workloadLog(s, dir).all.flatMap(_.blocks)
       val (train, test) = flat.splitAt(flat.size * 2 / 3)

@@ -33,13 +33,22 @@ import graft.functions.TextFunctions._
   * Scale: state grows O(corpus signatures) — the same asymptote as the
   * batch store (that store IS the state; a corpus that can persist one
   * can hold the other). A retention policy (drop signatures older than
-  * the dedup horizon) maps to a state TTL; NoTimeout here mirrors the
-  * reference store's keep-everything contract.
+  * the dedup horizon) maps to a state TTL: pass `horizon` to
+  * [[pairsStream]] and each band keeps only signatures whose event
+  * time is within `horizon` of the newest event the band has seen
+  * (per-entry EVENT-time retention — replay-deterministic, see
+  * [[pairsStream]]'s doc for why wall-clock timeouts were rejected);
+  * a band whose window empties drops its state entirely. The default
+  * (`horizon = None`) keeps everything — the reference store's
+  * keep-everything contract, byte-identical to the pre-TTL behavior.
   */
 object MinHashDedup {
 
-  final case class BandRow(bkey: String, doc_id: Long, sig: Seq[Long])
-  final case class DocSig(doc_id: Long, sig: Seq[Long])
+  /** `ts` is the document's event time (epoch millis); only consulted
+    * when a retention `horizon` is set — the keep-everything default
+    * never reads it, so batch-built band rows leave it 0. */
+  final case class BandRow(bkey: String, doc_id: Long, sig: Seq[Long], ts: Long = 0L)
+  final case class DocSig(doc_id: Long, sig: Seq[Long], ts: Long = 0L)
   final case class BandState(entries: List[DocSig])
   final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
@@ -49,12 +58,20 @@ object MinHashDedup {
     * signature pipeline both twins share, so the streaming-converges-
     * to-batch guarantee can never be broken by the two paths drifting
     * (a second copy of the shingle/perm/band fold would have to be
-    * kept bit-identical by hand). */
+    * kept bit-identical by hand).
+    *
+    * `tsCol`: name of an event-time column (epoch millis) to carry
+    * into `ts` for retention-horizon streams; None leaves ts = 0 (the
+    * keep-everything default never reads it). */
   def bandRows(docs: DataFrame, numPerms: Int = 64,
-      rowsPerBand: Int = 4): Dataset[BandRow] = {
+      rowsPerBand: Int = 4, tsCol: Option[String] = None): Dataset[BandRow] = {
     implicit val enc = Encoders.product[BandRow]
-    graft.operators.DedupOps.signatureTable(docs, numPerms, rowsPerBand)
-      .select(explode(col("bands")).as("bkey"), col("doc_id"), col("sig"))
+    val sigs = graft.operators.DedupOps
+      .signatureTable(docs, numPerms, rowsPerBand, carry = tsCol.toSeq)
+    val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    sigs
+      .select(explode(col("bands")).as("bkey"), col("doc_id"), col("sig"),
+        ts.as("ts"))
       .as[BandRow]
   }
 
@@ -67,20 +84,36 @@ object MinHashDedup {
     * band's micro-batch into its state, returning (emitted pairs, new
     * state). New docs compare against the accumulated store AND the
     * earlier docs of their own batch (the batch path's inc×base ∪
-    * inc×inc decomposition, in one fold). */
-  def advance(state: BandState, batch: Seq[BandRow], tau: Double)
-      : (Seq[NearDupPair], BandState) = {
+    * inc×inc decomposition, in one fold).
+    *
+    * `horizon` (event-time millis): entries older than the band's max
+    * seen event time minus the horizon are dropped BEFORE the batch
+    * folds in — an expired signature neither pairs nor lingers in
+    * state, so state size is bounded by the docs arriving within one
+    * horizon window per band. None (default) = keep everything. */
+  def advance(state: BandState, batch: Seq[BandRow], tau: Double,
+      horizon: Option[Long] = None): (Seq[NearDupPair], BandState) = {
     val out = Seq.newBuilder[NearDupPair]
+    // membership Set alongside the entries list: the idempotence probe
+    // is O(1) per doc even on a hot band (the list itself stays — the
+    // pair comparisons walk it anyway)
     var acc = state.entries
+    horizon.foreach { h =>
+      val maxTs = (state.entries.map(_.ts) ++ batch.map(_.ts))
+        .foldLeft(Long.MinValue)(math.max)
+      if (maxTs != Long.MinValue) acc = acc.filter(_.ts >= maxTs - h)
+    }
+    var seen = acc.iterator.map(_.doc_id).toSet
     batch.sortBy(_.doc_id).foreach { r =>
-      if (!acc.exists(_.doc_id == r.doc_id)) { // replay-idempotent
+      if (!seen.contains(r.doc_id)) { // replay-idempotent
         acc.foreach { e =>
           val j = est(e.sig, r.sig)
           if (j >= tau)
             out += NearDupPair(math.min(e.doc_id, r.doc_id),
               math.max(e.doc_id, r.doc_id), j)
         }
-        acc = DocSig(r.doc_id, r.sig) :: acc
+        acc = DocSig(r.doc_id, r.sig, r.ts) :: acc
+        seen += r.doc_id
       }
     }
     (out.result(), BandState(acc))
@@ -88,8 +121,25 @@ object MinHashDedup {
 
   /** Streaming near-dup pair stream (Append mode): every arriving doc
     * is checked against everything that ever hashed into any of its
-    * band buckets. */
-  def pairsStream(bands: Dataset[BandRow], tau: Double): Dataset[NearDupPair] = {
+    * band buckets — or, with a retention `horizon` (event-time
+    * millis), against everything within the dedup horizon: entries
+    * older than `horizon` before the band's max seen event time are
+    * dropped from state before each fold ([[advance]]), and a band
+    * whose entries all expire removes its state outright.
+    *
+    * The TTL is EVENT-time deliberately, not a processing-time group
+    * timeout: wall-clock timeouts fire by elapsed real time, so a
+    * replay/backfill of historical data would mass-expire state that
+    * is still within the data's own horizon — event-time retention is
+    * replay-deterministic (same input stream → same pairs, regardless
+    * of processing speed). The bound it gives: every band holds at
+    * most one horizon-window of signatures — the dedup store becomes
+    * a sliding window over event time instead of the keep-everything
+    * default (`horizon = None`, byte-identical pre-TTL behavior). A
+    * band that stops receiving data retains its final window until
+    * next contact — the same per-band asymptote, cleared lazily. */
+  def pairsStream(bands: Dataset[BandRow], tau: Double,
+      horizon: Option[Long] = None): Dataset[NearDupPair] = {
     implicit val stateEnc = Encoders.product[BandState]
     implicit val outEnc = Encoders.product[NearDupPair]
     implicit val keyEnc = Encoders.STRING
@@ -99,8 +149,9 @@ object MinHashDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bkey: String, rows: Iterator[BandRow], state: GroupState[BandState]) =>
           val (pairs, next) = advance(
-            state.getOption.getOrElse(BandState(Nil)), rows.toSeq, tau)
-          state.update(next)
+            state.getOption.getOrElse(BandState(Nil)), rows.toSeq, tau, horizon)
+          if (next.entries.isEmpty) state.remove()
+          else state.update(next)
           pairs.iterator
       }
   }

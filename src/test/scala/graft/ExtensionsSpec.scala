@@ -95,6 +95,70 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregister(mbPath)
   }
 
+  test("saved sidecar index auto-registers: a fresh session prunes with no engine and no register call") {
+    val mbPath = "target/scratch/test/ext-sidecar"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), mbPath, "l_shipdate", 8)
+    val built = MicroBlockIndex.build(spark, mbPath, "lineitem")
+    MicroBlockIndex.saveSidecar(built, mbPath)
+    val totalFiles = MicroBlockIndex.listParquetFiles(mbPath).size
+    val expected = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "2000-01-01 00:00:00").count()
+    // the sidecar (underscore dir) must be invisible to the data scan
+    assert(spark.read.parquet(mbPath).columns.sorted.toSeq ==
+      Tables.load(spark, dir, "lineitem").columns.sorted.toSeq,
+      "sidecar files leaked into the table scan")
+    val fresh = spark.newSession()
+    try {
+      // deployment path: brand-new session, NO GraftEngine constructed,
+      // NO ZoneMapPruneRule.register call — plain SQL over the table
+      val viaSql = fresh.sql(
+        s"SELECT count(*) AS n FROM parquet.`$mbPath` " +
+          "WHERE l_shipdate >= '2000-01-01 00:00:00'")
+        .collect().head.getLong(0)
+      assert(viaSql == expected, s"sidecar-pruned SQL answer $viaSql != $expected")
+      val df = fresh.read.parquet(mbPath)
+        .filter(col("l_shipdate") >= "2000-01-01 00:00:00")
+      assert(df.count() == expected)
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }
+      assert(scanned.exists(_ < totalFiles),
+        s"fresh session did not discover the sidecar: scanned $scanned of $totalFiles")
+      // the discovered cut must MATCH the explicit-registration cut
+      ZoneMapPruneRule.register(mbPath,
+        MicroBlockIndex.build(spark, mbPath, "lineitem").collect().toSeq)
+      val viaRegistered = spark.read.parquet(mbPath)
+        .filter(col("l_shipdate") >= "2000-01-01 00:00:00")
+        .queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }
+      assert(scanned == viaRegistered,
+        s"sidecar cut $scanned != explicit-register cut $viaRegistered")
+    } finally ZoneMapPruneRule.unregister(mbPath)
+
+    // STALENESS guard: data newer than the sidecar → discovery refuses
+    // (a rewritten-in-place file could otherwise be skipped wrongly)
+    val dataFile = ZoneMapPruneRule.normFile(
+      MicroBlockIndex.listParquetFiles(mbPath).head)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dataFile),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val fresh2 = spark.newSession()
+    val scannedStale = fresh2.read.parquet(mbPath)
+      .filter(col("l_shipdate") >= "2000-01-01 00:00:00")
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }
+    assert(scannedStale.contains(totalFiles),
+      s"stale sidecar was trusted: scanned $scannedStale of $totalFiles")
+  }
+
   test("rule keeps files where only SOME row groups match (multi-rowgroup files)") {
     import org.apache.spark.sql.functions.col
     // 2 files, many small row groups each: per-file decisions differ

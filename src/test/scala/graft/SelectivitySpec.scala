@@ -120,6 +120,28 @@ class SelectivitySpec extends AnyFunSuite {
     val all = Between("l_shipdate",
       PredValue.ts("1990-01-01"), PredValue.ts("2010-01-01"))
     assert(engine.estimateSelectivity(all).exists(_ > 0.9))
+
+    // STRING columns: histograms cover numeric/timestamp/date columns
+    // only, so any predicate over a string column is unestimable and
+    // queryAuto always takes the reference-parity cache path (the
+    // documented conservative fallback — never a wrong-route, never an
+    // error surfaced to the query)
+    val strPred = graft.plans.Cmp("=", "l_returnflag", PredValue("A"))
+    assert(engine.estimateSelectivity(strPred).isEmpty,
+      "string column must be unestimable")
+    assert(engine.servePath(strPred) == "cache",
+      "string-column predicate must route to the cache path")
+    val preCache = engine.cache.size
+    val nStr = engine.queryAuto(strPred).count()
+    assert(nStr == raw.filter(strPred.toColumn).count() && nStr > 0)
+    assert(engine.cache.size >= preCache,
+      "cache-path serve must admit candidate blocks, not bypass the LRU")
+    // even a numeric-shaped range over the string column degrades the
+    // same way: the histogram build fails, is memoized None once
+    // (histogramsFor's NonFatal catch), and the route stays "cache"
+    val oddPred = Between("l_returnflag", PredValue(0L), PredValue(1L))
+    assert(engine.estimateSelectivity(oddPred).isEmpty)
+    assert(engine.servePath(oddPred) == "cache")
   }
 
   test("mb_selectivity on the real layout: totals match and the estimate is accurate") {

@@ -274,6 +274,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(p3.map(p => (p.doc_a, p.doc_b)).toSet == Set((1L, 3L), (2L, 3L)))
   }
 
+  test("near-dup retention horizon: in-horizon pairs kept, state bounded, default keep-everything unchanged") {
+    import graft.streaming.MinHashDedup
+    import graft.streaming.MinHashDedup.{BandRow, BandState, NearDupPair}
+    val sig = Seq.fill(64)(7L) // identical signatures: everything pairs at est 1.0
+    // Feed 50 docs 60 ms apart through one band with a 100 ms horizon:
+    // at each fold only the PREVIOUS doc (60 ms old) is in horizon;
+    // the one before it (120 ms) must have been dropped from state.
+    val horizon = Some(100L)
+    var st = BandState(Nil)
+    var emitted = Vector.empty[NearDupPair]
+    (0 until 50).foreach { i =>
+      val (p, next) = MinHashDedup.advance(st,
+        Seq(BandRow("k", i.toLong, sig, ts = i * 60L)), 0.5, horizon)
+      emitted ++= p
+      st = next
+    }
+    // (b) state bounded: without TTL this band would hold all 50 sigs
+    assert(st.entries.size <= 2,
+      s"retention did not bound state: ${st.entries.size} entries")
+    // (a) pairs WITHIN the horizon still emitted, at every point in the feed
+    assert((1 until 50).forall(i =>
+      emitted.contains(NearDupPair(i - 1L, i.toLong, 1.0))),
+      "an in-horizon pair was lost")
+    // expired signatures never pair (gap >= 2 docs = 120 ms > horizon)
+    assert(!emitted.exists(p => p.doc_b - p.doc_a >= 2),
+      "an expired signature produced a pair")
+    // (c) the keep-everything default on the same feed: full state,
+    // full quadratic pair set — byte-identical to pre-TTL behavior
+    var st0 = BandState(Nil)
+    var n0 = 0
+    (0 until 50).foreach { i =>
+      val (p, next) = MinHashDedup.advance(st0,
+        Seq(BandRow("k", i.toLong, sig, ts = i * 60L)), 0.5, None)
+      n0 += p.size
+      st0 = next
+    }
+    assert(st0.entries.size == 50 && n0 == 50 * 49 / 2,
+      s"default path changed: ${st0.entries.size} entries, $n0 pairs")
+
+    // end-to-end through the streaming operator: ts-carrying docs,
+    // horizon 100 ms — the cross-batch store honors retention
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = MinHashDedup.pairsStream(
+        MinHashDedup.bandRows(ms.toDF.toDF("doc_id", "text", "ts"),
+          tsCol = Some("ts")),
+        tau = 0.5, horizon = Some(100L))
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, text, 0L), (2L, text, 50L)) // in-horizon pair
+      q.processAllAvailable()
+      ms.addData((3L, text, 1000L)) // 1 and 2 are 950+ ms stale: no pair
+      q.processAllAvailable()
+      ms.addData((4L, text, 1050L)) // pairs with 3 only
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_ttl_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (3L, 4L)),
+        s"horizoned stream emitted $pairs")
+    } finally q.stop()
+  }
+
   test("watermark actually DROPS late data in append mode (bounded state is real)") {
     // controlled micro-batches via MemoryStream: batch 1 advances the
     // watermark (max 20:00 − 2h = 18:00) past the 10:00 window; batch

@@ -4,9 +4,10 @@ graft's ScaleBench reads — the single-node baseline for the
 throughput-ratio comparison (VERDICT r2 asked for this at sf1, where
 scan/shuffle design rather than fixed job overhead decides the ratio).
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [reps]
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [reps] [queries]
 (oracle_sql.json as dumped by `runMain graft.Verify`; only the headline
-queries are timed.)
+queries are timed unless [queries] gives a comma-separated override —
+the hook the round-10 widened sf100 ledger runs through.)
 """
 import json, os, statistics, sys, time
 import duckdb
@@ -16,7 +17,7 @@ HEADLINE = ["q1_agg", "q2_filter_between", "q9_orderby_limit", "q12_join_multi",
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 
 
-def main(sf_dir, oracle_path, reps=3):
+def main(sf_dir, oracle_path, reps=3, queries=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -25,7 +26,7 @@ def main(sf_dir, oracle_path, reps=3):
             f"create or replace view {t} as select * from read_parquet('{src}')")
     oracle = json.load(open(oracle_path))
     out = {}
-    for name in HEADLINE:
+    for name in (queries or HEADLINE):
         # count-wrapped to mirror graft's `.count()` action: both engines
         # execute the query but neither pays result materialization /
         # transfer for wide result sets. Spark's optimizer removes a
@@ -50,4 +51,5 @@ def main(sf_dir, oracle_path, reps=3):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         sys.argv[4].split(",") if len(sys.argv) > 4 else None)
