@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftEngine, MarkovPrefetcher, PrefetchEval}
 import graft.plans.{And, Between, Pred, PredValue}
-import graft.sources.{MicroBlockIndex, MicroBlockWriter}
+import graft.sources.{DictionaryIndex, MicroBlockIndex, MicroBlockWriter}
 
 /** SURVEY.md §2b — the reference's own micro-block machinery exposed as
   * verifiable queries (rows-only checks: outputs are deterministic but
@@ -383,6 +383,55 @@ object MicroBlockQueries {
       (perFile :+ total).toDF("file", "file_rows", "est_rows", "actual_rows")
     },
 
+    // mb_dict_distinct (round 10): COUNT(DISTINCT) served from the
+    // DICTIONARY PAGES — the stats layer past min/max and histograms.
+    // For a fully-dictionary-encoded column chunk the dictionary IS the
+    // chunk's exact non-null value set, so distinct counts come from
+    // metadata-scale dictionary-page reads instead of data scans; files
+    // with PLAIN-fallback pages (the writer's dictionary cap overflows
+    // on high-cardinality columns) degrade to ONE pruned scan of just
+    // those files — always exact, verified by the oracle's full-scan
+    // count every run. The mix below exercises both physical views
+    // (int64, double, string) over the 16-file micro-blocked layout;
+    // the q16 weak row's at-scale answer (count-distinct without
+    // touching data pages) is measured in BENCH_DICT.json.
+    QueryDef.sql(
+      "mb_dict_distinct",
+      """SELECT 'l_linestatus' AS col_name, count(DISTINCT l_linestatus) AS n_distinct FROM lineitem
+        |UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = microPath(s, dir)
+      val idx = dictIndex(s, dir)
+      DictColumns.map { c =>
+        (c, DictionaryIndex.countDistinct(s, idx, path, c)._1)
+      }.toDF("col_name", "n_distinct").orderBy("col_name")
+    },
+
+    // mb_dict_point (round 10): equality POINT LOOKUP pruned by the
+    // dictionary index, on the layout class zone maps cannot touch — a
+    // HASH-BUCKETED table (16 files by hash(l_suppkey)), where every
+    // file's [min, max] spans the whole key range but each file's
+    // DICTIONARY holds exactly its bucket's keys, so `l_suppkey = 3`
+    // keeps only the files whose value set contains 3 (~1/16; the
+    // zone-map contrast — 16/16 kept — is pinned in DictionarySpec).
+    // The oracle runs the same lookup as a full scan over the raw
+    // table, so the hash match proves the skip list never dropped a
+    // matching row.
+    QueryDef.sql(
+      "mb_dict_point",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_suppkey = 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val (path, idx) = dictBucketIndex(s, dir)
+      DictionaryIndex.prunedReadEq(s, idx, path, "l_suppkey", Seq(PredValue(3L)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning
@@ -483,6 +532,51 @@ object MicroBlockQueries {
         layout("linear_qty", Seq("l_quantity")),
         layout("linear_price", Seq("l_extendedprice")),
         layout("zorder_price_qty", Seq("l_extendedprice", "l_quantity")))
+    })
+  }
+
+  /** The dictionary-served distinct columns: both integer views (a
+    * mid-card key and the order key, which overflows the writer's
+    * dictionary cap at larger-than-gate scale and exercises the scan
+    * fallback), a double, and two strings. */
+  private[graft] val DictColumns = Seq(
+    "l_linestatus", "l_orderkey", "l_quantity", "l_returnflag", "l_suppkey")
+
+  private val dictIdxCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[graft.sources.FileDict]]
+
+  /** Dictionary index over the engine's micro-blocked lineitem layout,
+    * built once per (session, dir) and kept cached (file-count × column
+    * rows — metadata scale). */
+  private[graft] def dictIndex(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.sources.FileDict] = synchronized {
+    dictIdxCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    dictIdxCache.getOrElseUpdate((s, dir),
+      DictionaryIndex.build(s, microPath(s, dir), "lineitem", DictColumns).cache())
+  }
+
+  private val dictBucketCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (String, org.apache.spark.sql.Dataset[graft.sources.FileDict])]
+
+  /** The hash-bucketed lineitem copy (16 files by hash(l_suppkey)) and
+    * its dictionary index — the layout where equality pruning needs
+    * value sets, not min/max. Stale-guarded against regenerated
+    * testdata like the other scratch layouts. */
+  private[graft] def dictBucketIndex(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.Dataset[graft.sources.FileDict]) = synchronized {
+    dictBucketCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    dictBucketCache.getOrElseUpdate((s, dir), {
+      val sfName = Paths.get(dir).getFileName.toString
+      val out = s"target/scratch/dictbucket/$sfName/lineitem"
+      val success = Paths.get(out, "_SUCCESS")
+      val stale = !Files.exists(success) ||
+        Files.getLastModifiedTime(success).toMillis < sourceMtime(dir, "lineitem")
+      if (stale) {
+        val li = graft.engine.Tables.load(s, dir, "lineitem")
+        li.repartition(16, col("l_suppkey"))
+          .write.mode("overwrite").parquet(out)
+      }
+      (out, DictionaryIndex.build(s, out, "lineitem", Seq("l_suppkey")).cache())
     })
   }
 

@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+import graft.plans.{Cmp, In, IndexPruning, PredValue}
+import graft.sources.{DictionaryIndex, MicroBlockIndex}
+
+/** Dictionary-page index (sources/DictionaryIndex): exact value sets
+  * from metadata-scale reads. The contract under test:
+  *
+  *   - distinct counts served from dictionaries are EXACT against a
+  *     full scan, for every physical view (int64, double, string),
+  *     including files whose chunks fell back to PLAIN pages (scan
+  *     fallback) and mixed dict/plain tables;
+  *   - equality pruning on a hash-bucketed layout keeps only the
+  *     files whose dictionaries hold the probe — the layout class
+  *     where zone maps provably keep everything;
+  *   - conservative edges never lose rows: absent values, uncovered
+  *     files, unindexed columns, all-null chunks.
+  */
+class DictionarySpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-dict-test")
+  private val dir = "/root/testdata/sf0.01"
+
+  private def scratch(tag: String) = s"target/scratch/test/dict/$tag"
+
+  private lazy val li = graft.engine.Tables.load(spark, dir, "lineitem")
+
+  /** A 4-file dictionary-encoded copy (Spark writer defaults). */
+  private lazy val dictPath: String = {
+    val out = scratch("dict4")
+    li.repartition(4, col("l_suppkey")).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** The same rows with dictionary encoding DISABLED — every chunk is
+    * PLAIN, so nothing is covered and the scan fallback carries it. */
+  private lazy val plainPath: String = {
+    val out = scratch("plain")
+    li.coalesce(2).write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(out)
+    out
+  }
+
+  private val cols = Seq("l_suppkey", "l_quantity", "l_returnflag")
+
+  private def truth(path: String, c: String): Long =
+    spark.read.parquet(path).select(c).filter(col(c).isNotNull).distinct().count()
+
+  test("dictionary-served distinct counts are exact for int64/double/string views") {
+    val idx = DictionaryIndex.build(spark, dictPath, "li", cols).cache()
+    val covered = idx.filter(col("covered")).count()
+    assert(covered == cols.size * 4L,
+      s"expected every (file, column) covered on the dict-encoded copy, got $covered")
+    cols.foreach { c =>
+      val (n, cov, total) = DictionaryIndex.countDistinct(spark, idx, dictPath, c)
+      assert(total == 4L && cov == 4L)
+      assert(n == truth(dictPath, c), s"column $c")
+    }
+  }
+
+  test("plain-encoded files are never covered and degrade to an exact scan") {
+    val idx = DictionaryIndex.build(spark, plainPath, "li", cols).cache()
+    assert(idx.filter(col("covered")).count() == 0L)
+    cols.foreach { c =>
+      val (n, cov, _) = DictionaryIndex.countDistinct(spark, idx, plainPath, c)
+      assert(cov == 0L)
+      assert(n == truth(plainPath, c), s"column $c (scan fallback)")
+    }
+  }
+
+  test("a mixed dict/plain table unions both paths exactly") {
+    val out = scratch("mixed")
+    val half = li.filter(col("l_orderkey") % 2 === 0)
+    half.coalesce(1).write.mode("overwrite").parquet(out)
+    li.filter(col("l_orderkey") % 2 === 1).coalesce(1)
+      .write.mode("append").option("parquet.enable.dictionary", "false").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "li", cols).cache()
+    val byCov = idx.groupBy(col("covered")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byCov.getOrElse(true, 0L) == cols.size.toLong, s"one covered file expected: $byCov")
+    assert(byCov.getOrElse(false, 0L) == cols.size.toLong, s"one plain file expected: $byCov")
+    cols.foreach { c =>
+      val (n, _, _) = DictionaryIndex.countDistinct(spark, idx, out, c)
+      assert(n == truth(out, c), s"column $c (hybrid)")
+    }
+  }
+
+  test("equality pruning keeps only dictionary-positive files where zone maps keep all") {
+    val out = scratch("buckets")
+    li.repartition(8, col("l_suppkey")).write.mode("overwrite").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "li", Seq("l_suppkey")).cache()
+    val total = MicroBlockIndex.listParquetFiles(out).size
+    assert(total == 8)
+
+    // zone maps on a hash layout prune only by luck: each file's
+    // [min, max] spans a random ~1/8 subset of 100 keys, so some files
+    // happen to exclude 3 at this tiny cardinality — at realistic
+    // cardinality every file spans the whole range and min/max refutes
+    // nothing. The structural guarantee under test: the dictionary cut
+    // is EXACT (keeps precisely the one file holding the key) and
+    // strictly dominates the min/max cut on the same layout.
+    val zoneIdx = MicroBlockIndex.build(spark, out, "li").toDF
+    val zoneSkipped =
+      IndexPruning.skippedFiles(zoneIdx, Cmp("=", "l_suppkey", PredValue(3L)))
+    val skipped = DictionaryIndex.skippedFilesEq(idx, "l_suppkey", Seq(PredValue(3L)))
+    assert(skipped.size == total - 1,
+      s"hash bucketing puts suppkey 3 in exactly one file; skipped ${skipped.size}/$total")
+    assert(skipped.size > zoneSkipped.size,
+      s"dictionary cut (${skipped.size}) must dominate zone maps (${zoneSkipped.size})")
+    assert(zoneSkipped.toSet.subsetOf(skipped.toSet),
+      "every min/max-refuted file is dictionary-refuted too")
+
+    val served = DictionaryIndex.prunedReadEq(
+      spark, idx, out, "l_suppkey", Seq(PredValue(3L)))
+    val expect = spark.read.parquet(out).filter(col("l_suppkey") === 3)
+    assert(served.count() == expect.count() && served.count() > 0)
+    assert(served.select(sum(col("l_orderkey"))).first.getLong(0) ==
+      expect.select(sum(col("l_orderkey"))).first.getLong(0))
+
+    // IN over two keys in different buckets keeps exactly their files
+    val skippedIn = DictionaryIndex.skippedFilesEq(idx, "l_suppkey",
+      Seq(PredValue(3L), PredValue(4L)))
+    val keptIn = total - skippedIn.size
+    assert(keptIn >= 1 && keptIn <= 2)
+    val servedIn = DictionaryIndex.prunedReadEq(spark, idx, out, "l_suppkey",
+      Seq(PredValue(3L), PredValue(4L)))
+    assert(servedIn.count() ==
+      spark.read.parquet(out).filter(col("l_suppkey").isin(3, 4)).count())
+  }
+
+  test("absent probe refutes every file and still returns a typed empty result") {
+    val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey")).cache()
+    val skipped = DictionaryIndex.skippedFilesEq(idx, "l_suppkey", Seq(PredValue(1000000L)))
+    assert(skipped.size == 4)
+    val served = DictionaryIndex.prunedReadEq(
+      spark, idx, dictPath, "l_suppkey", Seq(PredValue(1000000L)))
+    assert(served.count() == 0L)
+    assert(served.columns.contains("l_orderkey")) // schema survives
+    // a non-integral numeric probe on an integer column can never match
+    val servedFrac = DictionaryIndex.prunedReadEq(
+      spark, idx, dictPath, "l_suppkey", Seq(PredValue(3.5)))
+    assert(servedFrac.count() == 0L)
+  }
+
+  test("unindexed column and all-null column stay exact") {
+    import spark.implicits._
+    // column the index has no rows for: falls back to a full scan
+    val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey")).cache()
+    val n = DictionaryIndex.distinctValues(spark, idx, dictPath, "l_returnflag").count()
+    assert(n == truth(dictPath, "l_returnflag"))
+    assert(DictionaryIndex.skippedFilesEq(idx, "l_returnflag", Seq(PredValue("A"))).isEmpty)
+
+    // all-null string column: zero distinct, no crash on missing pages
+    val out = scratch("allnull")
+    Seq.tabulate(100)(i => (i.toLong, Option.empty[String]))
+      .toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(out)
+    val idx2 = DictionaryIndex.build(spark, out, "t", Seq("id", "s")).cache()
+    assert(DictionaryIndex.distinctValues(spark, idx2, out, "s").count() == 0L)
+    assert(DictionaryIndex.distinctValues(spark, idx2, out, "id").count() == 100L)
+  }
+
+  test("sidecar save/load roundtrip preserves decisions and stays invisible to scans") {
+    val rowsBefore = spark.read.parquet(dictPath).count()
+    val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey"))
+    DictionaryIndex.saveSidecar(idx, dictPath)
+    val loaded = DictionaryIndex.load(spark, DictionaryIndex.sidecarPath(dictPath))
+    val a = DictionaryIndex.skippedFilesEq(idx, "l_suppkey", Seq(PredValue(7L))).sorted
+    val b = DictionaryIndex.skippedFilesEq(loaded, "l_suppkey", Seq(PredValue(7L))).sorted
+    assert(a == b)
+    // the _graft_dict dir must not leak into the table's own scans
+    assert(spark.read.parquet(dictPath).count() == rowsBefore)
+  }
+}
