@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.{Cmp, IndexPruning, PredValue}
+import graft.sources.{DictionaryIndex, MicroBlockIndex}
+
+/** Dictionary-page serving measured at scale — the A/B behind
+  * mb_dict_distinct / mb_dict_point:
+  *
+  *   - global COUNT(DISTINCT) on covered columns (dictionary union,
+  *     zero data pages) vs the full column scan — the q16-family
+  *     weak-row answer for the global-distinct shape (the GROUPED
+  *     count-distinct still needs the scan; dictionaries carry no
+  *     co-occurrence). The fallback column (l_orderkey — its
+  *     dictionaries overflow the writer's 1 MB cap at this scale) is
+  *     reported too: expected ~parity, the honesty row.
+  *   - equality point lookup on a hash-bucketed layout: dictionary
+  *     file cut vs zone-map cut vs full scan, with files-kept counts.
+  *
+  * Build costs (dictionary index, bucketed layout) are one-time
+  * indexing-side costs and reported separately from serving medians.
+  * Every arm's VALUE is asserted equal across paths each rep.
+  *
+  * Usage: runMain graft.DictScale [sfDir] [reps] [buckets]
+  * Prints one JSON line and writes target/dict_scale.json.
+  */
+object DictScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf10")
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val buckets = if (args.length > 2) args(2).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm
+
+    def probe(): Double = {
+      val s = System.nanoTime()
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      (System.nanoTime() - s) / 1e9
+    }
+    def medianOf(run: => Long): (Double, Long) = {
+      var v = 0L
+      val ts = (1 to reps).map { _ =>
+        System.gc()
+        val s = System.nanoTime()
+        v = run
+        (System.nanoTime() - s) / 1e9
+      }.sorted
+      (ts(ts.length / 2), v)
+    }
+
+    val probeStart = probe()
+    val liPath = s"$sfDir/lineitem.parquet"
+    val li = spark.read.parquet(liPath)
+
+    // ---- one-time index build over the raw sf layout ----------------
+    // SPARK_GRAFT_DICT_COLS trims the arm set (the l_orderkey fallback
+    // arm is a full distinct over 147M keys at sf100 — minutes per rep)
+    val cols = sys.env.get("SPARK_GRAFT_DICT_COLS")
+      .map(_.split(',').toSeq)
+      .getOrElse(Seq("l_suppkey", "l_quantity", "l_orderkey"))
+    val tIdx = System.nanoTime()
+    val idx = DictionaryIndex.build(spark, liPath, "lineitem", cols).cache()
+    idx.count() // materialize
+    val idxBuildSec = (System.nanoTime() - tIdx) / 1e9
+    val coverage = cols.map { c =>
+      c -> idx.filter(col("column") === c && col("covered")).count()
+    }.toMap
+    val totalFiles = MicroBlockIndex.listParquetFiles(liPath).size.toLong
+
+    // ---- COUNT(DISTINCT) arms ---------------------------------------
+    val distinctArms = cols.flatMap { c =>
+      val (scanSec, scanVal) = medianOf(
+        li.select(countDistinct(col(c)).as("n")).first.getLong(0))
+      println(f"[dict-scale] distinct $c scan: $scanSec%.2fs n=$scanVal")
+      val (dictSec, dictVal) = medianOf(
+        DictionaryIndex.countDistinct(spark, idx, liPath, c)._1)
+      println(f"[dict-scale] distinct $c dict: $dictSec%.2fs n=$dictVal covered=${coverage(c)}/$totalFiles")
+      require(scanVal == dictVal, s"$c: scan=$scanVal dict=$dictVal")
+      Seq(
+        s""""distinct_${c}_scan":{"sec":$scanSec,"n":$scanVal}""",
+        s""""distinct_${c}_dict":{"sec":$dictSec,"n":$dictVal,"covered_files":${coverage(c)},"total_files":$totalFiles}""")
+    }
+
+    // ---- point lookup on a hash-bucketed layout ----------------------
+    val bucketPath = s"target/scratch/dict-scale/${new java.io.File(sfDir).getName}/lineitem-$buckets"
+    val done = new org.apache.hadoop.fs.Path(bucketPath + "/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tB = System.nanoTime()
+    if (!fs.exists(done))
+      li.repartition(buckets, col("l_suppkey"))
+        .write.mode("overwrite").parquet(bucketPath)
+    val bucketBuildSec = (System.nanoTime() - tB) / 1e9
+    println(f"[dict-scale] bucket layout ready ($bucketBuildSec%.1fs)")
+    val tBi = System.nanoTime()
+    val bIdx = DictionaryIndex.build(spark, bucketPath, "lineitem", Seq("l_suppkey")).cache()
+    bIdx.count()
+    val bIdxBuildSec = (System.nanoTime() - tBi) / 1e9
+    val zoneIdx = MicroBlockIndex.build(spark, bucketPath, "lineitem").toDF.cache()
+    zoneIdx.count()
+
+    val probeValue = 3L
+    val pred = Cmp("=", "l_suppkey", PredValue(probeValue))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(count(lit(1)), sum(col("l_orderkey")),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("string")).first
+      r.getLong(0) * 31L + r.get(1).hashCode() * 7L + r.getString(2).hashCode
+    }
+    val allBucketFiles = MicroBlockIndex.listParquetFiles(bucketPath)
+    val (scanSec, scanFp) = medianOf(
+      fingerprint(spark.read.parquet(allBucketFiles: _*).filter(pred.toColumn)))
+    var zoneKept = 0L
+    val (zoneSec, zoneFp) = medianOf {
+      val skipped = IndexPruning.skippedFiles(zoneIdx, pred).toSet
+      val kept = allBucketFiles.filterNot(skipped.contains)
+      zoneKept = kept.size.toLong
+      fingerprint(spark.read.parquet(kept: _*).filter(pred.toColumn))
+    }
+    var dictKept = 0L
+    val (dictSec, dictFp) = medianOf {
+      val skipped = DictionaryIndex.skippedFilesEq(bIdx, "l_suppkey", Seq(PredValue(probeValue))).toSet
+      val kept = allBucketFiles.filterNot(skipped.contains)
+      dictKept = kept.size.toLong
+      fingerprint(spark.read.parquet(kept: _*).filter(pred.toColumn))
+    }
+    require(scanFp == zoneFp && scanFp == dictFp,
+      s"fingerprints diverged: scan=$scanFp zone=$zoneFp dict=$dictFp")
+
+    val probeEnd = probe()
+    val line =
+      s"""{"bench":"dict_scale","sf":"$sfDir","reps":$reps,"buckets":$buckets,""" +
+        s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
+        s""""dict_index_build_sec":$idxBuildSec,""" +
+        distinctArms.mkString("", ",", ",") +
+        s""""bucket_build_sec":$bucketBuildSec,"bucket_index_build_sec":$bIdxBuildSec,""" +
+        s""""point_scan":{"sec":$scanSec,"files":${allBucketFiles.size}},""" +
+        s""""point_zone":{"sec":$zoneSec,"files":$zoneKept},""" +
+        s""""point_dict":{"sec":$dictSec,"files":$dictKept}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/dict_scale.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes)
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.stop()
+  }
+}

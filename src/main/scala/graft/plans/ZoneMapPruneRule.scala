@@ -48,7 +48,8 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond, rel @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _)) =>
         val roots = hfs.location.rootPaths.toSeq.map(_.toString)
         val indices = roots.flatMap(p => ZoneMapPruneRule.indexFor(p, spark))
-        if (indices.isEmpty) f
+        val dicts = roots.flatMap(p => ZoneMapPruneRule.dictIndexFor(p, spark))
+        if (indices.isEmpty && dicts.isEmpty) f
         else PredicateExtractor.convert(cond) match {
           case None => f
           case Some(pred) =>
@@ -56,8 +57,16 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // a file the (possibly stale) index doesn't know is kept
             // conservatively; a known file is skipped only when EVERY
             // indexed row group in it is a may-match=false (a file
-            // with one matching row group must stay).
-            val skip = ZoneMapPruneRule.skipSet(roots, indices, pred)
+            // with one matching row group must stay). The zone-map and
+            // dictionary cuts UNION: a file either index can refute
+            // cannot match (equality/IN conjuncts refute through value
+            // sets where min/max see nothing — hash-bucketed layouts,
+            // point lookups on unclustered columns).
+            val skip =
+              (if (indices.isEmpty) Set.empty[String]
+               else ZoneMapPruneRule.skipSet(roots, indices, pred)) ++
+              (if (dicts.isEmpty) Set.empty[String]
+               else ZoneMapPruneRule.dictSkipSet(roots, dicts, pred))
             val current = hfs.location.inputFiles.toSeq
             val kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
             if (kept.size >= current.size) f
@@ -91,6 +100,11 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object ZoneMapPruneRule {
   // root path -> stats index DATAFRAME (distributed; registered explicitly)
   private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  // root path -> DICTIONARY index DataFrame (graft.sources.DictionaryIndex
+  // rows: per-(file, column) exact value sets) — the equality/IN cut
+  private val dictRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Re-entrancy guard: the skip-set computation is itself a Spark
@@ -207,6 +221,48 @@ object ZoneMapPruneRule {
     }
   }
 
+  /** The equality/IN conjuncts a dictionary can refute files by. Sound
+    * because [[PredicateExtractor.convert]] yields a WEAKENING of the
+    * original condition (dropped conjuncts only keep more) and every
+    * top-level AND-conjunct is implied by the whole condition — a file
+    * refuted by any one conjunct cannot match. OR branches are not
+    * walked (a disjunction is refutable only if every branch is — the
+    * rare case is not worth the decision job). */
+  private[plans] def eqLeaves(p: Pred): Seq[(String, Seq[PredValue])] = p match {
+    case And(l, r)                => eqLeaves(l) ++ eqLeaves(r)
+    case Cmp("=", c, v)           => Seq(c -> Seq(v))
+    case In(c, vs) if vs.nonEmpty => Seq(c -> vs)
+    case _                        => Nil
+  }
+
+  /** Memoized dictionary skip sets, same discipline as [[skipSet]]. */
+  private val dictDecisionCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Pred), Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Pred), Set[String]]): Boolean = size > 512
+    })
+
+  private[graft] def dictSkipSet(
+      roots: Seq[String], dicts: Seq[DataFrame], pred: Pred): Set[String] = {
+    val leaves = eqLeaves(pred)
+    if (leaves.isEmpty) return Set.empty
+    val key = (roots.map(normFile).sorted.mkString("\u0000"), pred)
+    val hit = dictDecisionCache.get(key)
+    if (hit != null) hit
+    else {
+      inRule.set(java.lang.Boolean.TRUE)
+      val skip =
+        try {
+          val index = dicts.reduce(_ unionAll _)
+          leaves.flatMap { case (column, values) =>
+            graft.sources.DictionaryIndex.skippedFilesEq(index, column, values)
+          }.map(normFile).toSet
+        } finally inRule.set(java.lang.Boolean.FALSE)
+      dictDecisionCache.put(key, skip)
+      skip
+    }
+  }
+
   /** Fully qualify (scheme + absolute) then strip to the path part so
     * "target/x", "/root/repo/target/x" and "file:/root/repo/target/x"
     * all name the same index entry. */
@@ -310,14 +366,60 @@ object ZoneMapPruneRule {
     register(tablePath, session.read.parquet(
       graft.sources.MicroBlockIndex.sidecarPath(tablePath)).persist())
 
-  /** Sidecar probe memo: (root, session-uuid) → discovered index (None
-    * = probed, nothing fresh there). Bounded LRU like the decision
-    * caches; cleared on register/unregister so explicit registration
-    * always wins. */
+  /** Register a table's DICTIONARY index (as built by
+    * [[graft.sources.DictionaryIndex.build]] or loaded from its
+    * sidecar): equality/IN predicates over `rootPath` are file-pruned
+    * by exact value sets from here on — alongside (and unioned with)
+    * any zone-map cut. */
+  def registerDict(rootPath: String, index: DataFrame): Unit = {
+    val old = dictRegistry.put(norm(rootPath), index)
+    if ((old ne null) && (old ne index)) unpersistQuietly(old)
+    val it = dictRegistry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    dictDecisionCache.clear()
+    discoveryCache.clear()
+  }
+
+  def unregisterDict(rootPath: String): Unit = {
+    dictRegistry.remove(norm(rootPath))
+    dictDecisionCache.clear()
+    discoveryCache.clear()
+  }
+
+  /** [[registerSaved]]'s dictionary twin: load `<table>/_graft_dict`
+    * ([[graft.sources.DictionaryIndex.saveSidecar]]) and register it. */
+  def registerSavedDict(tablePath: String,
+      session: SparkSession = SparkSession.active): Unit =
+    registerDict(tablePath, session.read.parquet(
+      graft.sources.DictionaryIndex.sidecarPath(tablePath)).persist())
+
+  /** [[indexFor]]'s dictionary twin, same session guard and lazy
+    * `_graft_dict` sidecar discovery with the same staleness rule. */
+  def dictIndexFor(rootPath: String,
+      session: SparkSession): Option[DataFrame] = {
+    val registered =
+      if (dictRegistry.isEmpty) None
+      else {
+        val cheap = normFile(rootPath)
+        Option(dictRegistry.get(cheap)).orElse(
+          if (cheap.startsWith("/")) None
+          else Option(dictRegistry.get(norm(rootPath))))
+      }
+    registered.filter(_.sparkSession eq session)
+      .orElse(discoverSidecar(rootPath, session, "_graft_dict"))
+  }
+
+  /** Sidecar probe memo: (root, session-uuid, sidecar dir) → discovered
+    * index (None = probed, nothing fresh there). Bounded LRU like the
+    * decision caches; cleared on register/unregister so explicit
+    * registration always wins. */
   private val discoveryCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, String), Option[DataFrame]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, String), Option[DataFrame]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Option[DataFrame]]): Boolean =
+          e: java.util.Map.Entry[(String, String, String), Option[DataFrame]]): Boolean =
         size > 256
     })
 
@@ -328,8 +430,8 @@ object ZoneMapPruneRule {
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   private def discoverSidecar(rootPath: String,
-      session: SparkSession): Option[DataFrame] = {
-    val key = (normFile(rootPath), sessionKey(session))
+      session: SparkSession, dirName: String = "_graft_index"): Option[DataFrame] = {
+    val key = (normFile(rootPath), sessionKey(session), dirName)
     val hit = discoveryCache.get(key)
     if (hit != null) hit
     else {
@@ -338,7 +440,7 @@ object ZoneMapPruneRule {
           val conf = session.sparkContext.hadoopConfiguration
           val root = new Path(rootPath)
           val fs = root.getFileSystem(conf)
-          val sidecar = new Path(root, "_graft_index")
+          val sidecar = new Path(root, dirName)
           val success = new Path(sidecar, "_SUCCESS")
           if (!fs.exists(success)) None
           else {

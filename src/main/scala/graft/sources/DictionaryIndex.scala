@@ -111,10 +111,29 @@ object DictionaryIndex {
             .find(_.getPath.toDotString == c)
             .getOrElse(throw new IllegalStateException(s"column $c missing in $file"))
           val es = cc.getEncodingStats
-          val supported = descriptors(c).getPrimitiveType.getPrimitiveTypeName match {
-            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
-                 PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
-                 PrimitiveTypeName.BINARY => true
+          // Physical-type gate, with LOGICAL-type guards: a DECIMAL
+          // column's ints are UNSCALED (5.50 stored as 550 — the wrong
+          // equality domain for a scaled probe), an UNSIGNED int's raw
+          // bits misread as signed, and a non-UTF8 BINARY blob has no
+          // faithful string view. All of those stay covered=false;
+          // timestamps (micros), dates (days) and signed ints share
+          // the probe's numeric domain and are safe.
+          val pt = descriptors(c).getPrimitiveType
+          val logical = pt.getLogicalTypeAnnotation
+          import org.apache.parquet.schema.LogicalTypeAnnotation._
+          val supported = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              logical match {
+                case null => true
+                case i: IntLogicalTypeAnnotation => i.isSigned
+                case _: TimestampLogicalTypeAnnotation |
+                     _: DateLogicalTypeAnnotation => true
+                case _ => false // decimal, time, interval: wrong domain
+              }
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => true
+            case PrimitiveTypeName.BINARY =>
+              logical.isInstanceOf[StringLogicalTypeAnnotation] ||
+                logical.isInstanceOf[EnumLogicalTypeAnnotation]
             case _ => false
           }
           val dictOnly = es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
@@ -186,25 +205,42 @@ object DictionaryIndex {
     * index has no rows for degrades to a full scan — never silently
     * empty). */
   def distinctValues(spark: SparkSession, index: Dataset[FileDict],
-      tablePath: String, column: String): DataFrame = {
-    val entries = index.filter(col("column") === column)
-    // file-listing scale: which files the dictionaries cover
-    val coverage = entries.select(col("file"), col("covered"),
+      tablePath: String, column: String): DataFrame =
+    distinctFrom(spark, index, coverageOf(index, column), tablePath, column)
+
+  /** (file, covered, hasLongs, hasDoubles) per index entry for
+    * `column` — the one file-listing-scale collect the serve needs. */
+  private def coverageOf(index: Dataset[FileDict], column: String)
+      : Array[(String, Boolean, Boolean, Boolean)] =
+    index.filter(col("column") === column)
+      .select(col("file"), col("covered"),
         (size(col("valuesLong")) > 0).as("isL"), (size(col("valuesDouble")) > 0).as("isD"))
       .collect()
-    val coveredFiles = coverage.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+
+  private def distinctFrom(spark: SparkSession, index: Dataset[FileDict],
+      coverage: Array[(String, Boolean, Boolean, Boolean)],
+      tablePath: String, column: String): DataFrame = {
+    val entries = index.filter(col("column") === column)
+    val coveredFiles = coverage.filter(_._2).map(_._1).toSet
     val allFiles = MicroBlockIndex.listParquetFiles(tablePath)
     val uncovered = allFiles.filterNot(coveredFiles.contains)
-    val anyL = coverage.exists(r => r.getBoolean(1) && r.getBoolean(2))
-    val anyD = coverage.exists(r => r.getBoolean(1) && r.getBoolean(3))
+    val anyL = coverage.exists(r => r._2 && r._3)
+    val anyD = coverage.exists(r => r._2 && r._4)
     val dictSide =
       if (anyL) entries.filter(col("covered")).select(explode(col("valuesLong")).as("v"))
       else if (anyD) entries.filter(col("covered")).select(explode(col("valuesDouble")).as("v"))
       else entries.filter(col("covered")).select(explode(col("valuesStr")).as("v"))
     if (uncovered.isEmpty) dictSide.distinct()
-    else {
-      val scanSide = spark.read.parquet(uncovered: _*)
+    else if (coveredFiles.isEmpty)
+      // nothing covered: serve EXACTLY the scan plan — no union wart
+      spark.read.parquet(uncovered: _*)
         .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
+    else {
+      // no pre-union distinct: the final distinct is the one shuffle —
+      // map-side partial dedup still bounds what the scan side ships
+      val scanSide = spark.read.parquet(uncovered: _*)
+        .select(col(column).as("v")).filter(col("v").isNotNull)
       // align the scan side's Spark type with the dictionary's
       // physical view (int columns read back as int/long; the
       // dictionary side is long)
@@ -229,12 +265,22 @@ object DictionaryIndex {
   }
 
   /** `COUNT(DISTINCT column)` served from the index (+ a scan of only
-    * the uncovered files). Returns (count, coveredFiles, totalFiles). */
+    * the uncovered files). Returns (count, coveredFiles, totalFiles).
+    * Two Spark jobs total: the file-listing-scale coverage collect
+    * inside [[distinctValues]] and the distinct count itself. */
   def countDistinct(spark: SparkSession, index: Dataset[FileDict],
       tablePath: String, column: String): (Long, Long, Long) = {
-    val n = distinctValues(spark, index, tablePath, column).count()
-    val cov = index.filter(col("column") === column && col("covered")).count()
-    (n, cov, MicroBlockIndex.listParquetFiles(tablePath).size.toLong)
+    val cov = coverageOf(index, column)
+    val all = MicroBlockIndex.listParquetFiles(tablePath)
+    val n =
+      if (!cov.exists(_._2))
+        // nothing covered: the exact aggregate a plain scan plans
+        // (partial count-distinct, no distinct-rows materialization)
+        spark.read.parquet(all: _*)
+          .select(count_distinct(col(column)).as("n"))
+          .first.getLong(0)
+      else distinctFrom(spark, index, cov, tablePath, column).count()
+    (n, cov.count(_._2).toLong, all.size.toLong)
   }
 
   /** The files the dictionaries PROVE cannot hold any of `values` for
@@ -244,7 +290,7 @@ object DictionaryIndex {
     * contract). Conservative: an uncovered file, an index with no rows
     * for the column, or a probe whose type can't be compared exactly
     * keeps the file. */
-  def skippedFilesEq(index: Dataset[FileDict], column: String,
+  def skippedFilesEq(index: Dataset[_], column: String,
       values: Seq[graft.plans.PredValue]): Seq[String] = {
     val mayMatch = values.map { v =>
       val numHit = v.num.map { d =>

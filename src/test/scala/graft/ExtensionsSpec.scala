@@ -159,6 +159,60 @@ class ExtensionsSpec extends AnyFunSuite {
       s"stale sidecar was trusted: scanned $scannedStale of $totalFiles")
   }
 
+  test("dictionary cut fires transparently for = / IN on a hash-bucketed table") {
+    import graft.sources.DictionaryIndex
+    val out = "target/scratch/test/ext-dict"
+    Tables.load(spark, dir, "lineitem")
+      .repartition(8, col("l_suppkey")).write.mode("overwrite").parquet(out)
+    val totalFiles = MicroBlockIndex.listParquetFiles(out).size
+    val expected = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_suppkey") === 3).count()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.getOrElse(-1)
+    }
+    val dictIdx = DictionaryIndex.build(spark, out, "lineitem", Seq("l_suppkey"))
+    ZoneMapPruneRule.registerDict(out, dictIdx.toDF())
+    try {
+      // equality: plain DataFrame filter — no engine, no explicit scan list
+      val eq = spark.read.parquet(out).filter(col("l_suppkey") === 3)
+      assert(eq.count() == expected)
+      val eqScanned = scannedFiles(
+        spark.read.parquet(out).filter(col("l_suppkey") === 3))
+      assert(eqScanned < totalFiles && eqScanned >= 1,
+        s"dictionary cut did not fire: scanned $eqScanned of $totalFiles")
+      // IN list through plain SQL
+      val inExpected = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_suppkey").isin(3, 4)).count()
+      val inDf = spark.sql(
+        s"SELECT count(*) AS n FROM parquet.`$out` WHERE l_suppkey IN (3, 4)")
+      assert(inDf.collect().head.getLong(0) == inExpected)
+      // conjunction with a non-dict-refutable leaf: the = conjunct
+      // still cuts, the full filter still applies row-level
+      val conj = spark.read.parquet(out)
+        .filter(col("l_suppkey") === 3 && col("l_quantity") > 25)
+      val conjExpected = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_suppkey") === 3 && col("l_quantity") > 25).count()
+      assert(conj.count() == conjExpected)
+      assert(scannedFiles(spark.read.parquet(out)
+        .filter(col("l_suppkey") === 3 && col("l_quantity") > 25)) == eqScanned)
+      // absent key: every file refuted, zero rows, never an error
+      assert(spark.read.parquet(out).filter(col("l_suppkey") === 987654).count() == 0L)
+    } finally ZoneMapPruneRule.unregisterDict(out)
+
+    // fresh session discovers the _graft_dict sidecar with no register
+    DictionaryIndex.saveSidecar(dictIdx, out)
+    val fresh = spark.newSession()
+    val viaSidecar = fresh.read.parquet(out).filter(col("l_suppkey") === 3)
+    assert(viaSidecar.count() == expected)
+    assert(scannedFiles(
+      fresh.read.parquet(out).filter(col("l_suppkey") === 3)) < totalFiles,
+      "fresh session did not discover the _graft_dict sidecar")
+  }
+
   test("rule keeps files where only SOME row groups match (multi-rowgroup files)") {
     import org.apache.spark.sql.functions.col
     // 2 files, many small row groups each: per-file decisions differ
