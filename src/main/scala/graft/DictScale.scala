@@ -132,6 +132,51 @@ object DictScale {
     require(scanFp == zoneFp && scanFp == dictFp,
       s"fingerprints diverged: scan=$scanFp zone=$zoneFp dict=$dictFp")
 
+    // ---- HIGH-CARDINALITY point lookup: bloom filters --------------
+    // Orderkey-bucketed layout with dictionary OFF + bloom ON for the
+    // key (the regime where dictionaries overflow and blooms are the
+    // only refuting metadata). DuckDB reads the same files — its scan
+    // consumes the same parquet blooms row-group-level, so the pair is
+    // an honest engine-vs-engine read of identical metadata.
+    val bloomPath = s"target/scratch/dict-scale/${new java.io.File(sfDir).getName}/lineitem-bloom-$buckets"
+    val bDone = new org.apache.hadoop.fs.Path(bloomPath + "/_SUCCESS")
+    val tBb = System.nanoTime()
+    if (!fs.exists(bDone)) {
+      val ndv = math.max(4096L, li.count() / 4 / buckets)
+      // the §5 sizing rule (dd_bloom's mBits ∝ n, measured): parquet's
+      // default 1 MB bitset cap is ~3.6 bits/key at this ndv (~19% FP,
+      // measured 13/64 files kept) — lift the cap so the writer's
+      // ndv-derived size fits (~10 bits/key ⇒ <1% FP)
+      val maxBytes = math.max(1L << 20, ndv * 10L / 8)
+      li.repartition(buckets, col("l_orderkey"))
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", ndv.toString)
+        .option("parquet.bloom.filter.max.bytes", maxBytes.toString)
+        .parquet(bloomPath)
+    }
+    val bloomBuildSec = (System.nanoTime() - tBb) / 1e9
+    println(f"[dict-scale] bloom layout ready ($bloomBuildSec%.1fs)")
+    val bloomKey = 7L
+    val bloomFiles = MicroBlockIndex.listParquetFiles(bloomPath)
+    def bfp(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(count(lit(1)), sum(col("l_linenumber"))).first
+      r.getLong(0) * 31L + r.get(1).hashCode()
+    }
+    val (bScanSec, bScanFp) = medianOf(
+      bfp(spark.read.parquet(bloomFiles: _*).filter(col("l_orderkey") === bloomKey)))
+    var bloomKept = 0L
+    val (bBloomSec, bBloomFp) = medianOf {
+      val skipped = graft.sources.BloomPruning.skippedFilesEq(
+        spark, bloomPath, "l_orderkey", Seq(PredValue(bloomKey))).toSet
+      bloomKept = (bloomFiles.size - skipped.size).toLong
+      bfp(spark.read.parquet(bloomFiles.filterNot(skipped.contains): _*)
+        .filter(col("l_orderkey") === bloomKey))
+    }
+    require(bScanFp == bBloomFp, s"bloom fingerprints diverged: $bScanFp vs $bBloomFp")
+    println(f"[dict-scale] bloom point: scan $bScanSec%.2fs/${bloomFiles.size} files vs bloom $bBloomSec%.2fs/$bloomKept files")
+
     val probeEnd = probe()
     val line =
       s"""{"bench":"dict_scale","sf":"$sfDir","reps":$reps,"buckets":$buckets,""" +
@@ -141,7 +186,10 @@ object DictScale {
         s""""bucket_build_sec":$bucketBuildSec,"bucket_index_build_sec":$bIdxBuildSec,""" +
         s""""point_scan":{"sec":$scanSec,"files":${allBucketFiles.size}},""" +
         s""""point_zone":{"sec":$zoneSec,"files":$zoneKept},""" +
-        s""""point_dict":{"sec":$dictSec,"files":$dictKept}}"""
+        s""""point_dict":{"sec":$dictSec,"files":$dictKept},""" +
+        s""""bloom_build_sec":$bloomBuildSec,""" +
+        s""""bpoint_scan":{"sec":$bScanSec,"files":${bloomFiles.size}},""" +
+        s""""bpoint_bloom":{"sec":$bBloomSec,"files":$bloomKept}}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/dict_scale.json")

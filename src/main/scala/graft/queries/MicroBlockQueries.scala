@@ -432,6 +432,30 @@ object MicroBlockQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // mb_bloom_point (round 10): the HIGH-CARDINALITY point lookup —
+    // where dictionaries fall back (cardinality past the writer's
+    // dict cap: doc ids, URLs, order ids) parquet-native BLOOM
+    // FILTERS are the only metadata that can refute `col = v` on an
+    // unclustered layout. The scratch copy is hash-bucketed by
+    // l_orderkey with dictionary encoding OFF and blooms ON for that
+    // column (the real high-card regime at any sf); the serve probes
+    // each file's bloom (no false negatives — a refuted file provably
+    // holds no matching row) and scans only the survivors. Oracle =
+    // the same lookup full-scanned over the raw table; BloomSpec pins
+    // the never-refutes-present guarantee over every key of a planted
+    // corpus, FP-rate bounds, and missing-bloom conservatism.
+    QueryDef.sql(
+      "mb_bloom_point",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_orderkey = 7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val path = bloomBucketPath(s, dir)
+      graft.sources.BloomPruning.prunedReadEq(
+          s, path, "l_orderkey", Seq(PredValue(7L)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning
@@ -579,6 +603,36 @@ object MicroBlockQueries {
       (out, DictionaryIndex.build(s, out, "lineitem", Seq("l_suppkey")).cache())
     })
   }
+
+  private val bloomBucketCache =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** The high-cardinality point-lookup layout: lineitem hash-bucketed
+    * by l_orderkey (16 files), dictionary encoding OFF and a bloom
+    * filter ON for that column — the shape a 100 TB corpus's doc_id /
+    * URL column takes once its cardinality overflows every dictionary
+    * cap. Stale-guarded like the other scratch layouts. */
+  private[graft] def bloomBucketPath(s: SparkSession, dir: String): String =
+    synchronized {
+      bloomBucketCache.getOrElseUpdate(dir, {
+        val sfName = Paths.get(dir).getFileName.toString
+        val out = s"target/scratch/bloombucket/$sfName/lineitem"
+        val success = Paths.get(out, "_SUCCESS")
+        val stale = !Files.exists(success) ||
+          Files.getLastModifiedTime(success).toMillis < sourceMtime(dir, "lineitem")
+        if (stale) {
+          val li = graft.engine.Tables.load(s, dir, "lineitem")
+          val ndv = math.max(1024L, li.count() / 4 / 16) // per-file orderkey guess
+          li.repartition(16, col("l_orderkey"))
+            .write.mode("overwrite")
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", ndv.toString)
+            .parquet(out)
+        }
+        out
+      })
+    }
 
   // keyed by (session, dir): cached DataFrames are bound to the
   // SparkSession that built them — a new session in the same JVM must
