@@ -175,8 +175,46 @@ object Bench {
           s"serve_auto_ab failed: ${t.getClass.getName}: ${t.getMessage}")
         "null"
     }
+    // round 10: the dictionary point-lookup A/B — full scan vs the
+    // exact value-set file cut on the hash-bucketed layout (the shape
+    // min/max can't prune); BENCH_DICT.json carries the sf10/sf100
+    // story, this entry keeps it measured at the driver's sf per round
+    val dictAb = try {
+      spark.catalog.clearCache()
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val (path, dIdx) = graft.queries.MicroBlockQueries.dictBucketIndex(spark, sfDir)
+      val files = graft.sources.MicroBlockIndex.listParquetFiles(path)
+      val v = graft.plans.PredValue(3L)
+      def fp(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)), sum(col("l_linenumber"))).first.getLong(0)
+      def med(run: => Long): (Double, Long) = {
+        var r = 0L
+        val ts = (1 to 3).map { _ =>
+          val s = System.nanoTime(); r = run; (System.nanoTime() - s) / 1e9
+        }.sorted
+        (ts(1), r)
+      }
+      val (scanSec, scanV) = med(
+        fp(spark.read.parquet(files: _*).filter(col("l_suppkey") === 3)))
+      var kept = 0L
+      val (dictSec, dictV) = med {
+        val skipped = graft.sources.DictionaryIndex
+          .skippedFilesEq(dIdx, "l_suppkey", Seq(v)).toSet
+        kept = (files.size - skipped.size).toLong
+        fp(spark.read.parquet(files.filterNot(skipped.contains): _*)
+          .filter(col("l_suppkey") === 3))
+      }
+      require(scanV == dictV, s"dict_ab rows diverged: $scanV vs $dictV")
+      s"""{"point_scan":{"sec":$scanSec,"files":${files.size}},""" +
+        s""""point_dict":{"sec":$dictSec,"files":$kept}}"""
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"dict_ab failed: ${t.getClass.getName}: ${t.getMessage}")
+        "null"
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"dict_ab":$dictAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

@@ -406,9 +406,9 @@ object MicroBlockQueries {
       import s.implicits._
       val path = microPath(s, dir)
       val idx = dictIndex(s, dir)
-      DictColumns.map { c =>
-        (c, DictionaryIndex.countDistinct(s, idx, path, c)._1)
-      }.toDF("col_name", "n_distinct").orderBy("col_name")
+      val counts = DictionaryIndex.countDistinctMany(s, idx, path, DictColumns)
+      DictColumns.map(c => (c, counts(c)._1))
+        .toDF("col_name", "n_distinct").orderBy("col_name")
     },
 
     // mb_dict_point (round 10): equality POINT LOOKUP pruned by the

@@ -283,6 +283,39 @@ object DictionaryIndex {
     (n, cov.count(_._2).toLong, all.size.toLong)
   }
 
+  /** Batched [[countDistinct]] — the [[graft.plans.IndexPruning.decideMany]]
+    * discipline: ONE coverage collect and ONE distributed aggregation
+    * serve every FULLY-COVERED column (each typed value array explodes
+    * tagged by column; a column populates exactly one array, so the
+    * per-type partial counts sum without overlap). Columns with any
+    * uncovered file fall back to the per-column hybrid path — at
+    * typical coverage that's zero extra jobs instead of 2 per column.
+    * Returns column → (count, coveredFiles, totalFiles). */
+  def countDistinctMany(spark: SparkSession, index: Dataset[FileDict],
+      tablePath: String, columns: Seq[String])
+      : Map[String, (Long, Long, Long)] = {
+    val totalFiles = MicroBlockIndex.listParquetFiles(tablePath).size.toLong
+    // one file-listing-scale collect for every column's coverage
+    val cov = index.filter(col("column").isin(columns: _*))
+      .select(col("column"), col("covered")).collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rs) => c -> rs.count(_.getBoolean(1)).toLong }
+    val (full, partial) = columns.partition(c => cov.getOrElse(c, 0L) == totalFiles)
+    val fullCounts: Map[String, Long] =
+      if (full.isEmpty) Map.empty
+      else {
+        val e = index.filter(col("column").isin(full: _*) && col("covered"))
+        Seq("valuesLong", "valuesDouble", "valuesStr").map { a =>
+          e.select(col("column"), explode(col(a)).as("v"))
+            .groupBy("column").agg(count_distinct(col("v")).as("n"))
+        }.reduce(_ unionAll _)
+          .groupBy("column").agg(sum(col("n")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    (full.map(c => c -> ((fullCounts.getOrElse(c, 0L), totalFiles, totalFiles))) ++
+      partial.map(c => c -> countDistinct(spark, index, tablePath, c))).toMap
+  }
+
   /** The files the dictionaries PROVE cannot hold any of `values` for
     * `column` — equality/IN pruning where zone maps see nothing.
     * Distributed decision over the index; only the skip list reaches

@@ -87,6 +87,25 @@ class DictionarySpec extends AnyFunSuite {
     }
   }
 
+  test("countDistinctMany matches the per-column path, covered and mixed alike") {
+    // fully covered: the one-job batched path serves every column
+    val idx = DictionaryIndex.build(spark, dictPath, "li", cols).cache()
+    val many = DictionaryIndex.countDistinctMany(spark, idx, dictPath, cols)
+    cols.foreach { c =>
+      assert(many(c) == DictionaryIndex.countDistinct(spark, idx, dictPath, c), s"column $c")
+    }
+    // mixed coverage: covered columns batch, the uncovered file forces
+    // the fallback partition — both still exact vs the scan truth
+    val out = scratch("mixed-many")
+    li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    li.filter(col("l_orderkey") % 2 === 1).coalesce(1)
+      .write.mode("append").option("parquet.enable.dictionary", "false").parquet(out)
+    val idx2 = DictionaryIndex.build(spark, out, "li", cols).cache()
+    val many2 = DictionaryIndex.countDistinctMany(spark, idx2, out, cols)
+    cols.foreach(c => assert(many2(c)._1 == truth(out, c), s"column $c (mixed)"))
+  }
+
   test("equality pruning keeps only dictionary-positive files where zone maps keep all") {
     val out = scratch("buckets")
     li.repartition(8, col("l_suppkey")).write.mode("overwrite").parquet(out)
