@@ -49,7 +49,8 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val roots = hfs.location.rootPaths.toSeq.map(_.toString)
         val indices = roots.flatMap(p => ZoneMapPruneRule.indexFor(p, spark))
         val dicts = roots.flatMap(p => ZoneMapPruneRule.dictIndexFor(p, spark))
-        if (indices.isEmpty && dicts.isEmpty) f
+        val bloomRoots = roots.filter(ZoneMapPruneRule.bloomRegistered)
+        if (indices.isEmpty && dicts.isEmpty && bloomRoots.isEmpty) f
         else PredicateExtractor.convert(cond) match {
           case None => f
           case Some(pred) =>
@@ -57,16 +58,19 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // a file the (possibly stale) index doesn't know is kept
             // conservatively; a known file is skipped only when EVERY
             // indexed row group in it is a may-match=false (a file
-            // with one matching row group must stay). The zone-map and
-            // dictionary cuts UNION: a file either index can refute
-            // cannot match (equality/IN conjuncts refute through value
-            // sets where min/max see nothing — hash-bucketed layouts,
-            // point lookups on unclustered columns).
+            // with one matching row group must stay). The zone-map,
+            // dictionary and bloom cuts UNION: a file any of them can
+            // refute cannot match (equality/IN conjuncts refute
+            // through value sets / bloom membership where min/max see
+            // nothing — hash-bucketed layouts, point lookups on
+            // unclustered columns).
             val skip =
               (if (indices.isEmpty) Set.empty[String]
                else ZoneMapPruneRule.skipSet(roots, indices, pred)) ++
               (if (dicts.isEmpty) Set.empty[String]
-               else ZoneMapPruneRule.dictSkipSet(roots, dicts, pred))
+               else ZoneMapPruneRule.dictSkipSet(roots, dicts, pred)) ++
+              (if (bloomRoots.isEmpty) Set.empty[String]
+               else ZoneMapPruneRule.bloomSkipSet(spark, bloomRoots, pred))
             val current = hfs.location.inputFiles.toSeq
             val kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
             if (kept.size >= current.size) f
@@ -259,6 +263,63 @@ object ZoneMapPruneRule {
           }.map(normFile).toSet
         } finally inRule.set(java.lang.Boolean.FALSE)
       dictDecisionCache.put(key, skip)
+      skip
+    }
+  }
+
+  // Roots OPTED IN to bloom probing. Unlike the index registries this
+  // holds no DataFrame — BloomPruning is stateless (the blooms live in
+  // the files) — but probing costs real metadata I/O per new query
+  // shape, so it must never fire for arbitrary relations: only
+  // registered roots pay it, and decisions are memoized like the rest.
+  private val bloomRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Opt `rootPath` into transparent bloom-filter pruning for
+    * equality/IN predicates (tables written with
+    * `parquet.bloom.filter.enabled#<col>` — see
+    * [[graft.sources.BloomPruning]]). Roots without blooms are safe
+    * (nothing refutes) but pay the probe job once per query shape. */
+  def registerBloom(rootPath: String): Unit = {
+    bloomRoots.add(norm(rootPath))
+    bloomDecisionCache.clear()
+  }
+
+  def unregisterBloom(rootPath: String): Unit = {
+    bloomRoots.remove(norm(rootPath))
+    bloomDecisionCache.clear()
+  }
+
+  private[plans] def bloomRegistered(rootPath: String): Boolean =
+    !bloomRoots.isEmpty && {
+      val cheap = normFile(rootPath)
+      bloomRoots.contains(cheap) ||
+        (!cheap.startsWith("/") && bloomRoots.contains(norm(rootPath)))
+    }
+
+  private val bloomDecisionCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Pred), Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Pred), Set[String]]): Boolean = size > 512
+    })
+
+  private[graft] def bloomSkipSet(spark: SparkSession,
+      roots: Seq[String], pred: Pred): Set[String] = {
+    val leaves = eqLeaves(pred)
+    if (leaves.isEmpty) return Set.empty
+    val key = (roots.map(normFile).sorted.mkString("\u0000"), pred)
+    val hit = bloomDecisionCache.get(key)
+    if (hit != null) hit
+    else {
+      inRule.set(java.lang.Boolean.TRUE)
+      val skip =
+        try roots.flatMap { root =>
+          leaves.flatMap { case (column, values) =>
+            graft.sources.BloomPruning.skippedFilesEq(spark, root, column, values)
+          }
+        }.map(normFile).toSet
+        finally inRule.set(java.lang.Boolean.FALSE)
+      bloomDecisionCache.put(key, skip)
       skip
     }
   }

@@ -213,6 +213,48 @@ class ExtensionsSpec extends AnyFunSuite {
       "fresh session did not discover the _graft_dict sidecar")
   }
 
+  test("bloom cut fires transparently for opted-in roots") {
+    import graft.sources.BloomPruning
+    val out = "target/scratch/test/ext-bloom"
+    Tables.load(spark, dir, "lineitem")
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "2048")
+      .parquet(out)
+    val totalFiles = MicroBlockIndex.listParquetFiles(out).size
+    val key = Tables.load(spark, dir, "lineitem")
+      .agg(min(col("l_orderkey"))).first.getLong(0)
+    val expected = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") === key).count()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.getOrElse(-1)
+    }
+    // NOT registered: the rule must not touch the relation
+    assert(scannedFiles(
+      spark.read.parquet(out).filter(col("l_orderkey") === key)) == totalFiles)
+    ZoneMapPruneRule.registerBloom(out)
+    try {
+      val df = spark.read.parquet(out).filter(col("l_orderkey") === key)
+      assert(df.count() == expected && expected > 0)
+      val scanned = scannedFiles(
+        spark.read.parquet(out).filter(col("l_orderkey") === key))
+      // bloom skip list must match the explicit API's decision
+      val apiKept = totalFiles - BloomPruning.skippedFilesEq(
+        spark, out, "l_orderkey", Seq(graft.plans.PredValue(key))).size
+      assert(scanned == apiKept && scanned < totalFiles,
+        s"transparent bloom cut scanned $scanned, API kept $apiKept of $totalFiles")
+    } finally ZoneMapPruneRule.unregisterBloom(out)
+    // unregistered again: back to the full listing
+    assert(scannedFiles(
+      spark.read.parquet(out).filter(col("l_orderkey") === key)) == totalFiles)
+  }
+
   test("rule keeps files where only SOME row groups match (multi-rowgroup files)") {
     import org.apache.spark.sql.functions.col
     // 2 files, many small row groups each: per-file decisions differ
