@@ -49,7 +49,8 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val roots = hfs.location.rootPaths.toSeq.map(_.toString)
         val indices = roots.flatMap(p => ZoneMapPruneRule.indexFor(p, spark))
         val dicts = roots.flatMap(p => ZoneMapPruneRule.dictIndexFor(p, spark))
-        val bloomRoots = roots.filter(ZoneMapPruneRule.bloomRegistered)
+        val bloomRoots = roots.flatMap(p =>
+          ZoneMapPruneRule.bloomColumnsFor(p, spark).map(cols => p -> cols))
         if (indices.isEmpty && dicts.isEmpty && bloomRoots.isEmpty) f
         else PredicateExtractor.convert(cond) match {
           case None => f
@@ -267,35 +268,82 @@ object ZoneMapPruneRule {
     }
   }
 
-  // Roots OPTED IN to bloom probing. Unlike the index registries this
-  // holds no DataFrame — BloomPruning is stateless (the blooms live in
-  // the files) — but probing costs real metadata I/O per new query
-  // shape, so it must never fire for arbitrary relations: only
-  // registered roots pay it, and decisions are memoized like the rest.
+  // Roots OPTED IN to bloom probing, mapped to the columns worth
+  // probing (empty set = any equality leaf). Unlike the index
+  // registries this holds no DataFrame — BloomPruning is stateless
+  // (the blooms live in the files) — but probing costs real metadata
+  // I/O per new query shape, so it must never fire for arbitrary
+  // relations: only explicitly registered roots and roots carrying a
+  // `_graft_bloom` marker pay it, and decisions are memoized like the
+  // rest.
   private val bloomRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** Opt `rootPath` into transparent bloom-filter pruning for
     * equality/IN predicates (tables written with
     * `parquet.bloom.filter.enabled#<col>` — see
-    * [[graft.sources.BloomPruning]]). Roots without blooms are safe
-    * (nothing refutes) but pay the probe job once per query shape. */
-  def registerBloom(rootPath: String): Unit = {
-    bloomRoots.add(norm(rootPath))
+    * [[graft.sources.BloomPruning]]). `columns` restricts the probe to
+    * the bloom'd columns (cheaper: other equality leaves skip the
+    * metadata job); empty = probe every equality leaf. Roots without
+    * blooms are safe (nothing refutes) but pay the probe job once per
+    * query shape. Tables written with a
+    * [[graft.sources.BloomPruning.writeMarker]] `_graft_bloom` marker
+    * need no call at all — any session discovers them lazily. */
+  def registerBloom(rootPath: String, columns: Seq[String] = Nil): Unit = {
+    bloomRoots.put(norm(rootPath), columns.toSet)
     bloomDecisionCache.clear()
+    bloomMarkerCache.clear()
   }
 
   def unregisterBloom(rootPath: String): Unit = {
     bloomRoots.remove(norm(rootPath))
     bloomDecisionCache.clear()
+    bloomMarkerCache.clear()
   }
 
-  private[plans] def bloomRegistered(rootPath: String): Boolean =
-    !bloomRoots.isEmpty && {
-      val cheap = normFile(rootPath)
-      bloomRoots.contains(cheap) ||
-        (!cheap.startsWith("/") && bloomRoots.contains(norm(rootPath)))
+  /** The bloom-probe column set for `rootPath` (None = do not probe).
+    * An explicit [[registerBloom]] wins; otherwise the root's
+    * `_graft_bloom` marker is probed ONCE per (root, session) — the
+    * same lazy-discovery contract as the index sidecars, minus any
+    * staleness guard (blooms live in the data files themselves; an
+    * appended file without blooms keeps conservatively). */
+  private[graft] def bloomColumnsFor(rootPath: String,
+      session: SparkSession): Option[Set[String]] = {
+    val explicit =
+      if (bloomRoots.isEmpty) None
+      else {
+        val cheap = normFile(rootPath)
+        Option(bloomRoots.get(cheap)).orElse(
+          if (cheap.startsWith("/")) None
+          else Option(bloomRoots.get(norm(rootPath))))
+      }
+    explicit.orElse(discoverBloomMarker(rootPath, session))
+  }
+
+  // (root, session) → marker columns (None = probed, no marker there).
+  // Memoized positive AND negative, so an unmarked table costs one
+  // filesystem round-trip per session ever — this sits on the
+  // planning hot path for every Filter over any parquet relation.
+  private val bloomMarkerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Option[Set[String]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Option[Set[String]]]): Boolean =
+        size > 256
+    })
+
+  private def discoverBloomMarker(rootPath: String,
+      session: SparkSession): Option[Set[String]] = {
+    val key = (normFile(rootPath), sessionKey(session))
+    val hit = bloomMarkerCache.get(key)
+    if (hit != null) hit
+    else {
+      val found =
+        try graft.sources.BloomPruning.markerColumns(rootPath).map(_.toSet)
+        catch { case scala.util.control.NonFatal(_) => None }
+      bloomMarkerCache.put(key, found)
+      found
     }
+  }
 
   private val bloomDecisionCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Pred), Set[String]](64, 0.75f, true) {
@@ -304,19 +352,23 @@ object ZoneMapPruneRule {
     })
 
   private[graft] def bloomSkipSet(spark: SparkSession,
-      roots: Seq[String], pred: Pred): Set[String] = {
+      roots: Seq[(String, Set[String])], pred: Pred): Set[String] = {
     val leaves = eqLeaves(pred)
     if (leaves.isEmpty) return Set.empty
-    val key = (roots.map(normFile).sorted.mkString("\u0000"), pred)
+    val key = (roots.map { case (r, cols) =>
+      normFile(r) + "#" + cols.toSeq.sorted.mkString(",")
+    }.sorted.mkString("\u0000"), pred)
     val hit = bloomDecisionCache.get(key)
     if (hit != null) hit
     else {
       inRule.set(java.lang.Boolean.TRUE)
       val skip =
-        try roots.flatMap { root =>
-          leaves.flatMap { case (column, values) =>
-            graft.sources.BloomPruning.skippedFilesEq(spark, root, column, values)
-          }
+        try roots.flatMap { case (root, cols) =>
+          leaves
+            .filter { case (column, _) => cols.isEmpty || cols.contains(column) }
+            .flatMap { case (column, values) =>
+              graft.sources.BloomPruning.skippedFilesEq(spark, root, column, values)
+            }
         }.map(normFile).toSet
         finally inRule.set(java.lang.Boolean.FALSE)
       bloomDecisionCache.put(key, skip)

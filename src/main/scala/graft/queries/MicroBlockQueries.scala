@@ -629,6 +629,10 @@ object MicroBlockQueries {
             .option("parquet.bloom.filter.enabled#l_orderkey", "true")
             .option("parquet.bloom.filter.expected.ndv#l_orderkey", ndv.toString)
             .parquet(out)
+          // discovery marker: any session's plain SQL over this layout
+          // gets the transparent bloom cut (ZoneMapPruneRule), no
+          // register call — same deployment story as _graft_index/_dict
+          graft.sources.BloomPruning.writeMarker(out, Seq("l_orderkey"))
         }
         out
       })

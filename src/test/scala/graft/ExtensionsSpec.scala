@@ -255,6 +255,51 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.read.parquet(out).filter(col("l_orderkey") === key)) == totalFiles)
   }
 
+  test("_graft_bloom marker: any session discovers the bloom cut with no register call") {
+    import graft.sources.BloomPruning
+    val out = "target/scratch/test/ext-bloom-marker"
+    val li = Tables.load(spark, dir, "lineitem")
+    li.repartition(8, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "2048")
+      .parquet(out)
+    BloomPruning.writeMarker(out, Seq("l_orderkey"))
+    assert(BloomPruning.markerColumns(out).contains(Seq("l_orderkey")))
+    // the marker (underscore file) must be invisible to the data scan
+    assert(spark.read.parquet(out).columns.sorted.toSeq == li.columns.sorted.toSeq,
+      "marker file leaked into the table scan")
+    val totalFiles = MicroBlockIndex.listParquetFiles(out).size
+    val key = li.agg(min(col("l_orderkey"))).first.getLong(0)
+    val expected = li.filter(col("l_orderkey") === key).count()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.getOrElse(-1)
+    }
+    // fresh session, NO registerBloom call: marker discovery alone
+    val fresh = spark.newSession()
+    val df = fresh.read.parquet(out).filter(col("l_orderkey") === key)
+    assert(df.count() == expected && expected > 0)
+    val scanned = scannedFiles(
+      fresh.read.parquet(out).filter(col("l_orderkey") === key))
+    val apiKept = totalFiles - BloomPruning.skippedFilesEq(
+      spark, out, "l_orderkey", Seq(graft.plans.PredValue(key))).size
+    assert(scanned == apiKept && scanned < totalFiles,
+      s"marker-discovered cut scanned $scanned, API kept $apiKept of $totalFiles")
+    // the discovered probe set is RESTRICTED to the marker's columns —
+    // equality leaves on other columns never pay the metadata job
+    assert(ZoneMapPruneRule.bloomColumnsFor(out, fresh)
+      .contains(Set("l_orderkey")))
+    // a markerless sibling table is never probed
+    val plain = "target/scratch/test/ext-bloom-nomarker"
+    li.limit(100).write.mode("overwrite").parquet(plain)
+    assert(ZoneMapPruneRule.bloomColumnsFor(plain, fresh).isEmpty)
+  }
+
   test("rule keeps files where only SOME row groups match (multi-rowgroup files)") {
     import org.apache.spark.sql.functions.col
     // 2 files, many small row groups each: per-file decisions differ
