@@ -230,14 +230,29 @@ object ZoneMapPruneRule {
     * because [[PredicateExtractor.convert]] yields a WEAKENING of the
     * original condition (dropped conjuncts only keep more) and every
     * top-level AND-conjunct is implied by the whole condition — a file
-    * refuted by any one conjunct cannot match. OR branches are not
-    * walked (a disjunction is refutable only if every branch is — the
-    * rare case is not worth the decision job). */
+    * refuted by any one conjunct cannot match. An OR conjunct whose
+    * every branch is an equality/IN on ONE shared column is the same
+    * as an IN over the combined values (`k = 3 OR k = 5` ≡
+    * `k IN (3, 5)` — users write both spellings, and Spark does not
+    * normalize the two-branch case), so it refutes too; mixed-column
+    * ORs are not walked (refuting them needs a per-file intersection
+    * across columns — the rare case is not worth the decision job). */
   private[plans] def eqLeaves(p: Pred): Seq[(String, Seq[PredValue])] = p match {
     case And(l, r)                => eqLeaves(l) ++ eqLeaves(r)
     case Cmp("=", c, v)           => Seq(c -> Seq(v))
     case In(c, vs) if vs.nonEmpty => Seq(c -> vs)
+    case o: Or                    => orEq(o).toSeq
     case _                        => Nil
+  }
+
+  /** An OR tree as one same-column IN, when that's what it is. */
+  private def orEq(p: Pred): Option[(String, Seq[PredValue])] = p match {
+    case Or(l, r) =>
+      for { (cl, vl) <- orEq(l); (cr, vr) <- orEq(r); if cl == cr }
+        yield (cl, vl ++ vr)
+    case Cmp("=", c, v)           => Some(c -> Seq(v))
+    case In(c, vs) if vs.nonEmpty => Some(c -> vs)
+    case _                        => None
   }
 
   /** Memoized dictionary skip sets, same discipline as [[skipSet]]. */

@@ -373,4 +373,39 @@ object DictionaryIndex {
     import spark.implicits._
     spark.read.parquet(path).as[FileDict]
   }
+
+  /** INCREMENTAL refresh (the [[MicroBlockIndex.refresh]] contract):
+    * read dictionary pages only for files the existing index doesn't
+    * know — append-only ingest updates the index at the cost of the
+    * NEW files' metadata, never a full rebuild (at millions of files a
+    * rebuild re-reads every dictionary page for a 1% delta). Entries
+    * are per-file and independent — no global ids to rebase — so the
+    * union IS the refreshed index. `columns` defaults to the columns
+    * the existing index covers. Files deleted from disk keep their
+    * entries harmlessly (the pruning rule only ever skips files
+    * present in the live listing; [[countDistinct]]/[[distinctValues]]
+    * key coverage by the live listing too, so a dead entry is never
+    * served); a compaction that REWRITES files in place needs a
+    * rebuild — the sidecar staleness guard refuses the stale index in
+    * fresh sessions for exactly that case. */
+  def refresh(spark: SparkSession, tablePath: String, table: String,
+      existing: Dataset[FileDict], columns: Seq[String] = Nil): Dataset[FileDict] = {
+    import spark.implicits._
+    val known = existing.select("file").distinct()
+      .collect().map(_.getString(0)).toSet // file-listing scale
+    val newFiles = MicroBlockIndex.listParquetFiles(tablePath)
+      .filterNot(known).sorted
+    if (newFiles.isEmpty) return existing
+    val cols =
+      if (columns.nonEmpty) columns.toArray
+      else existing.select("column").distinct()
+        .collect().map(_.getString(0)).sorted // column-count scale
+    val numParts = math.max(1, math.min(newFiles.size,
+      math.max(spark.sparkContext.defaultParallelism, newFiles.size / 256)))
+    val added = spark.sparkContext
+      .parallelize(newFiles, numParts)
+      .flatMap(file => readFileDicts(table, file, cols))
+      .toDS()
+    existing.unionAll(added)
+  }
 }

@@ -149,6 +149,41 @@ class DictionarySpec extends AnyFunSuite {
       spark.read.parquet(out).filter(col("l_suppkey").isin(3, 4)).count())
   }
 
+  test("incremental refresh indexes only appended files and matches a full rebuild") {
+    val out = scratch("refresh")
+    val even = li.filter(col("l_orderkey") % 2 === 0)
+    val odd = li.filter(col("l_orderkey") % 2 === 1)
+    even.repartition(2, col("l_suppkey")).write.mode("overwrite").parquet(out)
+    val base = DictionaryIndex.build(spark, out, "li", Seq("l_suppkey")).cache()
+    val baseFiles = MicroBlockIndex.listParquetFiles(out).toSet
+    // no new files: refresh is the identity, no job run
+    assert(DictionaryIndex.refresh(spark, out, "li", base) eq base)
+    // append-only ingest: two more files land
+    odd.repartition(2, col("l_suppkey")).write.mode("append").parquet(out)
+    assert(MicroBlockIndex.listParquetFiles(out).size == baseFiles.size + 2)
+    val refreshed = DictionaryIndex.refresh(spark, out, "li", base).cache()
+    // the original files' entries are carried, not re-read: identical rows
+    def snapshot(ds: org.apache.spark.sql.Dataset[graft.sources.FileDict]) =
+      ds.collect().map(d => (d.file, d.column) ->
+        ((d.covered, d.rowGroups, d.valuesLong.toSet, d.valuesDouble.toSet,
+          d.valuesStr.toSet))).toMap
+    val rebuilt = snapshot(DictionaryIndex.build(spark, out, "li", Seq("l_suppkey")))
+    val incr = snapshot(refreshed)
+    assert(incr.keySet == rebuilt.keySet,
+      "refresh must cover exactly the files a full rebuild covers")
+    incr.foreach { case (k, v) =>
+      assert(v == rebuilt(k), s"refreshed entry differs from rebuild at $k") }
+    // and the refreshed index SERVES correctly over the appended table
+    val (n, covered, total) =
+      DictionaryIndex.countDistinct(spark, refreshed, out, "l_suppkey")
+    assert(n == li.select(count_distinct(col("l_suppkey"))).first.getLong(0))
+    assert(covered == total && total == baseFiles.size + 2)
+    val served = DictionaryIndex.prunedReadEq(
+      spark, refreshed, out, "l_suppkey", Seq(PredValue(3L)))
+    assert(served.count() ==
+      spark.read.parquet(out).filter(col("l_suppkey") === 3).count())
+  }
+
   test("absent probe refutes every file and still returns a typed empty result") {
     val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey")).cache()
     val skipped = DictionaryIndex.skippedFilesEq(idx, "l_suppkey", Seq(PredValue(1000000L)))

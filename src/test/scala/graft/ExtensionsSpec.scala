@@ -190,6 +190,25 @@ class ExtensionsSpec extends AnyFunSuite {
       val inDf = spark.sql(
         s"SELECT count(*) AS n FROM parquet.`$out` WHERE l_suppkey IN (3, 4)")
       assert(inDf.collect().head.getLong(0) == inExpected)
+      // OR of equalities on ONE column is the IN spelling users also
+      // write — it must refute identically (eqLeaves orEq fold)
+      val inScanned = scannedFiles(
+        spark.read.parquet(out).filter(col("l_suppkey").isin(3, 4)))
+      val orScanned = scannedFiles(spark.read.parquet(out)
+        .filter(col("l_suppkey") === 3 || col("l_suppkey") === 4))
+      assert(orScanned == inScanned && orScanned < totalFiles,
+        s"OR spelling scanned $orScanned files, IN spelling $inScanned")
+      assert(spark.read.parquet(out)
+        .filter(col("l_suppkey") === 3 || col("l_suppkey") === 4)
+        .count() == inExpected)
+      // ...but a mixed-column OR must NOT cut through the value sets
+      // (refuting it needs a cross-column intersection eqLeaves does
+      // not claim) — correctness first: the answer stays exact
+      val mixed = spark.read.parquet(out)
+        .filter(col("l_suppkey") === 3 || col("l_partkey") === 1)
+      val mixedExpected = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_suppkey") === 3 || col("l_partkey") === 1).count()
+      assert(mixed.count() == mixedExpected)
       // conjunction with a non-dict-refutable leaf: the = conjunct
       // still cuts, the full filter still applies row-level
       val conj = spark.read.parquet(out)
