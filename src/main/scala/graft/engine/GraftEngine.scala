@@ -102,6 +102,27 @@ final class GraftEngine(
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(5)))
         .toSeq.sortBy(_._1))
 
+  /** Lazily-built DICTIONARY indices for the [[sql]] surface's
+    * COUNT(DISTINCT)/DISTINCT serve, memoized per column for the
+    * engine's lifetime (the workload-replay assumption every memo here
+    * shares). One metadata-scale build job per first-seen column
+    * batch; driver state is columns-scale (the datasets stay
+    * distributed). */
+  private val dictIdxMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Dataset[graft.sources.FileDict]]
+
+  private[engine] def dictIndexFor(columns: Seq[String])
+      : Dataset[graft.sources.FileDict] = {
+    val missing = columns.filterNot(dictIdxMemo.contains)
+    if (missing.nonEmpty) {
+      val built = graft.sources.DictionaryIndex
+        .build(spark, tablePath, table, missing).persist()
+      missing.foreach(c => dictIdxMemo.getOrElseUpdate(c,
+        built.filter(org.apache.spark.sql.functions.col("column") === c)))
+    }
+    columns.map(dictIdxMemo).reduce(_ unionAll _)
+  }
+
   private val candidateMemo =
     scala.collection.concurrent.TrieMap.empty[Pred, Seq[Int]]
 
@@ -586,22 +607,78 @@ final class GraftEngine(
         case _ => None
       }
     }
-    val ids = pred.map(candidates)
-      .orElse(if (allFilters == 0) topkIds else None)
-      .getOrElse(blockIds)
-    accessLog.log(table, ids,
-      pred.map(p => graft.plans.IndexPruning.refColumns(p).toSeq.sorted)
-        .getOrElse(Nil))
-    // Serve the candidate superset WITHOUT re-applying the extracted
-    // predicate — the SQL's own WHERE does the row-level filtering, so
-    // a lossy extraction can never change results, only pruning.
-    serve(ids).createOrReplaceTempView(table)
-    // spark.sql analyzes eagerly, so `out`'s plan is pinned to the
-    // pruned binding; restore the full-table binding for later plain
-    // spark.sql over `table` outside this engine call.
-    val out = spark.sql(query)
-    raw.createOrReplaceTempView(table)
-    out
+    // COUNT(DISTINCT col)[, COUNT(DISTINCT col2), …] and SELECT
+    // DISTINCT col over the bare unfiltered table: served from
+    // DICTIONARY PAGES ([[graft.sources.DictionaryIndex]]) —
+    // metadata-scale reads instead of a data scan for
+    // fully-dictionary-encoded columns, one pruned scan of just the
+    // PLAIN-fallback files otherwise; always exact (the oracle gate
+    // hash-checks the same machinery). The per-column index builds
+    // lazily on first use. No blocks are touched, so nothing is
+    // logged or cached — the serve IS the answer. The DISTINCT-values
+    // arm is limited to Spark types whose cast from the physical
+    // dictionary view is faithful (integral/fractional/string —
+    // casting raw micros to a timestamp would shift the domain).
+    def dictServe: Option[DataFrame] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{
+        AggregateExpression, Count}
+      import org.apache.spark.sql.types._
+      def faithful(t: DataType): Boolean = t match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType => true
+        case _ => false
+      }
+      def countDistinctOf(e: Expression): Option[(String, String)] = e match {
+        case Alias(AggregateExpression(
+            Count(Seq(a: AttributeReference)), _, true, None, _), nm) =>
+          Some(nm -> a.name)
+        case _ => None
+      }
+      if (allFilters != 0 || scanCount != 1) None
+      else analyzedPlan match {
+        case Aggregate(Nil, exprs, child, _)
+            if isDirectScan(child) && exprs.nonEmpty &&
+              exprs.forall(countDistinctOf(_).nonEmpty) =>
+          val pairs = exprs.flatMap(countDistinctOf)
+          val cols = pairs.map(_._2).distinct
+          val counts = graft.sources.DictionaryIndex.countDistinctMany(
+            spark, dictIndexFor(cols), tablePath, cols)
+          val schema = StructType(pairs.map { case (nm, _) =>
+            StructField(nm, LongType, nullable = false) })
+          val row = org.apache.spark.sql.Row.fromSeq(
+            pairs.map { case (_, c) => counts(c)._1 })
+          Some(spark.createDataFrame(
+            java.util.Collections.singletonList(row), schema))
+        case Distinct(Project(Seq(a: AttributeReference), child))
+            if isDirectScan(child) && faithful(a.dataType) =>
+          val vals = graft.sources.DictionaryIndex.distinctValues(
+            spark, dictIndexFor(Seq(a.name)), tablePath, a.name)
+          Some(vals.select(org.apache.spark.sql.functions.col("v")
+            .cast(a.dataType).as(a.name)))
+        case _ => None
+      }
+    }
+    dictServe match {
+      case Some(served) => served
+      case None =>
+        val ids = pred.map(candidates)
+          .orElse(if (allFilters == 0) topkIds else None)
+          .getOrElse(blockIds)
+        accessLog.log(table, ids,
+          pred.map(p => graft.plans.IndexPruning.refColumns(p).toSeq.sorted)
+            .getOrElse(Nil))
+        // Serve the candidate superset WITHOUT re-applying the extracted
+        // predicate — the SQL's own WHERE does the row-level filtering, so
+        // a lossy extraction can never change results, only pruning.
+        serve(ids).createOrReplaceTempView(table)
+        // spark.sql analyzes eagerly, so `out`'s plan is pinned to the
+        // pruned binding; restore the full-table binding for later plain
+        // spark.sql over `table` outside this engine call.
+        val out = spark.sql(query)
+        raw.createOrReplaceTempView(table)
+        out
+    }
   }
 
   private val sqlLock: Object =

@@ -68,6 +68,53 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(logged.size < e.blockIds.size, s"expected pruning, got all ${logged.size}")
   }
 
+  test("engine.sql serves COUNT(DISTINCT) and DISTINCT from dictionary pages") {
+    val e = new GraftEngine(spark, mbPath, "li_dictserve")
+    val li = spark.read.parquet(mbPath)
+    def noDataScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty
+
+    // single count-distinct: exact, and served without a data scan
+    val exp1 = li.select(count_distinct(col("l_suppkey"))).first.getLong(0)
+    val r1 = e.sql("SELECT count(DISTINCT l_suppkey) AS n FROM li_dictserve")
+    assert(r1.collect().head.getLong(0) == exp1)
+    assert(noDataScan(r1), "count-distinct serve must be metadata-only")
+
+    // several count-distincts in one statement: one row, all exact
+    val exp2 = li.select(count_distinct(col("l_returnflag"))).first.getLong(0)
+    val r2 = e.sql("SELECT count(DISTINCT l_suppkey) AS a, " +
+      "count(DISTINCT l_returnflag) AS b FROM li_dictserve").collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == ((exp1, exp2)))
+
+    // DISTINCT col: same value set as the direct query, typed like it
+    val direct = li.select(col("l_returnflag")).distinct()
+    val rd = e.sql("SELECT DISTINCT l_returnflag FROM li_dictserve")
+    assert(rd.schema == direct.schema)
+    assert(rd.collect().map(_.getString(0)).sorted.toSeq ==
+      direct.collect().map(_.getString(0)).sorted.toSeq)
+    assert(noDataScan(rd), "distinct serve must be metadata-only on a covered column")
+
+    // a WHERE clause disqualifies the metadata serve — the block path
+    // answers, still exactly
+    val expW = li.filter(col("l_quantity") > 25)
+      .select(count_distinct(col("l_suppkey"))).first.getLong(0)
+    val rw = e.sql("SELECT count(DISTINCT l_suppkey) AS n " +
+      "FROM li_dictserve WHERE l_quantity > 25")
+    assert(rw.collect().head.getLong(0) == expW)
+
+    // mixing in a non-distinct aggregate disqualifies too
+    val rm = e.sql("SELECT count(DISTINCT l_suppkey) AS a, count(*) AS b " +
+      "FROM li_dictserve").collect().head
+    assert(rm.getLong(0) == exp1 && rm.getLong(1) == li.count())
+
+    // a timestamp DISTINCT stays on the SQL path (cast from raw micros
+    // would shift the domain) and stays exact
+    val rt = e.sql("SELECT DISTINCT l_shipdate FROM li_dictserve")
+    assert(rt.count() == li.select(col("l_shipdate")).distinct().count())
+  }
+
   test("engine.sql: union of disjoint filters is NOT and-pruned") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     val sql =
