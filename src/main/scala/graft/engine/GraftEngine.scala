@@ -34,9 +34,22 @@ final class GraftEngine(
   /** The zone-map index, DISTRIBUTED: one row per (block × column),
     * persisted so pruning queries don't re-read footers. Per-column
     * stats never collect to the driver — pruning decisions run as
-    * queries over this Dataset ([[IndexPruning]]). */
+    * queries over this Dataset ([[IndexPruning]]). A provably-current
+    * `_graft_index` sidecar is REUSED instead of rebuilt
+    * ([[GraftEngine.freshSidecarIndex]]) — at millions of files that
+    * turns engine construction from a full footer sweep into one
+    * metadata read; anything doubtful rebuilds. */
   val index: Dataset[BlockStat] =
-    MicroBlockIndex.build(spark, tablePath, table).persist()
+    GraftEngine.freshSidecarIndex(spark, tablePath, table)
+      .getOrElse(MicroBlockIndex.build(spark, tablePath, table))
+      .persist()
+
+  /** Persist this engine's index at the table's sidecar location, so
+    * the NEXT engine over this table starts from the metadata read and
+    * fresh sessions get transparent pruning with no engine at all
+    * ([[graft.sources.MicroBlockIndex.saveSidecar]]). */
+  def saveIndexSidecar(): Unit =
+    MicroBlockIndex.saveSidecar(index, tablePath)
 
   // Building an engine REGISTERS its index with the transparent
   // optimizer rule: when the session has GraftExtensions installed,
@@ -701,6 +714,43 @@ final class GraftEngine(
 }
 
 object GraftEngine {
+  /** The table's persisted sidecar index (`<table>/_graft_index`) iff
+    * it is provably CURRENT: its `_SUCCESS` is no older than the
+    * newest data file (the [[graft.plans.ZoneMapPruneRule]] discovery
+    * guard) AND its file set equals the live listing EXACTLY. The
+    * second check is stricter than the rule's because the engine
+    * SERVES blocks from index rows — a dead entry would be a read of
+    * a deleted file, not just a lost pruning opportunity, and an
+    * unknown live file would silently fall out of every serve.
+    * Anything doubtful returns None (rebuild). */
+  private[engine] def freshSidecarIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, table: String): Option[Dataset[BlockStat]] =
+    try {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sidecar = new Path(MicroBlockIndex.sidecarPath(tablePath))
+      val success = new Path(sidecar, "_SUCCESS")
+      if (!fs.exists(success)) None
+      else {
+        val sidecarTime = fs.getFileStatus(success).getModificationTime
+        val live = MicroBlockIndex.listParquetFiles(tablePath)
+        val newest = live.map(f =>
+          fs.getFileStatus(new Path(f)).getModificationTime)
+          .foldLeft(0L)(math.max)
+        if (sidecarTime < newest) None
+        else {
+          import spark.implicits._
+          val loaded = MicroBlockIndex.load(spark, sidecar.toString)
+          val known = loaded.select("file").distinct()
+            .collect().map(_.getString(0)).toSet // file-listing scale
+          if (known != live.toSet) None
+          else Some(loaded.map(_.copy(table = table)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** One lock per (SparkSession, view name): see [[GraftEngine.sql]].
     * Keyed by a per-session UUID (collision-free, unlike identity
     * hashes, which can collide across distinct sessions and would

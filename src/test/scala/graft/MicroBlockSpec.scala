@@ -66,6 +66,51 @@ class MicroBlockSpec extends AnyFunSuite {
     assert(MicroBlockIndex.listParquetFiles(out).size == after.size)
   }
 
+  test("engine construction reuses a fresh sidecar index; any doubt rebuilds") {
+    import graft.engine.GraftEngine
+    val out = "target/scratch/test/mb-sidecar-reuse"
+    MicroBlockWriter.write(Tables.load(spark, dir, "lineitem"), out, "l_shipdate", 8)
+    // a sidecar-LOADED index plans as a file relation; a footer-swept
+    // build comes from an RDD — the observable discriminator
+    def isLoaded(ds: org.apache.spark.sql.Dataset[graft.sources.BlockStat]) =
+      ds.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.nonEmpty
+    val e1 = new GraftEngine(spark, out, "li_sidecar1")
+    assert(!isLoaded(e1.index), "no sidecar yet: must footer-sweep")
+    e1.saveIndexSidecar()
+    val e2 = new GraftEngine(spark, out, "li_sidecar2")
+    assert(isLoaded(e2.index), "fresh sidecar must be reused, not rebuilt")
+    def snap(ds: org.apache.spark.sql.Dataset[graft.sources.BlockStat]) =
+      ds.collect().map(b => (b.file, b.blockId, b.column,
+        b.rowStart, b.rowEnd, b.minNum, b.maxNum, b.minStr, b.maxStr)).toSet
+    assert(snap(e2.index) == snap(e1.index))
+    assert(e2.index.head().table == "li_sidecar2",
+      "loaded entries must carry the constructing engine's table name")
+    // the reused index SERVES exactly
+    val expected = spark.read.parquet(out).filter(col("l_quantity") > 45).count()
+    assert(e2.sql(
+      "SELECT count(*) AS n FROM li_sidecar2 WHERE l_quantity > 45")
+      .collect().head.getLong(0) == expected)
+    // file-set mismatch rebuilds even when every mtime looks fresh:
+    // append files, then date them OLDER than the sidecar — the mtime
+    // guard alone would wrongly accept, the set-equality guard refuses
+    val before = MicroBlockIndex.listParquetFiles(out).toSet
+    Tables.load(spark, dir, "lineitem").limit(10)
+      .write.mode("append").parquet(out)
+    val added = MicroBlockIndex.listParquetFiles(out).toSet -- before
+    assert(added.nonEmpty)
+    added.foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(ZoneMapPruneRule.normFile(f)),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    val e3 = new GraftEngine(spark, out, "li_sidecar3")
+    assert(!isLoaded(e3.index), "file-set mismatch must rebuild")
+    assert(e3.sql("SELECT count(*) AS n FROM li_sidecar3")
+      .collect().head.getLong(0) == spark.read.parquet(out).count())
+  }
+
   test("index save/load round-trips (save_metadata.py parity)") {
     val idx = MicroBlockIndex.build(spark, mbPath, "lineitem")
     val path = "target/scratch/test/index-saved"
