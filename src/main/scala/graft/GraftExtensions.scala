@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sum_c_log2c,entropy_bits_floor> in the exact floor-log2 domain"),
       unary("graft_char_entropy")(CharEntropyStats(_))))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
+    e.injectOptimizerRule(graft.plans.AggViewRewriteRule(_))
   }
 }

@@ -141,6 +141,45 @@ object AggView {
     true
   }
 
+  /** `<table>/_graft_views` DISCOVERY MARKER (the `_graft_bloom`
+    * convention): a tiny underscore file naming the table's view
+    * paths, dropped next to the data so ANY session's
+    * [[graft.plans.AggViewRewriteRule]] discovers the views lazily —
+    * no register call, the deployment path. The marker carries no
+    * staleness risk of its own: the rule re-checks each view's exact
+    * file-set guard per query, so a stale or dead view path simply
+    * never rewrites. */
+  def markerPath(tablePath: String): String =
+    new Path(tablePath, "_graft_views").toString
+
+  def writeMarker(tablePath: String, viewPaths: Seq[String]): Unit = {
+    require(viewPaths.nonEmpty, "marker needs at least one view path")
+    val p = new Path(markerPath(tablePath))
+    val out = fs(p).create(p, true)
+    try out.write(viewPaths.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The marker's view paths; None when no (non-empty) marker exists. */
+  def markerViews(tablePath: String): Option[Seq[String]] = {
+    val p = new Path(markerPath(tablePath))
+    val f = fs(p)
+    if (!f.exists(p) || f.getFileStatus(p).isDirectory) None
+    else {
+      val in = f.open(p)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      val views = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (views.isEmpty) None else Some(views)
+    }
+  }
+
   /** Grouped COUNT(DISTINCT valueCol) + COUNT(*) from the view alone:
     * distinct values per group = view rows per group (value is a key),
     * base-table row count = SUM(freq). Output columns:

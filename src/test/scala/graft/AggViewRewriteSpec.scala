@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+import graft.plans.AggViewRewriteRule
+import graft.sources.AggView
+
+/** Transparent materialized-view rewriting (plans/AggViewRewriteRule):
+  * plain `spark.sql` aggregates over a registered/marked table serve
+  * from the (group, value, freq) view. The contract under test:
+  *
+  *   - recognized shapes REWRITE (the executed plan scans the view
+  *     path, not the base) and the answers equal the base-scan
+  *     answers exactly — count-distinct, count(*), count(v), min,
+  *     max, percentile; exact-group and roll-up groupings;
+  *   - unrecognized or unsafe shapes DON'T (filters, other columns,
+  *     expressions in the grouping) — plan untouched, answers right;
+  *   - the staleness gate refuses a view whose file set no longer
+  *     matches (append after build ⇒ no rewrite until refresh);
+  *   - `_graft_views` marker discovery works in a FRESH session with
+  *     no register call.
+  */
+class AggViewRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = GraftSession.local(
+    cores = 8, appName = "graft-aggview-rewrite-test")
+  private val dir = "/root/testdata/sf0.01"
+
+  private def scratch(tag: String) = s"target/scratch/test/aggview-rw/$tag"
+
+  private lazy val li = graft.engine.Tables.load(spark, dir, "lineitem")
+
+  /** Does the OPTIMIZED plan read from `path`? */
+  private def scansPath(df: DataFrame, path: String): Boolean = {
+    val needle = new java.io.File(path).getAbsolutePath
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.exists(_.toString.contains(needle))
+    }.exists(identity)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private lazy val basics: (String, String) = {
+    val base = scratch("basics/base")
+    li.limit(8000).repartition(3).write.mode("overwrite").parquet(base)
+    val view = scratch("basics/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_suppkey")
+    AggViewRewriteRule.registerView(base, view)
+    (base, view)
+  }
+
+  test("recognized shapes rewrite onto the view and stay exact") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_t")
+    val q =
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n,
+        |  COUNT(l_suppkey) AS nv, MIN(l_suppkey) AS lo, MAX(l_suppkey) AS hi,
+        |  PERCENTILE(l_suppkey, 0.5) AS p50
+        |FROM rw_t GROUP BY l_returnflag""".stripMargin
+    val served = spark.sql(q)
+    assert(scansPath(served, view), "plan must read the view")
+    assert(!scansPath(served, base), "plan must not read the base")
+    // ground truth from a session WITHOUT the rule's registration:
+    // same SQL, view unregistered root (a copy of the base)
+    val truthBase = scratch("basics/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_truth")
+    val truth = spark.sql(q.replace("rw_t", "rw_truth"))
+    assert(!scansPath(truth, view))
+    assert(rows(served) == rows(truth))
+  }
+
+  test("roll-up grouping (subset of view groups) rewrites too") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_t2")
+    val served = spark.sql(
+      "SELECT COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n FROM rw_t2")
+    assert(scansPath(served, view), "global roll-up must serve from the view")
+    val truth = spark.read.parquet(base)
+      .agg(countDistinct(col("l_suppkey")).as("nd"), count(lit(1)).as("n"))
+    assert(rows(served) == rows(truth))
+  }
+
+  test("unsafe or unrecognized shapes leave the plan untouched") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_t3")
+    // a WHERE clause changes which rows aggregate — must NOT rewrite
+    val filtered = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd FROM rw_t3
+        |WHERE l_quantity > 25 GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(filtered, view))
+    val truthF = spark.read.parquet(base).filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("nd"))
+    assert(rows(filtered) == rows(truthF))
+    // an aggregate on a DIFFERENT column — no view covers it
+    val other = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd FROM rw_t3
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(other, view))
+    // SUM is not a served shape (kept exact by refusing)
+    val summed = spark.sql(
+      """SELECT l_returnflag, SUM(l_suppkey) AS s FROM rw_t3
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(summed, view))
+    // computed grouping key
+    val computed = spark.sql(
+      """SELECT l_returnflag || 'x' AS g, COUNT(DISTINCT l_suppkey) AS nd
+        |FROM rw_t3 GROUP BY l_returnflag || 'x'""".stripMargin)
+    assert(!scansPath(computed, view))
+  }
+
+  test("staleness gate: an appended file disables the rewrite until refresh") {
+    val base = scratch("stale/base")
+    li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("stale/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_suppkey")
+    AggViewRewriteRule.registerView(base, view)
+    spark.read.parquet(base).createOrReplaceTempView("rw_s")
+    val q = "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd " +
+      "FROM rw_s GROUP BY l_returnflag"
+    assert(scansPath(spark.sql(q), view), "fresh view must serve")
+
+    li.limit(2000).repartition(1).write.mode("append").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("rw_s2")
+    val q2 = q.replace("rw_s", "rw_s2")
+    val afterAppend = spark.sql(q2)
+    assert(!scansPath(afterAppend, view),
+      "stale view (file-set mismatch) must NOT serve")
+    val truth = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("nd"))
+    assert(rows(afterAppend) == rows(truth))
+
+    AggView.refresh(spark, base, view)
+    val afterRefresh = spark.sql(q2)
+    assert(scansPath(afterRefresh, view), "refreshed view must serve again")
+    assert(rows(afterRefresh) == rows(truth))
+  }
+
+  test("_graft_views marker: a fresh session rewrites with no register call") {
+    val base = scratch("marker/base")
+    li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("marker/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_suppkey")
+    AggView.writeMarker(base, Seq(view))
+    val fresh = spark.newSession()
+    fresh.read.parquet(base).createOrReplaceTempView("rw_m")
+    val served = fresh.sql(
+      "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd " +
+      "FROM rw_m GROUP BY l_returnflag")
+    assert(scansPath(served, view), "marker discovery must serve the view")
+    val truth = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("nd"))
+    assert(rows(served) == rows(truth))
+  }
+}
