@@ -13,7 +13,14 @@ import graft.sources.AggView
   *     freq) view;
   *   - q27's exact-percentile shape: the shipped pre-aggregated
   *     percentile scan plan vs `percentile(value, q, freq)` over the
-  *     view.
+  *     view;
+  *   - the TRANSPARENT arms (round 10): the same two shapes as PLAIN
+  *     `spark.sql` over the bare table with the views registered —
+  *     [[graft.plans.AggViewRewriteRule]] re-plans the aggregates onto
+  *     the views with no API call; the delta vs the explicit serves IS
+  *     the rule's overhead. Plus the exact integral-SUM rewrite
+  *     (`SUM(l_suppkey)` → `SUM(v·freq)` over the view), truth-checked
+  *     against one full scan.
   *
   * View builds are one-time indexing-side costs and reported
   * separately, with view row counts vs base rows — the sizing story
@@ -34,6 +41,10 @@ object MatViewScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the transparent arm needs the optimizer rule installed; the
+      // scan/view arms run BEFORE any view registration, so the rule
+      // never fires on them (one empty registry lookup per plan)
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm
@@ -121,11 +132,61 @@ object MatViewScale {
     require(q27ScanRows == q27ViewRows,
       s"q27 diverged:\n${q27ScanRows.mkString("\n")}\nvs\n${q27ViewRows.mkString("\n")}")
 
+    // SUM truth BEFORE any registration — afterwards the same shape
+    // would itself rewrite onto the view
+    val sumTruth = rows(li.groupBy("l_returnflag")
+      .agg(sum(col("l_suppkey")).as("s")))
+
     // ---- maintenance fixed cost: a no-op refresh --------------------
     val tR = System.nanoTime()
     val refreshed = AggView.refresh(spark, liPath, builds("l_partkey")._1)
     val refreshNoopSec = (System.nanoTime() - tR) / 1e9
     require(!refreshed, "no-op refresh must report no new files")
+
+    // ---- transparent arms: plain SQL, rule re-plans onto the views --
+    viewCols.foreach(c =>
+      graft.plans.AggViewRewriteRule.registerView(liPath, builds(c)._1))
+    li.createOrReplaceTempView("mv_lineitem")
+    def scansView(df: org.apache.spark.sql.DataFrame, vp: String): Boolean = {
+      val needle = new java.io.File(vp).getAbsolutePath
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(needle))
+      }.exists(identity)
+    }
+    def q16Sql() = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM mv_lineitem GROUP BY l_returnflag""".stripMargin)
+    require(scansView(q16Sql(), builds("l_partkey")._1) &&
+      scansView(q16Sql(), builds("l_suppkey")._1),
+      "transparent q16 must serve from both views")
+    val (q16SqlSec, q16SqlRows) = medianOf(rows(q16Sql()))
+    println(f"[matview-scale] q16 transparent sql: $q16SqlSec%.2fs")
+    require(q16SqlRows == q16ScanRows, "transparent q16 diverged from scan")
+
+    def q27Sql() = spark.sql(
+      """SELECT l_returnflag, PERCENTILE(l_extendedprice, 0.5) AS p50,
+        |  PERCENTILE(l_extendedprice, 0.9) AS p90,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM mv_lineitem GROUP BY l_returnflag""".stripMargin)
+    require(scansView(q27Sql(), builds("l_extendedprice")._1),
+      "transparent q27 must serve from the price view")
+    val (q27SqlSec, q27SqlRows) = medianOf(rows(q27Sql()))
+    println(f"[matview-scale] q27 transparent sql: $q27SqlSec%.2fs")
+    require(q27SqlRows == q27ScanRows, "transparent q27 diverged from scan")
+
+    // exact integral SUM: Σv ≡ Σv·freq — truth from ONE full scan
+    def sumSql() = spark.sql(
+      """SELECT l_returnflag, SUM(l_suppkey) AS s
+        |FROM mv_lineitem GROUP BY l_returnflag""".stripMargin)
+    require(scansView(sumSql(), builds("l_suppkey")._1),
+      "transparent SUM must serve from the suppkey view")
+    val (sumSqlSec, sumSqlRows) = medianOf(rows(sumSql()))
+    println(f"[matview-scale] sum transparent sql: $sumSqlSec%.2fs")
+    require(sumSqlRows == sumTruth, "transparent SUM diverged from scan")
 
     val probeEnd = probe()
     val buildJson = viewCols.map { c =>
@@ -138,6 +199,9 @@ object MatViewScale {
         buildJson + "," +
         s""""q16_scan_sec":$q16ScanSec,"q16_view_sec":$q16ViewSec,""" +
         s""""q27_scan_sec":$q27ScanSec,"q27_view_sec":$q27ViewSec,""" +
+        s""""q16_transparent_sql_sec":$q16SqlSec,""" +
+        s""""q27_transparent_sql_sec":$q27SqlSec,""" +
+        s""""sum_transparent_sql_sec":$sumSqlSec,""" +
         s""""refresh_noop_sec":$refreshNoopSec}"""
     println(line)
     try {

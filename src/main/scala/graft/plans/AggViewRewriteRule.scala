@@ -2,25 +2,27 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, If, IsNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualNullSafe, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Percentile, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.sources.AggView
 
 /** Transparent MATERIALIZED-VIEW REWRITING: an `Aggregate` over a
-  * registered parquet table whose shape a persisted
-  * [[graft.sources.AggView]] can answer is re-planned onto the VIEW —
-  * plain `spark.sql`/DataFrame aggregates get the view-scale serve
-  * (sf100: q16's shape 14.3 s scan → 0.47 s, BENCH_MATVIEW.json) with
-  * no API change, the same deployment story as [[ZoneMapPruneRule]].
+  * registered parquet table whose shape persisted
+  * [[graft.sources.AggView]]s can answer is re-planned onto the
+  * VIEW(S) — plain `spark.sql`/DataFrame aggregates get the view-scale
+  * serve (sf100: q16's shape 14.3 s scan → 0.47 s,
+  * BENCH_MATVIEW.json) with no API change, the same deployment story
+  * as [[ZoneMapPruneRule]].
   *
   * Recognized shapes, over a bare table (attr-only Projects allowed,
   * no Filter — a filter changes which rows aggregate, so it
-  * disqualifies): grouping on a SUBSET of the view's group columns
+  * disqualifies): grouping on a SUBSET of the views' group columns
   * (exact match or roll-up), aggregates drawn from
   *
   *   - `COUNT(DISTINCT v)` → `COUNT(v)` over the view when the
@@ -35,10 +37,31 @@ import graft.sources.AggView
   *     distinct value);
   *   - `PERCENTILE(v, p)` → `PERCENTILE(v, p, freq)` — builds the
   *     identical value→count map a row scan would, bit-for-bit
-  *     (mb_matview_pctile's argument).
+  *     (mb_matview_pctile's argument);
+  *   - `SUM(v)` for INTEGRAL v → `SUM(CAST(v AS BIGINT) * freq)`:
+  *     in LEGACY mode bit-exact including silent wraparound, because
+  *     two's-complement add/multiply are exact mod 2^64 and
+  *     Σ_rows v ≡ Σ_pairs v·freq in that ring; in ANSI mode a
+  *     COMPLETED sum is always the true mathematical total (overflow
+  *     throws instead of wrapping), so any two non-throwing plans
+  *     agree — transient-overflow throw points can differ between
+  *     plans, exactly as they already do between Spark's own
+  *     partition orders. Refused for TRY mode (`try_sum` NULLs on
+  *     overflow — the view plan could null where the base would not)
+  *     and for decimal/floating v (decimal precision promotion
+  *     differs; float addition is order-dependent).
+  *
+  * Aggregates may mix SEVERAL value columns (q16's literal two-distinct
+  * SQL): each value column resolves to its own fresh view, each view
+  * serves a per-column partial aggregate, and the partials join on the
+  * group keys with NULL-SAFE equality (a null group is a real group) —
+  * view-scale joins, trivially broadcast. Value-less shapes (grouped
+  * `COUNT(*)` alone, `SELECT DISTINCT g`) serve from ANY fresh view of
+  * the table: every base row lands in exactly one view row, so
+  * SUM(freq) is the row count and the view's group set IS the base's.
   *
   * Soundness gate: serving a STALE view would be wrong answers (not
-  * merely lost pruning), so the rewrite requires the view's covered
+  * merely lost pruning), so the rewrite requires each view's covered
   * file set to EQUAL the relation's current file listing exactly —
   * the [[graft.engine.GraftEngine]] sidecar-reuse guard, applied per
   * query (the view meta is one tiny file, stat-checked and re-read
@@ -154,6 +177,7 @@ object AggViewRewriteRule {
   private case class MinV(v: String) extends Shape
   private case class MaxV(v: String) extends Shape
   private case class PctileV(v: String, pct: Expression) extends Shape
+  private case class SumV(v: String) extends Shape
 
   private def valueOf(s: Shape): Option[String] = s match {
     case CountDistinctV(v) => Some(v)
@@ -161,7 +185,13 @@ object AggViewRewriteRule {
     case MinV(v)           => Some(v)
     case MaxV(v)           => Some(v)
     case PctileV(v, _)     => Some(v)
+    case SumV(v)           => Some(v)
     case _                 => None
+  }
+
+  private def isIntegral(a: AttributeReference): Boolean = a.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
   }
 
   private def classify(e: Expression, groupIds: Set[Long]): Option[Shape] = e match {
@@ -176,6 +206,14 @@ object AggViewRewriteRule {
           Some(CountV(v.name))
         case Min(v: AttributeReference) if !isDistinct => Some(MinV(v.name))
         case Max(v: AttributeReference) if !isDistinct => Some(MaxV(v.name))
+        case s @ Sum(v: AttributeReference, ctx)
+            if !isDistinct && isIntegral(v) && s.dataType == LongType &&
+              (ctx.evalMode == EvalMode.LEGACY ||
+                ctx.evalMode == EvalMode.ANSI) =>
+          // LEGACY: mod-2^64 exact. ANSI: a completed sum is the true
+          // total, so non-throwing plans agree. TRY nulls on overflow
+          // at engine-chosen prefixes — refuse it.
+          Some(SumV(v.name))
         case p: Percentile
             if !isDistinct && !p.reverse &&
               p.child.isInstanceOf[AttributeReference] &&
@@ -188,7 +226,7 @@ object AggViewRewriteRule {
     case _ => None
   }
 
-  private[plans] def tryRewrite(
+  private[graft] def tryRewrite(
       spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     // unwrap attr-only Projects down to the relation (a Filter or any
     // computation on the path disqualifies — it changes the rows)
@@ -217,85 +255,177 @@ object AggViewRewriteRule {
         case al: Alias             => classify(al.child, groupIds)
         case _                     => None
       })
-      valueCols = shapes.flatMap(valueOf).distinct
-      // exactly one value column, and at least one real aggregate
-      if valueCols.size == 1
-      plan <- views.iterator.flatMap(vp =>
-        rewriteOnto(spark, vp, agg, hfs, groupAttrs, shapes, valueCols.head))
-        .take(1).toSeq.headOption
+      plan <- rewriteOnto(spark, views, agg, hfs, groupAttrs, shapes)
     } yield plan
   }
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
-  private def rewriteOnto(spark: SparkSession, viewPath: String,
-      agg: Aggregate, hfs: HadoopFsRelation,
-      groupAttrs: Seq[AttributeReference], shapes: Seq[Shape],
-      valueCol: String): Option[LogicalPlan] = {
-    val meta = metaFor(viewPath).getOrElse(return None)
-    if (meta.valueCol != valueCol) return None
-    val groupNames = groupAttrs.map(_.name)
-    val exactGroups = groupNames.toSet == meta.groupCols.toSet
-    if (!groupNames.toSet.subsetOf(meta.groupCols.toSet)) return None
-    // SOUNDNESS: the view must cover the relation's files EXACTLY —
-    // a stale view would serve wrong answers, not lost pruning
-    val current = hfs.location.inputFiles.toSeq
-      .map(ZoneMapPruneRule.normFile).toSet
-    if (meta.files.map(ZoneMapPruneRule.normFile) != current) return None
+  /** A fresh, type-agreeing view for this relation, or None. The
+    * FILE-SET EQUALITY is the soundness gate: a stale view is wrong
+    * answers, not lost pruning. */
+  private def freshMeta(viewPath: String, hfs: HadoopFsRelation,
+      currentFiles: Set[String]): Option[AggView.ViewMeta] =
+    metaFor(viewPath).filter { meta =>
+      meta.files.map(ZoneMapPruneRule.normFile) == currentFiles
+    }
 
+  /** One view's partial: the analyzed view relation plus resolvers for
+    * its attributes. */
+  private case class ViewSide(plan: LogicalPlan, meta: AggView.ViewMeta) {
+    def attr(name: String): Option[AttributeReference] =
+      plan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+  }
+
+  private def loadView(spark: SparkSession, viewPath: String,
+      meta: AggView.ViewMeta): ViewSide = {
     inRewrite.set(java.lang.Boolean.TRUE)
-    val viewPlan =
+    val p =
       try spark.read.parquet(
         new Path(viewPath, s"g${meta.gen}").toString).queryExecution.analyzed
       finally inRewrite.set(java.lang.Boolean.FALSE)
-    def vAttr(name: String): Option[AttributeReference] =
-      viewPlan.output.collectFirst {
-        case a: AttributeReference if a.name == name => a
-      }
-    val freq = vAttr("freq").getOrElse(return None)
-    val vVal = vAttr(valueCol).getOrElse(return None)
-    // the base relation and the view must agree on every served
-    // column's type (they do when the view was built from this table;
-    // anything else refuses)
-    val vGroups = groupNames.map(n => vAttr(n).getOrElse(return None))
-    if (vGroups.exists(g =>
-        groupAttrs.find(_.name == g.name).exists(_.dataType != g.dataType)))
-      return None
-    if (!hfs.dataSchema.fields.find(_.name == valueCol)
-        .map(_.dataType).contains(vVal.dataType))
+    ViewSide(p, meta)
+  }
+
+  private def rewriteOnto(spark: SparkSession, views: Seq[String],
+      agg: Aggregate, hfs: HadoopFsRelation,
+      groupAttrs: Seq[AttributeReference],
+      shapes: Seq[Shape]): Option[LogicalPlan] = {
+    val groupNames = groupAttrs.map(_.name)
+    val currentFiles = hfs.location.inputFiles.toSeq
+      .map(ZoneMapPruneRule.normFile).toSet
+
+    // every distinct value column resolves to its own fresh view
+    val valueCols = shapes.flatMap(valueOf).distinct
+    val byValue: Map[String, (String, AggView.ViewMeta)] =
+      valueCols.flatMap { c =>
+        views.iterator.flatMap { vp =>
+          freshMeta(vp, hfs, currentFiles)
+            .filter(_.valueCol == c).map(m => c -> (vp, m))
+        }.take(1)
+      }.toMap
+    if (byValue.size != valueCols.size) return None
+    // value-less shapes (grouped COUNT(*), SELECT DISTINCT g) serve
+    // from ANY fresh view of the table
+    val anchor: (String, AggView.ViewMeta) =
+      if (valueCols.nonEmpty) byValue(valueCols.head)
+      else views.iterator
+        .flatMap(vp => freshMeta(vp, hfs, currentFiles).map(vp -> _))
+        .take(1).toSeq.headOption.getOrElse(return None)
+
+    // group columns must be a subset of EVERY serving view's groups
+    val metas = (byValue.values.toSeq :+ anchor).map(_._2).distinct
+    if (metas.exists(m => !groupNames.toSet.subsetOf(m.groupCols.toSet)))
       return None
 
-    val guardedFreq = If(IsNull(vVal), Literal(0L), freq)
-    def rewriteShape(s: Shape): Option[Expression] = s match {
-      case PassGroup(a) => vAttr(a.name).map(v => v: Expression)
-      case CountDistinctV(_) =>
-        Some(
-          if (exactGroups) Count(Seq(vVal)).toAggregateExpression()
-          else Count(Seq(vVal)).toAggregateExpression(isDistinct = true))
-      case CountStar =>
-        Some(Coalesce(Seq(
-          Sum(freq).toAggregateExpression(), Literal(0L, LongType))))
-      case CountV(_) =>
-        Some(Coalesce(Seq(
-          Sum(guardedFreq).toAggregateExpression(), Literal(0L, LongType))))
-      case MinV(_) => Some(Min(vVal).toAggregateExpression())
-      case MaxV(_) => Some(Max(vVal).toAggregateExpression())
-      case PctileV(_, pct) =>
-        Some(new Percentile(vVal, pct, guardedFreq).toAggregateExpression())
+    // plan order: the anchor first (serves value-less shapes and the
+    // anchor column's shapes), then one partial per remaining value col
+    val orderedCols: Seq[Option[String]] =
+      if (valueCols.isEmpty) Seq(None) else valueCols.map(Some(_))
+
+    // shape index -> serving partial (position in `orderedCols`)
+    def partialOf(s: Shape): Int = valueOf(s) match {
+      case Some(c) => orderedCols.indexOf(Some(c))
+      case None    => 0
     }
-    val rewritten = agg.aggregateExpressions.zip(shapes).map {
-      case (orig, shape) =>
-        rewriteShape(shape).map { e =>
-          // same name + exprId: parents keep resolving untouched
-          Alias(e, orig.name)(exprId = orig.exprId)
+
+    val sides = orderedCols.map {
+      case Some(c) => val (vp, m) = byValue(c); loadView(spark, vp, m)
+      case None    => val (vp, m) = anchor; loadView(spark, vp, m)
+    }
+
+    // type agreement on every served column, per side
+    for (side <- sides) {
+      val vGroups = groupNames.map(n => side.attr(n).getOrElse(return None))
+      if (vGroups.exists(g =>
+          groupAttrs.find(_.name == g.name).exists(_.dataType != g.dataType)))
+        return None
+    }
+    for ((c, (_, m)) <- byValue) {
+      val side = sides(orderedCols.indexOf(Some(c)))
+      val vVal = side.attr(m.valueCol).getOrElse(return None)
+      if (!hfs.dataSchema.fields.find(_.name == c)
+          .map(_.dataType).contains(vVal.dataType)) return None
+    }
+
+    // one partial Aggregate per side: group cols + its shapes under
+    // stable temp names c<i>
+    def rewriteShape(side: ViewSide, s: Shape): Option[Expression] = {
+      val exactGroups = groupNames.toSet == side.meta.groupCols.toSet
+      for {
+        freq <- side.attr("freq")
+        vVal <- side.attr(side.meta.valueCol)
+        guardedFreq = If(IsNull(vVal), Literal(0L), freq)
+        e <- s match {
+          case PassGroup(_) => None // handled by grouping, not here
+          case CountDistinctV(_) =>
+            Some(
+              if (exactGroups) Count(Seq(vVal)).toAggregateExpression()
+              else Count(Seq(vVal)).toAggregateExpression(isDistinct = true))
+          case CountStar =>
+            Some(Coalesce(Seq(
+              Sum(freq).toAggregateExpression(), Literal(0L, LongType))))
+          case CountV(_) =>
+            Some(Coalesce(Seq(
+              Sum(guardedFreq).toAggregateExpression(), Literal(0L, LongType))))
+          case MinV(_) => Some(Min(vVal).toAggregateExpression())
+          case MaxV(_) => Some(Max(vVal).toAggregateExpression())
+          case SumV(_) =>
+            Some(Sum(Multiply(Cast(vVal, LongType), freq))
+              .toAggregateExpression())
+          case PctileV(_, pct) =>
+            Some(new Percentile(vVal, pct, guardedFreq)
+              .toAggregateExpression())
         }
+      } yield e
     }
-    if (rewritten.exists(_.isEmpty)) return None
-    val newAggExprs = rewritten.map(_.get)
+
+    // build each side's Aggregate node
+    val shapeIdx = shapes.zipWithIndex
+    val partials: Seq[(LogicalPlan, Map[Int, Attribute], Seq[Attribute])] =
+      sides.zipWithIndex.map { case (side, si) =>
+        val vGroups = groupNames.map(n => side.attr(n).get)
+        val mine = shapeIdx.filter { case (s, _) =>
+          !s.isInstanceOf[PassGroup] && partialOf(s) == si
+        }
+        val aliases = mine.map { case (s, i) =>
+          val e = rewriteShape(side, s).getOrElse(return None)
+          i -> Alias(e, s"c$i")()
+        }
+        val aggNode = Aggregate(
+          vGroups.map(g => g: Expression),
+          (vGroups ++ aliases.map(_._2)).map(a => a: NamedExpression),
+          side.plan)
+        (aggNode: LogicalPlan,
+          aliases.map { case (i, a) => i -> a.toAttribute }.toMap,
+          vGroups.map(g => g: Attribute))
+      }
+
+    // join partials on null-safe group equality (a null group is a
+    // real group; plain EqualTo would drop it). No groups → 1×1 rows.
+    val joined: LogicalPlan = partials.map(_._1).zipWithIndex.drop(1)
+      .foldLeft(partials.head._1) { case (left, (right, pi)) =>
+        val cond = groupNames.indices.map { gi =>
+          EqualNullSafe(partials.head._3(gi), partials(pi)._3(gi)): Expression
+        }.reduceOption(And)
+        Join(left, right, Inner, cond, JoinHint.NONE)
+      }
+
+    // final Project: original names + exprIds so parents resolve
+    val colOf: Map[Int, Attribute] = partials.flatMap(_._2).toMap
+    val out = agg.aggregateExpressions.zip(shapes).zipWithIndex.map {
+      case ((orig, PassGroup(a)), _) =>
+        val g = partials.head._3(groupNames.indexOf(a.name))
+        Alias(g, orig.name)(exprId = orig.exprId)
+      case ((orig, _), i) =>
+        Alias(colOf(i), orig.name)(exprId = orig.exprId)
+    }
     // output types must be preserved exactly — refuse otherwise
-    if (newAggExprs.zip(agg.aggregateExpressions)
+    if (out.zip(agg.aggregateExpressions)
         .exists { case (n, o) => n.dataType != o.dataType }) return None
-    Some(Aggregate(vGroups, newAggExprs.map(a => a: NamedExpression), viewPlan))
+    Some(Project(out.map(a => a: NamedExpression), joined))
   }
 }

@@ -508,36 +508,49 @@ object MicroBlockQueries {
     // mb_matview_sql (round 10): the TRANSPARENT path of the same
     // view — plain spark.sql over the bare table, no AggView call in
     // the query. AggViewRewriteRule re-plans the Aggregate onto the
-    // registered view (the ZoneMapPruneRule deployment story applied
-    // to materialized views); the require proves the executed plan
-    // reads the view, and the oracle's full-scan SQL proves the
-    // rewritten answer IS the scan answer. Staleness gate, roll-ups,
-    // refusal shapes, and fresh-session `_graft_views` marker
-    // discovery are pinned in AggViewRewriteSpec.
+    // registered views (the ZoneMapPruneRule deployment story applied
+    // to materialized views): the price view serves count-distinct /
+    // count(*) / min / percentile, the suppkey view serves its
+    // count-distinct and the exact integral SUM, and the two partials
+    // join on the group key — the require proves the executed plan
+    // reads BOTH views and not the base, and the oracle's full-scan
+    // SQL proves the rewritten answer IS the scan answer. Staleness
+    // gate, roll-ups, refusal shapes, null-safe group joins, and
+    // fresh-session `_graft_views` marker discovery are pinned in
+    // AggViewRewriteSpec.
     QueryDef.sql(
       "mb_matview_sql",
       """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
         |  COUNT(*) AS n_rows, MIN(l_extendedprice) AS lo,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val path = microPath(s, dir)
       graft.plans.AggViewRewriteRule.registerView(
         path, aggViewPath(s, dir, "l_extendedprice"))
+      graft.plans.AggViewRewriteRule.registerView(
+        path, aggViewPath(s, dir, "l_suppkey"))
       s.read.parquet(path).createOrReplaceTempView("graft_mv_lineitem")
       val df = s.sql(
         """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
+          |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+          |  SUM(l_suppkey) AS sum_supp,
           |  COUNT(*) AS n_rows, MIN(l_extendedprice) AS lo,
           |  PERCENTILE(l_extendedprice, 0.9) AS p90
           |FROM graft_mv_lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
-      val viewDir = new java.io.File(aggViewPath(s, dir, "l_extendedprice"))
-        .getAbsolutePath
-      require(df.queryExecution.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-            .location.rootPaths.exists(_.toString.contains(viewDir))
-      }.exists(identity), "transparent matview rewrite did not fire")
+      def scansView(col: String): Boolean = {
+        val viewDir = new java.io.File(aggViewPath(s, dir, col)).getAbsolutePath
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains(viewDir))
+        }.exists(identity)
+      }
+      require(scansView("l_extendedprice") && scansView("l_suppkey"),
+        "transparent matview rewrite did not fire on both views")
       df
     },
 

@@ -104,11 +104,12 @@ class AggViewRewriteSpec extends AnyFunSuite {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd FROM rw_t3
         |GROUP BY l_returnflag""".stripMargin)
     assert(!scansPath(other, view))
-    // SUM is not a served shape (kept exact by refusing)
-    val summed = spark.sql(
-      """SELECT l_returnflag, SUM(l_suppkey) AS s FROM rw_t3
+    // AVG is not a served shape (kept exact by refusing: its double
+    // sum is order-dependent)
+    val avged = spark.sql(
+      """SELECT l_returnflag, AVG(l_suppkey) AS a FROM rw_t3
         |GROUP BY l_returnflag""".stripMargin)
-    assert(!scansPath(summed, view))
+    assert(!scansPath(avged, view))
     // computed grouping key
     val computed = spark.sql(
       """SELECT l_returnflag || 'x' AS g, COUNT(DISTINCT l_suppkey) AS nd
@@ -141,6 +142,108 @@ class AggViewRewriteSpec extends AnyFunSuite {
     val afterRefresh = spark.sql(q2)
     assert(scansPath(afterRefresh, view), "refreshed view must serve again")
     assert(rows(afterRefresh) == rows(truth))
+  }
+
+  test("multi-value aggregates join per-column views; integral SUM is exact") {
+    val base = scratch("multi/base")
+    li.limit(8000).repartition(3).write.mode("overwrite").parquet(base)
+    val viewS = scratch("multi/view_supp")
+    val viewP = scratch("multi/view_part")
+    val viewE = scratch("multi/view_price")
+    AggView.build(spark, base, viewS, Seq("l_returnflag"), "l_suppkey")
+    AggView.build(spark, base, viewP, Seq("l_returnflag"), "l_partkey")
+    AggView.build(spark, base, viewE, Seq("l_returnflag"), "l_extendedprice")
+    AggViewRewriteRule.registerView(base, viewS)
+    AggViewRewriteRule.registerView(base, viewP)
+    AggViewRewriteRule.registerView(base, viewE)
+    spark.read.parquet(base).createOrReplaceTempView("rw_multi")
+
+    // q16's literal shape: two distinct columns + COUNT(*), plus an
+    // integral SUM — one partial per view, joined on the group key
+    val q =
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows,
+        |  SUM(l_suppkey) AS sum_supp
+        |FROM rw_multi GROUP BY l_returnflag""".stripMargin
+    val served = spark.sql(q)
+    assert(scansPath(served, viewS) && scansPath(served, viewP),
+      "both views must serve")
+    assert(!scansPath(served, base))
+    val truthBase = scratch("multi/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_multi_truth")
+    val truth = spark.sql(q.replace("rw_multi", "rw_multi_truth"))
+    assert(rows(served) == rows(truth))
+
+    // global (no GROUP BY) multi-value: 1x1 cross join of partials
+    val global = spark.sql(
+      """SELECT COUNT(DISTINCT l_partkey) AS a, COUNT(DISTINCT l_suppkey) AS b,
+        |  SUM(l_suppkey) AS s FROM rw_multi""".stripMargin)
+    assert(scansPath(global, viewS) && scansPath(global, viewP))
+    val globalTruth = spark.sql(
+      """SELECT COUNT(DISTINCT l_partkey) AS a, COUNT(DISTINCT l_suppkey) AS b,
+        |  SUM(l_suppkey) AS s FROM rw_multi_truth""".stripMargin)
+    assert(rows(global) == rows(globalTruth))
+
+    // SUM over a DECIMAL column refuses even with its view present
+    // (decimal precision promotion differs between Σv and Σv·freq)
+    val decSum = spark.sql(
+      "SELECT l_returnflag, SUM(l_extendedprice) AS s FROM rw_multi " +
+      "GROUP BY l_returnflag")
+    assert(!scansPath(decSum, viewE))
+
+    // a value column with NO registered view refuses the whole query
+    // (never serve half the aggregates)
+    val mixed = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS a,
+        |  COUNT(DISTINCT l_quantity) AS b
+        |FROM rw_multi GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(mixed, viewS))
+  }
+
+  test("null group keys survive the multi-view join (null-safe equality)") {
+    val base = scratch("nullg/base")
+    li.limit(6000)
+      .withColumn("g", when(col("l_linenumber") === 1, lit(null))
+        .otherwise(col("l_returnflag")).cast("string"))
+      .select("g", "l_suppkey", "l_partkey")
+      .repartition(2).write.mode("overwrite").parquet(base)
+    val viewS = scratch("nullg/view_supp")
+    val viewP = scratch("nullg/view_part")
+    AggView.build(spark, base, viewS, Seq("g"), "l_suppkey")
+    AggView.build(spark, base, viewP, Seq("g"), "l_partkey")
+    AggViewRewriteRule.registerView(base, viewS)
+    AggViewRewriteRule.registerView(base, viewP)
+    spark.read.parquet(base).createOrReplaceTempView("rw_ng")
+    val q =
+      """SELECT g, COUNT(DISTINCT l_suppkey) AS a,
+        |  COUNT(DISTINCT l_partkey) AS b, COUNT(*) AS n
+        |FROM rw_ng GROUP BY g""".stripMargin
+    val served = spark.sql(q)
+    assert(scansPath(served, viewS) && scansPath(served, viewP))
+    val truthBase = scratch("nullg/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_ng_truth")
+    val truth = spark.sql(q.replace("rw_ng", "rw_ng_truth"))
+    assert(rows(served).exists(_.startsWith("[null,")),
+      "the null group must exist for this case to test anything")
+    assert(rows(served) == rows(truth))
+  }
+
+  test("value-less shapes serve from any view: grouped COUNT(*) and DISTINCT g") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_vl")
+    val counted = spark.sql(
+      "SELECT l_returnflag, COUNT(*) AS n FROM rw_vl GROUP BY l_returnflag")
+    assert(scansPath(counted, view), "grouped COUNT(*) must serve")
+    val truthN = spark.read.parquet(base)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(rows(counted) == rows(truthN))
+
+    val dist = spark.sql("SELECT DISTINCT l_returnflag FROM rw_vl")
+    assert(scansPath(dist, view), "SELECT DISTINCT g must serve")
+    val truthD = spark.read.parquet(base).select("l_returnflag").distinct()
+    assert(rows(dist) == rows(truthD))
   }
 
   test("_graft_views marker: a fresh session rewrites with no register call") {
