@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualNullSafe, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualNullSafe, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Percentile, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -20,10 +20,14 @@ import graft.sources.AggView
   * BENCH_MATVIEW.json) with no API change, the same deployment story
   * as [[ZoneMapPruneRule]].
   *
-  * Recognized shapes, over a bare table (attr-only Projects allowed,
-  * no Filter — a filter changes which rows aggregate, so it
-  * disqualifies): grouping on a SUBSET of the views' group columns
-  * (exact match or roll-up), aggregates drawn from
+  * Recognized shapes, over a bare table (attr-only Projects allowed;
+  * a WHERE is PUSHED THROUGH when every column it references lives in
+  * (group cols ∪ value col) of each serving view — those are the
+  * columns a view row preserves exactly, so filtering base rows ≡
+  * filtering view rows and re-weighting by freq; deterministic,
+  * subquery-free predicates only, anything else disqualifies):
+  * grouping on a SUBSET of the views' group columns (exact match or
+  * roll-up), aggregates drawn from
   *
   *   - `COUNT(DISTINCT v)` → `COUNT(v)` over the view when the
   *     grouping matches the view exactly (view rows are unique per
@@ -228,17 +232,31 @@ object AggViewRewriteRule {
 
   private[graft] def tryRewrite(
       spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
-    // unwrap attr-only Projects down to the relation (a Filter or any
-    // computation on the path disqualifies — it changes the rows)
-    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+    // unwrap attr-only Projects down to the relation, COLLECTING
+    // Filter conditions on the way. A filter COMMUTES with the view
+    // when its references are covered by (group cols ∪ value col):
+    // every base row maps to a view row with the identical
+    // (group, value) tuple, so filtering base rows ≡ filtering view
+    // rows and re-weighting by freq. Any other computation on the
+    // path disqualifies.
+    def unwrap(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(LogicalRelation, Seq[Expression])] = p match {
       case pr: Project
           if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(pr.child)
-      case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
+        unwrap(pr.child, conds)
+      case f: Filter => unwrap(f.child, conds :+ f.condition)
+      case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) =>
+        Some((rel, conds))
       case _ => None
     }
     for {
-      rel <- unwrap(agg.child)
+      relConds <- unwrap(agg.child, Nil)
+      (rel, conds) = relConds
+      // the predicate must be a pure row-function of its columns:
+      // non-determinism or a subquery would evaluate differently (or
+      // at different multiplicity) over the collapsed view rows
+      if conds.forall(c => c.deterministic &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]))
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
@@ -255,7 +273,7 @@ object AggViewRewriteRule {
         case al: Alias             => classify(al.child, groupIds)
         case _                     => None
       })
-      plan <- rewriteOnto(spark, views, agg, hfs, groupAttrs, shapes)
+      plan <- rewriteOnto(spark, views, agg, hfs, groupAttrs, shapes, conds)
     } yield plan
   }
 
@@ -293,33 +311,39 @@ object AggViewRewriteRule {
   private def rewriteOnto(spark: SparkSession, views: Seq[String],
       agg: Aggregate, hfs: HadoopFsRelation,
       groupAttrs: Seq[AttributeReference],
-      shapes: Seq[Shape]): Option[LogicalPlan] = {
+      shapes: Seq[Shape], conds: Seq[Expression]): Option[LogicalPlan] = {
     val groupNames = groupAttrs.map(_.name)
     val currentFiles = hfs.location.inputFiles.toSeq
       .map(ZoneMapPruneRule.normFile).toSet
+    val filterRefs = conds.flatMap(_.references.toSeq.map(_.name)).distinct
 
-    // every distinct value column resolves to its own fresh view
+    /** Can `meta`'s view evaluate the pushed filter AND the query's
+      * grouping? Filter refs must live in (group cols ∪ value col) —
+      * the columns a view row preserves exactly. */
+    def covers(meta: AggView.ViewMeta): Boolean =
+      groupNames.toSet.subsetOf(meta.groupCols.toSet) &&
+        filterRefs.toSet.subsetOf(meta.groupCols.toSet + meta.valueCol)
+
+    // every distinct value column resolves to its own fresh view that
+    // also covers the grouping and the pushed filter
     val valueCols = shapes.flatMap(valueOf).distinct
     val byValue: Map[String, (String, AggView.ViewMeta)] =
       valueCols.flatMap { c =>
         views.iterator.flatMap { vp =>
           freshMeta(vp, hfs, currentFiles)
-            .filter(_.valueCol == c).map(m => c -> (vp, m))
+            .filter(m => m.valueCol == c && covers(m))
+            .map(m => c -> (vp, m))
         }.take(1)
       }.toMap
     if (byValue.size != valueCols.size) return None
     // value-less shapes (grouped COUNT(*), SELECT DISTINCT g) serve
-    // from ANY fresh view of the table
+    // from ANY fresh covering view of the table
     val anchor: (String, AggView.ViewMeta) =
       if (valueCols.nonEmpty) byValue(valueCols.head)
       else views.iterator
-        .flatMap(vp => freshMeta(vp, hfs, currentFiles).map(vp -> _))
+        .flatMap(vp => freshMeta(vp, hfs, currentFiles)
+          .filter(covers).map(vp -> _))
         .take(1).toSeq.headOption.getOrElse(return None)
-
-    // group columns must be a subset of EVERY serving view's groups
-    val metas = (byValue.values.toSeq :+ anchor).map(_._2).distinct
-    if (metas.exists(m => !groupNames.toSet.subsetOf(m.groupCols.toSet)))
-      return None
 
     // plan order: the anchor first (serves value-less shapes and the
     // anchor column's shapes), then one partial per remaining value col
@@ -349,6 +373,13 @@ object AggViewRewriteRule {
       val vVal = side.attr(m.valueCol).getOrElse(return None)
       if (!hfs.dataSchema.fields.find(_.name == c)
           .map(_.dataType).contains(vVal.dataType)) return None
+    }
+    // pushed-filter columns must agree in type between base and every
+    // side (a differently-typed predicate would evaluate differently)
+    for (side <- sides; n <- filterRefs) {
+      val vAttr = side.attr(n).getOrElse(return None)
+      if (!hfs.dataSchema.fields.find(_.name == n)
+          .map(_.dataType).contains(vAttr.dataType)) return None
     }
 
     // one partial Aggregate per side: group cols + its shapes under
@@ -395,10 +426,18 @@ object AggViewRewriteRule {
           val e = rewriteShape(side, s).getOrElse(return None)
           i -> Alias(e, s"c$i")()
         }
+        // the pushed filter, rebound to this side's attributes by name
+        val child =
+          if (conds.isEmpty) side.plan
+          else Filter(
+            conds.reduce(And).transformUp {
+              case a: AttributeReference =>
+                side.attr(a.name).getOrElse(return None)
+            }, side.plan)
         val aggNode = Aggregate(
           vGroups.map(g => g: Expression),
           (vGroups ++ aliases.map(_._2)).map(a => a: NamedExpression),
-          side.plan)
+          child)
         (aggNode: LogicalPlan,
           aliases.map { case (i, a) => i -> a.toAttribute }.toMap,
           vGroups.map(g => g: Attribute))

@@ -554,6 +554,42 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_matview_where (round 10): the transparent rewrite UNDER A
+    // WHERE. A filter whose references live in (group cols ∪ value
+    // col) commutes with the view — every base row maps to a view row
+    // with the identical (group, value) tuple, so filtering base rows
+    // ≡ filtering view rows and re-weighting by freq. The query is
+    // plain spark.sql with a value-column predicate; the require
+    // proves it still serves from the view, the oracle's filtered
+    // full-scan SQL proves exactness. Coverage/refusal edges
+    // (uncovered columns, non-deterministic predicates, multi-view
+    // conflicts) are pinned in AggViewRewriteSpec.
+    QueryDef.sql(
+      "mb_matview_where",
+      """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
+        |  COUNT(*) AS n_rows, quantile_cont(l_extendedprice, 0.5) AS p50
+        |FROM lineitem WHERE l_extendedprice > 30000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      graft.plans.AggViewRewriteRule.registerView(
+        path, aggViewPath(s, dir, "l_extendedprice"))
+      s.read.parquet(path).createOrReplaceTempView("graft_mvw_lineitem")
+      val df = s.sql(
+        """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
+          |  COUNT(*) AS n_rows, PERCENTILE(l_extendedprice, 0.5) AS p50
+          |FROM graft_mvw_lineitem WHERE l_extendedprice > 30000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      val viewDir = new java.io.File(aggViewPath(s, dir, "l_extendedprice"))
+        .getAbsolutePath
+      require(df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(viewDir))
+      }.exists(identity), "filtered transparent matview rewrite did not fire")
+      df
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning

@@ -246,6 +246,110 @@ class AggViewRewriteSpec extends AnyFunSuite {
     assert(rows(dist) == rows(truthD))
   }
 
+  test("a WHERE covered by (group cols ∪ value col) pushes through the rewrite") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_f")
+    val truthBase = scratch("filter/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_f_truth")
+    def both(q: String): (DataFrame, DataFrame) =
+      (spark.sql(q), spark.sql(q.replace("rw_f", "rw_f_truth")))
+
+    // filter on the VALUE column: view rows preserve it exactly
+    val (v1, t1) = both(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n,
+        |  MIN(l_suppkey) AS lo, PERCENTILE(l_suppkey, 0.5) AS p50,
+        |  SUM(l_suppkey) AS s
+        |FROM rw_f WHERE l_suppkey > 50 GROUP BY l_returnflag""".stripMargin)
+    assert(scansPath(v1, view), "value-column filter must push through")
+    assert(rows(v1) == rows(t1))
+
+    // filter on a GROUP column
+    val (v2, t2) = both(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd
+        |FROM rw_f WHERE l_returnflag <> 'A' GROUP BY l_returnflag""".stripMargin)
+    assert(scansPath(v2, view), "group-column filter must push through")
+    assert(rows(v2) == rows(t2))
+
+    // compound covered filter, global aggregate
+    val (v3, t3) = both(
+      """SELECT COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n
+        |FROM rw_f WHERE l_returnflag = 'N' AND l_suppkey % 2 = 0""".stripMargin)
+    assert(scansPath(v3, view), "compound covered filter must push through")
+    assert(rows(v3) == rows(t3))
+
+    // non-deterministic predicate refuses (Spark folds the vacuous
+    // rand() < 2.0 away itself, so probe with a selective one)
+    val nd = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd
+        |FROM rw_f WHERE rand() < 0.5 GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(nd, view), "non-deterministic filter must refuse")
+  }
+
+  test("multi-view: a value-column filter refuses when another view serves too") {
+    val base = scratch("fmulti/base")
+    li.limit(6000).repartition(2).write.mode("overwrite").parquet(base)
+    val viewS = scratch("fmulti/view_supp")
+    val viewP = scratch("fmulti/view_part")
+    AggView.build(spark, base, viewS, Seq("l_returnflag"), "l_suppkey")
+    AggView.build(spark, base, viewP, Seq("l_returnflag"), "l_partkey")
+    AggViewRewriteRule.registerView(base, viewS)
+    AggViewRewriteRule.registerView(base, viewP)
+    spark.read.parquet(base).createOrReplaceTempView("rw_fm")
+
+    // l_suppkey is NOT covered by the partkey view → whole query refuses
+    val refused = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS a,
+        |  COUNT(DISTINCT l_partkey) AS b
+        |FROM rw_fm WHERE l_suppkey > 50 GROUP BY l_returnflag""".stripMargin)
+    assert(!scansPath(refused, viewS) && !scansPath(refused, viewP))
+
+    // a GROUP-column filter is covered by both views → serves
+    val served = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS a,
+        |  COUNT(DISTINCT l_partkey) AS b
+        |FROM rw_fm WHERE l_returnflag <> 'A' GROUP BY l_returnflag""".stripMargin)
+    assert(scansPath(served, viewS) && scansPath(served, viewP))
+    val truthBase = scratch("fmulti/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_fm_truth")
+    val truth = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS a,
+        |  COUNT(DISTINCT l_partkey) AS b
+        |FROM rw_fm_truth WHERE l_returnflag <> 'A' GROUP BY l_returnflag""".stripMargin)
+    assert(rows(served) == rows(truth))
+  }
+
+  test("legacy-mode SUM wraparound is bit-identical between scan and view") {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val base = scratch("wrap/base")
+      import spark.implicits._
+      Seq(
+        ("a", Long.MaxValue), ("a", Long.MaxValue), ("a", Long.MaxValue),
+        ("a", 100L), ("a", Long.MaxValue), ("b", -5L), ("b", Long.MinValue),
+        ("b", Long.MinValue)).toDF("g", "v")
+        .repartition(2).write.mode("overwrite").parquet(base)
+      val view = scratch("wrap/view")
+      AggView.build(spark, base, view, Seq("g"), "v")
+      AggViewRewriteRule.registerView(base, view)
+      spark.read.parquet(base).createOrReplaceTempView("rw_w")
+      val served = spark.sql("SELECT g, SUM(v) AS s FROM rw_w GROUP BY g")
+      assert(scansPath(served, view), "legacy SUM must serve")
+      val truthBase = scratch("wrap/truth")
+      spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+      spark.read.parquet(truthBase).createOrReplaceTempView("rw_w_truth")
+      val truth = spark.sql("SELECT g, SUM(v) AS s FROM rw_w_truth GROUP BY g")
+      // Σv over rows wraps mod 2^64; Σv·freq over view rows wraps to
+      // the SAME residue — two's-complement arithmetic is a ring
+      // homomorphism, so the wrapped totals are bit-identical:
+      // a: 4·(2^63−1)+100 ≡ 96, b: −5+2·(−2^63) ≡ −5 (mod 2^64)
+      assert(rows(served) == rows(truth))
+      assert(rows(served) == Seq("[a,96]", "[b,-5]"),
+        "wraparound must actually occur and match the ring argument")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("_graft_views marker: a fresh session rewrites with no register call") {
     val base = scratch("marker/base")
     li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
