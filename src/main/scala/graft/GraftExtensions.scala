@@ -45,7 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_char_entropy(str) - struct<n_chars,distinct_chars," +
           "sum_c_log2c,entropy_bits_floor> in the exact floor-log2 domain"),
       unary("graft_char_entropy")(CharEntropyStats(_))))
-    e.injectOptimizerRule(ZoneMapPruneRule(_))
+    // ORDER MATTERS: the view rewrite must run BEFORE zone-map pruning.
+    // ZoneMapPruneRule replaces a filtered relation's file index with
+    // the pruned subset; AggViewRewriteRule's staleness gate requires
+    // the relation's listing to EQUAL the view's covered file set, so
+    // a prior prune would silently kill the view serve on exactly the
+    // filtered queries it targets. Rewritten plans contain no
+    // registered base relation, so the zone rule simply no-ops on them;
+    // refused plans reach the zone rule unchanged.
     e.injectOptimizerRule(graft.plans.AggViewRewriteRule(_))
+    e.injectOptimizerRule(ZoneMapPruneRule(_))
   }
 }

@@ -100,16 +100,10 @@ object AggViewRewriteRule {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
-  /** Fully qualify then strip to the path part (the
-    * [[ZoneMapPruneRule]] registration discipline), so relative and
-    * absolute spellings of the same table register one key — lookups
-    * come from the relation's qualified root paths. */
-  private def norm(p: String): String =
-    try {
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      fs.makeQualified(hp).toUri.getPath
-    } catch { case scala.util.control.NonFatal(_) => p }
+  /** Fully qualify then strip to the path part — shared with
+    * [[ZoneMapPruneRule]] so the two rules' registration keys can
+    * never diverge. */
+  private def norm(p: String): String = ZoneMapPruneRule.norm(p)
 
   /** Opt `tablePath` into transparent rewriting onto the view at
     * `viewPath`. One table may carry several views (one per value
@@ -123,6 +117,14 @@ object AggViewRewriteRule {
     registry.remove(norm(tablePath))
     markerCache.clear()
   }
+
+  /** Drop memoized marker probes. Called by
+    * [[graft.sources.AggView.writeMarker]] so a marker written in THIS
+    * session becomes discoverable without a register call — the
+    * session may already have memoized a negative probe for the root
+    * (any aggregate planned over the table does one, including the
+    * view build itself). */
+  def invalidateMarkerCache(): Unit = markerCache.clear()
 
   // (root, session-uuid) -> marker view paths (None = probed, nothing
   // there) — the bloomMarkerCache discipline: positive AND negative
@@ -205,7 +207,10 @@ object AggViewRewriteRule {
       fn match {
         case Count(Seq(v: AttributeReference)) if isDistinct =>
           Some(CountDistinctV(v.name))
-        case Count(Seq(_: Literal)) if !isDistinct => Some(CountStar)
+        // COUNT(NULL) counts nothing, not rows — NullPropagation folds
+        // it to 0 upstream, but that rule is user-excludable, so guard
+        case Count(Seq(l: Literal)) if !isDistinct && l.value != null =>
+          Some(CountStar)
         case Count(Seq(v: AttributeReference)) if !isDistinct =>
           Some(CountV(v.name))
         case Min(v: AttributeReference) if !isDistinct => Some(MinV(v.name))
@@ -298,13 +303,33 @@ object AggViewRewriteRule {
       }
   }
 
+  // (viewPath, gen, session-uuid) -> analyzed view relation. A
+  // generation directory is immutable (refresh publishes a NEW gen via
+  // the atomic pointer flip), so the listing+schema never go stale
+  // under a live key; without this every rewritten query would re-list
+  // and re-read parquet footers at PLAN time. Sharing one relation
+  // across queries is the same as reusing a DataFrame — legal, and a
+  // single query never uses the same view twice (sides are keyed by
+  // distinct value columns).
+  private val viewPlanCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int, String), LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, String), LogicalPlan]): Boolean =
+        size > 64
+    })
+
   private def loadView(spark: SparkSession, viewPath: String,
       meta: AggView.ViewMeta): ViewSide = {
-    inRewrite.set(java.lang.Boolean.TRUE)
-    val p =
-      try spark.read.parquet(
-        new Path(viewPath, s"g${meta.gen}").toString).queryExecution.analyzed
-      finally inRewrite.set(java.lang.Boolean.FALSE)
+    val key = (viewPath, meta.gen, sessionKey(spark))
+    var p = viewPlanCache.get(key)
+    if (p == null) {
+      inRewrite.set(java.lang.Boolean.TRUE)
+      p =
+        try spark.read.parquet(
+          new Path(viewPath, s"g${meta.gen}").toString).queryExecution.analyzed
+        finally inRewrite.set(java.lang.Boolean.FALSE)
+      viewPlanCache.put(key, p)
+    }
     ViewSide(p, meta)
   }
 

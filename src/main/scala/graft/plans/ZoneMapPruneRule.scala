@@ -394,7 +394,7 @@ object ZoneMapPruneRule {
   /** Fully qualify (scheme + absolute) then strip to the path part so
     * "target/x", "/root/repo/target/x" and "file:/root/repo/target/x"
     * all name the same index entry. */
-  private def norm(p: String): String =
+  private[plans] def norm(p: String): String =
     try {
       val hp = new Path(p)
       val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())

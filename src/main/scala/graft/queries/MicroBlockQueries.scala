@@ -527,6 +527,12 @@ object MicroBlockQueries {
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val path = microPath(s, dir)
+      // NOTE: registration is JVM-global and stays for the session —
+      // fine for answers (the rewrite is exact and staleness-gated)
+      // but any LATER query measuring a covered-aggregate SCAN over
+      // this path would silently serve from the view instead; no
+      // current registry row does (scan baselines read the raw sf
+      // paths, engine rows go through the block path)
       graft.plans.AggViewRewriteRule.registerView(
         path, aggViewPath(s, dir, "l_extendedprice"))
       graft.plans.AggViewRewriteRule.registerView(

@@ -71,17 +71,19 @@ object AggView {
   final case class ViewMeta(gen: Int, groupCols: Seq[String],
       valueCol: String, files: Set[String])
 
-  def readMeta(viewPath: String): ViewMeta = {
-    val p = metaPath(viewPath)
+  private def readText(p: Path): String = {
     val in = fs(p).open(p)
-    val text = try {
+    try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = text.split("\n").toSeq
+  }
+
+  def readMeta(viewPath: String): ViewMeta = {
+    val lines = readText(metaPath(viewPath)).split("\n").toSeq
     ViewMeta(lines.head.toInt, lines(1).split(",").toSeq, lines(2),
       lines.drop(3).filter(_.nonEmpty).toSet)
   }
@@ -154,10 +156,21 @@ object AggView {
 
   def writeMarker(tablePath: String, viewPaths: Seq[String]): Unit = {
     require(viewPaths.nonEmpty, "marker needs at least one view path")
+    // qualify at WRITE time: a relative path would resolve against the
+    // CONSUMER's working directory, silently breaking discovery from
+    // any other process
+    val qualified = viewPaths.map { vp =>
+      val hp = new Path(vp)
+      fs(hp).makeQualified(hp).toUri.getPath
+    }
     val p = new Path(markerPath(tablePath))
     val out = fs(p).create(p, true)
-    try out.write(viewPaths.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(qualified.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // this session may have memoized a negative marker probe for the
+    // root (the view build's own aggregate plans one) — drop it so the
+    // marker is discoverable immediately, not just in fresh sessions
+    graft.plans.AggViewRewriteRule.invalidateMarkerCache()
   }
 
   /** The marker's view paths; None when no (non-empty) marker exists. */
@@ -166,16 +179,7 @@ object AggView {
     val f = fs(p)
     if (!f.exists(p) || f.getFileStatus(p).isDirectory) None
     else {
-      val in = f.open(p)
-      val text =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](4096)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          new String(buf.toByteArray, StandardCharsets.UTF_8)
-        } finally in.close()
-      val views = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val views = readText(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       if (views.isEmpty) None else Some(views)
     }
   }

@@ -350,6 +350,101 @@ class AggViewRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("view rewrite wins over zone-map pruning on the same table") {
+    // ZoneMapPruneRule replaces a filtered relation's file index with
+    // the pruned subset; if it ran FIRST, the view gate's file-set
+    // equality would fail on exactly the filtered queries the view
+    // targets. GraftExtensions injects the view rewrite before the
+    // zone rule — this pins that a table registered with BOTH, under a
+    // PRUNING-EFFECTIVE filter, still serves from the view.
+    import graft.plans.ZoneMapPruneRule
+    import graft.sources.{MicroBlockIndex, MicroBlockWriter}
+    val base = scratch("zm/base")
+    // cluster by the value column so the range filter would prune files
+    MicroBlockWriter.write(li.limit(8000), base, "l_suppkey", 8)
+    val stats = MicroBlockIndex.build(spark, base, "lineitem").collect().toSeq
+    ZoneMapPruneRule.register(base, stats)
+    val view = scratch("zm/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_suppkey")
+    AggViewRewriteRule.registerView(base, view)
+    try {
+      spark.read.parquet(base).createOrReplaceTempView("rw_zm")
+      // sanity: the zone rule CAN prune this filter when the view
+      // rewrite refuses (AVG is not a served shape)
+      val pruned = spark.sql(
+        """SELECT l_returnflag, AVG(l_quantity) AS a FROM rw_zm
+          |WHERE l_suppkey <= 20 GROUP BY l_returnflag""".stripMargin)
+      val scannedFiles = pruned.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+      val totalFiles = spark.read.parquet(base).inputFiles.length
+      assert(scannedFiles < totalFiles,
+        s"zone rule should prune ($scannedFiles vs $totalFiles) for this case to test anything")
+      // the served shape under the SAME pruning-effective filter must
+      // go to the VIEW, not the pruned scan
+      val served = spark.sql(
+        """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n
+          |FROM rw_zm WHERE l_suppkey <= 20 GROUP BY l_returnflag""".stripMargin)
+      assert(scansPath(served, view), "view rewrite must win over zone pruning")
+      val truthBase = scratch("zm/truth")
+      spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+      spark.read.parquet(truthBase).createOrReplaceTempView("rw_zm_truth")
+      val truth = spark.sql(
+        """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n
+          |FROM rw_zm_truth WHERE l_suppkey <= 20 GROUP BY l_returnflag""".stripMargin)
+      assert(rows(served) == rows(truth))
+    } finally ZoneMapPruneRule.unregister(base)
+  }
+
+  test("view stays exact across streaming ingest waves via delta-only refresh") {
+    // the operational composition: StreamIngest lands micro-batches
+    // (data files + _SUCCESS/_graft_index sidecars), the view's
+    // staleness gate refuses until refresh, refresh reads ONLY the new
+    // wave's files, and the transparent serve resumes — underscore
+    // sidecars must not poison the file-set equality on either side
+    import graft.streaming.StreamIngest
+    val out = scratch("ingest/table")
+    val rmDir = new java.io.File(out)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+    }
+    rm(rmDir)
+    new java.io.File(out).mkdirs()
+    val ev = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val ingest = new StreamIngest(spark, out, "ev_view", "ts", 2)
+    ingest.ingestBatch(ev.limit(2000), 0)
+
+    val view = scratch("ingest/view")
+    AggView.build(spark, out, view, Seq("event_type"), "user_id")
+    AggView.writeMarker(out, Seq(view))
+    val q = "SELECT event_type, COUNT(DISTINCT user_id) AS nd, " +
+      "COUNT(*) AS n FROM %s GROUP BY event_type"
+    def truth(): Seq[String] = {
+      val t = scratch("ingest/truth")
+      spark.read.parquet(out).write.mode("overwrite").parquet(t)
+      spark.read.parquet(t).createOrReplaceTempView("rw_ing_truth")
+      rows(spark.sql(q.format("rw_ing_truth")))
+    }
+    spark.read.parquet(out).createOrReplaceTempView("rw_ing1")
+    val s1 = spark.sql(q.format("rw_ing1"))
+    assert(scansPath(s1, view), "wave-1 view must serve (marker discovery)")
+    assert(rows(s1) == truth())
+
+    ingest.ingestBatch(ev.limit(3000).filter(col("event_id") >= 2000), 1)
+    spark.read.parquet(out).createOrReplaceTempView("rw_ing2")
+    val s2 = spark.sql(q.format("rw_ing2"))
+    assert(!scansPath(s2, view), "stale view must refuse after the new wave")
+    assert(rows(s2) == truth())
+
+    assert(AggView.refresh(spark, out, view), "refresh must see new files")
+    val s3 = spark.sql(q.format("rw_ing2"))
+    assert(scansPath(s3, view), "refreshed view must serve again")
+    assert(rows(s3) == truth())
+  }
+
   test("_graft_views marker: a fresh session rewrites with no register call") {
     val base = scratch("marker/base")
     li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
