@@ -445,6 +445,49 @@ class AggViewRewriteSpec extends AnyFunSuite {
     assert(rows(s3) == truth())
   }
 
+  test("multi-group-column views serve exact groupings and roll-ups") {
+    val base = scratch("mgrp/base")
+    li.limit(6000).repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("mgrp/view")
+    AggView.build(spark, base, view,
+      Seq("l_returnflag", "l_linestatus"), "l_suppkey")
+    AggViewRewriteRule.registerView(base, view)
+    spark.read.parquet(base).createOrReplaceTempView("rw_mg")
+    val truthBase = scratch("mgrp/truth")
+    spark.read.parquet(base).write.mode("overwrite").parquet(truthBase)
+    spark.read.parquet(truthBase).createOrReplaceTempView("rw_mg_truth")
+    def both(q: String): (DataFrame, DataFrame) =
+      (spark.sql(q), spark.sql(q.replace("rw_mg ", "rw_mg_truth ")))
+
+    // exact two-column grouping
+    val (e1, t1) = both(
+      """SELECT l_returnflag, l_linestatus, COUNT(DISTINCT l_suppkey) AS nd,
+        |  COUNT(*) AS n FROM rw_mg GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    assert(scansPath(e1, view), "exact two-column grouping must serve")
+    assert(rows(e1) == rows(t1))
+
+    // roll-up to ONE of the two group columns
+    val (e2, t2) = both(
+      """SELECT l_linestatus, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n
+        |FROM rw_mg GROUP BY l_linestatus""".stripMargin)
+    assert(scansPath(e2, view), "single-column roll-up must serve")
+    assert(rows(e2) == rows(t2))
+
+    // filter on the OTHER group column + roll-up: covered, pushes
+    val (e3, t3) = both(
+      """SELECT l_linestatus, COUNT(DISTINCT l_suppkey) AS nd
+        |FROM rw_mg WHERE l_returnflag <> 'A' GROUP BY l_linestatus""".stripMargin)
+    assert(scansPath(e3, view),
+      "filter on a non-queried group column must push through")
+    assert(rows(e3) == rows(t3))
+
+    // grouping by a column the view does NOT group by refuses
+    val refused = spark.sql(
+      """SELECT l_shipdate, COUNT(DISTINCT l_suppkey) AS nd
+        |FROM rw_mg GROUP BY l_shipdate""".stripMargin)
+    assert(!scansPath(refused, view))
+  }
+
   test("_graft_views marker: a fresh session rewrites with no register call") {
     val base = scratch("marker/base")
     li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
