@@ -132,10 +132,15 @@ object MatViewScale {
     require(q27ScanRows == q27ViewRows,
       s"q27 diverged:\n${q27ScanRows.mkString("\n")}\nvs\n${q27ViewRows.mkString("\n")}")
 
-    // SUM truth BEFORE any registration — afterwards the same shape
-    // would itself rewrite onto the view
+    // truths BEFORE any registration — afterwards the same shapes
+    // would themselves rewrite onto the view
     val sumTruth = rows(li.groupBy("l_returnflag")
       .agg(sum(col("l_suppkey")).as("s")))
+    def whereScan() = li.filter(col("l_suppkey") <= 500)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("nd"), count(lit(1)).as("n"))
+    val (whereScanSec, whereTruth) = medianOf(rows(whereScan()))
+    println(f"[matview-scale] filtered scan: $whereScanSec%.2fs")
 
     // ---- maintenance fixed cost: a no-op refresh --------------------
     val tR = System.nanoTime()
@@ -188,6 +193,18 @@ object MatViewScale {
     println(f"[matview-scale] sum transparent sql: $sumSqlSec%.2fs")
     require(sumSqlRows == sumTruth, "transparent SUM diverged from scan")
 
+    // pushed WHERE: the filter commutes with the view (refs are in
+    // group ∪ value), so the filtered aggregate serves at view scale
+    def whereSql() = spark.sql(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd,
+        |  COUNT(*) AS n FROM mv_lineitem WHERE l_suppkey <= 500
+        |GROUP BY l_returnflag""".stripMargin)
+    require(scansView(whereSql(), builds("l_suppkey")._1),
+      "filtered transparent query must serve from the suppkey view")
+    val (whereSqlSec, whereSqlRows) = medianOf(rows(whereSql()))
+    println(f"[matview-scale] filtered transparent sql: $whereSqlSec%.2fs")
+    require(whereSqlRows == whereTruth, "filtered transparent diverged from scan")
+
     val probeEnd = probe()
     val buildJson = viewCols.map { c =>
       val (_, sec, vr, fresh) = builds(c)
@@ -202,6 +219,8 @@ object MatViewScale {
         s""""q16_transparent_sql_sec":$q16SqlSec,""" +
         s""""q27_transparent_sql_sec":$q27SqlSec,""" +
         s""""sum_transparent_sql_sec":$sumSqlSec,""" +
+        s""""where_scan_sec":$whereScanSec,""" +
+        s""""where_transparent_sql_sec":$whereSqlSec,""" +
         s""""refresh_noop_sec":$refreshNoopSec}"""
     println(line)
     try {
