@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualNullSafe, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Percentile, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualNullSafe, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Percentile, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.sources.AggView
 
@@ -147,9 +147,14 @@ object AggViewRewriteRule {
     val key = (ZoneMapPruneRule.normFile(rootPath), sessionKey(session))
     var marked = markerCache.get(key)
     if (marked == null) {
+      // presence via the shared one-probe-per-table manifest; only a
+      // present marker pays its own read
       marked =
-        try AggView.markerViews(rootPath)
-        catch { case scala.util.control.NonFatal(_) => None }
+        if (!graft.sources.SidecarManifest.has(rootPath, session, "_graft_views"))
+          None
+        else
+          try AggView.markerViews(rootPath)
+          catch { case scala.util.control.NonFatal(_) => None }
       markerCache.put(key, marked)
     }
     (explicit ++ marked.getOrElse(Nil)).distinct
@@ -184,6 +189,7 @@ object AggViewRewriteRule {
   private case class MaxV(v: String) extends Shape
   private case class PctileV(v: String, pct: Expression) extends Shape
   private case class SumV(v: String) extends Shape
+  private case class AvgV(v: String) extends Shape
 
   private def valueOf(s: Shape): Option[String] = s match {
     case CountDistinctV(v) => Some(v)
@@ -192,6 +198,7 @@ object AggViewRewriteRule {
     case MaxV(v)           => Some(v)
     case PctileV(v, _)     => Some(v)
     case SumV(v)           => Some(v)
+    case AvgV(v)           => Some(v)
     case _                 => None
   }
 
@@ -223,6 +230,18 @@ object AggViewRewriteRule {
           // total, so non-throwing plans agree. TRY nulls on overflow
           // at engine-chosen prefixes — refuse it.
           Some(SumV(v.name))
+        case a @ Average(v: AttributeReference, evalMode)
+            if !isDistinct && isIntegral(v) && a.dataType == DoubleType &&
+              evalMode != EvalMode.TRY =>
+          // AVG over an integral column: Spark's plan sums the values
+          // in DOUBLE over rows and divides by the non-null count; the
+          // view plan sums v·freq EXACTLY in Long and divides — equal
+          // whenever the true total is double-representable (|Σv| <
+          // 2^53, where double row-sums are order-independent and
+          // exact too), and the closer-to-mathematical answer beyond.
+          // Decimal/float AVG refuses like SUM (precision promotion /
+          // order-dependent addition); TRY refuses for symmetry.
+          Some(AvgV(v.name))
         case p: Percentile
             if !isDistinct && !p.reverse &&
               p.child.isInstanceOf[AttributeReference] &&
@@ -287,11 +306,18 @@ object AggViewRewriteRule {
 
   /** A fresh, type-agreeing view for this relation, or None. The
     * FILE-SET EQUALITY is the soundness gate: a stale view is wrong
-    * answers, not lost pruning. */
+    * answers, not lost pruning. Round 11: when the meta carries
+    * per-file (mtime, size) — every view built since — each covered
+    * file must also MATCH the live status, so a base file rewritten in
+    * place under the same name (compaction, backfill) fails the gate
+    * instead of serving stale aggregates (the freshSidecarIndex
+    * discipline applied here). */
   private def freshMeta(viewPath: String, hfs: HadoopFsRelation,
-      currentFiles: Set[String]): Option[AggView.ViewMeta] =
+      currentFiles: Set[String],
+      liveStats: Map[String, (Long, Long)]): Option[AggView.ViewMeta] =
     metaFor(viewPath).filter { meta =>
-      meta.files.map(ZoneMapPruneRule.normFile) == currentFiles
+      meta.files.map(ZoneMapPruneRule.normFile) == currentFiles &&
+        meta.stats.forall { case (f, ms) => liveStats.get(f).contains(ms) }
     }
 
   /** One view's partial: the analyzed view relation plus resolvers for
@@ -338,8 +364,19 @@ object AggViewRewriteRule {
       groupAttrs: Seq[AttributeReference],
       shapes: Seq[Shape], conds: Seq[Expression]): Option[LogicalPlan] = {
     val groupNames = groupAttrs.map(_.name)
-    val currentFiles = hfs.location.inputFiles.toSeq
-      .map(ZoneMapPruneRule.normFile).toSet
+    // `freq` and the partials' source key are the view's reserved
+    // aliases; a base table using either name is refused outright —
+    // AggView.build refuses to create such views, and this guard keeps
+    // a hand-crafted view directory from resolving the wrong attribute
+    if (hfs.dataSchema.fieldNames.exists(n =>
+        n == "freq" || n == AggView.SrcCol)) return None
+    // one listing for both gates: the covered-set equality AND the
+    // per-file (mtime, size) freshness check
+    val liveStats: Map[String, (Long, Long)] =
+      hfs.location.listFiles(Nil, Nil).flatMap(_.files.map(f =>
+        ZoneMapPruneRule.normFile(f.getPath.toString) ->
+          (f.getModificationTime, f.getLen))).toMap
+    val currentFiles = liveStats.keySet
     val filterRefs = conds.flatMap(_.references.toSeq.map(_.name)).distinct
 
     /** Can `meta`'s view evaluate the pushed filter AND the query's
@@ -355,7 +392,7 @@ object AggViewRewriteRule {
     val byValue: Map[String, (String, AggView.ViewMeta)] =
       valueCols.flatMap { c =>
         views.iterator.flatMap { vp =>
-          freshMeta(vp, hfs, currentFiles)
+          freshMeta(vp, hfs, currentFiles, liveStats)
             .filter(m => m.valueCol == c && covers(m))
             .map(m => c -> (vp, m))
         }.take(1)
@@ -366,7 +403,7 @@ object AggViewRewriteRule {
     val anchor: (String, AggView.ViewMeta) =
       if (valueCols.nonEmpty) byValue(valueCols.head)
       else views.iterator
-        .flatMap(vp => freshMeta(vp, hfs, currentFiles)
+        .flatMap(vp => freshMeta(vp, hfs, currentFiles, liveStats)
           .filter(covers).map(vp -> _))
         .take(1).toSeq.headOption.getOrElse(return None)
 
@@ -432,6 +469,20 @@ object AggViewRewriteRule {
           case SumV(_) =>
             Some(Sum(Multiply(Cast(vVal, LongType), freq))
               .toAggregateExpression())
+          case AvgV(_) =>
+            // Σ v·freq / Σ freq over non-null values. Null values drop
+            // from the numerator via null propagation (null·freq =
+            // null, Sum skips it) and from the denominator via
+            // guardedFreq (0 weight). An all-null group: numerator
+            // Sum = null ⇒ null, matching Spark's AVG — the LEGACY
+            // divide also nulls (not throws) on the 0 denominator that
+            // only occurs in exactly that case, so ANSI sessions keep
+            // ANSI behavior everywhere a non-null answer exists.
+            Some(Divide(
+              Cast(Sum(Multiply(Cast(vVal, LongType), freq))
+                .toAggregateExpression(), DoubleType),
+              Cast(Sum(guardedFreq).toAggregateExpression(), DoubleType),
+              EvalMode.LEGACY))
           case PctileV(_, pct) =>
             Some(new Percentile(vVal, pct, guardedFreq)
               .toAggregateExpression())

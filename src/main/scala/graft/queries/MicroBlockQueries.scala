@@ -511,7 +511,8 @@ object MicroBlockQueries {
     // registered views (the ZoneMapPruneRule deployment story applied
     // to materialized views): the price view serves count-distinct /
     // count(*) / min / percentile, the suppkey view serves its
-    // count-distinct and the exact integral SUM, and the two partials
+    // count-distinct, the exact integral SUM, and AVG
+    // (Σ v·freq / Σ freq — round 11), and the two partials
     // join on the group key — the require proves the executed plan
     // reads BOTH views and not the base, and the oracle's full-scan
     // SQL proves the rewritten answer IS the scan answer. Staleness
@@ -523,6 +524,7 @@ object MicroBlockQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
+        |  AVG(l_suppkey) AS avg_supp,
         |  COUNT(*) AS n_rows, MIN(l_extendedprice) AS lo,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -542,6 +544,7 @@ object MicroBlockQueries {
         """SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd,
           |  COUNT(DISTINCT l_suppkey) AS nd_supp,
           |  SUM(l_suppkey) AS sum_supp,
+          |  AVG(l_suppkey) AS avg_supp,
           |  COUNT(*) AS n_rows, MIN(l_extendedprice) AS lo,
           |  PERCENTILE(l_extendedprice, 0.9) AS p90
           |FROM graft_mv_lineitem GROUP BY l_returnflag

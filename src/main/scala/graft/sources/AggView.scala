@@ -28,26 +28,53 @@ import org.apache.spark.sql.functions._
   *     ([[servePercentile]] — same argument as q27's pre-aggregated
   *     rewrite, but the counts are now READ, not recomputed).
   *
-  * The maintenance contract is what makes it a VIEW and not a cached
-  * result: frequencies are ADDITIVE under append-only ingest, so
-  * [[refresh]] aggregates ONLY files the view has not seen and merges
-  * by key — cost `O(delta rows + view size)`, never a re-read of the
-  * base table. Generations make refresh atomic: data lives at
-  * `<viewPath>/g<N>`, a tiny `_graft_view` meta file names the current
-  * generation and the covered files; readers resolve the pointer
-  * first, so a crashed refresh leaves the old generation intact.
-  * Removed or rewritten base files break the additivity contract and
-  * [[refresh]] REFUSES (IllegalStateException — rebuild instead), the
-  * same honesty rule as the zone-map sidecar's staleness guard.
+  * Storage (round 11): each generation holds TWO datasets —
+  *
+  *   - `g<N>/` — the merged (group..., value, freq) view that every
+  *     serve and the transparent rewrite read (unchanged layout);
+  *   - `p<N>/` — PER-FILE PARTIALS: the same counts keyed additionally
+  *     by `_graft_src`, the base data file each count came from.
+  *
+  * The partials are what make [[refresh]] total: frequencies are
+  * additive under append (aggregate only the NEW files), and with
+  * per-file keys they are also SUBTRACTIVE under file removal and
+  * rewrite — a compaction that merges small files into big ones
+  * (`MicroBlockWriter.compact`, the repo's own maintenance pass) drops
+  * the dead files' partials and adds the compacted outputs' partials,
+  * never re-reading the untouched base. Cost is always
+  * `O(changed-file rows + partials size)`; the round-10 design REFUSED
+  * any non-append change and forced a full rebuild. Per-file partial
+  * size is bounded by that file's distinct (group, value) pairs, so
+  * the partials dataset is the same order as the merged view.
+  *
+  * Generations make refresh atomic AND race-free: data lives at
+  * `g<N>`/`p<N>`, a tiny `_graft_view` meta file names the current
+  * generation and the covered files (with per-file mtime+size, so an
+  * in-place rewrite under the same name is DETECTED, not silently
+  * served); readers resolve the pointer first. The refresh that
+  * publishes generation N+1 garbage-collects only generations <= N-1 —
+  * one generation of GRACE — so a reader that resolved generation N
+  * just before the flip still scans it successfully (the round-10 code
+  * deleted N at the flip, a FileNotFound race under concurrency).
+  *
+  * Views built by older rounds (no partials) still read and
+  * append-refresh; a removal/rewrite on such a view refuses with
+  * "rebuild" as before (upgrading to partials requires one full read —
+  * exactly what a rebuild is).
   *
   * At 100 TB: the view build is one map-side-combining aggregation
-  * (shuffle carries distinct pairs, not rows); refresh shuffles delta
-  * pairs + view rows; the rewrite is view-sized. The serve is a scan
-  * of the view only. Reference contract: the stats-serving layer of
+  * (shuffle carries per-file distinct pairs, not rows); refresh
+  * shuffles delta pairs + kept partials; the serve is a scan of the
+  * merged view only. Reference contract: the stats-serving layer of
   * save_metadata.py / query_enginev5.py taken one level past
   * dictionaries — counts, not just value sets.
   */
 object AggView {
+
+  /** The partials' source-file column. Reserved: a base table using
+    * this name (or `freq`) for a group/value column is refused at
+    * [[build]] — the aliases would collide. */
+  val SrcCol = "_graft_src"
 
   private def fs(p: Path) = p.getFileSystem(new Configuration())
 
@@ -56,20 +83,31 @@ object AggView {
   private def genPath(viewPath: String, gen: Int) =
     new Path(viewPath, s"g$gen").toString
 
-  /** Meta file format (text, one token per line): generation number,
-    * group columns (comma-joined), value column, then covered files. */
+  private def partPath(viewPath: String, gen: Int) =
+    new Path(viewPath, s"p$gen").toString
+
+  /** Meta file format (text): generation number, group columns
+    * (comma-joined), value column, then one line per covered file.
+    * v2 (round 11) file lines are `path<TAB>mtime<TAB>size` with the
+    * path NORMALIZED ([[graft.plans.ZoneMapPruneRule.normFile]]);
+    * v1 lines are the bare listing path — [[readMeta]] accepts both,
+    * so round-10 views keep serving. */
   private def writeMeta(viewPath: String, gen: Int, groupCols: Seq[String],
-      valueCol: String, files: Seq[String]): Unit = {
+      valueCol: String, files: Seq[(String, Long, Long)]): Unit = {
     val p = metaPath(viewPath)
     val out = fs(p).create(p, true)
+    val fileLines = files.sortBy(_._1).map { case (f, m, s) => s"$f\t$m\t$s" }
     try out.write(
-      (Seq(gen.toString, groupCols.mkString(","), valueCol) ++ files.sorted)
+      (Seq(gen.toString, groupCols.mkString(","), valueCol) ++ fileLines)
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
+  /** `files` are normalized paths; `stats` maps each to (mtime, size)
+    * — empty for v1 metas, where in-place rewrites are undetectable
+    * (the round-10 contract). */
   final case class ViewMeta(gen: Int, groupCols: Seq[String],
-      valueCol: String, files: Set[String])
+      valueCol: String, files: Set[String], stats: Map[String, (Long, Long)])
 
   private def readText(p: Path): String = {
     val in = fs(p).open(p)
@@ -82,64 +120,180 @@ object AggView {
     } finally in.close()
   }
 
+  private def norm(p: String): String = graft.plans.ZoneMapPruneRule.normFile(p)
+
   def readMeta(viewPath: String): ViewMeta = {
     val lines = readText(metaPath(viewPath)).split("\n").toSeq
+    val fileLines = lines.drop(3).filter(_.nonEmpty)
+    val parsed = fileLines.map { l =>
+      l.split("\t") match {
+        case Array(f, m, s) => (norm(f), Some((m.toLong, s.toLong)))
+        case _              => (norm(l), None)
+      }
+    }
     ViewMeta(lines.head.toInt, lines(1).split(",").toSeq, lines(2),
-      lines.drop(3).filter(_.nonEmpty).toSet)
+      parsed.map(_._1).toSet,
+      parsed.collect { case (f, Some(ms)) => f -> ms }.toMap)
   }
 
-  private def aggregate(df: DataFrame, groupCols: Seq[String],
+  /** Live base listing with status: (raw listing path, normalized
+    * path, mtime, size). One listStatus — the same call
+    * [[MicroBlockIndex.listParquetFiles]] makes. */
+  private def listWithStatus(tablePath: String)
+      : Seq[(String, String, Long, Long)] = {
+    val p = new Path(tablePath)
+    val f = fs(p)
+    val st = f.getFileStatus(p)
+    if (st.isFile) Seq((tablePath, norm(tablePath), st.getModificationTime, st.getLen))
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, norm(s.getPath.toString),
+        s.getModificationTime, s.getLen))
+  }
+
+  /** Per-file partial counts: one row per (source file, group...,
+    * value) with its frequency. `input_file_name()` is stored RAW (its
+    * URI form differs from the listing's — comparisons always go
+    * through [[norm]] on both sides). */
+  private def partialAggregate(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =
-    df.groupBy((groupCols :+ valueCol).map(col): _*)
+    df.groupBy(input_file_name().as(SrcCol) +: (groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("freq"))
 
+  private def mergedFromPartials(partials: DataFrame,
+      groupCols: Seq[String], valueCol: String): DataFrame =
+    partials.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum("freq").as("freq"))
+
+  private def requireSafeColumns(groupCols: Seq[String], valueCol: String): Unit = {
+    val reserved = (groupCols :+ valueCol).filter(c => c == "freq" || c == SrcCol)
+    require(reserved.isEmpty,
+      s"aggview: column name(s) ${reserved.mkString(", ")} are reserved " +
+      s"(the view's count alias / partials source key) — rename or exclude them")
+  }
+
   /** Build the view from scratch: one map-side-combining aggregation
-    * over the table (shuffle = distinct pairs), written as generation
-    * 0. Nulls in `valueCol` are KEPT as a view row — they carry the
-    * base table's row count; serving filters them where the shape
+    * over the table, written as generation 0 (partials + merged).
+    * Nulls in `valueCol` are KEPT as a view row — they carry the base
+    * table's row count; serving filters them where the shape
     * requires. */
   def build(spark: SparkSession, tablePath: String, viewPath: String,
       groupCols: Seq[String], valueCol: String): Unit = {
-    val files = MicroBlockIndex.listParquetFiles(tablePath)
-    aggregate(spark.read.parquet(tablePath), groupCols, valueCol)
+    requireSafeColumns(groupCols, valueCol)
+    val live = listWithStatus(tablePath)
+    partialAggregate(spark.read.parquet(tablePath), groupCols, valueCol)
+      .write.mode("overwrite").parquet(partPath(viewPath, 0))
+    mergedFromPartials(
+        spark.read.parquet(partPath(viewPath, 0)), groupCols, valueCol)
       .write.mode("overwrite").parquet(genPath(viewPath, 0))
-    writeMeta(viewPath, 0, groupCols, valueCol, files)
+    writeMeta(viewPath, 0, groupCols, valueCol,
+      live.map(f => (f._2, f._3, f._4)))
   }
 
   /** The current generation's (group..., value, freq) rows. */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     spark.read.parquet(genPath(viewPath, readMeta(viewPath).gen))
 
-  /** Incremental maintenance (the [[MicroBlockIndex.refresh]]
-    * contract): aggregate ONLY the base files the view has not seen,
-    * merge counts by key (frequencies are additive under append), and
-    * publish as the next generation — the meta pointer flips last, so
-    * readers never observe a half-written view. Refuses a base table
-    * whose KNOWN files changed (removed/rewritten-in-place ingest
-    * breaks additivity — rebuild). Returns true iff new files were
-    * merged. */
+  private def hasPartials(viewPath: String, gen: Int): Boolean = {
+    val p = new Path(partPath(viewPath, gen))
+    try fs(p).exists(new Path(p, "_SUCCESS"))
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Delete generations <= `current` - 2 — ONE generation of grace, so
+    * a reader that resolved the previous pointer just before the flip
+    * still materializes (the pointer flip is atomic; the grace makes
+    * the data behind the OLD pointer survive one refresh cycle). Also
+    * sweeps stragglers a crashed earlier refresh left behind. */
+  private def gcOldGenerations(viewPath: String, current: Int): Unit = {
+    val root = new Path(viewPath)
+    val f = fs(root)
+    val gen = "^[gp](\\d+)$".r
+    f.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case gen(n) if n.toInt <= current - 2 => f.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Incremental maintenance, total over append + removal + in-place
+    * rewrite (compaction is removal + append; a same-name rewrite is
+    * detected by the per-file mtime+size recorded in the meta and
+    * treated as removal + append of that file):
+    *
+    *   1. kept partials = previous generation's partials minus removed
+    *      and changed files' rows (a broadcast semi-join on the source
+    *      key — never a scan of the base);
+    *   2. delta partials = one aggregation over ONLY the added and
+    *      changed files;
+    *   3. next generation = kept ∪ delta, merged view re-aggregated
+    *      from the partials (partials-scale, not base-scale);
+    *   4. meta pointer flips last; generations <= N-1 are kept one
+    *      cycle ([[gcOldGenerations]]).
+    *
+    * Legacy views without partials keep the round-10 contract:
+    * append-only merges, anything else refuses (IllegalStateException
+    * — rebuild). Returns true iff anything changed. */
   def refresh(spark: SparkSession, tablePath: String,
       viewPath: String): Boolean = {
     val meta = readMeta(viewPath)
-    val live = MicroBlockIndex.listParquetFiles(tablePath)
-    val missing = meta.files -- live.toSet
-    if (missing.nonEmpty)
+    val live = listWithStatus(tablePath)
+    val liveNorm = live.map(_._2).toSet
+    val removed = meta.files -- liveNorm
+    // a known file whose (mtime, size) no longer matches was rewritten
+    // in place: its old contribution is dead, its current content is new
+    val changed = live.filter { f =>
+      meta.stats.get(f._2).exists(ms => ms != (f._3, f._4))
+    }.map(_._2).toSet
+    val added = liveNorm -- meta.files
+    if (removed.isEmpty && changed.isEmpty && added.isEmpty) return false
+
+    val partialed = hasPartials(viewPath, meta.gen)
+    if ((removed.nonEmpty || changed.nonEmpty) && !partialed)
       throw new IllegalStateException(
-        s"aggview $viewPath: ${missing.size} covered file(s) no longer " +
-        s"in the base listing (e.g. ${missing.head}) — append-only " +
-        "additivity is broken, rebuild the view")
-    val newFiles = live.filterNot(meta.files)
-    if (newFiles.isEmpty) return false
-    val delta = aggregate(
-      spark.read.parquet(newFiles: _*), meta.groupCols, meta.valueCol)
-    val keys = (meta.groupCols :+ meta.valueCol)
-    val merged = read(spark, viewPath).unionByName(delta)
-      .groupBy(keys.map(col): _*)
-      .agg(sum("freq").as("freq"))
+        s"aggview $viewPath: ${(removed ++ changed).size} covered file(s) " +
+        s"removed or rewritten (e.g. ${(removed ++ changed).head}) and this " +
+        "view predates per-file partials — rebuild the view to upgrade")
+
+    val keys = meta.groupCols :+ meta.valueCol
+    val readFiles = live.filter(f => added(f._2) || changed(f._2)).map(_._1)
+    val delta =
+      if (readFiles.isEmpty) None
+      else Some(partialAggregate(
+        spark.read.parquet(readFiles: _*), meta.groupCols, meta.valueCol))
     val nextGen = meta.gen + 1
-    merged.write.mode("overwrite").parquet(genPath(viewPath, nextGen))
-    writeMeta(viewPath, nextGen, meta.groupCols, meta.valueCol, live)
-    fs(metaPath(viewPath)).delete(new Path(genPath(viewPath, meta.gen)), true)
+
+    if (partialed) {
+      val old = spark.read.parquet(partPath(viewPath, meta.gen))
+      // sources worth keeping: known, still live, not rewritten. The
+      // distinct-source collect is file-listing scale — the same order
+      // as the listStatus above, never data-scale.
+      val keepNorm = (meta.files & liveNorm) -- changed
+      val keepRaw = old.select(SrcCol).distinct().collect()
+        .map(_.getString(0)).filter(s => keepNorm(norm(s)))
+      import spark.implicits._
+      val kept = old.join(
+        broadcast(keepRaw.toSeq.toDF(SrcCol)), Seq(SrcCol), "left_semi")
+      val all = delta.fold(kept)(d => kept.unionByName(d))
+      all.write.mode("overwrite").parquet(partPath(viewPath, nextGen))
+      mergedFromPartials(spark.read.parquet(partPath(viewPath, nextGen)),
+          meta.groupCols, meta.valueCol)
+        .write.mode("overwrite").parquet(genPath(viewPath, nextGen))
+    } else {
+      // legacy append-only path: merge the previous MERGED view with
+      // the delta (no partials existed and none can be conjured
+      // without a base re-read — the view stays legacy until rebuilt)
+      val merged = read(spark, viewPath)
+        .unionByName(delta.get.drop(SrcCol)
+          .groupBy(keys.map(col): _*).agg(sum("freq").as("freq")))
+        .groupBy(keys.map(col): _*)
+        .agg(sum("freq").as("freq"))
+      merged.write.mode("overwrite").parquet(genPath(viewPath, nextGen))
+    }
+    writeMeta(viewPath, nextGen, meta.groupCols, meta.valueCol,
+      live.map(f => (f._2, f._3, f._4)))
+    gcOldGenerations(viewPath, nextGen)
     true
   }
 
@@ -171,6 +325,7 @@ object AggView {
     // root (the view build's own aggregate plans one) — drop it so the
     // marker is discoverable immediately, not just in fresh sessions
     graft.plans.AggViewRewriteRule.invalidateMarkerCache()
+    SidecarManifest.invalidate(tablePath)
   }
 
   /** The marker's view paths; None when no (non-empty) marker exists. */

@@ -104,10 +104,10 @@ class AggViewRewriteSpec extends AnyFunSuite {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd FROM rw_t3
         |GROUP BY l_returnflag""".stripMargin)
     assert(!scansPath(other, view))
-    // AVG is not a served shape (kept exact by refusing: its double
-    // sum is order-dependent)
+    // AVG over a DOUBLE column refuses (order-dependent float sums);
+    // integral AVG serves — pinned in its own test below
     val avged = spark.sql(
-      """SELECT l_returnflag, AVG(l_suppkey) AS a FROM rw_t3
+      """SELECT l_returnflag, AVG(l_extendedprice) AS a FROM rw_t3
         |GROUP BY l_returnflag""".stripMargin)
     assert(!scansPath(avged, view))
     // computed grouping key
@@ -534,5 +534,118 @@ class AggViewRewriteSpec extends AnyFunSuite {
     val truth = spark.read.parquet(base).groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("nd"))
     assert(rows(served) == rows(truth))
+  }
+
+  test("integral AVG serves from the view (Σ v·freq / Σ freq) and stays exact") {
+    val (base, view) = basics
+    spark.read.parquet(base).createOrReplaceTempView("rw_avg")
+    val served = spark.sql(
+      """SELECT l_returnflag, AVG(l_suppkey) AS a, COUNT(*) AS n
+        |FROM rw_avg GROUP BY l_returnflag""".stripMargin)
+    assert(scansPath(served, view), "integral AVG must rewrite")
+    val truth = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(avg(col("l_suppkey")).as("a"), count(lit(1)).as("n"))
+    assert(rows(served) == rows(truth))
+    // global (no grouping) AVG
+    val global = spark.sql("SELECT AVG(l_suppkey) AS a FROM rw_avg")
+    assert(scansPath(global, view))
+    assert(rows(global) ==
+      rows(spark.read.parquet(base).agg(avg(col("l_suppkey")).as("a"))))
+  }
+
+  test("AVG null semantics match (all-null group → NULL); double AVG refuses") {
+    val base = scratch("avgnull/base")
+    import spark.implicits._
+    Seq(("a", Some(10L)), ("a", Some(21L)), ("b", None), ("b", None),
+        ("c", Some(5L)))
+      .toDF("g", "v").repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("avgnull/view")
+    AggView.build(spark, base, view, Seq("g"), "v")
+    AggViewRewriteRule.registerView(base, view)
+    spark.read.parquet(base).createOrReplaceTempView("rw_avgnull")
+    val served = spark.sql("SELECT g, AVG(v) AS a FROM rw_avgnull GROUP BY g")
+    assert(scansPath(served, view))
+    val truth = spark.read.parquet(base).groupBy("g").agg(avg(col("v")).as("a"))
+    assert(rows(served) == rows(truth),
+      "the all-null group must serve NULL, not throw or zero")
+
+    // double value column: AVG refuses (order-dependent float sums),
+    // while a recognized shape over the same view still serves
+    val dbase = scratch("avgdbl/base")
+    li.limit(4000).repartition(2).write.mode("overwrite").parquet(dbase)
+    val dview = scratch("avgdbl/view")
+    AggView.build(spark, dbase, dview, Seq("l_returnflag"), "l_extendedprice")
+    AggViewRewriteRule.registerView(dbase, dview)
+    spark.read.parquet(dbase).createOrReplaceTempView("rw_avgdbl")
+    val refused = spark.sql(
+      "SELECT l_returnflag, AVG(l_extendedprice) AS a FROM rw_avgdbl GROUP BY l_returnflag")
+    assert(!scansPath(refused, dview), "double AVG must NOT rewrite")
+    assert(rows(refused) == rows(spark.read.parquet(dbase)
+      .groupBy("l_returnflag").agg(avg(col("l_extendedprice")).as("a"))))
+    val stillServes = spark.sql(
+      "SELECT l_returnflag, COUNT(DISTINCT l_extendedprice) AS nd FROM rw_avgdbl GROUP BY l_returnflag")
+    assert(scansPath(stillServes, dview))
+  }
+
+  test("a base file rewritten in place under the same name fails freshness until refresh") {
+    val base = scratch("inplace/base")
+    li.limit(4000).repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("inplace/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_suppkey")
+    AggViewRewriteRule.registerView(base, view)
+    val q = "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd " +
+      "FROM rw_ip GROUP BY l_returnflag"
+    spark.read.parquet(base).createOrReplaceTempView("rw_ip")
+    assert(scansPath(spark.sql(q), view))
+
+    // same file NAME, different bytes — round 10's name-set gate would
+    // have served the now-stale view
+    val victim = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(base).head)
+    val tmp = scratch("inplace/tmp")
+    spark.read.parquet(victim).limit(50).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val tmpFile = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(tmp).head)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(tmpFile),
+      java.nio.file.Paths.get(victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(victim)
+      .getParent.resolve("." + java.nio.file.Paths.get(victim)
+        .getFileName.toString + ".crc"))
+
+    spark.read.parquet(base).createOrReplaceTempView("rw_ip")
+    val stale = spark.sql(q)
+    assert(!scansPath(stale, view),
+      "a same-name rewrite must fail the (mtime, size) freshness gate")
+    val truth = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("nd"))
+    assert(rows(stale) == rows(truth), "the refused plan scans the live base")
+
+    // refresh re-aggregates the rewritten file; the rewrite fires again
+    assert(AggView.refresh(spark, base, view))
+    spark.read.parquet(base).createOrReplaceTempView("rw_ip")
+    val fresh = spark.sql(q)
+    assert(scansPath(fresh, view), "post-refresh the view must serve again")
+    assert(rows(fresh) == rows(truth))
+  }
+
+  test("a base table with a column named freq never rewrites (reserved alias)") {
+    val base = scratch("freq/base")
+    import spark.implicits._
+    Seq(("a", 1L, 9L), ("a", 2L, 8L), ("b", 3L, 7L))
+      .toDF("g", "v", "freq").repartition(2)
+      .write.mode("overwrite").parquet(base)
+    val view = scratch("freq/view")
+    // the view itself (over g, v) is buildable — only the BASE schema
+    // carrying `freq` poisons attribute resolution, so the rule
+    // refuses the whole table
+    AggView.build(spark, base, view, Seq("g"), "v")
+    AggViewRewriteRule.registerView(base, view)
+    spark.read.parquet(base).createOrReplaceTempView("rw_freq")
+    val q = spark.sql("SELECT g, COUNT(DISTINCT v) AS nd FROM rw_freq GROUP BY g")
+    assert(!scansPath(q, view), "tables with a `freq` column must refuse")
+    assert(rows(q) == rows(spark.read.parquet(base)
+      .groupBy("g").agg(countDistinct(col("v")).as("nd"))))
   }
 }

@@ -12,10 +12,19 @@ import graft.sources.AggView
   *   - a built view's counts equal the direct aggregation, and both
   *     serve shapes equal the raw-row answers bit-for-bit;
   *   - refresh after an append ≡ a rebuild, READS ONLY the new files
-  *     (proven by corrupting the old ones first), and flips the
-  *     generation pointer atomically;
-  *   - a base table whose known files changed is REFUSED (additivity
-  *     broken — rebuild), never silently served.
+  *     (proven by corrupting the old ones first — size- and
+  *     mtime-preserving, so the change detector doesn't classify the
+  *     corruption itself as a rewrite), and flips the generation
+  *     pointer atomically;
+  *   - refresh is TOTAL over removal, compaction, and in-place
+  *     rewrite (round 11, per-file partials): dead files'
+  *     contributions drop, changed/new files re-aggregate, untouched
+  *     base files are never read;
+  *   - the refresh that publishes generation N+1 keeps generation N
+  *     alive (grace), so a reader holding the old pointer still
+  *     materializes;
+  *   - a LEGACY view (no partials) still refuses removal/rewrite with
+  *     "rebuild", and reserved column names are refused at build.
   */
 class AggViewSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.local(cores = 8, appName = "graft-aggview-test")
@@ -29,6 +38,27 @@ class AggViewSpec extends AnyFunSuite {
     val out = scratch(s"$tag/base")
     li.limit(5000).repartition(4).write.mode("overwrite").parquet(out)
     out
+  }
+
+  /** Overwrite `file` with garbage of the SAME length and restore its
+    * mtime: any later read fails loudly, but the (mtime, size) change
+    * detector sees the file as untouched — exactly the probe needed to
+    * prove a maintenance pass never reads it. */
+  /** Remove the Hadoop local-FS checksum sibling after an out-of-band
+    * rewrite of `file` — a stale `.crc` would fail reads of the NEW
+    * valid bytes with ChecksumException. */
+  private def dropCrc(file: String): Unit = {
+    val p = java.nio.file.Paths.get(file)
+    val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+  }
+
+  private def corruptPreservingStatus(file: String): Unit = {
+    val p = java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(file))
+    val mtime = java.nio.file.Files.getLastModifiedTime(p)
+    val len = java.nio.file.Files.size(p).toInt
+    java.nio.file.Files.write(p, Array.fill[Byte](len)('x'.toByte))
+    java.nio.file.Files.setLastModifiedTime(p, mtime)
   }
 
   test("view counts equal the direct aggregation; both serves are exact") {
@@ -118,13 +148,10 @@ class AggViewSpec extends AnyFunSuite {
       .orderBy("l_returnflag").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
-    // corrupt the ORIGINAL data files: a refresh that touched any of
-    // them would now fail, so success proves delta-only maintenance
-    before.foreach { f =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(f)),
-        "not parquet".getBytes)
-    }
+    // corrupt the ORIGINAL data files (status-preserving): a refresh
+    // that touched any of them would now fail, so success proves
+    // delta-only maintenance
+    before.foreach(corruptPreservingStatus)
     assert(AggView.refresh(spark, base, view))
     assert(AggView.readMeta(view).gen == gen0 + 1, "generation must advance")
 
@@ -138,10 +165,144 @@ class AggViewSpec extends AnyFunSuite {
     assert(AggView.readMeta(view).gen == gen0 + 1)
   }
 
-  test("a removed base file breaks additivity and is refused") {
+  test("a removed base file is delta-subtracted, survivors never read") {
     val base = freshBase("removed")
     val view = scratch("removed/view")
     AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    val victim = graft.sources.MicroBlockIndex.listParquetFiles(base).head
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(victim)))
+    // expected = the post-removal base, captured before the survivors
+    // are corrupted to prove the refresh reads only partials
+    val expect = spark.read.parquet(base)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.sources.MicroBlockIndex.listParquetFiles(base)
+      .foreach(corruptPreservingStatus)
+    assert(AggView.refresh(spark, base, view))
+    val served = AggView.serveCountDistinct(spark, view)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.sameElements(expect))
+  }
+
+  test("refresh survives compaction: dead partials drop, outputs re-aggregate, untouched files never read") {
+    // the verdict-#1 composition: the repo's own maintenance pass
+    // (MicroBlockWriter.compact merges small files) must cost the view
+    // a DELTA refresh, not a full-base rebuild
+    val base = scratch("compact/base")
+    val rows = li.limit(8000)
+    graft.sources.MicroBlockWriter.write(rows, base, "l_shipdate", 8)
+    val view = scratch("compact/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+
+    val before = graft.sources.MicroBlockIndex.listParquetFiles(base)
+      .map(graft.plans.ZoneMapPruneRule.normFile).toSet
+    // fragment the tail: append three small batches, refresh (append
+    // path), then compact — small files merge into new ones while the
+    // eight original blocks stay in place
+    (1 to 3).foreach { i =>
+      li.limit(8000 + 200 * i).sort("l_shipdate").limit(200).coalesce(1)
+        .write.mode("append").parquet(base)
+    }
+    assert(AggView.refresh(spark, base, view))
+    val n = spark.read.parquet(base).count()
+    val st = graft.sources.MicroBlockWriter.compact(
+      spark, base, "l_shipdate", minRows = 500, targetRows = 1200)
+    assert(st.mergedFiles > 0, "compaction must actually merge files")
+    val after = graft.sources.MicroBlockIndex.listParquetFiles(base)
+      .map(graft.plans.ZoneMapPruneRule.normFile).toSet
+    val untouched = before & after
+    assert(untouched.nonEmpty, "some original files must survive compaction")
+    assert(spark.read.parquet(base).count() == n)
+
+    val expect = spark.read.parquet(base)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // corrupt every file compaction did NOT rewrite: the delta refresh
+    // must read only the compacted outputs + its own partials
+    untouched.foreach(corruptPreservingStatus)
+    assert(AggView.refresh(spark, base, view))
+    val served = AggView.serveCountDistinct(spark, view)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.sameElements(expect), "post-compaction serve must be exact")
+  }
+
+  test("an in-place rewrite under the same file name is detected and re-aggregated") {
+    val base = freshBase("rewrite")
+    val view = scratch("rewrite/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    // rewrite one base file IN PLACE (same name, different rows):
+    // round 10 refused only REMOVED names, so this would have served
+    // stale counts; the per-file (mtime, size) meta catches it
+    val victim = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(base).head)
+    val tmp = scratch("rewrite/tmp")
+    spark.read.parquet(victim).limit(100).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val tmpFile = graft.sources.MicroBlockIndex.listParquetFiles(tmp).head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(tmpFile)),
+      java.nio.file.Paths.get(victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dropCrc(victim)
+    val expect = spark.read.parquet(base)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(AggView.refresh(spark, base, view),
+      "a same-name rewrite must register as a change")
+    val served = AggView.serveCountDistinct(spark, view)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.sameElements(expect))
+  }
+
+  test("generation grace: a reader resolved before a refresh still materializes") {
+    val base = freshBase("grace")
+    val view = scratch("grace/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    // resolve the current generation NOW (listing + schema pinned)
+    val held = AggView.read(spark, view)
+    val heldRows = held.count()
+    li.limit(6000).repartition(2).write.mode("append").parquet(base)
+    assert(AggView.refresh(spark, base, view))
+    // g0 survives the g1 flip — the reader's plan still scans
+    assert(held.count() == heldRows,
+      "a pre-refresh reader must survive one refresh (generation grace)")
+    li.limit(7000).repartition(2).write.mode("append").parquet(base)
+    assert(AggView.refresh(spark, base, view))
+    // after the SECOND flip generation 0 is garbage-collected
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$view/g0")),
+      "generations two flips old must be collected")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$view/g1")),
+      "the previous generation must be kept as grace")
+  }
+
+  test("legacy views (no partials) refuse removal with 'rebuild'; reserved names refuse at build") {
+    val base = freshBase("legacy")
+    val view = scratch("legacy/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    // strip the partials + downgrade the meta to v1 (path-only lines),
+    // simulating a round-10 view on disk
+    val viewDir = java.nio.file.Paths.get(view)
+    val pdir = java.nio.file.Files.list(viewDir).filter(_.getFileName.toString.startsWith("p")).findFirst().get()
+    org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+    val metaPath = viewDir.resolve("_graft_view")
+    val v1 = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+      .split("\n").map(_.split("\t").head).mkString("\n")
+    java.nio.file.Files.write(metaPath, v1.getBytes("UTF-8"))
+    dropCrc(metaPath.toString)
+
     val victim = graft.sources.MicroBlockIndex.listParquetFiles(base).head
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(victim)))
@@ -149,5 +310,32 @@ class AggViewSpec extends AnyFunSuite {
       AggView.refresh(spark, base, view)
     }
     assert(e.getMessage.contains("rebuild"))
+
+    val bad = intercept[IllegalArgumentException] {
+      AggView.build(spark, base, scratch("legacy/badview"),
+        Seq("l_returnflag"), "freq")
+    }
+    assert(bad.getMessage.contains("reserved"))
+  }
+
+  test("a legacy view still append-refreshes (merged-only path)") {
+    val base = freshBase("legacyappend")
+    val view = scratch("legacyappend/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    val viewDir = java.nio.file.Paths.get(view)
+    val pdir = java.nio.file.Files.list(viewDir).filter(_.getFileName.toString.startsWith("p")).findFirst().get()
+    org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+    li.limit(6000).repartition(2).write.mode("append").parquet(base)
+    assert(AggView.refresh(spark, base, view))
+    val expect = spark.read.parquet(base)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val served = AggView.serveCountDistinct(spark, view)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.sameElements(expect))
   }
 }
