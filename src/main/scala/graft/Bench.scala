@@ -205,8 +205,17 @@ object Bench {
           .filter(col("l_suppkey") === 3))
       }
       require(scanV == dictV, s"dict_ab rows diverged: $scanV vs $dictV")
+      // round 11: the COST-ROUTED serve (what mb_dict_point now runs).
+      // Below the byte threshold it must track point_scan — the round-10
+      // artifact showed the forced dict path losing at sf0.1.
+      val route = graft.sources.DictionaryIndex.pointLookupRoute(path)
+      val (autoSec, autoV) = med(
+        fp(graft.sources.DictionaryIndex.prunedReadEqAuto(
+          spark, dIdx, path, "l_suppkey", Seq(v))))
+      require(autoV == scanV, s"dict_ab auto rows diverged: $autoV vs $scanV")
       s"""{"point_scan":{"sec":$scanSec,"files":${files.size}},""" +
-        s""""point_dict":{"sec":$dictSec,"files":$kept}}"""
+        s""""point_dict":{"sec":$dictSec,"files":$kept},""" +
+        s""""point_auto":{"sec":$autoSec,"route":"$route"}}"""
     } catch {
       case t: Throwable =>
         System.err.println(

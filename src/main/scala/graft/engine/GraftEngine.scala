@@ -124,6 +124,11 @@ final class GraftEngine(
   private val dictIdxMemo = scala.collection.concurrent.TrieMap
     .empty[String, Dataset[graft.sources.FileDict]]
 
+  // column -> (anyNullPresent, unknown) from footer stats — one
+  // metadata collect per column per engine (workload-replay memo)
+  private val nullPresenceMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Boolean, Boolean)]
+
   private[engine] def dictIndexFor(columns: Seq[String])
       : Dataset[graft.sources.FileDict] = {
     val missing = columns.filterNot(dictIdxMemo.contains)
@@ -665,10 +670,27 @@ final class GraftEngine(
             java.util.Collections.singletonList(row), schema))
         case Distinct(Project(Seq(a: AttributeReference), child))
             if isDirectScan(child) && faithful(a.dataType) =>
-          val vals = graft.sources.DictionaryIndex.distinctValues(
-            spark, dictIndexFor(Seq(a.name)), tablePath, a.name)
-          Some(vals.select(org.apache.spark.sql.functions.col("v")
-            .cast(a.dataType).as(a.name)))
+          // dictionaries hold NO nulls and the uncovered-file scan
+          // filters them, so a table holding NULLs would lose the NULL
+          // row plain SQL returns. Footer null counts decide it: serve
+          // non-null values (+ a NULL row when any file proves nulls);
+          // any UNKNOWN count on a nullable column falls through to
+          // the normal SQL path instead of guessing.
+          val idx = dictIndexFor(Seq(a.name))
+          val (anyNull, unknown) = nullPresenceMemo.getOrElseUpdate(a.name,
+            graft.sources.DictionaryIndex.nullPresence(idx, tablePath, a.name))
+          if (unknown && a.nullable) None
+          else {
+            val vals = graft.sources.DictionaryIndex.distinctValues(
+              spark, idx, tablePath, a.name)
+            val nonNull = vals.select(org.apache.spark.sql.functions.col("v")
+              .cast(a.dataType).as(a.name))
+            if (!anyNull) Some(nonNull)
+            else Some(nonNull.unionAll(spark.createDataFrame(
+              java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(null)),
+              StructType(Seq(StructField(a.name, a.dataType, nullable = true))))))
+          }
         case _ => None
       }
     }

@@ -352,9 +352,14 @@ object ZoneMapPruneRule {
     val hit = bloomMarkerCache.get(key)
     if (hit != null) hit
     else {
+      // presence from the shared one-probe-per-table manifest; only a
+      // PRESENT marker pays its own read
       val found =
-        try graft.sources.BloomPruning.markerColumns(rootPath).map(_.toSet)
-        catch { case scala.util.control.NonFatal(_) => None }
+        if (!graft.sources.SidecarManifest.has(rootPath, session, "_graft_bloom"))
+          None
+        else
+          try graft.sources.BloomPruning.markerColumns(rootPath).map(_.toSet)
+          catch { case scala.util.control.NonFatal(_) => None }
       bloomMarkerCache.put(key, found)
       found
     }
@@ -394,7 +399,7 @@ object ZoneMapPruneRule {
   /** Fully qualify (scheme + absolute) then strip to the path part so
     * "target/x", "/root/repo/target/x" and "file:/root/repo/target/x"
     * all name the same index entry. */
-  private[plans] def norm(p: String): String =
+  private[graft] def norm(p: String): String =
     try {
       val hp = new Path(p)
       val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -562,7 +567,12 @@ object ZoneMapPruneRule {
     val key = (normFile(rootPath), sessionKey(session), dirName)
     val hit = discoveryCache.get(key)
     if (hit != null) hit
-    else {
+    else if (!graft.sources.SidecarManifest.has(rootPath, session, dirName)) {
+      // the shared manifest says no such sidecar dir exists — memoize
+      // the negative without a per-layer filesystem round-trip
+      discoveryCache.put(key, None)
+      None
+    } else {
       val found =
         try {
           val conf = session.sparkContext.hadoopConfiguration

@@ -418,16 +418,22 @@ object MicroBlockQueries {
     // DICTIONARY holds exactly its bucket's keys, so `l_suppkey = 3`
     // keeps only the files whose value set contains 3 (~1/16; the
     // zone-map contrast — 16/16 kept — is pinned in DictionarySpec).
-    // The oracle runs the same lookup as a full scan over the raw
-    // table, so the hash match proves the skip list never dropped a
-    // matching row.
+    // Round 11: served through the COST ROUTER (prunedReadEqAuto) —
+    // below ~256 MB the distributed skip-list job costs more than the
+    // scan it saves (dict_ab at sf0.1 measured the inversion: 0.26 s
+    // dict vs 0.19 s scan on 17 MB), so small tables take the straight
+    // scan and the dictionary cut engages where it wins (sf100: 0.73 s
+    // vs 1.85 s, BENCH_DICT.json). Both routes end in the same row
+    // filter, so the oracle's full-scan hash match holds either way;
+    // the dictionary route's losslessness at this sf is pinned in
+    // DictionarySpec against Spark full scans.
     QueryDef.sql(
       "mb_dict_point",
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_suppkey = 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       val (path, idx) = dictBucketIndex(s, dir)
-      DictionaryIndex.prunedReadEq(s, idx, path, "l_suppkey", Seq(PredValue(3L)))
+      DictionaryIndex.prunedReadEqAuto(s, idx, path, "l_suppkey", Seq(PredValue(3L)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
     },

@@ -105,6 +105,7 @@ object BloomPruning {
     try out.write(columns.mkString("\n").getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    SidecarManifest.invalidate(tablePath)
   }
 
   /** The marker's column list; None when no (non-empty) marker exists. */
@@ -146,8 +147,11 @@ object BloomPruning {
           logical match {
             case null => true
             case i: IntLogicalTypeAnnotation => i.isSigned
-            case _: TimestampLogicalTypeAnnotation |
-                 _: DateLogicalTypeAnnotation => true
+            // Catalyst probes are MICROS; a MILLIS/NANOS file hashes a
+            // different scale, so its bloom would falsely refute
+            case t: TimestampLogicalTypeAnnotation =>
+              t.getUnit == TimeUnit.MICROS
+            case _: DateLogicalTypeAnnotation => true
             case _ => false
           }
         case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => true

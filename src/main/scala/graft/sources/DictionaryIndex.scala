@@ -21,6 +21,12 @@ import scala.jdk.CollectionConverters._
   * the file holds for this column: exactly one of the three arrays is
   * populated, by physical type (INT32/INT64 → `valuesLong`,
   * FLOAT/DOUBLE → `valuesDouble`, BYTE_ARRAY → `valuesStr` as UTF-8).
+  *
+  * `nullCount` (round 11) is the file's total null count for the
+  * column from footer statistics — recorded for covered AND uncovered
+  * entries, `-1` when any chunk's footer omits it. It lets DISTINCT
+  * serves answer "does this table hold a NULL?" from metadata
+  * (dictionaries hold no nulls, so value sets alone cannot).
   */
 final case class FileDict(
     table: String,
@@ -30,7 +36,8 @@ final case class FileDict(
     covered: Boolean,
     valuesLong: Array[Long],
     valuesDouble: Array[Double],
-    valuesStr: Array[String])
+    valuesStr: Array[String],
+    nullCount: Long)
 
 /** Dictionary-page index over parquet files — the stats layer past
   * zone maps AND histograms: exact per-file VALUE SETS, read from the
@@ -103,9 +110,10 @@ object DictionaryIndex {
       val descriptors = columns.flatMap { c =>
         schema.getColumns.asScala.find(_.getPath.mkString(".") == c).map(c -> _)
       }.toMap
-      // per column: does EVERY chunk qualify (dict pages, no fallback
-      // data pages, a supported physical type)?
-      val chunkInfo: Map[String, Seq[(Boolean, Boolean)]] = descriptors.keys.map { c =>
+      // per column per chunk: (qualifies: dict pages + no fallback
+      // data pages + a supported physical type, all-null, null count
+      // or -1 when the footer omits it)
+      val chunkInfo: Map[String, Seq[(Boolean, Boolean, Long)]] = descriptors.keys.map { c =>
         c -> blocks.map { bm =>
           val cc = bm.getColumns.asScala
             .find(_.getPath.toDotString == c)
@@ -115,9 +123,12 @@ object DictionaryIndex {
           // column's ints are UNSCALED (5.50 stored as 550 — the wrong
           // equality domain for a scaled probe), an UNSIGNED int's raw
           // bits misread as signed, and a non-UTF8 BINARY blob has no
-          // faithful string view. All of those stay covered=false;
-          // timestamps (micros), dates (days) and signed ints share
-          // the probe's numeric domain and are safe.
+          // faithful string view. All of those stay covered=false.
+          // Timestamps qualify ONLY at MICROS unit — Catalyst probes
+          // are micros, and a TIMESTAMP_MILLIS/NANOS file stores a
+          // different scale under the same annotation class, so an
+          // equality probe would falsely refute matching files (dates
+          // are always days; signed ints share the probe domain).
           val pt = descriptors(c).getPrimitiveType
           val logical = pt.getLogicalTypeAnnotation
           import org.apache.parquet.schema.LogicalTypeAnnotation._
@@ -126,8 +137,9 @@ object DictionaryIndex {
               logical match {
                 case null => true
                 case i: IntLogicalTypeAnnotation => i.isSigned
-                case _: TimestampLogicalTypeAnnotation |
-                     _: DateLogicalTypeAnnotation => true
+                case t: TimestampLogicalTypeAnnotation =>
+                  t.getUnit == TimeUnit.MICROS
+                case _: DateLogicalTypeAnnotation => true
                 case _ => false // decimal, time, interval: wrong domain
               }
             case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => true
@@ -138,11 +150,17 @@ object DictionaryIndex {
           }
           val dictOnly = es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
           val stats = cc.getStatistics
-          val allNull = stats != null && stats.isNumNullsSet && stats.getNumNulls == cc.getValueCount
-          (supported && (dictOnly || allNull), allNull)
+          val nulls =
+            if (stats != null && stats.isNumNullsSet) stats.getNumNulls else -1L
+          val allNull = nulls == cc.getValueCount && nulls >= 0
+          (supported && (dictOnly || allNull), allNull, nulls)
         }
       }.toMap
       val covered = chunkInfo.map { case (c, info) => c -> info.forall(_._1) }
+      // file-level null count: exact sum, or -1 if ANY chunk omits it
+      val nullCounts: Map[String, Long] = chunkInfo.map { case (c, info) =>
+        c -> (if (info.exists(_._3 < 0)) -1L else info.map(_._3).sum)
+      }
       // accumulate distinct values per covered column across row groups
       val longs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[Long]]
       val doubles = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[Double]]
@@ -191,7 +209,8 @@ object DictionaryIndex {
           rowGroups = blocks.size, covered = ok,
           valuesLong = if (ok) longs.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
           valuesDouble = if (ok) doubles.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
-          valuesStr = if (ok) strs.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty)
+          valuesStr = if (ok) strs.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
+          nullCount = nullCounts(c))
       }
     } finally reader.close()
   }
@@ -208,22 +227,64 @@ object DictionaryIndex {
       tablePath: String, column: String): DataFrame =
     distinctFrom(spark, index, coverageOf(index, column), tablePath, column)
 
-  /** (file, covered, hasLongs, hasDoubles) per index entry for
-    * `column` — the one file-listing-scale collect the serve needs. */
+  /** (file, covered, hasLongs, hasDoubles, hasStrs) per index entry
+    * for `column` — the one file-listing-scale collect the serve
+    * needs. */
   private def coverageOf(index: Dataset[FileDict], column: String)
-      : Array[(String, Boolean, Boolean, Boolean)] =
+      : Array[(String, Boolean, Boolean, Boolean, Boolean)] =
     index.filter(col("column") === column)
       .select(col("file"), col("covered"),
-        (size(col("valuesLong")) > 0).as("isL"), (size(col("valuesDouble")) > 0).as("isD"))
+        (size(col("valuesLong")) > 0).as("isL"),
+        (size(col("valuesDouble")) > 0).as("isD"),
+        (size(col("valuesStr")) > 0).as("isS"))
       .collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+
+  /** Covered entries populating MORE than one typed array — a
+    * schema-evolved column (int files next to double files). The
+    * single-typed dictionary union would silently drop the other
+    * type's values, so such a column degrades to the plain scan. */
+  private def mixedTypes(
+      coverage: Array[(String, Boolean, Boolean, Boolean, Boolean)]): Boolean =
+    Seq(coverage.exists(r => r._2 && r._3), coverage.exists(r => r._2 && r._4),
+      coverage.exists(r => r._2 && r._5)).count(identity) > 1
 
   private def distinctFrom(spark: SparkSession, index: Dataset[FileDict],
-      coverage: Array[(String, Boolean, Boolean, Boolean)],
+      coverage: Array[(String, Boolean, Boolean, Boolean, Boolean)],
       tablePath: String, column: String): DataFrame = {
     val entries = index.filter(col("column") === column)
-    val coveredFiles = coverage.filter(_._2).map(_._1).toSet
     val allFiles = MicroBlockIndex.listParquetFiles(tablePath)
+    // MIXED physical types (schema evolution, e.g. int files next to
+    // double files): the single-typed union below would silently drop
+    // the other array's values. When every live file is covered, the
+    // mix is purely numeric, and each long is exactly
+    // double-representable (|v| <= 2^53), the union of BOTH arrays in
+    // the double domain is still exact; anything else degrades to the
+    // plain scan (which surfaces Spark's own schema-merge semantics
+    // instead of a silently partial answer). Pinned in DictionarySpec.
+    if (mixedTypes(coverage)) {
+      val hasStr = coverage.exists(r => r._2 && r._5)
+      val allCovered = coverage.nonEmpty && coverage.forall(_._2) &&
+        coverage.map(_._1).toSet == allFiles.toSet
+      val safeNumeric = !hasStr && allCovered && {
+        val m = entries.filter(col("covered"))
+          .select(explode(col("valuesLong")).as("v"))
+          .agg(max(abs(col("v")))).first()
+        m.isNullAt(0) || m.getLong(0) <= (1L << 53)
+      }
+      return if (safeNumeric)
+        entries.filter(col("covered"))
+          .select(explode(col("valuesLong")).as("v"))
+          .select(col("v").cast("double").as("v"))
+          .union(entries.filter(col("covered"))
+            .select(explode(col("valuesDouble")).as("v")))
+          .distinct()
+      else
+        spark.read.parquet(allFiles: _*)
+          .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
+    }
+    val coveredFiles = coverage.filter(_._2).map(_._1).toSet
     val uncovered = allFiles.filterNot(coveredFiles.contains)
     val anyL = coverage.exists(r => r._2 && r._3)
     val anyD = coverage.exists(r => r._2 && r._4)
@@ -295,12 +356,26 @@ object DictionaryIndex {
       tablePath: String, columns: Seq[String])
       : Map[String, (Long, Long, Long)] = {
     val totalFiles = MicroBlockIndex.listParquetFiles(tablePath).size.toLong
-    // one file-listing-scale collect for every column's coverage
-    val cov = index.filter(col("column").isin(columns: _*))
-      .select(col("column"), col("covered")).collect()
+    // one file-listing-scale collect for every column's coverage +
+    // populated-type mix
+    val covRows = index.filter(col("column").isin(columns: _*))
+      .select(col("column"), col("covered"),
+        (size(col("valuesLong")) > 0).as("isL"),
+        (size(col("valuesDouble")) > 0).as("isD"),
+        (size(col("valuesStr")) > 0).as("isS"))
+      .collect()
       .groupBy(_.getString(0))
-      .map { case (c, rs) => c -> rs.count(_.getBoolean(1)).toLong }
-    val (full, partial) = columns.partition(c => cov.getOrElse(c, 0L) == totalFiles)
+    val cov = covRows.map { case (c, rs) => c -> rs.count(_.getBoolean(1)).toLong }
+    // a column whose covered entries mix physical types would DOUBLE
+    // COUNT values present in both arrays on the per-type-sum path —
+    // route it through the per-column hybrid (which degrades to scan)
+    val mixed = covRows.collect { case (c, rs)
+        if Seq(rs.exists(r => r.getBoolean(1) && r.getBoolean(2)),
+          rs.exists(r => r.getBoolean(1) && r.getBoolean(3)),
+          rs.exists(r => r.getBoolean(1) && r.getBoolean(4)))
+          .count(identity) > 1 => c }.toSet
+    val (full, partial) = columns.partition(c =>
+      cov.getOrElse(c, 0L) == totalFiles && !mixed(c))
     val fullCounts: Map[String, Long] =
       if (full.isEmpty) Map.empty
       else {
@@ -314,6 +389,26 @@ object DictionaryIndex {
       }
     (full.map(c => c -> ((fullCounts.getOrElse(c, 0L), totalFiles, totalFiles))) ++
       partial.map(c => c -> countDistinct(spark, index, tablePath, c))).toMap
+  }
+
+  /** NULL presence for `column` from metadata alone:
+    * (anyNullPresent, unknown). `unknown` is true when ANY live file
+    * either has no index entry (schema-evolved file — Spark reads the
+    * absent column as all-NULL) or recorded `-1` (footer omitted the
+    * null count) — consumers needing a proof must fall back then.
+    * Dictionaries hold no non-null ambiguity: this is the one question
+    * value sets cannot answer, used by the engine's `SELECT DISTINCT`
+    * serve to restore the NULL row plain SQL would return. One
+    * file-listing-scale collect (the [[coverageOf]] discipline). */
+  def nullPresence(index: Dataset[FileDict], tablePath: String,
+      column: String): (Boolean, Boolean) = {
+    val rows = index.filter(col("column") === column)
+      .select(col("file"), col("nullCount")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val known = rows.map(_._1).toSet
+    val missingEntry = MicroBlockIndex.listParquetFiles(tablePath)
+      .exists(f => !known.contains(f))
+    (rows.exists(_._2 > 0), missingEntry || rows.exists(_._2 < 0))
   }
 
   /** The files the dictionaries PROVE cannot hold any of `values` for
@@ -357,6 +452,50 @@ object DictionaryIndex {
     else spark.read.parquet(kept: _*).filter(rowFilter)
   }
 
+  /** Below this many table bytes the dictionary cut LOSES: the
+    * distributed skip-list decision is a fixed ~0.2 s metadata job,
+    * which covers more data than a straight parallel scan of a small
+    * table (measured: dict_ab at sf0.1 = 17 MB reads 0.26 s dict vs
+    * 0.19 s scan; at sf100 the cut wins 0.73 s vs 1.85 s and the gap
+    * widens with data — BENCH_DICT.json). 256 MB ≈ the bytes a
+    * multi-core scan covers in the decision job's fixed cost. */
+  val DefaultPointMinBytes: Long = 256L * 1024 * 1024
+
+  /** Total data bytes directly under `tablePath` — the size signal the
+    * serve-path router runs on (one listStatus, file-listing scale). */
+  def tableBytes(tablePath: String): Long = {
+    val p = new Path(tablePath)
+    val f = p.getFileSystem(new Configuration())
+    val st = f.getFileStatus(p)
+    if (st.isFile) st.getLen
+    else f.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** The route [[prunedReadEqAuto]] takes: "scan" below the byte
+    * threshold (the decision job would cost more than it saves),
+    * "dict" above — the [[graft.engine.GraftEngine.servePath]]
+    * discipline applied to the dictionary cut, exposed so harnesses
+    * report the decision actually made. */
+  def pointLookupRoute(tablePath: String,
+      minBytes: Long = DefaultPointMinBytes): String =
+    if (tableBytes(tablePath) < minBytes) "scan" else "dict"
+
+  /** Cost-routed point lookup: identical rows on either route (both
+    * end in the same row filter; the dictionary route only shrinks the
+    * file list, which [[skippedFilesEq]] proves lossless). */
+  def prunedReadEqAuto(spark: SparkSession, index: Dataset[FileDict],
+      tablePath: String, column: String, values: Seq[graft.plans.PredValue],
+      minBytes: Long = DefaultPointMinBytes): DataFrame =
+    if (pointLookupRoute(tablePath, minBytes) == "scan") {
+      val rowFilter =
+        if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
+        else graft.plans.In(column, values).toColumn
+      spark.read.parquet(MicroBlockIndex.listParquetFiles(tablePath): _*)
+        .filter(rowFilter)
+    } else prunedReadEq(spark, index, tablePath, column, values)
+
   /** Sidecar convention, mirroring the zone-map index: the dictionary
     * index for a table lives at `<tablePath>/_graft_dict` (underscore
     * dir — invisible to Spark's file listing). */
@@ -366,12 +505,18 @@ object DictionaryIndex {
   def save(index: Dataset[FileDict], path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
-  def saveSidecar(index: Dataset[FileDict], tablePath: String): Unit =
+  def saveSidecar(index: Dataset[FileDict], tablePath: String): Unit = {
     save(index, sidecarPath(tablePath))
+    SidecarManifest.invalidate(tablePath)
+  }
 
   def load(spark: SparkSession, path: String): Dataset[FileDict] = {
     import spark.implicits._
-    spark.read.parquet(path).as[FileDict]
+    val df = spark.read.parquet(path)
+    // round-10 sidecars predate nullCount: -1 = unknown, the
+    // conservative value every consumer already handles
+    (if (df.columns.contains("nullCount")) df
+     else df.withColumn("nullCount", lit(-1L))).as[FileDict]
   }
 
   /** INCREMENTAL refresh (the [[MicroBlockIndex.refresh]] contract):

@@ -188,8 +188,10 @@ object MicroBlockIndex {
     * call [[graft.plans.ZoneMapPruneRule.registerSaved]] (or
     * unregister the path) to pick the new sidecar up in-session; fresh
     * sessions discover it automatically. */
-  def saveSidecar(index: Dataset[BlockStat], tablePath: String): Unit =
+  def saveSidecar(index: Dataset[BlockStat], tablePath: String): Unit = {
     save(index, sidecarPath(tablePath))
+    SidecarManifest.invalidate(tablePath)
+  }
 
   /** INCREMENTAL refresh: read footers only for files the existing
     * index doesn't know (the common append-only ingest shape — at

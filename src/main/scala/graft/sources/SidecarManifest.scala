@@ -52,8 +52,13 @@ object SidecarManifest {
   private def sessionKey(s: SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
+  // the QUALIFYING normalization (not the cheap scheme-strip): writers
+  // invalidate with whatever spelling they were handed — often a
+  // relative path — and it must hit the same key the planner's
+  // absolute rootPaths probed under. makeQualified is string/VFS work,
+  // no disk I/O.
   private def norm(p: String): String =
-    graft.plans.ZoneMapPruneRule.normFile(p)
+    graft.plans.ZoneMapPruneRule.norm(p)
 
   /** The `_graft*` child names present under `rootPath` — one
     * listStatus per (root, session), positive and negative memoized. */

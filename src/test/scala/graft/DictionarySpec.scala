@@ -226,4 +226,92 @@ class DictionarySpec extends AnyFunSuite {
     // the _graft_dict dir must not leak into the table's own scans
     assert(spark.read.parquet(dictPath).count() == rowsBefore)
   }
+
+  test("point-lookup cost router: scan below the byte threshold, dict above, rows identical") {
+    val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey"))
+    // sf0.01 is far below the default 256 MB crossover — the router
+    // must take the straight scan (round 10's forced dict path LOST
+    // here: the skip-list job costs more than the scan it saves)
+    assert(DictionaryIndex.pointLookupRoute(dictPath) == "scan")
+    // forced-low threshold: the dictionary cut engages
+    assert(DictionaryIndex.pointLookupRoute(dictPath, minBytes = 1L) == "dict")
+    val probe = Seq(PredValue(7L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaScan = DictionaryIndex.prunedReadEqAuto(
+      spark, idx, dictPath, "l_suppkey", probe)
+    val viaDict = DictionaryIndex.prunedReadEqAuto(
+      spark, idx, dictPath, "l_suppkey", probe, minBytes = 1L)
+    val truth = spark.read.parquet(dictPath).filter(col("l_suppkey") === 7)
+    assert(rows(viaScan) == rows(truth))
+    assert(rows(viaDict) == rows(truth))
+  }
+
+  test("timestamp columns qualify only at MICROS unit (probe domain safety)") {
+    import spark.implicits._
+    val df = Seq("2024-01-01 10:00:00", "2024-06-15 12:30:00", "2025-03-03 01:02:03")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val outMicros = scratch("ts-micros")
+    val outMillis = scratch("ts-millis")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      df.coalesce(1).write.mode("overwrite").parquet(outMicros)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      df.coalesce(1).write.mode("overwrite").parquet(outMillis)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    // NOTE: Spark's own parquet writer emits INT64 timestamps PLAIN
+    // (no dictionary pages — verified empirically on both units), so a
+    // Spark-written micros file is uncovered by the encoding gate
+    // alone and serves through the exact scan path; the MICROS
+    // acceptance in the logical-type gate exists for foreign writers
+    // (arrow-cpp dictionary-encodes timestamps). The load-bearing
+    // assertion is the MILLIS side: even if such a file WERE
+    // dictionary-covered, its raw values are the wrong scale for
+    // Catalyst-micros probes, so coverage must refuse and probes must
+    // never falsely refute.
+    val idxMillis = DictionaryIndex.build(spark, outMillis, "ts", Seq("ts"))
+    assert(idxMillis.collect().forall(!_.covered),
+      "millis files store a different scale — must NOT be covered")
+    // a Catalyst-micros probe of a present value: the millis index
+    // must keep every file (conservative), never falsely refute
+    val presentMicros = spark.read.parquet(outMillis)
+      .select(unix_micros(col("ts"))).first.getLong(0)
+    assert(DictionaryIndex.skippedFilesEq(
+      idxMillis, "ts", Seq(PredValue(presentMicros))).isEmpty)
+    // and the micros table stays EXACT through whatever path serves it
+    val idxMicros = DictionaryIndex.build(spark, outMicros, "ts", Seq("ts"))
+    assert(DictionaryIndex.distinctValues(spark, idxMicros, outMicros, "ts")
+      .count() == 3L)
+  }
+
+  test("a schema-evolved long/double column serves the exact union, never a per-type drop") {
+    import spark.implicits._
+    val out = scratch("mixed")
+    // two covered files with OVERLAPPING value sets in different
+    // physical types: per-type counting would double-count 1 and 2
+    val d1 = scratch("mixed-tmp1"); val d2 = scratch("mixed-tmp2")
+    Seq(1L, 2L, 3L, 1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(d1)
+    Seq(1.0, 2.0, 4.0, 4.0).toDF("id").coalesce(1).write.mode("overwrite").parquet(d2)
+    val outP = java.nio.file.Paths.get(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(outP.toFile)
+    java.nio.file.Files.createDirectories(outP)
+    Seq(d1 -> "a.parquet", d2 -> "b.parquet").foreach { case (src, name) =>
+      val f = graft.sources.MicroBlockIndex.listParquetFiles(src).head
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(graft.plans.ZoneMapPruneRule.normFile(f)),
+        outP.resolve(name))
+    }
+    val idx = DictionaryIndex.build(spark, out, "mixed", Seq("id"))
+    val byType = idx.collect()
+    assert(byType.exists(_.valuesLong.nonEmpty) && byType.exists(_.valuesDouble.nonEmpty),
+      "fixture must actually mix physical types")
+    // distinct union in the double domain: {1, 2, 3, 4} — round 10
+    // summed per-type counts (3 + 3 = 6) and dropped one array's
+    // values from the value serve
+    assert(DictionaryIndex.distinctValues(spark, idx, out, "id").count() == 4L)
+    val counts = DictionaryIndex.countDistinctMany(spark, idx, out, Seq("id"))
+    assert(counts("id")._1 == 4L, s"got ${counts("id")._1}, want 4")
+  }
 }

@@ -484,4 +484,41 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(none.count() == 0)
     } finally ZoneMapPruneRule.unregister(mbPath)
   }
+
+  test("an unmarked table costs exactly ONE filesystem probe for all four sidecar layers") {
+    // round 10: _graft_index, _graft_dict, _graft_bloom, _graft_views
+    // each paid its own negative per-session probe on the planning hot
+    // path; the shared SidecarManifest answers all of them from one
+    // listStatus. The session is FRESH so no memo already covers the
+    // root; the queries below exercise every discovery consumer:
+    // Filter (index + dict + bloom probes) and Aggregate (views probe).
+    val out = "target/scratch/test/ext-manifest/unmarked"
+    Tables.load(spark, dir, "lineitem").limit(2000)
+      .repartition(2).write.mode("overwrite").parquet(out)
+    val fresh = spark.newSession()
+    graft.sources.SidecarManifest.invalidateAll()
+    val before = graft.sources.SidecarManifest.probeCount.get()
+    fresh.read.parquet(out).filter(col("l_suppkey") === 3).count()
+    fresh.read.parquet(out).filter(col("l_quantity") > 30).count()
+    fresh.read.parquet(out).createOrReplaceTempView("ext_manifest_t")
+    fresh.sql("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd " +
+      "FROM ext_manifest_t GROUP BY l_returnflag").count()
+    val probes = graft.sources.SidecarManifest.probeCount.get() - before
+    assert(probes == 1L,
+      s"unmarked table must cost ONE manifest probe, saw $probes")
+
+    // a marker written later invalidates the memo and is discovered
+    val view = "target/scratch/test/ext-manifest/view"
+    graft.sources.AggView.build(fresh, out, view, Seq("l_returnflag"), "l_suppkey")
+    graft.sources.AggView.writeMarker(out, Seq(view))
+    val served = fresh.sql("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd " +
+      "FROM ext_manifest_t GROUP BY l_returnflag")
+    val needle = new java.io.File(view).getAbsolutePath
+    assert(served.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.exists(_.toString.contains(needle))
+    }.exists(identity), "post-invalidate marker discovery must serve the view")
+  }
 }

@@ -115,6 +115,25 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(rt.count() == li.select(col("l_shipdate")).distinct().count())
   }
 
+  test("DISTINCT serve restores the NULL row a plain scan returns") {
+    // dictionaries hold no nulls — round 10's serve silently dropped
+    // the NULL row on nullable columns; footer null counts now decide
+    val out = "target/scratch/test/sqlengine/nulldistinct"
+    import spark.implicits._
+    Seq(Option("a"), Option("b"), None, Option("a"), None, Option("c"))
+      .toDF("s").coalesce(1).write.mode("overwrite").parquet(out)
+    val e = new GraftEngine(spark, out, "li_nulldistinct")
+    val served = e.sql("SELECT DISTINCT s FROM li_nulldistinct")
+    // metadata-only: the null row comes from footer stats, not a scan
+    assert(served.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "null-aware distinct serve must stay metadata-only")
+    val direct = spark.read.parquet(out).select("s").distinct()
+    assert(served.collect().map(r => Option(r.getString(0))).toSet ==
+      direct.collect().map(r => Option(r.getString(0))).toSet)
+    assert(served.count() == 4, "a, b, c and the NULL row")
+  }
+
   test("engine.sql: union of disjoint filters is NOT and-pruned") {
     val e = new GraftEngine(spark, mbPath, "lineitem")
     val sql =
