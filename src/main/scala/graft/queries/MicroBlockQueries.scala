@@ -605,6 +605,32 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_matview_compact (round 11): the materialized view SURVIVING
+    // THE MAINTENANCE LOOP — the composition round 10 refused. The
+    // fixture ingests a deterministic quarter of lineitem, builds the
+    // view, appends a second deterministic batch as a small-file tail
+    // (delta refresh: reads only the tail), COMPACTS the tail
+    // (removing small files, writing merged ones — the operational
+    // pass any 100 TB layout runs), and delta-refreshes again: the
+    // per-file partials drop the dead files' contributions and
+    // re-aggregate only the compacted outputs, never re-reading the
+    // untouched base (proven with corrupted-survivor tricks in
+    // AggViewSpec; measured at sf100 in BENCH_MATVIEW_r11). The serve
+    // here is the post-loop view; the oracle replays the final base
+    // content (l_orderkey % 4 IN (0,1)) as a full scan — the hash
+    // match proves maintenance across compaction lost nothing.
+    QueryDef.sql(
+      "mb_matview_compact",
+      """SELECT l_returnflag, COUNT(DISTINCT l_quantity) AS n_distinct,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val (_, view) = compactViewPath(s, dir)
+      AggView.serveCountDistinct(s, view)
+        .select(col("l_returnflag"), col("n_distinct"), col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // mb_zorder (round 7): Z-ORDER multi-column clustering, MEASURED
     // against single-key clustering on the same data. Both layouts are
     // micro-blocked lineitem copies; the output is the file-pruning
@@ -784,6 +810,53 @@ object MicroBlockQueries {
           graft.sources.BloomPruning.writeMarker(out, Seq("l_orderkey"))
         }
         out
+      })
+    }
+
+  private val compactViewCache = scala.collection.mutable.Map.empty[String, (String, String)]
+
+  /** Build (once per sf dir, stale-guarded via a done-marker) the
+    * MAINTENANCE-LOOP view fixture for mb_matview_compact: a
+    * micro-blocked quarter of lineitem (`l_orderkey % 4 = 0`), the
+    * (l_returnflag, l_quantity, freq) view built over it, a second
+    * deterministic batch (`% 4 = 1`) appended as a small-file tail +
+    * DELTA-refreshed, the tail COMPACTED (removing + rewriting base
+    * files), and the view delta-refreshed ACROSS the compaction — the
+    * round-11 per-file-partials contract exercised end-to-end. The
+    * final base content is exactly `l_orderkey % 4 IN (0, 1)`, which
+    * the DuckDB oracle replays on the raw table. */
+  private[graft] def compactViewPath(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      compactViewCache.getOrElseUpdate(dir, {
+        val sfName = Paths.get(dir).getFileName.toString
+        val root = s"target/scratch/matview-compact/$sfName"
+        val base = s"$root/base"
+        val view = s"$root/view"
+        val done = Paths.get(root, "_graft_fixture_done")
+        val stale = !Files.exists(done) ||
+          Files.getLastModifiedTime(done).toMillis < sourceMtime(dir, "lineitem")
+        if (stale) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+          val li = graft.engine.Tables.load(s, dir, "lineitem")
+          val li0 = li.filter(pmod(col("l_orderkey"), lit(4)) === 0)
+          val li1 = li.filter(pmod(col("l_orderkey"), lit(4)) === 1)
+          MicroBlockWriter.write(li0, base, "l_shipdate", 12)
+          AggView.build(s, base, view, Seq("l_returnflag"), "l_quantity")
+          // streaming-ish tail: 16 small files, each below the
+          // original block size, then a delta refresh (append path)
+          li1.repartition(16).write.mode("append").parquet(base)
+          AggView.refresh(s, base, view)
+          // compact ONLY the tail (minRows sits between the tail file
+          // size and the original block size), then refresh again —
+          // the removed+added file set maintains at delta cost
+          val n0 = li0.count()
+          graft.sources.MicroBlockWriter.compact(
+            s, base, "l_shipdate", minRows = n0 / 14, targetRows = n0 / 4)
+          AggView.refresh(s, base, view)
+          Files.createDirectories(done.getParent)
+          Files.write(done, Array.emptyByteArray)
+        }
+        (base, view)
       })
     }
 

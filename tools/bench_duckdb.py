@@ -14,13 +14,16 @@ import duckdb
 
 HEADLINE = ["q1_agg", "q2_filter_between", "q9_orderby_limit", "q12_join_multi",
             "q6_count_star"]
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def main(sf_dir, oracle_path, reps=3, queries=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue  # scaled dirs carry only the tables their rows need
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"create or replace view {t} as select * from read_parquet('{src}')")
