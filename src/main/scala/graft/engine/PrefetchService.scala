@@ -20,13 +20,32 @@ final class PrefetchService(
     keyFor: Int => String = b => s"block-$b",
     topK: Int = 3,
     historyLen: Int = 8,
-    intervalMillis: Long = 1000L) {
+    intervalMillis: Long = 1000L,
+    tickBudgetMillis: Long = 0L) {
 
   @volatile private var prefetchedCount = 0L
+  @volatile private var tickCountV = 0L
+  @volatile private var tickMillisTotalV = 0L
+  @volatile private var overBudgetCountV = 0L
   private var exec: ScheduledExecutorService = _
 
-  /** One prediction+warm cycle (also callable synchronously in tests). */
+  /** One prediction+warm cycle (also callable synchronously in tests).
+    *
+    * TICK BUDGET (round 11, the PREFETCH_AB overlapped lesson): under
+    * concurrent serving a tick races the query stream — a model whose
+    * predict+warm cycle outruns the deployment's think-time degrades
+    * end-to-end even when its SYNC hit-rate is best (measured: the GRU
+    * holds 0.84 sync but 0.53 overlapped at 100 ms think, while the
+    * logistic model's cheaper tick posts the better overlapped wall).
+    * `tickBudgetMillis > 0` declares that think-time; the service
+    * tracks how often ticks exceed it ([[overBudgetFraction]]) so the
+    * operator-facing rule is measurable in production, not just in the
+    * A/B: a sustained over-budget fraction says "swap to the cheaper
+    * model class" (`\model` in the shell, [[GraftEngine.prefetcher]]).
+    * The budget never truncates a warm mid-flight — a half-warmed
+    * cache entry would be a wasted load; it only meters. */
   def tick(): Seq[Int] = {
+    val t0 = System.nanoTime()
     val recent = log.recent(historyLen)
     val model = prefetcher() // re-read each cycle: \model swaps live
     if (recent.isEmpty || !model.fitted) return Seq.empty
@@ -40,8 +59,21 @@ final class PrefetchService(
       cache.put(keyFor(b), loadBlock(b)).count()
       prefetchedCount += 1
     }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    tickCountV += 1
+    tickMillisTotalV += ms
+    if (tickBudgetMillis > 0 && ms > tickBudgetMillis) overBudgetCountV += 1
     warmed
   }
+
+  /** Ticks run / mean tick ms / fraction of ticks over the declared
+    * budget (0 when no budget set) — the serving-time signal behind
+    * the model-choice rule (SURVEY §6 overlapped-prefetch caveat). */
+  def tickCount: Long = tickCountV
+  def meanTickMillis: Double =
+    if (tickCountV == 0) 0.0 else tickMillisTotalV.toDouble / tickCountV
+  def overBudgetFraction: Double =
+    if (tickCountV == 0) 0.0 else overBudgetCountV.toDouble / tickCountV
 
   def start(): Unit = synchronized {
     if (exec == null) {

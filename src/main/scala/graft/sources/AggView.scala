@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   *     ([[servePercentile]] — same argument as q27's pre-aggregated
   *     rewrite, but the counts are now READ, not recomputed).
   *
-  * Storage (round 11): each generation holds TWO datasets —
+  * Storage (round 11): each generation holds the merged view plus a
+  * CHAIN of partial batches —
   *
   *   - `g<N>/` — the merged (group..., value, freq) view that every
   *     serve and the transparent rewrite read (unchanged layout);
-  *   - `p<N>/` — PER-FILE PARTIALS: the same counts keyed additionally
-  *     by `_graft_src`, the base data file each count came from.
+  *   - `p<id>/` — PER-FILE PARTIAL BATCHES: the same counts keyed
+  *     additionally by `_graft_src` (the base data file each count
+  *     came from), append-only — the meta names the LIVE batch ids.
   *
   * The partials are what make [[refresh]] total: frequencies are
   * additive under append (aggregate only the NEW files), and with
@@ -41,11 +43,27 @@ import org.apache.spark.sql.functions._
   * rewrite — a compaction that merges small files into big ones
   * (`MicroBlockWriter.compact`, the repo's own maintenance pass) drops
   * the dead files' partials and adds the compacted outputs' partials,
-  * never re-reading the untouched base. Cost is always
-  * `O(changed-file rows + partials size)`; the round-10 design REFUSED
-  * any non-append change and forced a full rebuild. Per-file partial
-  * size is bounded by that file's distinct (group, value) pairs, so
-  * the partials dataset is the same order as the merged view.
+  * never re-reading the untouched base. The round-10 design REFUSED
+  * any non-append change and forced a full rebuild.
+  *
+  * Refresh cost by change class (the batch chain is why appends are
+  * cheap — a first-cut design rewrote the WHOLE partials dataset every
+  * generation, charging every small append O(partials)):
+  *
+  *   - APPEND (the streaming-ingest steady state): ONE new batch with
+  *     only the delta's partials; merged = previous merged + delta
+  *     re-aggregated — `O(delta rows + merged size)`, independent of
+  *     both base rows and accumulated partials.
+  *   - REMOVAL / REWRITE (compaction): the chain CONSOLIDATES — live
+  *     batches minus dead sources union the delta into one batch —
+  *     `O(partials size + changed-file rows)`, still never a base
+  *     re-read. The chain also consolidates when it exceeds
+  *     [[MaxBatches]] (amortized `O(partials / MaxBatches)` per
+  *     append), so chain reads stay bounded.
+  *
+  * Per-file partial size is bounded by that file's distinct (group,
+  * value) pairs, so the partials dataset is the same order as the
+  * merged view (times the per-file duplication factor).
   *
   * Generations make refresh atomic AND race-free: data lives at
   * `g<N>`/`p<N>`, a tiny `_graft_view` meta file names the current
@@ -76,6 +94,11 @@ object AggView {
     * [[build]] — the aliases would collide. */
   val SrcCol = "_graft_src"
 
+  /** Chain-length cap: an append past this many live batches
+    * consolidates the chain into one (amortized O(partials/cap) per
+    * append), bounding both refresh-side chain reads and meta size. */
+  val MaxBatches = 32
+
   private def fs(p: Path) = p.getFileSystem(new Configuration())
 
   private def metaPath(viewPath: String) = new Path(viewPath, "_graft_view")
@@ -87,27 +110,33 @@ object AggView {
     new Path(viewPath, s"p$gen").toString
 
   /** Meta file format (text): generation number, group columns
-    * (comma-joined), value column, then one line per covered file.
-    * v2 (round 11) file lines are `path<TAB>mtime<TAB>size` with the
-    * path NORMALIZED ([[graft.plans.ZoneMapPruneRule.normFile]]);
-    * v1 lines are the bare listing path — [[readMeta]] accepts both,
-    * so round-10 views keep serving. */
+    * (comma-joined), value column, an optional `batches:<ids>` line
+    * (v3, round 11 — the live partial-batch chain), then one line per
+    * covered file. v2/v3 file lines are `path<TAB>mtime<TAB>size` with
+    * the path NORMALIZED ([[graft.plans.ZoneMapPruneRule.normFile]]);
+    * v1 lines are the bare listing path — [[readMeta]] accepts all
+    * three, so older views keep serving. */
   private def writeMeta(viewPath: String, gen: Int, groupCols: Seq[String],
-      valueCol: String, files: Seq[(String, Long, Long)]): Unit = {
+      valueCol: String, batches: Seq[Int],
+      files: Seq[(String, Long, Long)]): Unit = {
     val p = metaPath(viewPath)
     val out = fs(p).create(p, true)
     val fileLines = files.sortBy(_._1).map { case (f, m, s) => s"$f\t$m\t$s" }
     try out.write(
-      (Seq(gen.toString, groupCols.mkString(","), valueCol) ++ fileLines)
+      (Seq(gen.toString, groupCols.mkString(","), valueCol,
+        s"batches:${batches.mkString(",")}") ++ fileLines)
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** `files` are normalized paths; `stats` maps each to (mtime, size)
     * — empty for v1 metas, where in-place rewrites are undetectable
-    * (the round-10 contract). */
+    * (the round-10 contract). `batches` are the live partial-chain
+    * ids; empty for partial-less legacy views (v2 monolithic-partials
+    * metas resolve to `Seq(gen)` when their `p<gen>` dir exists). */
   final case class ViewMeta(gen: Int, groupCols: Seq[String],
-      valueCol: String, files: Set[String], stats: Map[String, (Long, Long)])
+      valueCol: String, files: Set[String], stats: Map[String, (Long, Long)],
+      batches: Seq[Int])
 
   private def readText(p: Path): String = {
     val in = fs(p).open(p)
@@ -124,16 +153,25 @@ object AggView {
 
   def readMeta(viewPath: String): ViewMeta = {
     val lines = readText(metaPath(viewPath)).split("\n").toSeq
-    val fileLines = lines.drop(3).filter(_.nonEmpty)
+    val gen = lines.head.toInt
+    val hasBatchLine = lines.lift(3).exists(_.startsWith("batches:"))
+    val batches =
+      if (hasBatchLine)
+        lines(3).stripPrefix("batches:").split(",").toSeq
+          .filter(_.nonEmpty).map(_.toInt)
+      else if (hasPartialsDir(viewPath, gen)) Seq(gen) // v2: monolithic
+      else Nil // v1: no partials
+    val fileLines = lines.drop(if (hasBatchLine) 4 else 3).filter(_.nonEmpty)
     val parsed = fileLines.map { l =>
       l.split("\t") match {
         case Array(f, m, s) => (norm(f), Some((m.toLong, s.toLong)))
         case _              => (norm(l), None)
       }
     }
-    ViewMeta(lines.head.toInt, lines(1).split(",").toSeq, lines(2),
+    ViewMeta(gen, lines(1).split(",").toSeq, lines(2),
       parsed.map(_._1).toSet,
-      parsed.collect { case (f, Some(ms)) => f -> ms }.toMap)
+      parsed.collect { case (f, Some(ms)) => f -> ms }.toMap,
+      batches)
   }
 
   /** Live base listing with status: (raw listing path, normalized
@@ -186,7 +224,7 @@ object AggView {
     mergedFromPartials(
         spark.read.parquet(partPath(viewPath, 0)), groupCols, valueCol)
       .write.mode("overwrite").parquet(genPath(viewPath, 0))
-    writeMeta(viewPath, 0, groupCols, valueCol,
+    writeMeta(viewPath, 0, groupCols, valueCol, Seq(0),
       live.map(f => (f._2, f._3, f._4)))
   }
 
@@ -194,24 +232,35 @@ object AggView {
   def read(spark: SparkSession, viewPath: String): DataFrame =
     spark.read.parquet(genPath(viewPath, readMeta(viewPath).gen))
 
-  private def hasPartials(viewPath: String, gen: Int): Boolean = {
-    val p = new Path(partPath(viewPath, gen))
+  private def hasPartialsDir(viewPath: String, id: Int): Boolean = {
+    val p = new Path(partPath(viewPath, id))
     try fs(p).exists(new Path(p, "_SUCCESS"))
     catch { case scala.util.control.NonFatal(_) => false }
   }
 
-  /** Delete generations <= `current` - 2 — ONE generation of grace, so
-    * a reader that resolved the previous pointer just before the flip
-    * still materializes (the pointer flip is atomic; the grace makes
-    * the data behind the OLD pointer survive one refresh cycle). Also
-    * sweeps stragglers a crashed earlier refresh left behind. */
-  private def gcOldGenerations(viewPath: String, current: Int): Unit = {
+  /** GC after the flip to `current` with live partial `batches`:
+    * merged generations keep ONE generation of grace (a reader that
+    * resolved the previous pointer just before the flip still
+    * materializes — serves read merged only); partial batches are read
+    * ONLY by refresh under the current meta, so any batch not in the
+    * live chain deletes immediately. Also sweeps stragglers a crashed
+    * earlier refresh left behind. */
+  private def gcOldGenerations(viewPath: String, current: Int,
+      batches: Seq[Int]): Unit = {
     val root = new Path(viewPath)
     val f = fs(root)
-    val gen = "^[gp](\\d+)$".r
+    val live = batches.toSet
+    val gDir = "^g(\\d+)$".r
+    val pDir = "^p(\\d+)$".r
     f.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case gen(n) if n.toInt <= current - 2 => f.delete(st.getPath, true)
+        case gDir(n) if n.toInt <= current - 2 => f.delete(st.getPath, true)
+        case pDir(n) if !live.contains(n.toInt) && n.toInt <= current - 1 =>
+          // the id bound keeps a mid-crash successor's fresh batch (id
+          // = current written before a failed flip) from being swept
+          // by an older process — anything <= current-1 and unreferenced
+          // is provably dead
+          f.delete(st.getPath, true)
         case _ => ()
       }
     }
@@ -222,21 +271,22 @@ object AggView {
     * detected by the per-file mtime+size recorded in the meta and
     * treated as removal + append of that file):
     *
-    *   1. kept partials = previous generation's partials minus removed
-    *      and changed files' rows (a broadcast semi-join on the source
-    *      key — never a scan of the base);
-    *   2. delta partials = one aggregation over ONLY the added and
-    *      changed files;
-    *   3. next generation = kept ∪ delta, merged view re-aggregated
-    *      from the partials (partials-scale, not base-scale);
-    *   4. meta pointer flips last; generations <= N-1 are kept one
-    *      cycle ([[gcOldGenerations]]).
+    *   - APPEND, chain under [[MaxBatches]]: ONE new partial batch
+    *     holding only the delta's per-file counts; the next merged
+    *     view = previous merged ∪ delta, re-aggregated —
+    *     `O(delta rows + merged size)`, no partials are rewritten.
+    *   - REMOVAL/REWRITE, or chain at the cap: CONSOLIDATE — live
+    *     batches minus dead sources (a broadcast semi-join on the
+    *     source key — never a scan of the base) union the delta into
+    *     one batch; merged re-aggregated from it.
+    *   - The meta pointer flips last; merged generations keep one
+    *     cycle of grace, dead batches delete ([[gcOldGenerations]]).
     *
     * Legacy views without partials keep the round-10 contract:
     * append-only merges, anything else refuses (IllegalStateException
     * — rebuild). Returns true iff anything changed. */
   def refresh(spark: SparkSession, tablePath: String,
-      viewPath: String): Boolean = {
+      viewPath: String, maxBatches: Int = MaxBatches): Boolean = {
     val meta = readMeta(viewPath)
     val live = listWithStatus(tablePath)
     val liveNorm = live.map(_._2).toSet
@@ -249,8 +299,8 @@ object AggView {
     val added = liveNorm -- meta.files
     if (removed.isEmpty && changed.isEmpty && added.isEmpty) return false
 
-    val partialed = hasPartials(viewPath, meta.gen)
-    if ((removed.nonEmpty || changed.nonEmpty) && !partialed)
+    val chain = meta.batches.filter(hasPartialsDir(viewPath, _))
+    if ((removed.nonEmpty || changed.nonEmpty) && chain.isEmpty)
       throw new IllegalStateException(
         s"aggview $viewPath: ${(removed ++ changed).size} covered file(s) " +
         s"removed or rewritten (e.g. ${(removed ++ changed).head}) and this " +
@@ -263,37 +313,54 @@ object AggView {
       else Some(partialAggregate(
         spark.read.parquet(readFiles: _*), meta.groupCols, meta.valueCol))
     val nextGen = meta.gen + 1
+    def deltaAgg = delta.get.drop(SrcCol)
+      .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
 
-    if (partialed) {
-      val old = spark.read.parquet(partPath(viewPath, meta.gen))
-      // sources worth keeping: known, still live, not rewritten. The
-      // distinct-source collect is file-listing scale — the same order
-      // as the listStatus above, never data-scale.
-      val keepNorm = (meta.files & liveNorm) -- changed
-      val keepRaw = old.select(SrcCol).distinct().collect()
-        .map(_.getString(0)).filter(s => keepNorm(norm(s)))
-      import spark.implicits._
-      val kept = old.join(
-        broadcast(keepRaw.toSeq.toDF(SrcCol)), Seq(SrcCol), "left_semi")
-      val all = delta.fold(kept)(d => kept.unionByName(d))
-      all.write.mode("overwrite").parquet(partPath(viewPath, nextGen))
-      mergedFromPartials(spark.read.parquet(partPath(viewPath, nextGen)),
-          meta.groupCols, meta.valueCol)
-        .write.mode("overwrite").parquet(genPath(viewPath, nextGen))
-    } else {
-      // legacy append-only path: merge the previous MERGED view with
-      // the delta (no partials existed and none can be conjured
-      // without a base re-read — the view stays legacy until rebuilt)
-      val merged = read(spark, viewPath)
-        .unionByName(delta.get.drop(SrcCol)
-          .groupBy(keys.map(col): _*).agg(sum("freq").as("freq")))
-        .groupBy(keys.map(col): _*)
-        .agg(sum("freq").as("freq"))
-      merged.write.mode("overwrite").parquet(genPath(viewPath, nextGen))
-    }
-    writeMeta(viewPath, nextGen, meta.groupCols, meta.valueCol,
+    val newBatches: Seq[Int] =
+      if (chain.isEmpty) {
+        // legacy append-only path: merge the previous MERGED view with
+        // the delta (no partials existed and none can be conjured
+        // without a base re-read — the view stays legacy until rebuilt)
+        read(spark, viewPath).unionByName(deltaAgg)
+          .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
+          .write.mode("overwrite").parquet(genPath(viewPath, nextGen))
+        Nil
+      } else if (removed.isEmpty && changed.isEmpty &&
+          chain.size < maxBatches) {
+        // pure append: one delta batch + a merged-scale merge. The
+        // merge's delta side re-READS the just-written batch (pair
+        // scale) — reusing the aggregation lineage would re-scan and
+        // re-shuffle the appended base files a second time.
+        delta.get.write.mode("overwrite").parquet(partPath(viewPath, nextGen))
+        val deltaFromDisk = spark.read.parquet(partPath(viewPath, nextGen))
+          .drop(SrcCol)
+          .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
+        read(spark, viewPath).unionByName(deltaFromDisk)
+          .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
+          .write.mode("overwrite").parquet(genPath(viewPath, nextGen))
+        chain :+ nextGen
+      } else {
+        // consolidation: live chain minus dead sources, plus the delta
+        val old = spark.read.parquet(chain.map(partPath(viewPath, _)): _*)
+        // sources worth keeping: known, still live, not rewritten. The
+        // distinct-source collect is file-listing scale — the same
+        // order as the listStatus above, never data-scale.
+        val keepNorm = (meta.files & liveNorm) -- changed
+        val keepRaw = old.select(SrcCol).distinct().collect()
+          .map(_.getString(0)).filter(s => keepNorm(norm(s)))
+        import spark.implicits._
+        val kept = old.join(
+          broadcast(keepRaw.toSeq.toDF(SrcCol)), Seq(SrcCol), "left_semi")
+        val all = delta.fold(kept)(d => kept.unionByName(d))
+        all.write.mode("overwrite").parquet(partPath(viewPath, nextGen))
+        mergedFromPartials(spark.read.parquet(partPath(viewPath, nextGen)),
+            meta.groupCols, meta.valueCol)
+          .write.mode("overwrite").parquet(genPath(viewPath, nextGen))
+        Seq(nextGen)
+      }
+    writeMeta(viewPath, nextGen, meta.groupCols, meta.valueCol, newBatches,
       live.map(f => (f._2, f._3, f._4)))
-    gcOldGenerations(viewPath, nextGen)
+    gcOldGenerations(viewPath, nextGen, newBatches)
     true
   }
 

@@ -318,6 +318,61 @@ class AggViewSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("reserved"))
   }
 
+  test("appends grow the batch chain WITHOUT touching old partials; cap consolidates") {
+    val base = freshBase("chain")
+    val view = scratch("chain/view")
+    AggView.build(spark, base, view, Seq("l_returnflag"), "l_quantity")
+    assert(AggView.readMeta(view).batches == Seq(0))
+    // corrupt generation 0's PARTIALS: an append-path refresh that
+    // read any partial batch would now fail — success proves appends
+    // cost O(delta + merged), not O(partials)
+    graft.sources.MicroBlockIndex.listParquetFiles(s"$view/p0")
+      .foreach(corruptPreservingStatus)
+    li.limit(6000).repartition(1).write.mode("append").parquet(base)
+    assert(AggView.refresh(spark, base, view))
+    assert(AggView.readMeta(view).batches == Seq(0, 1),
+      "an append must add one batch and keep the chain")
+    li.limit(6500).repartition(1).write.mode("append").parquet(base)
+    assert(AggView.refresh(spark, base, view))
+    assert(AggView.readMeta(view).batches == Seq(0, 1, 2))
+    val expect = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val served = AggView.serveCountDistinct(spark, view)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.sameElements(expect), "chained serve must stay exact")
+
+    // chain at the cap: the next append CONSOLIDATES (reads the whole
+    // chain — rebuild the fixture uncorrupted to allow it)
+    val base2 = freshBase("chain2")
+    val view2 = scratch("chain2/view")
+    AggView.build(spark, base2, view2, Seq("l_returnflag"), "l_quantity")
+    li.limit(6000).repartition(1).write.mode("append").parquet(base2)
+    assert(AggView.refresh(spark, base2, view2, maxBatches = 2))
+    assert(AggView.readMeta(view2).batches.size == 2)
+    li.limit(6500).repartition(1).write.mode("append").parquet(base2)
+    assert(AggView.refresh(spark, base2, view2, maxBatches = 2))
+    val m = AggView.readMeta(view2)
+    assert(m.batches == Seq(m.gen), "cap must consolidate to one batch")
+    // dead batches are garbage-collected immediately (only refresh
+    // reads partials, always under the current meta)
+    val pDirs = java.nio.file.Files.list(java.nio.file.Paths.get(view2))
+      .filter(_.getFileName.toString.startsWith("p")).count()
+    assert(pDirs == 1, s"dead chain batches must be swept, saw $pDirs")
+    val expect2 = spark.read.parquet(base2).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val served2 = AggView.serveCountDistinct(spark, view2)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served2.sameElements(expect2), "consolidated serve must stay exact")
+  }
+
   test("a legacy view still append-refreshes (merged-only path)") {
     val base = freshBase("legacyappend")
     val view = scratch("legacyappend/view")

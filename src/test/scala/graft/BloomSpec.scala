@@ -133,4 +133,32 @@ class BloomSpec extends AnyFunSuite {
     assert(BloomPruning.skippedFilesEq(
       spark, out, "tag", Seq(PredValue(5L))).isEmpty)
   }
+
+  test("a TIMESTAMP_MILLIS bloom never refutes a Catalyst-micros probe") {
+    // Spark writes INT64 timestamps PLAIN (no dictionary), so blooms
+    // CAN exist on a timestamp key; a MILLIS file's bloom hashed raw
+    // millis while Catalyst probes are micros — the unit gate must
+    // keep such files conservatively, never falsely refute
+    import spark.implicits._
+    val out = scratch("ts-millis")
+    val df = Seq("2024-01-01 10:00:00", "2024-06-15 12:30:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#ts", "true")
+        .option("parquet.bloom.filter.expected.ndv#ts", "64")
+        .parquet(out)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val presentMicros = spark.read.parquet(out)
+      .select(unix_micros(col("ts"))).first.getLong(0)
+    assert(BloomPruning.skippedFilesEq(
+      spark, out, "ts", Seq(PredValue(presentMicros))).isEmpty,
+      "MILLIS-unit files must be kept, not refuted by a micros probe")
+    // absent probe on the same file: STILL kept — the wrong-unit gate
+    // refuses the domain entirely rather than trusting any verdict
+    assert(BloomPruning.skippedFilesEq(
+      spark, out, "ts", Seq(PredValue(123456789L))).isEmpty)
+  }
 }

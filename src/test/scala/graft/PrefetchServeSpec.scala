@@ -46,6 +46,32 @@ class PrefetchServeSpec extends AnyFunSuite {
     assert(svc.tick().isEmpty && svc.prefetched == 1)
   }
 
+  test("tick budget meters over-budget ticks without truncating warms") {
+    // the PREFETCH_AB overlapped lesson made operational: a declared
+    // think-time budget + the over-budget fraction is the in-production
+    // signal for "swap to the cheaper model class"
+    val log = new AccessLog()
+    pattern.foreach(b => log.log("t", Seq(b)))
+    val gru = new GruPrefetcher(hidden = 8, window = 6, epochs = 60, lr = 0.6)
+      .fit(spark, pattern)
+    val cache = new BlockCacheManager(8)
+    // budget of 0 ms is "unset": nothing ever counts over-budget
+    val unmetered = new PrefetchService(log, () => gru, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1)
+    assert(unmetered.tick().nonEmpty)
+    assert(unmetered.tickCount == 1 && unmetered.overBudgetFraction == 0.0)
+    // a 1 ms budget: the warm-included tick (a Spark job) must exceed
+    // it — and the warm still completed (budget meters, never truncates)
+    val cache2 = new BlockCacheManager(8)
+    val metered = new PrefetchService(log, () => gru, cache2,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1,
+      tickBudgetMillis = 1L)
+    val warmed = metered.tick()
+    assert(warmed.nonEmpty && cache2.get(s"block-${warmed.head}").nonEmpty,
+      "the over-budget tick must still complete its warm")
+    assert(metered.overBudgetFraction == 1.0 && metered.meanTickMillis > 1.0)
+  }
+
   test("the service follows a LIVE model swap (thunk, not captured reference)") {
     val log = new AccessLog()
     pattern.foreach(b => log.log("t", Seq(b)))
