@@ -14,6 +14,10 @@ import graft.plans.ZoneMapPruneRule
   *  - SQL functions `graft_rolling_hash(str)` and
   *    `graft_simhash64(array<string>)` — the native Catalyst
   *    fingerprint/SimHash expressions, callable from plain SQL;
+  *  - the [[graft.plans.AggViewRewriteRule]] — transparent
+  *    materialized-view serving for covered aggregate shapes;
+  *  - the [[graft.plans.DictDistinctRule]] — global COUNT(DISTINCT)
+  *    served from a current `_graft_dict` sidecar's dictionary pages;
   *  - the [[ZoneMapPruneRule]] optimizer rule — transparent index-based
   *    file pruning for registered micro-blocked tables.
   */
@@ -53,7 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered queries it targets. Rewritten plans contain no
     // registered base relation, so the zone rule simply no-ops on them;
     // refused plans reach the zone rule unchanged.
+    // DictDistinctRule sits between: a fresh materialized view is
+    // strictly better where both could serve (it also covers grouped
+    // shapes), and the dictionary serve fires only on filter-less
+    // global COUNT(DISTINCT) — plans the pruner has nothing to cut.
     e.injectOptimizerRule(graft.plans.AggViewRewriteRule(_))
+    e.injectOptimizerRule(graft.plans.DictDistinctRule(_))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
   }
 }

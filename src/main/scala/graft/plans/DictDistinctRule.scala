@@ -1,0 +1,243 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+/** Transparent DICTIONARY-PAGE serving for plain SQL: a global
+  * (ungrouped, unfiltered) `COUNT(DISTINCT col)[, ...]` over a bare
+  * parquet table whose `_graft_dict` sidecar is provably CURRENT
+  * re-plans onto the SIDECAR — dictionary-page value sets instead of a
+  * data scan, with uncovered files (PLAIN-fallback chunks) unioned in
+  * as a pruned scan of just those files. The
+  * [[graft.engine.GraftEngine.sql]] dictServe path without the engine:
+  * any session with GraftExtensions + a saved sidecar gets
+  * metadata-scale COUNT(DISTINCT) from `spark.sql` directly (sf100:
+  * 1.17 s scan → 0.69 s serve per BENCH_DICT, and the serve is
+  * metadata-bound so the gap widens with data).
+  *
+  * Recognized shape, deliberately narrow: `Aggregate` with NO grouping
+  * and NO filter anywhere below (dictionaries carry file-level value
+  * sets — a row predicate would need row scans anyway), every output
+  * an `Alias(COUNT(DISTINCT attr))`, over attr-only Projects down to a
+  * single-root `LogicalRelation`. Anything else is untouched.
+  *
+  * SOUNDNESS GATE (stricter than the pruning rule's): serving from a
+  * stale sidecar is WRONG ANSWERS, not lost pruning — a sidecar
+  * missing a new file undercounts, one holding a deleted file's
+  * entries overcounts. The rewrite therefore requires the sidecar's
+  * file set to EQUAL the relation's live listing EXACTLY (the
+  * [[graft.engine.GraftEngine.freshSidecarIndex]] rule), checked per
+  * query from a coverage snapshot cached per (root, sidecar mtime) —
+  * a refreshed sidecar is picked up on its next mtime change, an
+  * appended/removed base file refuses until
+  * [[graft.sources.DictionaryIndex.refresh]] + save. Columns the
+  * sidecar doesn't index refuse the whole query (no partial serves).
+  *
+  * Plan shape: per distinct-counted column, the sidecar relation
+  * explodes its covered value arrays, unions the uncovered files' scan
+  * (only those files, only that column), and counts distinct; the
+  * per-column 1×1 partials join and project under the original output
+  * names + exprIds. All decisions (coverage, uncovered file lists)
+  * come from the cached metadata snapshot — plan time pays no
+  * filesystem work beyond the mtime stat.
+  *
+  * Ordering: runs AFTER [[AggViewRewriteRule]] (a fresh materialized
+  * view is strictly better — it also serves grouped shapes) and
+  * BEFORE [[ZoneMapPruneRule]] (no interaction: this rule fires only
+  * on filter-less plans, where the pruner has nothing to cut).
+  */
+case class DictDistinctRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import DictDistinctRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (inRewrite.get()) plan
+    else plan.transform {
+      case agg: Aggregate =>
+        try tryRewrite(spark, agg).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
+    }
+}
+
+object DictDistinctRule {
+
+  private val inRewrite: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Coverage snapshot of one sidecar generation: per column, the
+    * covered file set; plus the sidecar's total file set (the equality
+    * gate's left side). Metadata-scale (files × columns). */
+  private final case class Coverage(
+      files: Set[String],
+      coveredByColumn: Map[String, Set[String]],
+      mixedTypeColumns: Set[String])
+
+  // (norm root, sidecar _SUCCESS mtime) -> coverage snapshot
+  private val coverageCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), Coverage](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Coverage]): Boolean =
+        size > 64
+    })
+
+  private def norm(p: String): String = ZoneMapPruneRule.normFile(p)
+
+  /** The sidecar's `_SUCCESS` mtime, or None when absent — one stat on
+    * the positive path; absence answered by the shared manifest. */
+  private def sidecarMtime(rootPath: String, session: SparkSession): Option[Long] =
+    if (!graft.sources.SidecarManifest.has(rootPath, session, "_graft_dict")) None
+    else
+      try {
+        val p = new Path(new Path(rootPath, "_graft_dict"), "_SUCCESS")
+        val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def coverageFor(spark: SparkSession, rootPath: String,
+      mtime: Long): Option[Coverage] = {
+    val key = (norm(rootPath), mtime)
+    val hit = coverageCache.get(key)
+    if (hit != null) Some(hit)
+    else {
+      inRewrite.set(java.lang.Boolean.TRUE)
+      val built =
+        try {
+          import org.apache.spark.sql.functions.{col, size => asize}
+          val df = spark.read.parquet(
+            graft.sources.DictionaryIndex.sidecarPath(rootPath))
+          val rows = df.select(col("file"), col("column"), col("covered"),
+              (asize(col("valuesLong")) > 0).as("isL"),
+              (asize(col("valuesDouble")) > 0).as("isD"),
+              (asize(col("valuesStr")) > 0).as("isS"))
+            .collect()
+            .map(r => (norm(r.getString(0)), r.getString(1), r.getBoolean(2),
+              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+          val mixed = rows.groupBy(_._2).collect { case (c, rs)
+              if Seq(rs.exists(r => r._3 && r._4), rs.exists(r => r._3 && r._5),
+                rs.exists(r => r._3 && r._6)).count(identity) > 1 => c }.toSet
+          Some(Coverage(
+            rows.map(_._1).toSet,
+            rows.groupBy(_._2).map { case (c, rs) =>
+              c -> rs.filter(_._3).map(_._1).toSet },
+            mixed))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally inRewrite.set(java.lang.Boolean.FALSE)
+      built.foreach(coverageCache.put(key, _))
+      built
+    }
+  }
+
+  // (root, sidecar mtime, column, session) -> analyzed per-column count plan
+  private val servePlanCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String, String), LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String, String), LogicalPlan]): Boolean =
+        size > 128
+    })
+
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  private[graft] def tryRewrite(
+      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    // attr-only Projects down to the bare relation; ANY Filter refuses
+    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(pr.child)
+      case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
+      case _ => None
+    }
+    for {
+      rel <- unwrap(agg.child)
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      // every output must be Alias(COUNT(DISTINCT attr)) — any other
+      // shape refuses the whole query (no partial serves)
+      pairs <- traverse(agg.aggregateExpressions.map {
+        case al @ Alias(AggregateExpression(
+            Count(Seq(a: AttributeReference)), Complete, true, None, _), _) =>
+          Some((al, a.name))
+        case _ => None
+      })
+      if pairs.nonEmpty
+      mtime <- sidecarMtime(roots.head, spark)
+      cov <- coverageFor(spark, roots.head, mtime)
+      liveFiles = hfs.location.inputFiles.toSeq.map(norm).toSet
+      // the soundness gate: sidecar file set == live listing, exactly
+      if cov.files == liveFiles
+      cols = pairs.map(_._2).distinct
+      // every counted column must be indexed (a column with no sidecar
+      // rows has unknown coverage) and single-physical-typed (a mixed
+      // column's union semantics live in DictionaryIndex — refuse here)
+      if cols.forall(c => cov.coveredByColumn.contains(c) &&
+        !cov.mixedTypeColumns.contains(c))
+      plan <- rewriteOnto(spark, roots.head, mtime, cov, agg, pairs)
+    } yield plan
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** One column's COUNT(DISTINCT) plan over sidecar + uncovered scan,
+    * built through the DataFrame API (analyzed under the re-entrancy
+    * guard) and cached per (root, sidecar generation, column). */
+  private def countPlan(spark: SparkSession, rootPath: String, mtime: Long,
+      column: String): Option[LogicalPlan] = {
+    val key = (norm(rootPath), mtime, column, sessionKey(spark))
+    val hit = servePlanCache.get(key)
+    if (hit != null) return Some(hit)
+    inRewrite.set(java.lang.Boolean.TRUE)
+    val built =
+      try {
+        import org.apache.spark.sql.functions.{col, count}
+        val idx = graft.sources.DictionaryIndex.load(spark,
+          graft.sources.DictionaryIndex.sidecarPath(rootPath))
+        val values = graft.sources.DictionaryIndex.distinctValues(
+          spark, idx, rootPath, column)
+        // splice the OPTIMIZED subtree: this rule runs in the
+        // user-provided batch after Spark's main optimization, so an
+        // analyzed splice would carry nodes (Deduplicate from
+        // .distinct()) no later rule lowers — the optimized form is
+        // already physical-plannable
+        Some(values.agg(count(col("v")).as("n"))
+          .queryExecution.optimizedPlan)
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inRewrite.set(java.lang.Boolean.FALSE)
+    built.foreach(servePlanCache.put(key, _))
+    built
+  }
+
+  private def rewriteOnto(spark: SparkSession, rootPath: String, mtime: Long,
+      cov: Coverage, agg: Aggregate,
+      pairs: Seq[(Alias, String)]): Option[LogicalPlan] = {
+    val cols = pairs.map(_._2).distinct
+    val plans: Map[String, LogicalPlan] = cols.flatMap { c =>
+      countPlan(spark, rootPath, mtime, c).map(c -> _)
+    }.toMap
+    if (plans.size != cols.size) return None
+    // every per-column plan yields one row, one LongType column
+    val outAttr: Map[String, Attribute] = plans.map { case (c, p) =>
+      c -> p.output.head }
+    if (outAttr.values.exists(_.dataType != LongType)) return None
+    val joined = cols.map(plans).reduceLeft[LogicalPlan] { (l, r) =>
+      Join(l, r, Inner, None, JoinHint.NONE) // 1×1 rows
+    }
+    val out = pairs.map { case (orig, c) =>
+      Alias(outAttr(c), orig.name)(exprId = orig.exprId): NamedExpression
+    }
+    if (out.zip(agg.aggregateExpressions)
+        .exists { case (n, o) => n.dataType != o.dataType }) return None
+    Some(Project(out, joined))
+  }
+}

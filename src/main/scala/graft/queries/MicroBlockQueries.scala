@@ -438,6 +438,48 @@ object MicroBlockQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // mb_dict_sql (round 11): the dictionary COUNT(DISTINCT) serve
+    // with NO API call — plans/DictDistinctRule re-plans a plain
+    // spark.sql global count-distinct over a table carrying a CURRENT
+    // _graft_dict sidecar onto the sidecar's value sets (uncovered
+    // PLAIN-fallback files union in as a pruned scan). The engine's
+    // sql() dictServe (mb_sql_engine's machinery) without the engine:
+    // any session + GraftExtensions + a saved sidecar. The require
+    // proves the executed plan reads the sidecar, not the base; the
+    // soundness gate (sidecar file set == live listing EXACTLY —
+    // stale serves would be wrong answers) plus append-refusal,
+    // refresh re-serve, shape refusals, and fresh-session discovery
+    // are pinned in DictDistinctRuleSpec. Oracle = the same global
+    // count-distincts full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_dict_sql",
+      """SELECT COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(DISTINCT l_returnflag) AS nd_flag FROM lineitem""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      val sidecarSuccess = Paths.get(
+        DictionaryIndex.sidecarPath(path), "_SUCCESS")
+      val stale = !Files.exists(sidecarSuccess) ||
+        Files.getLastModifiedTime(sidecarSuccess).toMillis <
+          sourceMtime(dir, "lineitem")
+      if (stale) DictionaryIndex.saveSidecar(dictIndex(s, dir), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_dict_sql_li")
+      val df = s.sql(
+        """SELECT COUNT(DISTINCT l_suppkey) AS nd_supp,
+          |  COUNT(DISTINCT l_returnflag) AS nd_flag
+          |FROM graft_dict_sql_li""".stripMargin)
+      val reads = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains("_graft_dict"))
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.toString.contains("_graft_dict")
+      }
+      require(reads.exists(identity),
+        "transparent dictionary count-distinct did not serve from the sidecar")
+      df
+    },
+
     // mb_bloom_point (round 10): the HIGH-CARDINALITY point lookup —
     // where dictionaries fall back (cardinality past the writer's
     // dict cap: doc ids, URLs, order ids) parquet-native BLOOM

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+import graft.sources.DictionaryIndex
+
+/** Transparent dictionary-page COUNT(DISTINCT) (plans/DictDistinctRule):
+  * plain `spark.sql` global count-distincts over a table with a CURRENT
+  * `_graft_dict` sidecar serve from dictionary value sets instead of a
+  * data scan. The contract under test:
+  *
+  *   - recognized shapes REWRITE (the optimized plan reads the sidecar
+  *     path) and match the full-scan answers exactly, covered and
+  *     PLAIN-fallback columns alike;
+  *   - the soundness gate refuses a sidecar whose file set no longer
+  *     equals the live listing (append ⇒ no rewrite until
+  *     DictionaryIndex.refresh + save), and refuses filters, grouping,
+  *     mixed aggregates, and unindexed columns outright;
+  *   - discovery is sidecar-presence only — a FRESH session serves
+  *     with no register call.
+  */
+class DictDistinctRuleSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession.local(
+    cores = 8, appName = "graft-dictrule-test")
+  private val dir = "/root/testdata/sf0.01"
+
+  private def scratch(tag: String) = s"target/scratch/test/dictrule/$tag"
+
+  private lazy val li = graft.engine.Tables.load(spark, dir, "lineitem")
+
+  /** Does the optimized plan read the sidecar? The scan may appear as
+    * a LogicalRelation (rootPaths carry the path) OR as an
+    * InMemoryRelation substituted by Spark's SparkContext-GLOBAL cache
+    * manager — the zone-map rule's own sidecar discovery persists the
+    * frame, so another session's identical sidecar scan cache-hits; a
+    * cached sidecar read is still a dictionary serve, just warmer. */
+  private def scansDict(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.exists(_.toString.contains("_graft_dict"))
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cacheBuilder.cachedPlan.toString.contains("_graft_dict")
+    }.exists(identity)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** 4-file dict-encoded table + saved sidecar over the key columns. */
+  private lazy val fixture: String = {
+    val out = scratch("base")
+    li.limit(8000).repartition(4, col("l_suppkey"))
+      .write.mode("overwrite").parquet(out)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, out, "li",
+        Seq("l_suppkey", "l_returnflag", "l_orderkey")), out)
+    out
+  }
+
+  test("global COUNT(DISTINCT) serves from the sidecar and stays exact") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("dr_t")
+    val served = spark.sql(
+      "SELECT COUNT(DISTINCT l_suppkey) AS a, COUNT(DISTINCT l_returnflag) AS b FROM dr_t")
+    assert(scansDict(served), "the rewrite must read the sidecar")
+    val truth = spark.read.parquet(base)
+      .agg(countDistinct(col("l_suppkey")).as("a"),
+        countDistinct(col("l_returnflag")).as("b"))
+    assert(rows(served) == rows(truth))
+    // single column too
+    val one = spark.sql("SELECT COUNT(DISTINCT l_suppkey) AS n FROM dr_t")
+    assert(scansDict(one))
+    assert(rows(one) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_suppkey")).as("n"))))
+    // l_orderkey overflows the writer's dictionary threshold (every
+    // chunk PLAIN ⇒ nothing covered): the rewrite degrades to exactly
+    // the scan plan — correct, just not metadata-served
+    val uncov = spark.sql("SELECT COUNT(DISTINCT l_orderkey) AS n FROM dr_t")
+    assert(rows(uncov) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_orderkey")).as("n"))))
+  }
+
+  test("unsafe shapes refuse: filters, grouping, mixed aggregates, unindexed columns") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("dr_t2")
+    val filtered = spark.sql(
+      "SELECT COUNT(DISTINCT l_suppkey) AS n FROM dr_t2 WHERE l_quantity > 25")
+    assert(!scansDict(filtered))
+    assert(rows(filtered) == rows(spark.read.parquet(base)
+      .filter(col("l_quantity") > 25)
+      .agg(countDistinct(col("l_suppkey")).as("n"))))
+    val grouped = spark.sql(
+      "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n FROM dr_t2 GROUP BY l_returnflag")
+    assert(!scansDict(grouped))
+    val mixedAgg = spark.sql(
+      "SELECT COUNT(DISTINCT l_suppkey) AS n, COUNT(*) AS c FROM dr_t2")
+    assert(!scansDict(mixedAgg))
+    // l_quantity has no sidecar rows — the whole query refuses
+    val unindexed = spark.sql(
+      "SELECT COUNT(DISTINCT l_suppkey) AS a, COUNT(DISTINCT l_quantity) AS b FROM dr_t2")
+    assert(!scansDict(unindexed))
+    assert(rows(unindexed) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_suppkey")).as("a"),
+        countDistinct(col("l_quantity")).as("b"))))
+  }
+
+  test("an appended file refuses the serve until the sidecar refreshes") {
+    val base = scratch("stale")
+    li.limit(5000).repartition(2, col("l_suppkey"))
+      .write.mode("overwrite").parquet(base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li", Seq("l_suppkey")), base)
+    val q = "SELECT COUNT(DISTINCT l_suppkey) AS n FROM dr_stale"
+    spark.read.parquet(base).createOrReplaceTempView("dr_stale")
+    assert(scansDict(spark.sql(q)), "current sidecar must serve")
+
+    li.limit(7000).repartition(1).write.mode("append").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_stale")
+    val stale = spark.sql(q)
+    assert(!scansDict(stale),
+      "a sidecar missing the appended file would UNDERCOUNT — must refuse")
+    val truth = spark.read.parquet(base)
+      .agg(countDistinct(col("l_suppkey")).as("n"))
+    assert(rows(stale) == rows(truth), "the refused plan scans the live base")
+
+    // delta refresh (new files' pages only) + save ⇒ serves again.
+    // The collect round-trip breaks the read-lineage so the overwrite
+    // of the sidecar path it was loaded from is legal (test-scale; a
+    // production refresh writes a new sidecar generation or saves
+    // from the in-memory engine index, which has no disk lineage).
+    val idx = DictionaryIndex.load(spark, DictionaryIndex.sidecarPath(base))
+    val refreshed = DictionaryIndex.refresh(spark, base, "li", idx)
+    DictionaryIndex.saveSidecar(
+      spark.createDataset(refreshed.collect().toSeq)(
+        org.apache.spark.sql.Encoders.product[graft.sources.FileDict]), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_stale")
+    val fresh = spark.sql(q)
+    assert(scansDict(fresh), "refreshed sidecar must serve again")
+    assert(rows(fresh) == rows(truth))
+  }
+
+  test("a fresh session discovers the sidecar with no register call") {
+    val base = fixture
+    val s2 = spark.newSession()
+    s2.read.parquet(base).createOrReplaceTempView("dr_fresh")
+    val served = s2.sql("SELECT COUNT(DISTINCT l_returnflag) AS n FROM dr_fresh")
+    assert(scansDict(served))
+    assert(rows(served) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_returnflag")).as("n"))))
+  }
+}
