@@ -284,7 +284,25 @@ object AggView {
     *
     * Legacy views without partials keep the round-10 contract:
     * append-only merges, anything else refuses (IllegalStateException
-    * — rebuild). Returns true iff anything changed. */
+    * — rebuild). Returns true iff anything changed.
+    *
+    * Concurrency: refreshes are LAST-WRITER-WINS — two concurrent
+    * refreshes both read generation N and write N+1; both compute the
+    * same correct state when they saw the same listing, and when they
+    * didn't, the later meta flip wins and the next refresh catches the
+    * difference (the loser's work is wasted, never wrong — readers
+    * only ever follow the meta pointer). Serializing refreshes is the
+    * caller's scheduling concern, as with any table-maintenance job.
+    *
+    * Why removals CONSOLIDATE instead of tombstone-subtracting from
+    * the merged view (the cheaper-sounding alternative): a subtracted
+    * source's stale rows would stay in the chain, and a file NAME can
+    * return later (re-added after removal, or rewritten in place) —
+    * the chain would then hold stale AND current rows under one
+    * source key, and every later keep-by-name decision would double
+    * count. Consolidation rewrites the chain to one
+    * current-rows-only batch, keeping the by-name keep/drop logic
+    * correct by construction. */
   def refresh(spark: SparkSession, tablePath: String,
       viewPath: String, maxBatches: Int = MaxBatches): Boolean = {
     val meta = readMeta(viewPath)
