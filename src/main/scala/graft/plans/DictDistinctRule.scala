@@ -71,12 +71,16 @@ object DictDistinctRule {
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   /** Coverage snapshot of one sidecar generation: per column, the
-    * covered file set; plus the sidecar's total file set (the equality
-    * gate's left side). Metadata-scale (files × columns). */
+    * covered file set; the sidecar's total file set (the equality
+    * gate's left side); mixed-physical-type columns; and per column
+    * (anyNullPresent, unknown) from footer null counts — `unknown`
+    * when any sidecar file lacks an entry for the column or recorded
+    * `-1`. Metadata-scale (files × columns). */
   private final case class Coverage(
       files: Set[String],
       coveredByColumn: Map[String, Set[String]],
-      mixedTypeColumns: Set[String])
+      mixedTypeColumns: Set[String],
+      nullsByColumn: Map[String, (Boolean, Boolean)])
 
   // (norm root, sidecar _SUCCESS mtime) -> coverage snapshot
   private val coverageCache = java.util.Collections.synchronizedMap(
@@ -109,23 +113,32 @@ object DictDistinctRule {
       val built =
         try {
           import org.apache.spark.sql.functions.{col, size => asize}
-          val df = spark.read.parquet(
-            graft.sources.DictionaryIndex.sidecarPath(rootPath))
+          // DictionaryIndex.load, not a raw read: it back-fills the
+          // nullCount column old sidecars predate
+          val df = graft.sources.DictionaryIndex.load(spark,
+            graft.sources.DictionaryIndex.sidecarPath(rootPath)).toDF()
           val rows = df.select(col("file"), col("column"), col("covered"),
               (asize(col("valuesLong")) > 0).as("isL"),
               (asize(col("valuesDouble")) > 0).as("isD"),
-              (asize(col("valuesStr")) > 0).as("isS"))
+              (asize(col("valuesStr")) > 0).as("isS"),
+              col("nullCount"))
             .collect()
             .map(r => (norm(r.getString(0)), r.getString(1), r.getBoolean(2),
-              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getLong(6)))
+          val allFiles = rows.map(_._1).toSet
           val mixed = rows.groupBy(_._2).collect { case (c, rs)
               if Seq(rs.exists(r => r._3 && r._4), rs.exists(r => r._3 && r._5),
                 rs.exists(r => r._3 && r._6)).count(identity) > 1 => c }.toSet
+          val nulls = rows.groupBy(_._2).map { case (c, rs) =>
+            c -> ((rs.exists(_._7 > 0),
+              rs.exists(_._7 < 0) || rs.map(_._1).toSet != allFiles))
+          }
           Some(Coverage(
-            rows.map(_._1).toSet,
+            allFiles,
             rows.groupBy(_._2).map { case (c, rs) =>
               c -> rs.filter(_._3).map(_._1).toSet },
-            mixed))
+            mixed,
+            nulls))
         } catch { case scala.util.control.NonFatal(_) => None }
         finally inRewrite.set(java.lang.Boolean.FALSE)
       built.foreach(coverageCache.put(key, _))
@@ -146,17 +159,67 @@ object DictDistinctRule {
   private def sessionKey(s: SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
-  private[graft] def tryRewrite(
-      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.nonEmpty) return None
-    // attr-only Projects down to the bare relation; ANY Filter refuses
-    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
-      case pr: Project
-          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(pr.child)
-      case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
-      case _ => None
+  // attr-only Projects down to the bare relation; ANY Filter refuses
+  private def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(pr.child)
+    case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
+    case _ => None
+  }
+
+  /** Spark types whose cast from the physical dictionary view (long /
+    * double / string) is faithful — the [[graft.engine.GraftEngine]]
+    * dictServe gate (casting raw micros to a timestamp would shift
+    * the domain). */
+  private def faithful(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _ => false
     }
+  }
+
+  private[graft] def tryRewrite(
+      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = agg match {
+    // `SELECT DISTINCT col`: the main optimizer has already lowered
+    // Distinct to Aggregate(col, col, _) before this batch runs
+    case Aggregate(Seq(g: AttributeReference),
+        Seq(out: AttributeReference), child, _)
+        if g.exprId == out.exprId && faithful(g.dataType) =>
+      tryDistinctValues(spark, agg, out, child)
+    case _ if agg.groupingExpressions.isEmpty =>
+      tryCountDistinct(spark, agg)
+    case _ => None
+  }
+
+  /** The DISTINCT-values serve: dictionary value sets + the NULL row
+    * plain SQL would return when footer stats PROVE nulls exist
+    * (dictionaries hold none); an UNKNOWN null count on a nullable
+    * column refuses — the engine dictServe contract, transparent. */
+  private def tryDistinctValues(spark: SparkSession, agg: Aggregate,
+      out: AttributeReference, child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      rel <- unwrap(child)
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      mtime <- sidecarMtime(roots.head, spark)
+      cov <- coverageFor(spark, roots.head, mtime)
+      liveFiles = hfs.location.inputFiles.toSeq.map(norm).toSet
+      if cov.files == liveFiles
+      if cov.coveredByColumn.contains(out.name) &&
+        !cov.mixedTypeColumns.contains(out.name)
+      (anyNull, unknown) = cov.nullsByColumn.getOrElse(out.name, (false, true))
+      if !(unknown && out.nullable)
+      plan <- distinctPlan(spark, roots.head, mtime, out,
+        needNull = anyNull && out.nullable)
+    } yield Project(Seq(
+      Alias(plan.output.head, out.name)(exprId = out.exprId)), plan)
+
+  private def tryCountDistinct(
+      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     for {
       rel <- unwrap(agg.child)
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
@@ -188,6 +251,41 @@ object DictDistinctRule {
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** The DISTINCT-values plan for one column: dictionary union + the
+    * uncovered-file scan, cast to the query's type, plus a one-row
+    * NULL relation when footer stats prove the table holds nulls.
+    * Cached per (root, sidecar generation, column, needNull). */
+  private def distinctPlan(spark: SparkSession, rootPath: String, mtime: Long,
+      out: AttributeReference, needNull: Boolean): Option[LogicalPlan] = {
+    val key = (norm(rootPath), mtime,
+      s"distinct:${out.name}:$needNull:${out.dataType.sql}", sessionKey(spark))
+    val hit = servePlanCache.get(key)
+    if (hit != null) return Some(hit)
+    inRewrite.set(java.lang.Boolean.TRUE)
+    val built =
+      try {
+        import org.apache.spark.sql.functions.col
+        val idx = graft.sources.DictionaryIndex.load(spark,
+          graft.sources.DictionaryIndex.sidecarPath(rootPath))
+        val values = graft.sources.DictionaryIndex.distinctValues(
+          spark, idx, rootPath, out.name)
+        val typed = values.select(col("v").cast(out.dataType).as(out.name))
+        val df =
+          if (!needNull) typed
+          else typed.unionAll(spark.createDataFrame(
+            java.util.Collections.singletonList(org.apache.spark.sql.Row(null)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                out.name, out.dataType, nullable = true)))))
+        val p = df.queryExecution.optimizedPlan // see countPlan: splice optimized
+        if (p.output.size == 1 && p.output.head.dataType == out.dataType) Some(p)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inRewrite.set(java.lang.Boolean.FALSE)
+    built.foreach(servePlanCache.put(key, _))
+    built
+  }
 
   /** One column's COUNT(DISTINCT) plan over sidecar + uncovered scan,
     * built through the DataFrame API (analyzed under the re-entrancy

@@ -142,6 +142,45 @@ class DictDistinctRuleSpec extends AnyFunSuite {
     assert(rows(fresh) == rows(truth))
   }
 
+  test("SELECT DISTINCT col serves from the sidecar, null-aware") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("dr_d")
+    // no nulls in the fixture: the serve is the bare value set
+    val served = spark.sql("SELECT DISTINCT l_returnflag FROM dr_d")
+    assert(scansDict(served), "DISTINCT over a covered column must serve")
+    val truth = spark.read.parquet(base).select("l_returnflag").distinct()
+    assert(served.schema.head.dataType == truth.schema.head.dataType)
+    assert(rows(served) == rows(truth))
+
+    // a table that PROVABLY holds nulls: the serve unions the NULL
+    // row plain SQL returns (dictionaries hold none)
+    import spark.implicits._
+    val nbase = scratch("distinct-nulls")
+    Seq(Option("a"), Option("b"), None, Option("a"), None, Option("c"))
+      .toDF("s").coalesce(1).write.mode("overwrite").parquet(nbase)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, nbase, "t", Seq("s")), nbase)
+    spark.read.parquet(nbase).createOrReplaceTempView("dr_dn")
+    val servedN = spark.sql("SELECT DISTINCT s FROM dr_dn")
+    assert(scansDict(servedN))
+    assert(servedN.collect().map(r => Option(r.getString(0))).toSet ==
+      Set(Some("a"), Some("b"), Some("c"), None),
+      "the NULL row must be served from footer stats")
+    assert(servedN.count() == 4)
+
+    // GROUP BY col with col as the only output is the same shape
+    val grouped = spark.sql("SELECT l_returnflag FROM dr_d GROUP BY l_returnflag")
+    assert(scansDict(grouped))
+    assert(rows(grouped) == rows(truth))
+
+    // a timestamp DISTINCT stays on the SQL path (cast from the raw
+    // physical domain is not faithful) and stays exact
+    val ts = spark.sql("SELECT DISTINCT l_shipdate FROM dr_d")
+    assert(!scansDict(ts))
+    assert(ts.count() ==
+      spark.read.parquet(base).select("l_shipdate").distinct().count())
+  }
+
   test("a fresh session discovers the sidecar with no register call") {
     val base = fixture
     val s2 = spark.newSession()
