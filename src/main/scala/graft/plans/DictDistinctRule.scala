@@ -225,11 +225,18 @@ object DictDistinctRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
-      // every output must be Alias(COUNT(DISTINCT attr)) — any other
-      // shape refuses the whole query (no partial serves)
+      // every output must be Alias(COUNT(DISTINCT attr)) over a
+      // FAITHFUL type — the same gate the SELECT DISTINCT arm and the
+      // engine's dictServe apply. Without it a partially-covered
+      // TIMESTAMP column would union raw micros (dictionary side) with
+      // cast-to-long epoch SECONDS (scan side): mismatched domains
+      // double-count shared values and collapse sub-second-distinct
+      // timestamps. Any other shape refuses the whole query (no
+      // partial serves).
       pairs <- traverse(agg.aggregateExpressions.map {
         case al @ Alias(AggregateExpression(
-            Count(Seq(a: AttributeReference)), Complete, true, None, _), _) =>
+            Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+            if faithful(a.dataType) =>
           Some((al, a.name))
         case _ => None
       })

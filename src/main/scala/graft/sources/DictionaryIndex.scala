@@ -302,26 +302,39 @@ object DictionaryIndex {
       // map-side partial dedup still bounds what the scan side ships
       val scanSide = spark.read.parquet(uncovered: _*)
         .select(col(column).as("v")).filter(col("v").isNotNull)
-      // align the scan side's Spark type with the dictionary's
-      // physical view (int columns read back as int/long; the
-      // dictionary side is long)
+      // Align the scan side to the dictionary's PHYSICAL domain — the
+      // raw long/double/string the pages store. The conversion must be
+      // injective AND land in that exact domain: Catalyst's
+      // cast(timestamp AS long) yields epoch SECONDS while the
+      // dictionary holds raw MICROS (the only unit the coverage gate
+      // admits), so the explicit unix_micros/unix_date converters are
+      // load-bearing — a seconds/micros union double-counts shared
+      // values and collapses sub-second-distinct timestamps. A type
+      // with no faithful physical view (TimestampNTZ, decimals, …)
+      // degrades to ONE plain scan of ALL files: exact, never a
+      // mixed-domain union.
       import org.apache.spark.sql.types._
-      val scanIsIntegral = scanSide.schema.head.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
+      val alignedOpt: Option[DataFrame] = scanSide.schema.head.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some(scanSide.select(col("v").cast("long").as("v")))
+        case DoubleType | FloatType =>
+          Some(scanSide.select(col("v").cast("double").as("v")))
+        case StringType => Some(scanSide)
+        case TimestampType =>
+          Some(scanSide.select(unix_micros(col("v")).as("v")))
+        case DateType =>
+          Some(scanSide.select(unix_date(col("v")).cast("long").as("v")))
+        case _ => None
       }
-      val scanIsFractional = scanSide.schema.head.dataType match {
-        case DoubleType | FloatType => true
-        case _ => false
+      alignedOpt match {
+        case Some(aligned) =>
+          dictSide.select(col("v").cast(aligned.schema.head.dataType).as("v"))
+            .filter(col("v").isNotNull) // a cross-type dict cast may null
+            .union(aligned).distinct()
+        case None =>
+          spark.read.parquet(allFiles: _*)
+            .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
       }
-      val aligned =
-        if (anyL || (!anyD && scanIsIntegral))
-          scanSide.select(col("v").cast("long").as("v"))
-        else if (anyD || scanIsFractional)
-          scanSide.select(col("v").cast("double").as("v"))
-        else scanSide.select(col("v").cast("string").as("v"))
-      dictSide.select(col("v").cast(aligned.schema.head.dataType).as("v"))
-        .union(aligned).distinct()
     }
   }
 

@@ -181,6 +181,66 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       spark.read.parquet(base).select("l_shipdate").distinct().count())
   }
 
+  test("COUNT(DISTINCT ts) on a partially-covered timestamp refuses the serve and stays exact") {
+    // the round-12 HIGH finding: tryCountDistinct lacked the
+    // faithful() type gate its SELECT DISTINCT arm applies, so a
+    // partially-covered MICROS timestamp column served a union of raw
+    // micros (dictionary side) and cast-to-SECONDS longs (scan side) —
+    // silently wrong counts. The covered file is written with
+    // parquet-mr directly (Spark emits INT64 timestamps PLAIN).
+    val out = scratch("ts-partial")
+    val outP = java.nio.file.Paths.get(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(outP.toFile)
+    java.nio.file.Files.createDirectories(outP)
+    val base = 1704103200000000L // 2024-01-01 10:00:00 UTC in micros
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val schema = Types.buildMessage()
+        .optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named("ts")
+        .named("spark_schema")
+      val writer = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$out/covered.parquet"))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withType(schema)
+        .withDictionaryEncoding(true)
+        .build()
+      try {
+        val f = new SimpleGroupFactory(schema)
+        // repeated values: parquet-mr only emits a dictionary page
+        // once the column holds enough values to bother
+        (1 to 40).foreach(_ =>
+          Seq(base, base + 1L, base + 3600L * 1000000L)
+            .foreach(m => writer.write(f.newGroup().append("ts", m))))
+      } finally writer.close()
+    }
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.range(1).select(
+          explode(array(
+            lit(base + 3600L * 1000000L), lit(base + 7200L * 1000000L),
+            lit(base + 7200L * 1000000L + 1L))).as("us"))
+        .select(timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(out)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val idx = DictionaryIndex.build(spark, out, "ts", Seq("ts"))
+    assert(idx.collect().exists(_.covered),
+      "fixture must hold a covered timestamp file")
+    DictionaryIndex.saveSidecar(idx, out)
+    spark.read.parquet(out).createOrReplaceTempView("dr_ts")
+    val counted = spark.sql("SELECT COUNT(DISTINCT ts) AS n FROM dr_ts")
+    assert(!scansDict(counted),
+      "a non-faithful counted type must refuse the dictionary serve")
+    assert(counted.first.getLong(0) == 5L,
+      "5 distinct instants: base, base+1us, +1h, +2h, +2h+1us")
+  }
+
   test("a fresh session discovers the sidecar with no register call") {
     val base = fixture
     val s2 = spark.newSession()

@@ -314,4 +314,124 @@ class DictionarySpec extends AnyFunSuite {
     val counts = DictionaryIndex.countDistinctMany(spark, idx, out, Seq("id"))
     assert(counts("id")._1 == 4L, s"got ${counts("id")._1}, want 4")
   }
+
+  /** A dictionary-ENCODED MICROS-timestamp parquet file, which Spark's
+    * own writer never emits (it writes INT64 timestamps PLAIN) —
+    * written directly with parquet-mr, the way a foreign writer
+    * (arrow-cpp) produces covered timestamp chunks. */
+  private def writeCoveredMicrosFile(path: String, micros: Seq[Long]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS))
+      .named("ts")
+      .named("spark_schema")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .withDictionaryEncoding(true)
+      .build()
+    try {
+      val f = new SimpleGroupFactory(schema)
+      // repeat each value: parquet-mr only emits a dictionary page
+      // once the column holds enough values to bother
+      (1 to 40).foreach(_ =>
+        micros.foreach(m => writer.write(f.newGroup().append("ts", m))))
+    } finally writer.close()
+  }
+
+  test("partially-covered timestamp column counts exactly (micros domain alignment)") {
+    // the round-12 HIGH finding: the dictionary side holds raw MICROS
+    // longs while cast(timestamp AS long) on the uncovered-scan side
+    // yields epoch SECONDS — the mismatched union double-counted
+    // shared values and collapsed sub-second-distinct timestamps.
+    val out = scratch("ts-partial")
+    val outP = java.nio.file.Paths.get(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(outP.toFile)
+    java.nio.file.Files.createDirectories(outP)
+    val base = 1704103200000000L // 2024-01-01 10:00:00 UTC in micros
+    val hour = 3600L * 1000000L
+    // Covered file: a sub-second-distinct pair + TWO values shared
+    // with the uncovered file. Uncovered scan file: the two shared
+    // values + its own sub-second pair. Under the old seconds/micros
+    // union the two overlaps double-count (+2) and the scan pair
+    // collapses (-1): 7 ≠ 6 — overlap ≠ collapse by construction so
+    // the errors cannot cancel.
+    writeCoveredMicrosFile(s"$out/covered.parquet",
+      Seq(base, base + 1L, base + hour, base + 2 * hour))
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.range(1).select(
+          explode(array(
+            lit(base + hour), lit(base + 2 * hour),
+            lit(base + 3 * hour), lit(base + 3 * hour + 1L))).as("us"))
+        .select(timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(out)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    val idx = DictionaryIndex.build(spark, out, "ts", Seq("ts")).cache()
+    val covs = idx.collect()
+    assert(covs.exists(_.covered) && covs.exists(!_.covered),
+      s"fixture must mix covered and uncovered timestamp files: ${covs.mkString(", ")}")
+    // truth: 6 distinct instants (base, base+1us, +1h, +2h, +3h, +3h+1us)
+    assert(truth(out, "ts") == 6L)
+    val (n, cov, total) = DictionaryIndex.countDistinct(spark, idx, out, "ts")
+    assert(cov == 1L && total == 2L)
+    assert(n == 6L, s"micros/seconds domain mismatch: got $n, want 6")
+    assert(DictionaryIndex.countDistinctMany(
+      spark, idx, out, Seq("ts"))("ts")._1 == 6L)
+    // the value serve stays in ONE domain (raw micros longs)
+    val vals = DictionaryIndex.distinctValues(spark, idx, out, "ts")
+    assert(vals.count() == 6L)
+  }
+
+  test("partially-covered date column counts exactly (days domain alignment)") {
+    // same domain-alignment contract for dates: the dictionary holds
+    // raw day numbers; the scan side must align via unix_date (a plain
+    // cast(date AS long) is not even legal Catalyst)
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val out = scratch("date-partial")
+    val outP = java.nio.file.Paths.get(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(outP.toFile)
+    java.nio.file.Files.createDirectories(outP)
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType())
+      .named("d")
+      .named("spark_schema")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$out/covered.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .withDictionaryEncoding(true)
+      .build()
+    try {
+      val f = new SimpleGroupFactory(schema)
+      (1 to 40).foreach(_ =>
+        Seq(19723, 19724, 19725).foreach(d => // 2024-01-01..03 in days
+          writer.write(f.newGroup().append("d", d))))
+    } finally writer.close()
+    spark.range(1).select(
+        explode(array(lit(19725), lit(19726))).as("days"))
+      .select(date_from_unix_date(col("days")).as("d"))
+      .coalesce(1).write.mode("append")
+      .option("parquet.enable.dictionary", "false").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "d", Seq("d")).cache()
+    val covs = idx.collect()
+    assert(covs.exists(_.covered) && covs.exists(!_.covered),
+      s"fixture must mix covered and uncovered date files: ${covs.mkString(", ")}")
+    assert(truth(out, "d") == 4L)
+    val (n, cov, total) = DictionaryIndex.countDistinct(spark, idx, out, "d")
+    assert(cov == 1L && total == 2L)
+    assert(n == 4L, s"days domain mismatch: got $n, want 4")
+  }
 }
