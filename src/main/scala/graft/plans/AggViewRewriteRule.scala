@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.sources.AggView
 
@@ -478,8 +478,19 @@ object AggViewRewriteRule {
             // divide also nulls (not throws) on the 0 denominator that
             // only occurs in exactly that case, so ANSI sessions keep
             // ANSI behavior everywhere a non-null answer exists.
+            // The numerator sums in DECIMAL, not LongType: vanilla AVG
+            // never wraps (it sums doubles), so a long Σ v·freq
+            // silently sign-flipping past 2^63 (or throwing under
+            // ANSI) would diverge from it. decimal(20,0)×decimal(20,0)
+            // products are exact in decimal(38,0) for ANY long pair
+            // (max 2^126 < 10^38), the decimal Sum stays exact to 38
+            // digits, and the final cast-to-double rounds the exact
+            // sum once — bit-identical to the old long path wherever
+            // that didn't overflow.
             Some(Divide(
-              Cast(Sum(Multiply(Cast(vVal, LongType), freq))
+              Cast(Sum(Multiply(
+                  Cast(vVal, DecimalType(20, 0)),
+                  Cast(freq, DecimalType(20, 0))))
                 .toAggregateExpression(), DoubleType),
               Cast(Sum(guardedFreq).toAggregateExpression(), DoubleType),
               EvalMode.LEGACY))

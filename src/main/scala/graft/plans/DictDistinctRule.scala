@@ -72,15 +72,18 @@ object DictDistinctRule {
 
   /** Coverage snapshot of one sidecar generation: per column, the
     * covered file set; the sidecar's total file set (the equality
-    * gate's left side); mixed-physical-type columns; and per column
+    * gate's left side); mixed-physical-type columns; per column
     * (anyNullPresent, unknown) from footer null counts — `unknown`
     * when any sidecar file lacks an entry for the column or recorded
-    * `-1`. Metadata-scale (files × columns). */
+    * `-1`; and per file the (mtime, size) recorded AT INDEX TIME
+    * (absent for entries predating the fields). Metadata-scale
+    * (files × columns). */
   private final case class Coverage(
       files: Set[String],
       coveredByColumn: Map[String, Set[String]],
       mixedTypeColumns: Set[String],
-      nullsByColumn: Map[String, (Boolean, Boolean)])
+      nullsByColumn: Map[String, (Boolean, Boolean)],
+      fileStats: Map[String, (Long, Long)])
 
   // (norm root, sidecar _SUCCESS mtime) -> coverage snapshot
   private val coverageCache = java.util.Collections.synchronizedMap(
@@ -121,10 +124,11 @@ object DictDistinctRule {
               (asize(col("valuesLong")) > 0).as("isL"),
               (asize(col("valuesDouble")) > 0).as("isD"),
               (asize(col("valuesStr")) > 0).as("isS"),
-              col("nullCount"))
+              col("nullCount"), col("fileMtime"), col("fileSize"))
             .collect()
             .map(r => (norm(r.getString(0)), r.getString(1), r.getBoolean(2),
-              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getLong(6)))
+              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getLong(6),
+              r.getLong(7), r.getLong(8)))
           val allFiles = rows.map(_._1).toSet
           val mixed = rows.groupBy(_._2).collect { case (c, rs)
               if Seq(rs.exists(r => r._3 && r._4), rs.exists(r => r._3 && r._5),
@@ -138,7 +142,9 @@ object DictDistinctRule {
             rows.groupBy(_._2).map { case (c, rs) =>
               c -> rs.filter(_._3).map(_._1).toSet },
             mixed,
-            nulls))
+            nulls,
+            rows.collect { case r if r._8 >= 0 => r._1 -> ((r._8, r._9)) }
+              .toMap))
         } catch { case scala.util.control.NonFatal(_) => None }
         finally inRewrite.set(java.lang.Boolean.FALSE)
       built.foreach(coverageCache.put(key, _))
@@ -167,6 +173,23 @@ object DictDistinctRule {
     case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
     case _ => None
   }
+
+  /** Per-file (mtime, size) match against the live listing — catches
+    * a base file REWRITTEN IN PLACE under the same name, which
+    * name-set equality cannot (serving its stale dictionary value set
+    * would be wrong answers). Live statuses come from the relation's
+    * own FileIndex — already materialized at resolution, no extra
+    * filesystem work at plan time. Entries from a sidecar predating
+    * the fields carry no stats and keep the legacy name-set-only
+    * gate (documented on [[graft.sources.FileDict]]). */
+  private def statsCurrent(cov: Coverage, hfs: HadoopFsRelation): Boolean =
+    cov.fileStats.isEmpty || {
+      val live = hfs.location.listFiles(Nil, Nil)
+        .flatMap(_.files)
+        .map(f => norm(f.getPath.toString) ->
+          ((f.getModificationTime, f.getLen))).toMap
+      cov.fileStats.forall { case (f, ms) => live.get(f).contains(ms) }
+    }
 
   /** Spark types whose cast from the physical dictionary view (long /
     * double / string) is faithful — the [[graft.engine.GraftEngine]]
@@ -209,6 +232,7 @@ object DictDistinctRule {
       cov <- coverageFor(spark, roots.head, mtime)
       liveFiles = hfs.location.inputFiles.toSeq.map(norm).toSet
       if cov.files == liveFiles
+      if statsCurrent(cov, hfs)
       if cov.coveredByColumn.contains(out.name) &&
         !cov.mixedTypeColumns.contains(out.name)
       (anyNull, unknown) = cov.nullsByColumn.getOrElse(out.name, (false, true))
@@ -244,8 +268,10 @@ object DictDistinctRule {
       mtime <- sidecarMtime(roots.head, spark)
       cov <- coverageFor(spark, roots.head, mtime)
       liveFiles = hfs.location.inputFiles.toSeq.map(norm).toSet
-      // the soundness gate: sidecar file set == live listing, exactly
+      // the soundness gate: sidecar file set == live listing exactly,
+      // AND each recorded (mtime, size) matches its live file
       if cov.files == liveFiles
+      if statsCurrent(cov, hfs)
       cols = pairs.map(_._2).distinct
       // every counted column must be indexed (a column with no sidecar
       // rows has unknown coverage) and single-physical-typed (a mixed

@@ -232,11 +232,21 @@ object AggView {
   def read(spark: SparkSession, viewPath: String): DataFrame =
     spark.read.parquet(genPath(viewPath, readMeta(viewPath).gen))
 
-  private def hasPartialsDir(viewPath: String, id: Int): Boolean = {
-    val p = new Path(partPath(viewPath, id))
-    try fs(p).exists(new Path(p, "_SUCCESS"))
-    catch { case scala.util.control.NonFatal(_) => false }
-  }
+  private def hasPartialsDir(viewPath: String, id: Int): Boolean =
+    probePartials(fs(new Path(viewPath)), viewPath, id)
+
+  /** Does generation `id`'s partial batch exist? ABSENCE must be a
+    * filesystem ANSWER, never an error fallback: a transient probe
+    * failure read as "absent" would drop a live batch from the chain,
+    * silently downgrade the view (refresh re-merges without it), and
+    * [[gcOldGenerations]] would then DELETE the still-live partials —
+    * a permanent downgrade from a transient error. `FileSystem.exists`
+    * already answers FileNotFound as false; every other IOException
+    * propagates so the refresh aborts retriably. Package-visible for
+    * the spec's failing-filesystem probe. */
+  private[graft] def probePartials(
+      f: org.apache.hadoop.fs.FileSystem, viewPath: String, id: Int): Boolean =
+    f.exists(new Path(partPath(viewPath, id), "_SUCCESS"))
 
   /** GC after the flip to `current` with live partial `batches`:
     * merged generations keep ONE generation of grace (a reader that

@@ -27,6 +27,14 @@ import scala.jdk.CollectionConverters._
   * entries, `-1` when any chunk's footer omits it. It lets DISTINCT
   * serves answer "does this table hold a NULL?" from metadata
   * (dictionaries hold no nulls, so value sets alone cannot).
+  *
+  * `fileMtime`/`fileSize` (round 13) are the base file's status AT
+  * INDEX TIME — the [[AggView]] v3 per-file discipline. A file
+  * REWRITTEN IN PLACE under the same name passes any name-set
+  * equality gate while its dictionary entry is dead; consumers that
+  * serve answers (not just prune) must match these against the live
+  * listing. `-1` on sidecars predating the field (consumers fall back
+  * to name-set equality for those, documented per consumer).
   */
 final case class FileDict(
     table: String,
@@ -37,7 +45,9 @@ final case class FileDict(
     valuesLong: Array[Long],
     valuesDouble: Array[Double],
     valuesStr: Array[String],
-    nullCount: Long)
+    nullCount: Long,
+    fileMtime: Long,
+    fileSize: Long)
 
 /** Dictionary-page index over parquet files — the stats layer past
   * zone maps AND histograms: exact per-file VALUE SETS, read from the
@@ -87,13 +97,17 @@ object DictionaryIndex {
   def build(spark: SparkSession, tablePath: String, table: String,
       columns: Seq[String]): Dataset[FileDict] = {
     import spark.implicits._
-    val files = MicroBlockIndex.listParquetFiles(tablePath).sorted
+    val files = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+      .sortBy(_._1)
     val numParts = math.max(1, math.min(files.size,
       math.max(spark.sparkContext.defaultParallelism, files.size / 256)))
     val cols = columns.toArray
     spark.sparkContext
       .parallelize(files, numParts)
-      .flatMap(file => readFileDicts(table, file, cols))
+      .flatMap { case (file, mtime, size) =>
+        readFileDicts(table, file, cols)
+          .map(_.copy(fileMtime = mtime, fileSize = size))
+      }
       .toDS()
   }
 
@@ -210,7 +224,8 @@ object DictionaryIndex {
           valuesLong = if (ok) longs.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
           valuesDouble = if (ok) doubles.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
           valuesStr = if (ok) strs.getOrElse(c, scala.collection.mutable.LinkedHashSet.empty).toArray else Array.empty,
-          nullCount = nullCounts(c))
+          nullCount = nullCounts(c),
+          fileMtime = -1L, fileSize = -1L) // stamped by build/refresh
       }
     } finally reader.close()
   }
@@ -525,11 +540,13 @@ object DictionaryIndex {
 
   def load(spark: SparkSession, path: String): Dataset[FileDict] = {
     import spark.implicits._
-    val df = spark.read.parquet(path)
-    // round-10 sidecars predate nullCount: -1 = unknown, the
-    // conservative value every consumer already handles
-    (if (df.columns.contains("nullCount")) df
-     else df.withColumn("nullCount", lit(-1L))).as[FileDict]
+    var df = spark.read.parquet(path)
+    // round-10 sidecars predate nullCount, round-12 ones predate the
+    // per-file status fields: -1 = unknown, the conservative value
+    // every consumer already handles
+    for (c <- Seq("nullCount", "fileMtime", "fileSize"))
+      if (!df.columns.contains(c)) df = df.withColumn(c, lit(-1L))
+    df.as[FileDict]
   }
 
   /** INCREMENTAL refresh (the [[MicroBlockIndex.refresh]] contract):
@@ -551,8 +568,8 @@ object DictionaryIndex {
     import spark.implicits._
     val known = existing.select("file").distinct()
       .collect().map(_.getString(0)).toSet // file-listing scale
-    val newFiles = MicroBlockIndex.listParquetFiles(tablePath)
-      .filterNot(known).sorted
+    val newFiles = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+      .filterNot(f => known(f._1)).sortBy(_._1)
     if (newFiles.isEmpty) return existing
     val cols =
       if (columns.nonEmpty) columns.toArray
@@ -562,7 +579,10 @@ object DictionaryIndex {
       math.max(spark.sparkContext.defaultParallelism, newFiles.size / 256)))
     val added = spark.sparkContext
       .parallelize(newFiles, numParts)
-      .flatMap(file => readFileDicts(table, file, cols))
+      .flatMap { case (file, mtime, size) =>
+        readFileDicts(table, file, cols)
+          .map(_.copy(fileMtime = mtime, fileSize = size))
+      }
       .toDS()
     existing.unionAll(added)
   }

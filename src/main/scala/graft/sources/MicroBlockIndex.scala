@@ -263,12 +263,19 @@ object MicroBlockIndex {
     spark.read.parquet(path).as[BlockStat]
   }
 
-  def listParquetFiles(tablePath: String): Seq[String] = {
+  def listParquetFiles(tablePath: String): Seq[String] =
+    listParquetFilesWithStatus(tablePath).map(_._1)
+
+  /** The same listing with each file's (mtime, size) — the per-file
+    * status the sidecar soundness gates record and re-check (a file
+    * rewritten in place keeps its NAME; only its status changes). */
+  def listParquetFilesWithStatus(tablePath: String): Seq[(String, Long, Long)] = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(new Configuration())
-    if (fs.getFileStatus(p).isFile) Seq(tablePath)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq((tablePath, st.getModificationTime, st.getLen))
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
   }
 }

@@ -61,22 +61,37 @@ object SidecarManifest {
     graft.plans.ZoneMapPruneRule.norm(p)
 
   /** The `_graft*` child names present under `rootPath` — one
-    * listStatus per (root, session), positive and negative memoized. */
+    * listStatus per (root, session), positive and negative memoized.
+    *
+    * The listing runs under the SESSION's Hadoop configuration
+    * ([[org.apache.spark.sql.internal.SessionState.newHadoopConf]]:
+    * core conf + the session's own `spark.hadoop.*`/runtime
+    * overrides) — a bare `new Configuration()` lacks per-session
+    * filesystem credentials (s3a keys), so the probe would throw and
+    * every sidecar layer would silently disable on exactly the
+    * deployments that configure their filesystems. A nonexistent root
+    * is a stable ANSWER (FileNotFound ⇒ no markers, memoized); any
+    * other failure is transient and is NOT memoized — the next query
+    * re-probes instead of pinning EMPTY for the whole session. */
   def probe(rootPath: String, session: SparkSession): Set[String] = {
     val key = (norm(rootPath), sessionKey(session))
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val names =
-        try {
-          probeCount.incrementAndGet()
-          val root = new Path(rootPath)
-          root.getFileSystem(new Configuration()).listStatus(root)
-            .iterator.map(_.getPath.getName)
-            .filter(_.startsWith("_graft")).toSet
-        } catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
-      cache.put(key, names)
-      names
+      probeCount.incrementAndGet()
+      try {
+        val root = new Path(rootPath)
+        val names = root.getFileSystem(session.sessionState.newHadoopConf())
+          .listStatus(root)
+          .iterator.map(_.getPath.getName)
+          .filter(_.startsWith("_graft")).toSet
+        cache.put(key, names)
+        names
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          cache.put(key, Set.empty[String]); Set.empty
+        case scala.util.control.NonFatal(_) => Set.empty // not memoized
+      }
     }
   }
 

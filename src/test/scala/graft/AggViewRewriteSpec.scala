@@ -350,6 +350,31 @@ class AggViewRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("integral AVG near 2^63 serves without wrapping (decimal numerator)") {
+    // the round-12 ADVICE item: a LongType Σ v·freq numerator wraps
+    // past 2^63 (silent sign-flip in LEGACY, throw under ANSI) while
+    // vanilla AVG never does — it sums doubles. The decimal numerator
+    // stays exact: group a's products hit exactly 2^64 (4·2^62) and
+    // group b's 3·2^62 crosses 2^63 — both former wrap/throw cases.
+    val base = scratch("avgbig/base")
+    import spark.implicits._
+    val q = 1L << 62
+    Seq(("a", q), ("a", q), ("a", q), ("a", q),
+        ("b", q), ("b", q), ("b", q),
+        ("c", 1L), ("c", 2L)).toDF("g", "v")
+      .repartition(2).write.mode("overwrite").parquet(base)
+    val view = scratch("avgbig/view")
+    AggView.build(spark, base, view, Seq("g"), "v")
+    AggViewRewriteRule.registerView(base, view)
+    spark.read.parquet(base).createOrReplaceTempView("rw_avgbig")
+    val served = spark.sql("SELECT g, AVG(v) AS a FROM rw_avgbig GROUP BY g")
+    assert(scansPath(served, view), "big-value integral AVG must serve")
+    val truth = spark.read.parquet(base).groupBy("g").agg(avg(col("v")).as("a"))
+    assert(rows(served) == rows(truth),
+      "a wrapped numerator would sign-flip groups a and b")
+    assert(served.filter(col("g") === "a").first.getDouble(1) == q.toDouble)
+  }
+
   test("view rewrite wins over zone-map pruning on the same table") {
     // ZoneMapPruneRule replaces a filtered relation's file index with
     // the pruned subset; if it ran FIRST, the view gate's file-set

@@ -235,6 +235,25 @@ class AggViewSpec extends AnyFunSuite {
     assert(served.sameElements(expect), "post-compaction serve must be exact")
   }
 
+  test("partials probe: absence answers false, an error propagates (no silent downgrade)") {
+    // the round-12 ADVICE item: a transient FS error read as "absent"
+    // would drop a live batch from the chain, downgrade the view, and
+    // gcOldGenerations would DELETE the still-live partials. Absence
+    // must be a filesystem ANSWER; every other failure must abort the
+    // refresh (retriable).
+    val missing = scratch("nonexistent-view")
+    val localFs = new org.apache.hadoop.fs.Path(missing)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!AggView.probePartials(localFs, missing, 3))
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def exists(f: org.apache.hadoop.fs.Path): Boolean =
+        throw new java.io.IOException("transient probe failure (test)")
+    }
+    intercept[java.io.IOException] {
+      AggView.probePartials(failing, scratch("errfs-view"), 0)
+    }
+  }
+
   test("an in-place rewrite under the same file name is detected and re-aggregated") {
     val base = freshBase("rewrite")
     val view = scratch("rewrite/view")

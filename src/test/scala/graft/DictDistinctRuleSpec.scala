@@ -142,6 +142,54 @@ class DictDistinctRuleSpec extends AnyFunSuite {
     assert(rows(fresh) == rows(truth))
   }
 
+  test("a base file rewritten in place under the same name refuses until the sidecar rebuilds") {
+    // the round-12 ADVICE item: the gate was file-NAME-set equality
+    // only, so a file rewritten under the same name passed it and the
+    // serve used the dead file's dictionary value set. The sidecar now
+    // records per-file (mtime, size) — the AggView v3 discipline.
+    val base = scratch("inplace")
+    li.limit(4000).repartition(2, col("l_suppkey"))
+      .write.mode("overwrite").parquet(base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li", Seq("l_returnflag")), base)
+    val q = "SELECT COUNT(DISTINCT l_returnflag) AS n FROM dr_ip"
+    spark.read.parquet(base).createOrReplaceTempView("dr_ip")
+    assert(scansDict(spark.sql(q)), "current sidecar must serve")
+
+    // same file NAME, different bytes: shrink one file to a single
+    // returnflag value — the stale value set would OVERCOUNT
+    val victim = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(base).head)
+    val tmp = scratch("inplace-tmp")
+    spark.read.parquet(victim).filter(col("l_returnflag") === "N").limit(20)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpFile = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(tmp).head)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(tmpFile),
+      java.nio.file.Paths.get(victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(victim)
+      .getParent.resolve("." + java.nio.file.Paths.get(victim)
+        .getFileName.toString + ".crc"))
+
+    spark.read.parquet(base).createOrReplaceTempView("dr_ip")
+    val stale = spark.sql(q)
+    assert(!scansDict(stale),
+      "a same-name rewrite must fail the (mtime, size) sidecar gate")
+    assert(rows(stale) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_returnflag")).as("n"))),
+      "the refused plan scans the live base")
+
+    // rebuild + save ⇒ serves again with the new stats recorded
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li", Seq("l_returnflag")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_ip")
+    val fresh = spark.sql(q)
+    assert(scansDict(fresh), "rebuilt sidecar must serve again")
+    assert(rows(fresh) == rows(spark.read.parquet(base)
+      .agg(countDistinct(col("l_returnflag")).as("n"))))
+  }
+
   test("SELECT DISTINCT col serves from the sidecar, null-aware") {
     val base = fixture
     spark.read.parquet(base).createOrReplaceTempView("dr_d")

@@ -521,4 +521,43 @@ class ExtensionsSpec extends AnyFunSuite {
           .location.rootPaths.exists(_.toString.contains(needle))
     }.exists(identity), "post-invalidate marker discovery must serve the view")
   }
+
+  test("manifest probe: absent root memoizes, transient failure re-probes under session conf") {
+    // the round-12 ADVICE item: probe used `new Configuration()` (no
+    // per-session filesystem config) and memoized EMPTY on ANY
+    // exception — one transient error silently disabled all four
+    // sidecar discovery layers for the whole session. Now: the probe
+    // runs under the SESSION Hadoop conf (the graftfail:// scheme
+    // below is only registered there), FileNotFound stays a stable
+    // memoized answer, and any other failure is NOT memoized.
+    graft.sources.SidecarManifest.invalidateAll()
+    val pc = graft.sources.SidecarManifest.probeCount
+    val before = pc.get()
+    val missing = "target/scratch/test/ext-manifest/no-such-root-xyz"
+    assert(graft.sources.SidecarManifest.probe(missing, spark).isEmpty)
+    assert(graft.sources.SidecarManifest.probe(missing, spark).isEmpty)
+    assert(pc.get() - before == 1L,
+      "a nonexistent root is a stable answer - memoized")
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftfail.impl", classOf[GraftFailingFs].getName)
+    try {
+      val bad = "graftfail:///tbl"
+      assert(graft.sources.SidecarManifest.probe(bad, spark).isEmpty)
+      assert(graft.sources.SidecarManifest.probe(bad, spark).isEmpty)
+      assert(pc.get() - before == 3L,
+        "a FAILED probe must re-probe next query, never memoize EMPTY")
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.graftfail.impl")
+  }
+}
+
+/** A filesystem whose listings always fail — the transient-error probe
+  * fixture. Instantiated by Hadoop reflection via the SESSION conf's
+  * `fs.graftfail.impl`, which also pins that the manifest probe honors
+  * per-session filesystem configuration. */
+class GraftFailingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfail"
+  override def getUri: java.net.URI = java.net.URI.create("graftfail:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    throw new java.io.IOException("transient listing failure (test)")
 }
