@@ -50,6 +50,27 @@ object MicroBlockQueries {
     out
   }
 
+  /** Build (once) the hive-partitioned orders copy for this sf dir —
+    * o_orderstatus partitions × o_orderkey-clustered files, the
+    * standard two-level 100 TB fact layout ([[MicroBlockWriter
+    * .writePartitioned]]). Shared by the listing-level pruning row
+    * (mb_partition_prune) and the partitioned transparent-serve row
+    * (mb_part_dict_sql). */
+  private[graft] def partitionedOrdersPath(
+      spark: SparkSession, dir: String): String = synchronized {
+    val sfName = Paths.get(dir).getFileName.toString
+    val out = s"target/scratch/partitioned/$sfName"
+    if (!built.contains(out)) {
+      if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+        val orders = graft.engine.Tables.load(spark, dir, "orders")
+        MicroBlockWriter.writePartitioned(
+          orders, out, "o_orderstatus", "o_orderkey", 4)
+      }
+      built += out
+    }
+    out
+  }
+
   private val engines = scala.collection.mutable.Map.empty[String, GraftEngine]
 
   private def engine(spark: SparkSession, dir: String): GraftEngine = synchronized {
@@ -185,11 +206,8 @@ object MicroBlockQueries {
     // partitions — also pinned in PlanAuditSpec).
     QueryDef.rowsOnly("mb_partition_prune") { (s, dir) =>
       import s.implicits._
-      val out = s"target/scratch/partitioned/${new java.io.File(dir).getName}"
+      val out = partitionedOrdersPath(s, dir)
       val orders = graft.engine.Tables.load(s, dir, "orders")
-      if (!new java.io.File(s"$out/_SUCCESS").exists())
-        graft.sources.MicroBlockWriter.writePartitioned(
-          orders, out, "o_orderstatus", "o_orderkey", 4)
       val df = s.read.parquet(out)
       val filtered = df.filter(col("o_orderstatus") === "F")
       val filesRead = filtered.select(input_file_name()).distinct().count()
@@ -477,6 +495,53 @@ object MicroBlockQueries {
       }
       require(reads.exists(identity),
         "transparent dictionary count-distinct did not serve from the sidecar")
+      df
+    },
+
+    // mb_part_dict_sql (round 13): the transparent dictionary serve
+    // over a HIVE-PARTITIONED layout — the col=value nesting every
+    // real 100 TB fact table uses. Through round 12 the sidecar
+    // listing was top-level-only, so partitioned layouts recorded
+    // empty coverage and the freshness gate refused every serve; the
+    // recursive listing (sources/MicroBlockIndex.listParquetFiles)
+    // makes the sidecar see the nested data files, and the require
+    // proves the executed plan reads the sidecar. Oracle = the same
+    // count-distincts full-scanned over the source orders table (the
+    // partitioned copy holds exactly its rows).
+    QueryDef.sql(
+      "mb_part_dict_sql",
+      """SELECT COUNT(DISTINCT o_orderpriority) AS nd_prio,
+        |  COUNT(DISTINCT o_custkey) AS nd_cust FROM orders""".stripMargin) { (s, dir) =>
+      val path = partitionedOrdersPath(s, dir)
+      val partCols = Seq("o_orderpriority", "o_custkey")
+      val sidecarSuccess = Paths.get(
+        DictionaryIndex.sidecarPath(path), "_SUCCESS")
+      // stale when missing, older than the layout, or indexing a
+      // different column set (scratch sidecars persist across runs)
+      val stale = !Files.exists(sidecarSuccess) ||
+        Files.getLastModifiedTime(sidecarSuccess).toMillis <
+          Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+        !partCols.toSet.subsetOf(
+          DictionaryIndex.load(s, DictionaryIndex.sidecarPath(path))
+            .select("column").distinct()
+            .collect().map(_.getString(0)).toSet)
+      if (stale) DictionaryIndex.saveSidecar(
+        DictionaryIndex.build(s, path, "orders", partCols), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_part_dict_orders")
+      val df = s.sql(
+        """SELECT COUNT(DISTINCT o_orderpriority) AS nd_prio,
+          |  COUNT(DISTINCT o_custkey) AS nd_cust
+          |FROM graft_part_dict_orders""".stripMargin)
+      val reads = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains("_graft_dict"))
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.toString.contains("_graft_dict")
+      }
+      require(reads.exists(identity),
+        "partitioned-layout dictionary serve did not read the sidecar")
       df
     },
 

@@ -175,19 +175,14 @@ object AggView {
   }
 
   /** Live base listing with status: (raw listing path, normalized
-    * path, mtime, size). One listStatus — the same call
-    * [[MicroBlockIndex.listParquetFiles]] makes. */
+    * path, mtime, size). The shared RECURSIVE listing
+    * [[MicroBlockIndex.listParquetFilesWithStatus]] — views over
+    * hive-partitioned layouts list the nested data files, not an
+    * empty top level. */
   private def listWithStatus(tablePath: String)
-      : Seq[(String, String, Long, Long)] = {
-    val p = new Path(tablePath)
-    val f = fs(p)
-    val st = f.getFileStatus(p)
-    if (st.isFile) Seq((tablePath, norm(tablePath), st.getModificationTime, st.getLen))
-    else f.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, norm(s.getPath.toString),
-        s.getModificationTime, s.getLen))
-  }
+      : Seq[(String, String, Long, Long)] =
+    MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+      .map { case (f, m, s) => (f, norm(f), m, s) }
 
   /** Per-file partial counts: one row per (source file, group...,
     * value) with its frequency. `input_file_name()` is stored RAW (its
@@ -339,7 +334,10 @@ object AggView {
     val delta =
       if (readFiles.isEmpty) None
       else Some(partialAggregate(
-        spark.read.parquet(readFiles: _*), meta.groupCols, meta.valueCol))
+        // basePath read: a view grouping on a hive-partition column
+        // must see it on the delta's file-subset read too
+        MicroBlockIndex.readFilesAsTable(spark, tablePath, readFiles),
+        meta.groupCols, meta.valueCol))
     val nextGen = meta.gen + 1
     def deltaAgg = delta.get.drop(SrcCol)
       .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))

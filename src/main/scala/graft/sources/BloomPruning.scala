@@ -75,8 +75,11 @@ object BloomPruning {
     val rowFilter =
       if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
       else graft.plans.In(column, values).toColumn
-    if (kept.isEmpty) spark.read.parquet(all.head).filter(lit(false))
-    else spark.read.parquet(kept: _*).filter(rowFilter)
+    if (kept.isEmpty)
+      MicroBlockIndex.readFilesAsTable(spark, tablePath, Seq(all.head))
+        .filter(lit(false))
+    else MicroBlockIndex.readFilesAsTable(spark, tablePath, kept)
+      .filter(rowFilter)
   }
 
   /** The DISCOVERY MARKER convention: `<table>/_graft_bloom`, one tiny

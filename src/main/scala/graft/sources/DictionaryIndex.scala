@@ -296,7 +296,7 @@ object DictionaryIndex {
             .select(explode(col("valuesDouble")).as("v")))
           .distinct()
       else
-        spark.read.parquet(allFiles: _*)
+        MicroBlockIndex.readFilesAsTable(spark, tablePath, allFiles)
           .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
     }
     val coveredFiles = coverage.filter(_._2).map(_._1).toSet
@@ -310,12 +310,12 @@ object DictionaryIndex {
     if (uncovered.isEmpty) dictSide.distinct()
     else if (coveredFiles.isEmpty)
       // nothing covered: serve EXACTLY the scan plan — no union wart
-      spark.read.parquet(uncovered: _*)
+      MicroBlockIndex.readFilesAsTable(spark, tablePath, uncovered)
         .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
     else {
       // no pre-union distinct: the final distinct is the one shuffle —
       // map-side partial dedup still bounds what the scan side ships
-      val scanSide = spark.read.parquet(uncovered: _*)
+      val scanSide = MicroBlockIndex.readFilesAsTable(spark, tablePath, uncovered)
         .select(col(column).as("v")).filter(col("v").isNotNull)
       // Align the scan side to the dictionary's PHYSICAL domain — the
       // raw long/double/string the pages store. The conversion must be
@@ -347,7 +347,7 @@ object DictionaryIndex {
             .filter(col("v").isNotNull) // a cross-type dict cast may null
             .union(aligned).distinct()
         case None =>
-          spark.read.parquet(allFiles: _*)
+          MicroBlockIndex.readFilesAsTable(spark, tablePath, allFiles)
             .select(col(column).as("v")).filter(col("v").isNotNull).distinct()
       }
     }
@@ -365,7 +365,7 @@ object DictionaryIndex {
       if (!cov.exists(_._2))
         // nothing covered: the exact aggregate a plain scan plans
         // (partial count-distinct, no distinct-rows materialization)
-        spark.read.parquet(all: _*)
+        MicroBlockIndex.readFilesAsTable(spark, tablePath, all)
           .select(count_distinct(col(column)).as("n"))
           .first.getLong(0)
       else distinctFrom(spark, index, cov, tablePath, column).count()
@@ -476,8 +476,11 @@ object DictionaryIndex {
     val rowFilter =
       if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
       else graft.plans.In(column, values).toColumn
-    if (kept.isEmpty) spark.read.parquet(all.head).filter(lit(false))
-    else spark.read.parquet(kept: _*).filter(rowFilter)
+    if (kept.isEmpty)
+      MicroBlockIndex.readFilesAsTable(spark, tablePath, Seq(all.head))
+        .filter(lit(false))
+    else MicroBlockIndex.readFilesAsTable(spark, tablePath, kept)
+      .filter(rowFilter)
   }
 
   /** Below this many table bytes the dictionary cut LOSES: the
@@ -520,7 +523,8 @@ object DictionaryIndex {
       val rowFilter =
         if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
         else graft.plans.In(column, values).toColumn
-      spark.read.parquet(MicroBlockIndex.listParquetFiles(tablePath): _*)
+      MicroBlockIndex.readFilesAsTable(spark, tablePath,
+          MicroBlockIndex.listParquetFiles(tablePath))
         .filter(rowFilter)
     } else prunedReadEq(spark, index, tablePath, column, values)
 

@@ -268,14 +268,53 @@ object MicroBlockIndex {
 
   /** The same listing with each file's (mtime, size) — the per-file
     * status the sidecar soundness gates record and re-check (a file
-    * rewritten in place keeps its NAME; only its status changes). */
+    * rewritten in place keeps its NAME; only its status changes).
+    *
+    * RECURSIVE (round 13): hive-partitioned layouts nest data under
+    * `col=value` directories — a top-level-only listing recorded
+    * EMPTY coverage for them, so every sidecar layer refused the
+    * layout every real fact table uses. `listFiles(recursive)` is the
+    * scalable walk (one paged LIST per prefix on object stores, a
+    * single RemoteIterator on HDFS — no per-directory round-trips);
+    * any path segment starting with `_` or `.` below the root is
+    * metadata (`_graft*` sidecars, `_SUCCESS`, `.crc`), never data —
+    * the same convention Spark's own InMemoryFileIndex applies, so
+    * this listing and a relation's `inputFiles` agree file-for-file. */
   def listParquetFilesWithStatus(tablePath: String): Seq[(String, Long, Long)] = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(new Configuration())
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq((tablePath, st.getModificationTime, st.getLen))
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+    else {
+      val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+      def visible(filePath: Path): Boolean = {
+        val rel = filePath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            visible(s.getPath))
+          out += ((s.getPath.toString, s.getModificationTime, s.getLen))
+      }
+      out.toSeq
+    }
+  }
+
+  /** Read `files` (a subset of `tablePath`'s listing) AS the table —
+    * with `basePath` pointing at the root so hive-partition columns
+    * encoded in the directory names survive the subset read (a bare
+    * `read.parquet(files)` silently drops them and any downstream
+    * reference to a partition column fails). No-op for single-file
+    * tables. */
+  def readFilesAsTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isFile) spark.read.parquet(files: _*)
+    else spark.read.option("basePath", fs.makeQualified(p).toString)
+      .parquet(files: _*)
   }
 }

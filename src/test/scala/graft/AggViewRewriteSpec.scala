@@ -655,6 +655,44 @@ class AggViewRewriteSpec extends AnyFunSuite {
     assert(rows(fresh) == rows(truth))
   }
 
+  test("views serve over hive-partitioned layouts; partition-column groups survive delta refresh") {
+    // round-12 gap #1, view side: listWithStatus saw an empty top
+    // level on col=value layouts, so views built over them recorded
+    // no coverage and the gate refused every serve. The refresh delta
+    // also reads a FILE SUBSET — without a basePath read the
+    // partition column (here the GROUP column) would vanish from it.
+    val out = scratch("partitioned/base")
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+    graft.sources.MicroBlockWriter.writePartitioned(
+      orders.limit(6000), out, "o_orderstatus", "o_orderkey", 2)
+    val view = scratch("partitioned/view")
+    AggView.build(spark, out, view, Seq("o_orderstatus"), "o_orderpriority")
+    AggViewRewriteRule.registerView(out, view)
+    val q = "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd " +
+      "FROM rw_part GROUP BY o_orderstatus"
+    spark.read.parquet(out).createOrReplaceTempView("rw_part")
+    val served = spark.sql(q)
+    assert(scansPath(served, view), "partitioned layout must serve")
+    def truth = spark.read.parquet(out).groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_orderpriority")).as("nd"))
+    assert(rows(served) == rows(truth))
+
+    // append into ONE partition refuses until refresh, then the
+    // delta-only refresh (reading just the nested new file, with its
+    // partition-dir group value intact) serves again
+    orders.filter(col("o_orderstatus") === "F").limit(200)
+      .write.mode("append").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("rw_part")
+    val stale = spark.sql(q)
+    assert(!scansPath(stale, view), "the appended nested file must refuse")
+    assert(rows(stale) == rows(truth))
+    assert(AggView.refresh(spark, out, view), "refresh must see the delta")
+    spark.read.parquet(out).createOrReplaceTempView("rw_part")
+    val fresh = spark.sql(q)
+    assert(scansPath(fresh, view), "post-refresh the view must serve again")
+    assert(rows(fresh) == rows(truth))
+  }
+
   test("a base table with a column named freq never rewrites (reserved alias)") {
     val base = scratch("freq/base")
     import spark.implicits._

@@ -190,6 +190,49 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       .agg(countDistinct(col("l_returnflag")).as("n"))))
   }
 
+  test("hive-partitioned layouts serve transparently; a one-partition append refuses until refresh") {
+    // round-12 gap #1: the top-level-only listing recorded EMPTY
+    // coverage for nested col=value layouts, so the freshness gate
+    // refused every serve on the layout every real fact table uses.
+    val out = scratch("partitioned")
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+    graft.sources.MicroBlockWriter.writePartitioned(
+      orders.limit(6000), out, "o_orderstatus", "o_orderkey", 2)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, out, "ord", Seq("o_orderpriority")), out)
+    val q = "SELECT COUNT(DISTINCT o_orderpriority) AS n FROM dr_part"
+    spark.read.parquet(out).createOrReplaceTempView("dr_part")
+    val served = spark.sql(q)
+    assert(scansDict(served),
+      "a current sidecar over a partitioned layout must serve")
+    def truth = spark.read.parquet(out)
+      .agg(countDistinct(col("o_orderpriority")).as("n"))
+    assert(rows(served) == rows(truth))
+
+    // append into ONE partition: the nested new file must be SEEN —
+    // an invisible file would keep serving a stale (under-counting)
+    // sidecar instead of refusing
+    orders.filter(col("o_orderstatus") === "F").limit(200)
+      .write.mode("append").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("dr_part")
+    val stale = spark.sql(q)
+    assert(!scansDict(stale), "the appended nested file must refuse the serve")
+    assert(rows(stale) == rows(truth))
+
+    // delta refresh indexes only the new nested file; serves again
+    val idx = DictionaryIndex.load(spark, DictionaryIndex.sidecarPath(out))
+    val before = idx.count()
+    val refreshed = DictionaryIndex.refresh(spark, out, "ord", idx)
+    assert(refreshed.count() > before, "refresh must index the nested file")
+    DictionaryIndex.saveSidecar(
+      spark.createDataset(refreshed.collect().toSeq)(
+        org.apache.spark.sql.Encoders.product[graft.sources.FileDict]), out)
+    spark.read.parquet(out).createOrReplaceTempView("dr_part")
+    val fresh = spark.sql(q)
+    assert(scansDict(fresh), "refreshed sidecar must serve the partitioned layout")
+    assert(rows(fresh) == rows(truth))
+  }
+
   test("SELECT DISTINCT col serves from the sidecar, null-aware") {
     val base = fixture
     spark.read.parquet(base).createOrReplaceTempView("dr_d")
