@@ -27,20 +27,13 @@ object Bench {
   private def probe(spark: SparkSession): Double =
     timeOnce { spark.range(1000000).selectExpr("sum(id)").collect() }
 
-  /** Core-SATURATING noise canary. The trivial `range.count` probe read
-    * clean (0.16 s) in round 6's sick window while untouched heavies ran
-    * 4× slow — a single-stage trivial job can't see CPU contention. A
-    * 32M-row parallel hash aggregate (one task per core, ~1M distinct
-    * keys) keeps every core busy long enough that hypervisor steal shows
-    * up in the probe itself. */
+  /** Core-SATURATING noise canary — shared with [[LedgerBench]] via
+    * [[BenchWindow]], which also holds the calm-window GATE policy
+    * (round 13): the trivial `range.count` probe read clean (0.16 s)
+    * in round 6's sick window while untouched heavies ran 4× slow, so
+    * the canary saturates every core. */
   private def satProbe(spark: SparkSession): Double =
-    timeOnce {
-      val p = spark.sparkContext.defaultParallelism
-      spark.range(0, 32000000L, 1, p)
-        .selectExpr("id % 1048576 AS k")
-        .groupBy("k").count()
-        .selectExpr("sum(count)").collect()
-    }
+    graft.BenchWindow.satProbe(spark)
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -89,47 +82,79 @@ object Bench {
         System.err.println(
           s"engine warmup build failed: ${t.getClass.getName}: ${t.getMessage}")
     }
-    val probeStart = probe(spark)
-    val satStart = satProbe(spark)
-    var satMid = -1.0
-    val midIdx = SparkEntry.allDefs.size / 2
-    // fixed order + a cache clear per rep: several operators persist()
-    // intermediates, and leftover cached blocks would otherwise bleed
-    // GC pressure into whichever query happens to run next.
-    // A failing query is recorded as an {"err":...} entry — NEVER as its
-    // failure duration, which round 6 proved is indistinguishable from a
-    // fast pass in the artifact.
-    val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.allDefs.zipWithIndex.map { case (q, i) =>
-        if (i == midIdx) satMid = satProbe(spark)
-        var err: Option[String] = None
-        val reps = (1 to Reps).map { _ =>
-          spark.catalog.clearCache()
-          timeOnce {
-            if (err.isEmpty) {
-              // noop sink, NOT count(): under count() Catalyst prunes
-              // every column a pure-projection operator computes, so
-              // scan-local operators (ta_quality/ta_entropy/ta_gopher…)
-              // were timed as bare row counts (caught in round 8 by
-              // ta_gopher's impossibly flat x1→x100 scale curve). The
-              // noop write materializes every output row in full —
-              // the work the query actually claims. Totals from
-              // rounds ≤ 8 undercount projection-shaped queries.
-              try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save() }
-              catch {
-                case t: Throwable =>
-                  System.err.println(
-                    s"${q.name} failed: ${t.getClass.getName}: ${t.getMessage}")
-                  err = Some(s"${t.getClass.getName}: " +
-                    Option(t.getMessage).getOrElse("").take(300))
+    // one full measurement pass: probes bracket the query loop
+    def measureOnce(): (Double, Double, Double, Double, Double,
+        Seq[(String, Either[String, Double])]) = {
+      val probeStart = probe(spark)
+      val satStart = satProbe(spark)
+      var satMid = -1.0
+      val midIdx = SparkEntry.allDefs.size / 2
+      // fixed order + a cache clear per rep: several operators persist()
+      // intermediates, and leftover cached blocks would otherwise bleed
+      // GC pressure into whichever query happens to run next.
+      // A failing query is recorded as an {"err":...} entry — NEVER as its
+      // failure duration, which round 6 proved is indistinguishable from a
+      // fast pass in the artifact.
+      val results: Seq[(String, Either[String, Double])] =
+        SparkEntry.allDefs.zipWithIndex.map { case (q, i) =>
+          if (i == midIdx) satMid = satProbe(spark)
+          var err: Option[String] = None
+          val reps = (1 to Reps).map { _ =>
+            spark.catalog.clearCache()
+            timeOnce {
+              if (err.isEmpty) {
+                // noop sink, NOT count(): under count() Catalyst prunes
+                // every column a pure-projection operator computes, so
+                // scan-local operators (ta_quality/ta_entropy/ta_gopher…)
+                // were timed as bare row counts (caught in round 8 by
+                // ta_gopher's impossibly flat x1→x100 scale curve). The
+                // noop write materializes every output row in full —
+                // the work the query actually claims. Totals from
+                // rounds ≤ 8 undercount projection-shaped queries.
+                try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save() }
+                catch {
+                  case t: Throwable =>
+                    System.err.println(
+                      s"${q.name} failed: ${t.getClass.getName}: ${t.getMessage}")
+                    err = Some(s"${t.getClass.getName}: " +
+                      Option(t.getMessage).getOrElse("").take(300))
+                }
               }
             }
-          }
-        }.sorted
-        q.name -> err.toLeft(reps(reps.length / 2))
+          }.sorted
+          q.name -> err.toLeft(reps(reps.length / 2))
+        }
+      val probeEnd = probe(spark)
+      val satEnd = satProbe(spark)
+      (probeStart, satStart, satMid, probeEnd, satEnd, results)
+    }
+    // CALM-WINDOW GATE (BenchWindow): round 12's clean window was
+    // luck; this makes it policy. A noisy pass (any canary sample
+    // > 1.5× the persisted idle reference) is RE-MEASURED instead of
+    // written, up to MaxAttempts; only an all-noisy run writes, and
+    // then flagged "window_noisy":true — never a silent sick artifact.
+    val MaxAttempts = 3
+    val loadStart = graft.BenchWindow.loadavg()
+    var attempt = 0
+    var calm = false
+    var calmRef = -1.0
+    var m: (Double, Double, Double, Double, Double,
+      Seq[(String, Either[String, Double])]) = null
+    while (attempt < MaxAttempts && !calm) {
+      attempt += 1
+      m = measureOnce()
+      val samples = Seq(m._2, m._3, m._5).filter(_ >= 0)
+      calmRef = graft.BenchWindow.calmRef(spark, samples.min)
+      calm = graft.BenchWindow.isCalm(calmRef, samples)
+      if (!calm && attempt < MaxAttempts) {
+        System.err.println(
+          s"bench window NOISY (attempt $attempt: sat=${samples.mkString(",")} " +
+          s"ref=$calmRef) — pausing and re-measuring")
+        Thread.sleep(30000)
       }
-    val probeEnd = probe(spark)
-    val satEnd = satProbe(spark)
+    }
+    val (probeStart, satStart, satMid, probeEnd, satEnd, results) = m
+    val loadEnd = graft.BenchWindow.loadavg()
     val qs = results.map {
       case (k, Right(v)) => jstr(k) + ":" + v
       case (k, Left(m))  => jstr(k) + ":{\"err\":" + jstr(m) + "}"
@@ -223,7 +248,7 @@ object Bench {
         "null"
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"dict_ab":$dictAb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"dict_ab":$dictAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

@@ -49,14 +49,39 @@ object LedgerBench {
       }.sorted
       ts(ts.size / 2)
     }
-    val probeSec = timed {
-      spark.read.parquet(s"$sfDir/$primary.parquet").count()
-    }
-    val results = names.map { n =>
-      n -> timed(SparkEntry.queries(n)(spark, sfDir).count())
+    // CALM-WINDOW GATE (the BenchWindow policy, see Bench): a ledger
+    // row measured in a steal window misgrades the engine vs DuckDB's
+    // separately-measured run, so a noisy pass re-measures instead of
+    // printing, bounded; an all-noisy run prints flagged.
+    BenchWindow.satProbe(spark) // codegen warm — first run pays ~2x
+    val MaxAttempts = 3
+    var attempt = 0
+    var calm = false
+    var calmRef = -1.0
+    var satStart = -1.0
+    var satEnd = -1.0
+    var probeSec = -1.0
+    var results: Seq[(String, Double)] = Nil
+    while (attempt < MaxAttempts && !calm) {
+      attempt += 1
+      satStart = BenchWindow.satProbe(spark)
+      probeSec = timed {
+        spark.read.parquet(s"$sfDir/$primary.parquet").count()
+      }
+      results = names.map { n =>
+        n -> timed(SparkEntry.queries(n)(spark, sfDir).count())
+      }
+      satEnd = BenchWindow.satProbe(spark)
+      calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
+      calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
+      if (!calm && attempt < MaxAttempts) {
+        System.err.println(s"ledger window NOISY (attempt $attempt: " +
+          s"sat=$satStart,$satEnd ref=$calmRef) — pausing and re-measuring")
+        Thread.sleep(30000)
+      }
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"bench":"ledger","sf":"$sfDir","reps":$reps,"probe_table":"$primary","probe_sec":$probeSec,"graft_sec":$qs}""")
+    println(s"""{"bench":"ledger","sf":"$sfDir","reps":$reps,"probe_table":"$primary","probe_sec":$probeSec,"sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()},"graft_sec":$qs}""")
     spark.stop()
   }
 }
