@@ -104,15 +104,17 @@ object ScaleBench {
       if (!sys.env.contains("SPARK_GRAFT_Q20_BUCKETED")) Nil
       else {
         val buckets = sys.env.getOrElse("SPARK_GRAFT_Q20_BUCKETS", "64").toInt
-        val t0 = System.nanoTime()
-        val reused = !sys.env.contains("SPARK_GRAFT_REBUCKET") &&
-          graft.sources.Bucketing.registerExisting(
-            spark, "ord_cust_bkt", "o_custkey", buckets)
-        if (!reused)
-          graft.sources.Bucketing.writeBucketed(
-            spark.read.parquet(s"$sfDir/orders.parquet"), "ord_cust_bkt",
-            "o_custkey", buckets, columns = Seq("o_orderkey", "o_totalprice"))
-        val build = if (reused) 0.0 else (System.nanoTime() - t0) / 1e9
+        val build =
+          if (sys.env.contains("SPARK_GRAFT_REBUCKET")) {
+            val t0 = System.nanoTime()
+            graft.sources.Bucketing.writeBucketed(
+              spark.read.parquet(s"$sfDir/orders.parquet"), "ord_cust_bkt",
+              "o_custkey", buckets, columns = Seq("o_orderkey", "o_totalprice"))
+            (System.nanoTime() - t0) / 1e9
+          } else graft.sources.Bucketing.ensureBucketed(
+            spark, spark.read.parquet(s"$sfDir/orders.parquet"),
+            "ord_cust_bkt", "o_custkey", buckets,
+            columns = Seq("o_orderkey", "o_totalprice"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -133,4 +133,27 @@ object Bucketing {
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** ENSURE the bucketed layout: re-register an existing validated
+    * write, else pay the one-time clustering write from `source`
+    * (evaluated only then). Returns the build seconds — 0.0 when
+    * reused, the pay-once / reuse-forever contract callers report.
+    *
+    * This is the FIRST-CLASS entry point for every
+    * "repeated-shuffle-on-one-key" workload family, windows included:
+    * a window PARTITION BY on the bucket key is satisfied by the
+    * bucketed scan's hash distribution, so WindowExec plans with NO
+    * Exchange under it — only the per-bucket sort remains (sf100
+    * measured: q20's 150M-row exchange gone, 13.8 s → 3.5 s, 0.81×
+    * DuckDB marginal — BENCH_SCALE sf100_r10; PlanAuditSpec pins the
+    * no-exchange plan shape). */
+  def ensureBucketed(spark: SparkSession, source: => DataFrame,
+      table: String, key: String, buckets: Int,
+      columns: Seq[String] = Nil): Double =
+    if (registerExisting(spark, table, key, buckets)) 0.0
+    else {
+      val t0 = System.nanoTime()
+      writeBucketed(source, table, key, buckets, columns)
+      (System.nanoTime() - t0) / 1e9
+    }
 }

@@ -528,4 +528,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "Exchange hashpartitioning") == 1,
       s"one shuffle only — the user_id aggregation:\n${p.take(2000)}")
   }
+
+  test("window over the bucketed layout runs with NO exchange under WindowExec") {
+    // the q20 100 TB answer, FIRST-CLASS (round 13): Bucketing
+    // .ensureBucketed lays orders out by the window key once; the
+    // bucketed scan's hash distribution satisfies PARTITION BY, so
+    // the row-number window plans with zero shuffles below it — only
+    // the per-bucket sort remains (sf100 measured 13.8 s -> 3.5 s,
+    // 0.81x DuckDB marginal, BENCH_SCALE sf100_r10).
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, dir, "orders")
+    val build = graft.sources.Bucketing.ensureBucketed(
+      spark, orders, "audit_ord_bkt", "o_custkey", 8,
+      columns = Seq("o_orderkey", "o_totalprice"))
+    assert(build >= 0.0)
+    // second ensure must REUSE, not re-pay the clustering write
+    assert(graft.sources.Bucketing.ensureBucketed(
+      spark, orders, "audit_ord_bkt", "o_custkey", 8) == 0.0,
+      "ensureBucketed must reuse the validated existing layout")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = spark.table("audit_ord_bkt")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+    df.collect() // finalize AQE so the audited plan is the executed one
+    // flatten THROUGH the adaptive/stage wrappers (TreeNode.collect
+    // does not descend into AdaptiveSparkPlanExec / QueryStageExec)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we
+    }
+    assert(windows.nonEmpty,
+      s"plan must contain a WindowExec:\n${nodes.map(_.nodeName).mkString(", ")}")
+    windows.foreach { we =>
+      val exchanges = flatten(we).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed layout must satisfy the window distribution - no " +
+        s"exchange under WindowExec:\n${we.toString.take(1500)}")
+    }
+    // and the values are the scan answer
+    val truth = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      truth.collect().map(_.toString).sorted.toSeq)
+  }
 }
