@@ -247,8 +247,44 @@ object Bench {
           s"dict_ab failed: ${t.getClass.getName}: ${t.getMessage}")
         "null"
     }
+    // round 13: the JOIN-DRIVEN file-pruning A/B (file-level DPP) on
+    // the key-clustered layout — a selective NON-KEY dim filter
+    // (s_nationkey, so constraint inference cannot pre-filter the
+    // fact) joined on l_suppkey, with vs without the dictionary index
+    // registered. Rows must be identical; the pruned side reads only
+    // the dictionary-positive files (JoinPruneSpec pins the audit).
+    val joinAb = try {
+      spark.catalog.clearCache()
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val (path, dIdx) = graft.queries.MicroBlockQueries.dictBucketIndex(spark, sfDir)
+      def dim = spark.read.parquet(s"$sfDir/supplier.parquet")
+        .filter(col("s_nationkey") === 6)
+      def joined = spark.read.parquet(path)
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+      def fp(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)), sum(col("l_linenumber"))).first.getLong(0)
+      def med(run: => Long): (Double, Long) = {
+        var r = 0L
+        val ts = (1 to 3).map { _ =>
+          val s = System.nanoTime(); r = run; (System.nanoTime() - s) / 1e9
+        }.sorted
+        (ts(1), r)
+      }
+      graft.plans.ZoneMapPruneRule.unregisterDict(path)
+      val (scanSec, scanV) = med(fp(joined))
+      graft.plans.ZoneMapPruneRule.registerDict(path, dIdx.toDF())
+      val (dppSec, dppV) = med(fp(joined))
+      graft.plans.ZoneMapPruneRule.unregisterDict(path)
+      require(scanV == dppV, s"join_dpp_ab rows diverged: $scanV vs $dppV")
+      s"""{"join_scan":{"sec":$scanSec},"join_dpp":{"sec":$dppSec}}"""
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"join_dpp_ab failed: ${t.getClass.getName}: ${t.getMessage}")
+        "null"
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"dict_ab":$dictAb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"stat":"median","failed":$failedCount,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"sat_probe_start_sec":$satStart,"sat_probe_mid_sec":$satMid,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qs,"pruning_ab":$ab,"topk_ab":$topkAb,"serve_auto_ab":$serveAb,"dict_ab":$dictAb,"join_dpp_ab":$joinAb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of sbt output; a long line can be
     // truncated there. Persist the full artifact as a file too.

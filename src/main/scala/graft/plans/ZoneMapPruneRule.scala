@@ -99,6 +99,15 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ZoneMapPruneRule.topKRewrite(spark, k, inner)
           .map(pruned => gl.copy(child = ll.copy(child = pruned)))
           .getOrElse(gl)
+
+      // JOIN-DRIVEN file pruning (file-level DPP): a selective dim's
+      // surviving join keys refute dictionary-indexed fact files —
+      // the q11/q12 shape where single-table pruning sees nothing.
+      // Recognition, soundness and refusal gates live in
+      // [[JoinFilePruning]]; any failure leaves the join untouched.
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        try JoinFilePruning.tryPrune(spark, j).getOrElse(j)
+        catch { case scala.util.control.NonFatal(_) => j }
     }
 }
 
@@ -425,6 +434,7 @@ object ZoneMapPruneRule {
     decisionCache.clear()
     topkCache.clear()
     discoveryCache.clear()
+    JoinFilePruning.clearCache()
   }
 
   private def unpersistQuietly(df: DataFrame): Unit =
@@ -514,12 +524,14 @@ object ZoneMapPruneRule {
     }
     dictDecisionCache.clear()
     discoveryCache.clear()
+    JoinFilePruning.clearCache()
   }
 
   def unregisterDict(rootPath: String): Unit = {
     dictRegistry.remove(norm(rootPath))
     dictDecisionCache.clear()
     discoveryCache.clear()
+    JoinFilePruning.clearCache()
   }
 
   /** [[registerSaved]]'s dictionary twin: load `<table>/_graft_dict`

@@ -463,6 +463,38 @@ object DictionaryIndex {
       .select(col("file")).collect().map(_.getString(0)).toSeq
   }
 
+  /** Files whose dictionaries PROVE they hold NONE of `keys` for
+    * `column` — the JOIN-DRIVEN (file-level DPP) cut: a selective dim
+    * filter's surviving join keys refute fact files one by one, the
+    * layout class where min/max see nothing. Unlike
+    * [[skippedFilesEq]] (per-value `array_contains` — right for the
+    * handful of literals a WHERE carries) the decision here is ONE
+    * distributed semi-join of the exploded covered value arrays
+    * against the broadcast key set, so dim key sets thousands wide
+    * stay plannable. `keys` must be a single column `v` of the
+    * physical domain (long / double / string); only covered files can
+    * be skipped (uncovered ⇒ unknown ⇒ kept), so the cut is lossless
+    * by construction. Only the skip list reaches the driver. */
+  def skippedFilesForKeys(index: Dataset[_], column: String,
+      keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val arr = keys.schema.head.dataType match {
+      case LongType => "valuesLong"
+      case DoubleType => "valuesDouble"
+      case StringType => "valuesStr"
+      case other =>
+        throw new IllegalArgumentException(s"unsupported key domain $other")
+    }
+    val entries = index.filter(col("column") === column && col("covered"))
+    val mayMatch = entries
+      .select(col("file"), explode(col(arr)).as("v"))
+      .join(broadcast(keys.select(col("v")).distinct()), Seq("v"), "left_semi")
+      .select(col("file")).distinct()
+    entries.select(col("file")).distinct()
+      .join(mayMatch, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Pruned point-lookup scan: read only the files [[skippedFilesEq]]
     * could not refute, then apply the row-level filter. An all-refuted
     * probe still returns a correctly-typed empty result (one footer

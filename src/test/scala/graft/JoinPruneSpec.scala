@@ -1,0 +1,171 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+import graft.plans.ZoneMapPruneRule
+import graft.sources.{DictionaryIndex, MicroBlockIndex}
+
+/** Join-driven file pruning (plans/JoinFilePruning): a selective dim
+  * filter's surviving join keys refute dictionary-indexed fact files
+  * at PLAN time — dynamic partition pruning at the file level, on the
+  * key-clustered layouts real fact tables have. Contract under test:
+  *
+  *   - FIRE: inner / left-semi equi-join, dict-indexed fact root,
+  *     filtered broadcast-class dim → the fact relation's file list
+  *     shrinks to exactly the dictionary-positive files, rows
+  *     identical to the unpruned join;
+  *   - kept-file AUDIT: kept = all files minus skippedFilesEq's cut
+  *     for the dim's surviving key set (losslessness by construction);
+  *   - REFUSE: unfiltered dims, key sets past
+  *     spark.graft.joinPrune.maxKeys, outer joins, null-safe
+  *     equality (<=> matches NULL=NULL — value sets hold no nulls),
+  *     unregistered roots.
+  */
+class JoinPruneSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-joinprune")
+  private val dir = "/root/testdata/sf0.01"
+
+  private def scratch(tag: String) = s"target/scratch/test/joinprune/$tag"
+
+  /** 16-file hash-bucketed lineitem (each file holds ~1/16 of the 100
+    * suppkeys — min/max spans everything, only value sets refute) with
+    * a registered dictionary index. */
+  private lazy val fixture: (String, DataFrame) = {
+    val out = scratch("li16")
+    Tables.load(spark, dir, "lineitem")
+      .repartition(16, col("l_suppkey"))
+      .write.mode("overwrite").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "li", Seq("l_suppkey")).toDF()
+      .persist()
+    ZoneMapPruneRule.registerDict(out, idx)
+    (out, idx)
+  }
+
+  private def factKeptFiles(df: DataFrame, needle: String): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.exists(_.contains(needle)) =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+
+  test("a selective dim filter prunes the fact's files; rows identical to the unpruned join") {
+    // the dim filter is on a NON-KEY column (s_nationkey): Catalyst's
+    // constraint inference cannot propagate it to the fact side, so
+    // only the join arm's plan-time dim evaluation can know the
+    // surviving key set — DPP's actual domain (a literal IN on the
+    // join key itself is already handled by inferred constraints +
+    // the single-table dictionary arm)
+    val (path, idx) = fixture
+    val fact = spark.read.parquet(path)
+    val dim = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 6)
+    val joined = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+    val kept = factKeptFiles(joined, "joinprune/li16")
+    assert(kept.nonEmpty && kept.head < 16,
+      s"the join must shrink the fact file list, saw $kept of 16")
+
+    // kept-file audit: exactly the dictionary-positive files for the
+    // dim's SURVIVING key set
+    val survivingKeys = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 6).select("s_suppkey")
+      .collect().map(r => graft.plans.PredValue(r.getLong(0))).toSeq
+    assert(survivingKeys.size >= 2, "fixture: nation 6 must keep several suppliers")
+    val skipped = DictionaryIndex.skippedFilesEq(
+      idx, "l_suppkey", survivingKeys).size
+    assert(kept.head == 16 - skipped,
+      s"kept ${kept.head} != 16 - dict cut $skipped")
+
+    // losslessness: same rows as the join with pruning unregistered
+    val pruned = joined.collect().map(_.toString).sorted.toSeq
+    ZoneMapPruneRule.unregisterDict(path)
+    try {
+      val truthDf = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+      assert(factKeptFiles(truthDf, "joinprune/li16") == Seq(16))
+      assert(pruned == truthDf.collect().map(_.toString).sorted.toSeq)
+    } finally ZoneMapPruneRule.registerDict(path, idx)
+  }
+
+  test("left-semi prunes the left side; rows identical") {
+    val (path, _) = fixture
+    val fact = spark.read.parquet(path)
+    val dim = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 11)
+    val semi = fact.join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val kept = factKeptFiles(semi, "joinprune/li16")
+    assert(kept.nonEmpty && kept.head < 16, s"semi-join must prune, saw $kept")
+    val keys = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 11).select("s_suppkey")
+      .collect().map(_.getLong(0))
+    assert(semi.count() ==
+      fact.filter(col("l_suppkey").isin(keys: _*)).count())
+  }
+
+  test("refusals: unfiltered dim, key bound, outer join, null-safe equality") {
+    val (path, _) = fixture
+    val fact = spark.read.parquet(path)
+    val dimAll = spark.read.parquet(s"$dir/supplier.parquet")
+    // unfiltered dim: unselective, must refuse
+    assert(factKeptFiles(
+      fact.join(dimAll, col("l_suppkey") === col("s_suppkey")),
+      "joinprune/li16") == Seq(16))
+    // key bound: nation 9 keeps 10 suppliers > maxKeys=1 refuses (the
+    // non-key filter keeps inferred constraints out of the picture)
+    spark.conf.set("spark.graft.joinPrune.maxKeys", "1")
+    try {
+      val dim2 = dimAll.filter(col("s_nationkey") === 9)
+      assert(factKeptFiles(
+        fact.join(dim2, col("l_suppkey") === col("s_suppkey")),
+        "joinprune/li16") == Seq(16),
+        "a key set past the bound must refuse")
+    } finally spark.conf.unset("spark.graft.joinPrune.maxKeys")
+    // outer join: pruning the preserved side would drop rows
+    val dimF = dimAll.filter(col("s_nationkey") === 7)
+    assert(factKeptFiles(
+      fact.join(dimF, col("l_suppkey") === col("s_suppkey"), "left_outer"),
+      "joinprune/li16") == Seq(16))
+    // null-safe equality matches NULL = NULL; value sets hold no nulls
+    assert(factKeptFiles(
+      fact.join(dimF, col("l_suppkey") <=> col("s_suppkey")),
+      "joinprune/li16") == Seq(16))
+    // unregistered root: no decision job, no prune
+    val bare = scratch("bare")
+    Tables.load(spark, dir, "lineitem").limit(2000)
+      .repartition(4, col("l_suppkey")).write.mode("overwrite").parquet(bare)
+    assert(factKeptFiles(
+      spark.read.parquet(bare)
+        .join(dimF, col("l_suppkey") === col("s_suppkey")),
+      "joinprune/bare") == Seq(4))
+  }
+
+  test("string join keys prune through the string value sets") {
+    val (outDir, dimDf) = {
+      val out = scratch("byflag")
+      Tables.load(spark, dir, "lineitem")
+        .repartition(3, col("l_returnflag"))
+        .write.mode("overwrite").parquet(out)
+      import spark.implicits._
+      (out, Seq("R").toDF("flag").filter(col("flag") === "R"))
+    }
+    val idx = DictionaryIndex.build(spark, outDir, "li", Seq("l_returnflag")).toDF()
+    ZoneMapPruneRule.registerDict(outDir, idx)
+    try {
+      val fact = spark.read.parquet(outDir)
+      val joined = fact.join(dimDf, col("l_returnflag") === col("flag"))
+      val kept = factKeptFiles(joined, "joinprune/byflag")
+      val total = MicroBlockIndex.listParquetFiles(outDir).size
+      assert(kept.nonEmpty && kept.head < total,
+        s"string-key join must prune, saw $kept of $total")
+      assert(joined.count() == fact.filter(col("l_returnflag") === "R").count())
+    } finally ZoneMapPruneRule.unregisterDict(outDir)
+  }
+}
