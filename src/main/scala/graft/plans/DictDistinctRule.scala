@@ -214,6 +214,7 @@ object DictDistinctRule {
       tryDistinctValues(spark, agg, out, child)
     case _ if agg.groupingExpressions.isEmpty =>
       tryCountDistinct(spark, agg)
+        .orElse(tryCountDistinctFiltered(spark, agg))
     case _ => None
   }
 
@@ -284,6 +285,197 @@ object DictDistinctRule {
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  // ---------- the FILTERED serve (round 13, verdict ask #7) ----------
+
+  /** attr-only Projects down to exactly ONE Filter over [attr-only
+    * Projects over] the bare relation. */
+  private def unwrapFiltered(p: LogicalPlan)
+      : Option[(Expression, LogicalRelation)] = p match {
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapFiltered(pr.child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      unwrap(child).map(r => (cond, r))
+    case _ => None
+  }
+
+  // tri-state decision memo: (root, pred, live hash) -> (allTrue,
+  // allFalse) norm sets, valid only while the SAME zone index frame is
+  // registered (exact identity via WeakReference — an identity-hash
+  // key could collide across re-registrations and reuse a stale
+  // decision: wrong answers)
+  private val triCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Int),
+        (java.lang.ref.WeakReference[AnyRef], Set[String], Set[String])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int),
+            (java.lang.ref.WeakReference[AnyRef], Set[String], Set[String])])
+          : Boolean = size > 128
+    })
+
+  private def triStateFor(spark: SparkSession, rootPath: String,
+      zoneIdx: org.apache.spark.sql.DataFrame, pred: Pred,
+      liveFiles: Set[String]): Option[(Set[String], Set[String])] = {
+    val key = (norm(rootPath), pred.toString, liveFiles.hashCode)
+    val hit = triCache.get(key)
+    if (hit != null && (hit._1.get eq zoneIdx)) return Some((hit._2, hit._3))
+    inRewrite.set(java.lang.Boolean.TRUE)
+    val computed =
+      try {
+        val rows = IndexPruning.fileTriState(zoneIdx, pred).collect()
+          .map(r => (norm(r.getString(0)), r.getBoolean(1), r.getBoolean(2)))
+        val allTrue = rows.collect { case (f, true, _) => f }.toSet & liveFiles
+        val allFalse = rows.collect { case (f, _, true) => f }.toSet & liveFiles
+        Some((allTrue, allFalse))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inRewrite.set(java.lang.Boolean.FALSE)
+    computed.foreach { case (t, f) =>
+      triCache.put(key,
+        (new java.lang.ref.WeakReference[AnyRef](zoneIdx), t, f))
+    }
+    computed
+  }
+
+  /** `COUNT(DISTINCT col)[, ...] WHERE p` over a dict-indexed table
+    * whose ZONE-MAP stats decide p for (most) whole files: files
+    * PROVED all-rows-match serve their dictionary value sets, files
+    * proved all-false contribute nothing, and the straddling minority
+    * (plus all-true files without dictionary coverage) unions in as
+    * one pruned scan with the ORIGINAL row filter applied — exact by
+    * construction. Requires a COMPLETE predicate conversion
+    * ([[PredicateExtractor.convertComplete]] — an all-rows proof over
+    * a weakened predicate would claim rows a dropped conjunct
+    * rejects) and refuses when the scan side exceeds
+    * `spark.graft.dictServe.maxScanFraction` (default 0.5) of the
+    * live files — past that the serve is just a worse scan. */
+  private def tryCountDistinctFiltered(
+      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (cond, rel) <- unwrapFiltered(agg.child)
+      if cond.deterministic
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      pairs <- traverse(agg.aggregateExpressions.map {
+        case al @ Alias(AggregateExpression(
+            Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+            if faithful(a.dataType) =>
+          Some((al, a))
+        case _ => None
+      })
+      if pairs.nonEmpty
+      pred <- PredicateExtractor.convertComplete(cond)
+      mtime <- sidecarMtime(roots.head, spark)
+      cov <- coverageFor(spark, roots.head, mtime)
+      liveRaw = hfs.location.inputFiles.toSeq
+      liveFiles = liveRaw.map(norm).toSet
+      if cov.files == liveFiles
+      if statsCurrent(cov, hfs)
+      cols = pairs.map(_._2).map(a => a.name).distinct
+      if cols.forall(c => cov.coveredByColumn.contains(c) &&
+        !cov.mixedTypeColumns.contains(c))
+      zoneIdx <- ZoneMapPruneRule.indexFor(roots.head, spark)
+      (allTrue, allFalse) <- triStateFor(spark, roots.head, zoneIdx, pred,
+        liveFiles)
+      undecided = liveFiles -- allTrue -- allFalse
+      // the widest per-column scan side decides the fire gate
+      maxScan = cols.map(c => (undecided ++
+        (allTrue -- cov.coveredByColumn(c))).size).max
+      maxFrac = try spark.conf.get(
+        "spark.graft.dictServe.maxScanFraction", "0.5").toDouble
+        catch { case scala.util.control.NonFatal(_) => 0.5 }
+      if liveFiles.nonEmpty && maxScan <= liveFiles.size * maxFrac
+      plan <- filteredRewrite(spark, roots.head, mtime, cov, agg, pairs,
+        cond, pred, allTrue, undecided, liveRaw)
+    } yield plan
+
+  private def filteredRewrite(spark: SparkSession, rootPath: String,
+      mtime: Long, cov: Coverage, agg: Aggregate,
+      pairs: Seq[(Alias, AttributeReference)], cond: Expression, pred: Pred,
+      allTrue: Set[String], undecided: Set[String],
+      liveRaw: Seq[String]): Option[LogicalPlan] = {
+    val byName = pairs.map(p => p._2.name -> p._2).toMap
+    val cols = byName.keys.toSeq.sorted
+    val plans: Map[String, LogicalPlan] = cols.flatMap { c =>
+      filteredCountPlan(spark, rootPath, mtime, byName(c), cond, pred,
+        cov, allTrue, undecided, liveRaw).map(c -> _)
+    }.toMap
+    if (plans.size != cols.size) return None
+    val outAttr: Map[String, Attribute] = plans.map { case (c, p) =>
+      c -> p.output.head }
+    if (outAttr.values.exists(_.dataType != LongType)) return None
+    val joined = cols.map(plans).reduceLeft[LogicalPlan] { (l, r) =>
+      Join(l, r, Inner, None, JoinHint.NONE) // 1×1 rows
+    }
+    val out = pairs.map { case (orig, a) =>
+      Alias(outAttr(a.name), orig.name)(exprId = orig.exprId): NamedExpression
+    }
+    if (out.zip(agg.aggregateExpressions)
+        .exists { case (n, o) => n.dataType != o.dataType }) return None
+    Some(Project(out, joined))
+  }
+
+  /** One column's filtered COUNT(DISTINCT) plan: dictionary arrays of
+    * the (all-true ∩ covered) files ∪ one pruned scan of the
+    * undecided / uncovered-all-true files with the ORIGINAL filter
+    * re-applied (attributes re-resolved by name against the fresh
+    * scan). Built fresh per pass — driver-side planning only; the
+    * expensive decisions (coverage, tri-state) are memoized above. */
+  private def filteredCountPlan(spark: SparkSession, rootPath: String,
+      mtime: Long, attr: AttributeReference, cond: Expression, pred: Pred,
+      cov: Coverage, allTrue: Set[String], undecided: Set[String],
+      liveRaw: Seq[String]): Option[LogicalPlan] = {
+    inRewrite.set(java.lang.Boolean.TRUE)
+    try {
+      import org.apache.spark.sql.functions.{col, count, explode}
+      import org.apache.spark.sql.types._
+      val arrAndDomain = attr.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(("valuesLong", "long"))
+        case FloatType | DoubleType => Some(("valuesDouble", "double"))
+        case StringType             => Some(("valuesStr", "string"))
+        case _                      => None
+      }
+      arrAndDomain.flatMap { case (arr, domain) =>
+        val covered = cov.coveredByColumn(attr.name)
+        val dictNorm = allTrue & covered
+        val scanNorm = undecided ++ (allTrue -- covered)
+        val scanRaw = liveRaw.filter(f => scanNorm.contains(norm(f)))
+        val idx = graft.sources.DictionaryIndex.load(spark,
+          graft.sources.DictionaryIndex.sidecarPath(rootPath)).toDF()
+        // sidecar file spellings may differ from the listing's — map
+        // through norm (file-listing-scale collect)
+        val dictRaw = idx.select(col("file")).distinct().collect()
+          .map(_.getString(0)).filter(f => dictNorm.contains(norm(f)))
+        val dictSide = idx
+          .filter(col("column") === attr.name && col("covered") &&
+            col("file").isin(dictRaw.toSeq: _*))
+          .select(explode(col(arr)).as("v"))
+        val both =
+          if (scanRaw.isEmpty) dictSide
+          else {
+            val unresolved = cond.transform {
+              case a: AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute.quoted(a.name)
+            }
+            val scanSide = graft.sources.MicroBlockIndex
+              .readFilesAsTable(spark, rootPath, scanRaw)
+              .filter(org.apache.spark.sql.graftbridge.ColumnBridge
+                .column(unresolved))
+              .select(col(attr.name).cast(domain).as("v"))
+              .filter(col("v").isNotNull)
+            dictSide.unionAll(scanSide)
+          }
+        val counted = both.distinct()
+          .agg(count(col("v")).as("n"))
+        Some(counted.queryExecution.optimizedPlan)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inRewrite.set(java.lang.Boolean.FALSE)
+  }
 
   /** The DISTINCT-values plan for one column: dictionary union + the
     * uncovered-file scan, cast to the query's type, plus a one-row

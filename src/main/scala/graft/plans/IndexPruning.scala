@@ -114,6 +114,103 @@ object IndexPruning {
   private def strDefined(st: Column): Column =
     st.isNotNull && st.getField("minStr").isNotNull && st.getField("maxStr").isNotNull
 
+  /** ALL-rows-match as a Column — the T-proof dual of [[keepColumn]]
+    * (which proves "no row can match"). Sound ONLY for a COMPLETE
+    * predicate ([[PredicateExtractor.convertComplete]]): a weakened
+    * predicate's T-proof says nothing about its dropped conjuncts.
+    * Every comparison leaf additionally requires a TRUSTED ZERO null
+    * count — null rows fail every comparison, so "every row matches"
+    * needs none. The conservative fallthrough is FALSE ("unproven"),
+    * the opposite direction from keepColumn's TRUE ("keep"). */
+  def allMatchColumn(pred: Pred, stats: Column): Column = pred match {
+    case And(l, r) => allMatchColumn(l, stats) && allMatchColumn(r, stats)
+    // OR: one branch covering every row suffices (conservative — rows
+    // could be covered jointly, but min/max can't prove a split)
+    case Or(l, r)  => allMatchColumn(l, stats) || allMatchColumn(r, stats)
+
+    case Between(c, lo, hi) =>
+      val st = element_at(stats, lit(c))
+      val num = for { l <- lo.num; h <- hi.num } yield
+        when(numDefined(st) && noNulls(st),
+          st.getField("minNum") >= lit(l) && st.getField("maxNum") <= lit(h))
+      val str = for { l <- lo.str; h <- hi.str } yield
+        when(strDefined(st) && noNulls(st),
+          st.getField("minStr") >= lit(l) && st.getField("maxStr") <= lit(h))
+      coalesce(num.toSeq ++ str.toSeq :+ lit(false): _*)
+
+    case In(c, vs) if vs.nonEmpty =>
+      // provable only for a constant block (min == max) whose one
+      // value is in the list
+      val st = element_at(stats, lit(c))
+      val hit = vs.map { v =>
+        val num = v.num.map(x =>
+          when(numDefined(st) && noNulls(st),
+            st.getField("minNum") === lit(x) && st.getField("maxNum") === lit(x)))
+        val str = v.str.map(x =>
+          when(strDefined(st) && noNulls(st),
+            st.getField("minStr") === lit(x) && st.getField("maxStr") === lit(x)))
+        coalesce(num.toSeq ++ str.toSeq :+ lit(false): _*)
+      }.reduce(_ || _)
+      hit
+
+    case Cmp(op, c, v) =>
+      val st = element_at(stats, lit(c))
+      val numCmp: (Column, Column) => Option[Column => Column] = (mn, mx) => op match {
+        case "="  => Some(x => mn === x && mx === x)
+        case "!=" => Some(x => mx < x || mn > x)
+        case ">"  => Some(x => mn > x)
+        case ">=" => Some(x => mn >= x)
+        case "<"  => Some(x => mx < x)
+        case "<=" => Some(x => mx <= x)
+        case _    => None
+      }
+      val num = for {
+        x <- v.num
+        f <- numCmp(st.getField("minNum"), st.getField("maxNum"))
+      } yield when(numDefined(st) && noNulls(st), f(lit(x)))
+      val str = for {
+        x <- v.str
+        f <- numCmp(st.getField("minStr"), st.getField("maxStr"))
+      } yield when(strDefined(st) && noNulls(st), f(lit(x)))
+      coalesce(num.toSeq ++ str.toSeq :+ lit(false): _*)
+
+    case NullCheck(c, negated) =>
+      val st = element_at(stats, lit(c))
+      val nc = st.getField("nullCount")
+      val n = st.getField("rows")
+      val proved =
+        if (negated) when(st.isNotNull && nc.isNotNull && nc >= 0, nc === lit(0L))
+        else when(st.isNotNull && nc.isNotNull && n.isNotNull && nc >= 0, nc === n)
+      coalesce(proved, lit(false))
+  }
+
+  private def noNulls(st: Column): Column = {
+    val nc = st.getField("nullCount")
+    nc.isNotNull && nc === lit(0L)
+  }
+
+  /** Per-file TRI-STATE for a COMPLETE predicate: (file, all_true,
+    * all_false). `all_true` = every block PROVES all its rows match;
+    * `all_false` = every block refuted. Files straddling the predicate
+    * (or with missing stats) are neither — the caller's "undecided"
+    * class. One distributed aggregation, file-listing-scale result —
+    * the filtered dictionary serve's decision
+    * ([[graft.plans.DictDistinctRule]]). */
+  def fileTriState(index: DataFrame, pred: Pred): DataFrame = {
+    val refs = refColumns(pred).toSeq
+    val entry = when(col("column").isin(refs: _*),
+      struct(col("column").as("key"),
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
+    index.groupBy(col("blockId").as("block_id"), col("file"))
+      .agg(map_from_entries(collect_list(entry)).as("stats"))
+      .select(col("file"),
+        allMatchColumn(pred, col("stats")).as("t"),
+        keepColumn(pred, col("stats")).as("keep"))
+      .groupBy(col("file"))
+      .agg((min(when(col("t"), 1).otherwise(0)) === 1).as("all_true"),
+        (max(when(col("keep"), 1).otherwise(0)) === 0).as("all_false"))
+  }
+
   /** Per-block keep/skip decisions as a DataFrame:
     * (block_id, file, rows, row_start, row_end, keep).
     *

@@ -65,6 +65,22 @@ object PredicateExtractor {
     case _ => None
   }
 
+  /** COMPLETE conversion: None unless EVERY subtree converts — no
+    * conjunct dropping. [[convert]]'s weakening is sound only for
+    * REFUTATION (fewer conjuncts keep more); an ALL-ROWS-MATCH proof
+    * ([[IndexPruning.allMatchColumn]], the filtered dictionary serve)
+    * over a weakened predicate would claim rows the dropped conjunct
+    * rejects. */
+  def convertComplete(e: Expression): Option[Pred] = e match {
+    case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+      convertComplete(r.replacement)
+    case CAnd(l, r) =>
+      for { a <- convertComplete(l); b <- convertComplete(r) } yield And(a, b)
+    case COr(l, r) =>
+      for { a <- convertComplete(l); b <- convertComplete(r) } yield Or(a, b)
+    case leaf => convert(leaf) // every non-AND/OR conversion is exact
+  }
+
   /** column-vs-constant comparison in either direction (flips the op).
     * The constant side is usually `cast(<literal> as <coltype>)` after
     * analysis — any foldable expression constant-folds to a Literal. */

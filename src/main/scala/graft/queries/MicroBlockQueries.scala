@@ -545,6 +545,57 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_dict_where (round 13): the FILTERED dictionary serve —
+    // COUNT(DISTINCT col) WHERE p, on the shipdate-clustered layout
+    // where zone-map stats DECIDE p for (most) whole files. All-match
+    // files serve their dictionary value sets, all-miss files
+    // contribute nothing, and the straddling minority unions in as
+    // one pruned scan with the original filter — exact by
+    // construction (plans/DictDistinctRule.tryCountDistinctFiltered;
+    // the all-rows-match proofs need a COMPLETE predicate conversion
+    // and per-block zero null counts — IndexPruning.allMatchColumn).
+    // Fire/refusal shapes are pinned in DictDistinctRuleSpec. Oracle =
+    // the same filtered count-distincts full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_dict_where",
+      """SELECT COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(DISTINCT l_returnflag) AS nd_flag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      // zone sidecar: the all-match proofs read per-block min/max +
+      // null counts from `_graft_index` (stale-guarded like the dict)
+      val zoneSuccess = Paths.get(
+        graft.sources.MicroBlockIndex.sidecarPath(path), "_SUCCESS")
+      if (!Files.exists(zoneSuccess) ||
+          Files.getLastModifiedTime(zoneSuccess).toMillis <
+            Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.build(s, path, "lineitem"), path)
+      val dictSuccess = Paths.get(DictionaryIndex.sidecarPath(path), "_SUCCESS")
+      if (!Files.exists(dictSuccess) ||
+          Files.getLastModifiedTime(dictSuccess).toMillis <
+            sourceMtime(dir, "lineitem"))
+        DictionaryIndex.saveSidecar(dictIndex(s, dir), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_dict_where_li")
+      val df = s.sql(
+        """SELECT COUNT(DISTINCT l_suppkey) AS nd_supp,
+          |  COUNT(DISTINCT l_returnflag) AS nd_flag
+          |FROM graft_dict_where_li
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+      val reads = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains("_graft_dict"))
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.toString.contains("_graft_dict")
+      }
+      require(reads.exists(identity),
+        "filtered dictionary serve did not read the sidecar")
+      df
+    },
+
     // mb_bloom_point (round 10): the HIGH-CARDINALITY point lookup —
     // where dictionaries fall back (cardinality past the writer's
     // dict cap: doc ids, URLs, order ids) parquet-native BLOOM

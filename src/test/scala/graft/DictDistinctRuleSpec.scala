@@ -332,6 +332,58 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       "5 distinct instants: base, base+1us, +1h, +2h, +2h+1us")
   }
 
+  test("filtered COUNT(DISTINCT) serves when zone maps decide whole files; straddlers scan") {
+    // round-13 verdict ask #7: COUNT(DISTINCT col) WHERE p over a
+    // shipdate-CLUSTERED layout — most files are provably all-match
+    // or all-miss for a shipdate range; the straddling minority (and
+    // any all-true file without dictionary coverage) unions in as one
+    // pruned scan with the original filter re-applied.
+    val base = scratch("filtered")
+    graft.sources.MicroBlockWriter.write(
+      li.limit(20000), base, "l_shipdate", 8)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, base, "li"), base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li",
+        Seq("l_returnflag", "l_suppkey")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_f")
+    val q = "SELECT COUNT(DISTINCT l_returnflag) AS a, " +
+      "COUNT(DISTINCT l_suppkey) AS b FROM dr_f " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'"
+    val served = spark.sql(q)
+    assert(scansDict(served),
+      "a zone-decided filter must serve from the dictionary sidecar")
+    val truth = spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00")
+      .agg(countDistinct(col("l_returnflag")).as("a"),
+        countDistinct(col("l_suppkey")).as("b"))
+    assert(rows(served) == rows(truth),
+      "hybrid dict+straddler-scan must equal the full filtered scan")
+
+    // partial refusal: an UNCLUSTERED predicate straddles every file —
+    // the scan side would be the whole table, so the serve refuses
+    val refused = spark.sql("SELECT COUNT(DISTINCT l_returnflag) AS a " +
+      "FROM dr_f WHERE l_quantity > 25")
+    assert(!scansDict(refused),
+      "an everywhere-straddling predicate must refuse")
+    assert(rows(refused) == rows(spark.read.parquet(base)
+      .filter(col("l_quantity") > 25)
+      .agg(countDistinct(col("l_returnflag")).as("a"))))
+
+    // completeness refusal: a condition with an unconvertible conjunct
+    // must NOT serve (an all-rows proof over the weakened predicate
+    // would claim rows the dropped conjunct rejects)
+    val partial = spark.sql("SELECT COUNT(DISTINCT l_returnflag) AS a " +
+      "FROM dr_f WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00' " +
+      "AND l_quantity * 2 > 30")
+    assert(!scansDict(partial),
+      "an incompletely-convertible predicate must refuse")
+    assert(rows(partial) == rows(spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00" &&
+        col("l_quantity") * 2 > 30)
+      .agg(countDistinct(col("l_returnflag")).as("a"))))
+  }
+
   test("a fresh session discovers the sidecar with no register call") {
     val base = fixture
     val s2 = spark.newSession()
