@@ -24,7 +24,8 @@ final class StreamIngest(
     table: String,
     clusterBy: String,
     blocksPerBatch: Int,
-    streamId: String = "") {
+    streamId: String = "",
+    maintainViews: Seq[String] = Nil) {
 
   // Batch ids are only unique WITHIN one checkpointed streaming query.
   // Two different streams landing in the same directory would collide
@@ -90,6 +91,23 @@ final class StreamIngest(
         case Some(existing) =>
           MicroBlockIndex.refresh(spark, outPath, table, existing)
       })
+    }
+    // Maintained MATERIALIZED VIEWS ride the same commit: each batch's
+    // delta folds into every attached AggView (O(delta + merged) — the
+    // append path reads only the new files), so the transparent
+    // matview serve stays FRESH with no manual refresh. A refresh
+    // failure here is retriable, not lost: the batch is already
+    // committed, and the next batch's refresh diffs the live listing
+    // against the view meta and catches the unfolded files up. A view
+    // that doesn't exist yet (built later over the ingested table) is
+    // skipped the same way.
+    maintainViews.foreach { v =>
+      try graft.sources.AggView.refresh(spark, outPath, v)
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(
+            s"stream-ingest view refresh deferred ($v): ${t.getMessage}")
+      }
     }
   }
 
