@@ -547,7 +547,14 @@ object DictionaryIndex {
 
   /** Cost-routed point lookup: identical rows on either route (both
     * end in the same row filter; the dictionary route only shrinks the
-    * file list, which [[skippedFilesEq]] proves lossless). */
+    * file list, which [[skippedFilesEq]] proves lossless).
+    *
+    * The scan route costs THE SCAN (round 13): it reads the table
+    * DIRECTORY directly — Spark's own listing, no second explicit
+    * listing and no per-file InMemoryFileIndex construction, which the
+    * r12 dict_ab measured as point_auto 0.257 s vs point_scan 0.135 s
+    * of pure routing overhead at sf0.1. The route decision itself is
+    * one top-level listStatus ([[tableBytes]]). */
   def prunedReadEqAuto(spark: SparkSession, index: Dataset[FileDict],
       tablePath: String, column: String, values: Seq[graft.plans.PredValue],
       minBytes: Long = DefaultPointMinBytes): DataFrame =
@@ -555,9 +562,7 @@ object DictionaryIndex {
       val rowFilter =
         if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
         else graft.plans.In(column, values).toColumn
-      MicroBlockIndex.readFilesAsTable(spark, tablePath,
-          MicroBlockIndex.listParquetFiles(tablePath))
-        .filter(rowFilter)
+      spark.read.parquet(tablePath).filter(rowFilter)
     } else prunedReadEq(spark, index, tablePath, column, values)
 
   /** Sidecar convention, mirroring the zone-map index: the dictionary
