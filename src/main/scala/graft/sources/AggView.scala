@@ -109,6 +109,41 @@ object AggView {
   private def partPath(viewPath: String, gen: Int) =
     new Path(viewPath, s"p$gen").toString
 
+  private def claimPath(viewPath: String, gen: Int) =
+    new Path(viewPath, s"_graft_claims/g$gen")
+
+  private[graft] val ClaimTtlMs: Long = 60L * 60 * 1000
+
+  /** CREATE-EXCLUSIVE generation claim (round 13, meta-CAS): exactly
+    * one refresh may write `p<gen>`/`g<gen>`. The meta flip alone was
+    * last-writer-wins — wasted work when writers saw the same listing,
+    * but two IN-FLIGHT writers also overwrite the SAME data dirs
+    * mid-write, interleaving part files: wrong data, not just waste.
+    * `FileSystem.createNewFile` is the atomic test-and-set on HDFS and
+    * local alike. A crashed claimant recovers two ways: a claim whose
+    * generation the meta has ADVANCED past is simply stale context
+    * (the loser re-reads and retries); an unflipped claim older than
+    * [[ClaimTtlMs]] is swept and re-taken. Claims for flipped
+    * generations are GC'd with their partials. */
+  private def claimGeneration(viewPath: String, gen: Int, prevGen: Int): Unit = {
+    val claim = claimPath(viewPath, gen)
+    val f = fs(claim)
+    f.mkdirs(claim.getParent)
+    if (f.createNewFile(claim)) return
+    val cur = readMeta(viewPath).gen
+    if (cur != prevGen)
+      throw new IllegalStateException(
+        s"aggview $viewPath: a concurrent refresh advanced the view to " +
+        s"g$cur - re-read and retry")
+    val age = System.currentTimeMillis() -
+      f.getFileStatus(claim).getModificationTime
+    if (age > ClaimTtlMs && f.delete(claim, false) && f.createNewFile(claim))
+      return
+    throw new IllegalStateException(
+      s"aggview $viewPath: generation g$gen is claimed by an in-flight " +
+      "refresh - retry later")
+  }
+
   /** Meta file format (text): generation number, group columns
     * (comma-joined), value column, an optional `batches:<ids>` line
     * (v3, round 11 — the live partial-batch chain), then one line per
@@ -213,6 +248,11 @@ object AggView {
   def build(spark: SparkSession, tablePath: String, viewPath: String,
       groupCols: Seq[String], valueCol: String): Unit = {
     requireSafeColumns(groupCols, valueCol)
+    // a rebuild resets generations to 0: claims from the previous
+    // life would block the new g1 forever
+    try fs(new Path(viewPath)).delete(
+      new Path(viewPath, "_graft_claims"), true)
+    catch { case scala.util.control.NonFatal(_) => () }
     val live = listWithStatus(tablePath)
     partialAggregate(spark.read.parquet(tablePath), groupCols, valueCol)
       .write.mode("overwrite").parquet(partPath(viewPath, 0))
@@ -257,6 +297,15 @@ object AggView {
     val live = batches.toSet
     val gDir = "^g(\\d+)$".r
     val pDir = "^p(\\d+)$".r
+    val claimsDir = new Path(root, "_graft_claims")
+    try if (f.exists(claimsDir))
+      f.listStatus(claimsDir).foreach { st =>
+        st.getPath.getName match {
+          case gDir(n) if n.toInt <= current - 2 => f.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    catch { case scala.util.control.NonFatal(_) => () }
     f.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case gDir(n) if n.toInt <= current - 2 => f.delete(st.getPath, true)
@@ -291,13 +340,14 @@ object AggView {
     * append-only merges, anything else refuses (IllegalStateException
     * — rebuild). Returns true iff anything changed.
     *
-    * Concurrency: refreshes are LAST-WRITER-WINS — two concurrent
-    * refreshes both read generation N and write N+1; both compute the
-    * same correct state when they saw the same listing, and when they
-    * didn't, the later meta flip wins and the next refresh catches the
-    * difference (the loser's work is wasted, never wrong — readers
-    * only ever follow the meta pointer). Serializing refreshes is the
-    * caller's scheduling concern, as with any table-maintenance job.
+    * Concurrency (round 13): the next generation is CLAIMED
+    * create-exclusively before any data write
+    * ([[claimGeneration]]) — exactly one refresh writes
+    * `p<N+1>`/`g<N+1>`; the loser throws IllegalStateException
+    * (retriable: re-invoke, it re-reads the advanced meta). Without
+    * the claim two in-flight writers overwrote the same dirs
+    * mid-write — interleaved part files, wrong data. A crashed
+    * claimant is recovered by meta advance or the claim TTL.
     *
     * Why removals CONSOLIDATE instead of tombstone-subtracting from
     * the merged view (the cheaper-sounding alternative): a subtracted
@@ -339,6 +389,7 @@ object AggView {
         MicroBlockIndex.readFilesAsTable(spark, tablePath, readFiles),
         meta.groupCols, meta.valueCol))
     val nextGen = meta.gen + 1
+    claimGeneration(viewPath, nextGen, meta.gen)
     def deltaAgg = delta.get.drop(SrcCol)
       .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
 
