@@ -261,10 +261,15 @@ object Bench {
         .filter(col("s_nationkey") === 6)
       def joined = spark.read.parquet(path)
         .join(dim, col("l_suppkey") === col("s_suppkey"))
-      def fp(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(count(lit(1)), sum(col("l_linenumber"))).first.getLong(0)
-      def med(run: => Long): (Double, Long) = {
-        var r = 0L
+      // compare the (count, checksum) PAIR, not the count alone — a
+      // pruning bug that drops rows while another file compensates the
+      // count would otherwise certify a wrong-results configuration
+      def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("l_linenumber"))).first
+        (r.getLong(0), r.getLong(1))
+      }
+      def med(run: => (Long, Long)): (Double, (Long, Long)) = {
+        var r: (Long, Long) = null
         val ts = (1 to 3).map { _ =>
           val s = System.nanoTime(); r = run; (System.nanoTime() - s) / 1e9
         }.sorted

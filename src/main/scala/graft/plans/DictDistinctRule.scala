@@ -182,12 +182,17 @@ object DictDistinctRule {
     * filesystem work at plan time. Entries from a sidecar predating
     * the fields carry no stats and keep the legacy name-set-only
     * gate (documented on [[graft.sources.FileDict]]). */
-  private def statsCurrent(cov: Coverage, hfs: HadoopFsRelation): Boolean =
+  // (FileIndex INSTANCE -> (sidecar mtime, verdict)): a FileIndex's
+  // statuses are immutable once constructed, so the verdict per
+  // (index, coverage generation) is too — memoized by IDENTITY
+  // through the shared liveStatsOf memo (InMemoryFileIndex.equals
+  // compares root paths only, so an equals-keyed map would serve a
+  // stale verdict to a FRESH index over the same root — the
+  // rewrite-in-place spec caught exactly that).
+  private def statsCurrent(cov: Coverage,
+      hfs: HadoopFsRelation): Boolean =
     cov.fileStats.isEmpty || {
-      val live = hfs.location.listFiles(Nil, Nil)
-        .flatMap(_.files)
-        .map(f => norm(f.getPath.toString) ->
-          ((f.getModificationTime, f.getLen))).toMap
+      val live = ZoneMapPruneRule.liveStatsOf(hfs)
       cov.fileStats.forall { case (f, ms) => live.get(f).contains(ms) }
     }
 

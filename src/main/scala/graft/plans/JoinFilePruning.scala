@@ -59,17 +59,21 @@ object JoinFilePruning {
   private val MaxKeysDefault = 10000
   private val MaxDimBytesDefault = 256L * 1024 * 1024
 
-  // (fact root, column, CANONICALIZED dim plan, dim key name) -> skip
-  // set (None = refused). The canonicalized plan itself is the key —
+  // (fact root, column, CANONICALIZED dim plan, dim key name) ->
+  // (raw dict cut with each file's RECORDED (mtime, size), zone cut).
+  // None = refused. The canonicalized plan itself is the key —
   // structural equality, never a collidable hash (a hash collision
   // here would reuse another dim's skip set: wrong rows, not slow
-  // ones). Bounded LRU; plans are metadata-sized.
+  // ones). Freshness is NOT cached — callers verify the recorded
+  // stats against the live listing per query, so a file rewritten in
+  // place between queries is never pruned from the memo. Bounded LRU.
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String, LogicalPlan, String),
-        Option[Set[String]]](64, 0.75f, true) {
+        Option[(Map[String, (Long, Long)], Set[String])]](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, String, LogicalPlan, String),
-            Option[Set[String]]]): Boolean = size > 256
+            Option[(Map[String, (Long, Long)], Set[String])]]): Boolean =
+        size > 256
     })
 
   private[graft] def clearCache(): Unit = cache.clear()
@@ -121,7 +125,18 @@ object JoinFilePruning {
     var bytes = 0L
     var eligible = true
     dim.foreach {
-      case _: Filter        => selective = true
+      // DETERMINISM is load-bearing, not a nicety: the dim is
+      // evaluated ONCE at plan time, and the join re-evaluates it at
+      // runtime — a nondeterministic dim (rand() filter, TABLESAMPLE)
+      // or an order-unstable row cut (LIMIT without a total order,
+      // which Spark does not guarantee stable) could survive DIFFERENT
+      // keys at runtime than the ones that decided the file cut:
+      // silently missing join rows. Refuse all of them.
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit |
+           _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit |
+           _: org.apache.spark.sql.catalyst.plans.logical.Sample =>
+        eligible = false
+      case f: Filter        => selective = true
       case _: Aggregate     => selective = true
       case _: LocalRelation => selective = true
       case LogicalRelation(hfs: HadoopFsRelation, _, _, _, _) =>
@@ -129,6 +144,8 @@ object JoinFilePruning {
       case _: LogicalRelation => eligible = false // non-fs source: unknown size
       case _ => ()
     }
+    if (dim.exists(_.expressions.exists(e => !e.deterministic)))
+      eligible = false
     eligible && selective && bytes <= maxBytes
   }
 
@@ -172,32 +189,41 @@ object JoinFilePruning {
       maxDimBytes = conf(spark, "spark.graft.joinPrune.maxDimBytes",
         MaxDimBytesDefault)
       if dimEligible(dim, maxDimBytes)
-      skip <- skipSetFor(spark, roots.head, factAttr, dimAttr, dim,
+      // live per-file statuses from the relation's own FileIndex — no
+      // extra filesystem work; the dictionary cut may only skip files
+      // whose RECORDED (mtime, size) still matches (a file rewritten
+      // in place under its name carries a DEAD value set — pruning on
+      // it silently drops join rows). Verified per QUERY, outside the
+      // decision memo.
+      liveStats = ZoneMapPruneRule.liveStatsOf(hfs)
+      cuts <- skipSetFor(spark, roots.head, factAttr, dimAttr, dim,
         dicts.get, domain)
+      skip = cuts._1.collect { case (f, (m, sz))
+        if m >= 0 && liveStats.get(f).contains((m, sz)) => f }.toSet ++ cuts._2
       if skip.nonEmpty
       current = hfs.location.inputFiles.toSeq
       kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
       if kept.size < current.size
-    } yield {
-      val newLocation = new InMemoryFileIndex(
-        spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
-      rebuild(fact, rel,
-        rel.copy(relation = hfs.copy(location = newLocation)(hfs.sparkSession)))
-    }
+      pruned <- ZoneMapPruneRule.prunedRelation(spark, rel, hfs, kept)
+    } yield rebuild(fact, rel, pruned)
 
   private def conf(spark: SparkSession, key: String, dflt: Long): Long =
     try spark.conf.get(key, dflt.toString).toLong
     catch { case scala.util.control.NonFatal(_) => dflt }
 
+  /** (raw dictionary cut with recorded per-file stats, zone cut) for
+    * one (fact root, key, dim) — memoized; the CALLER verifies
+    * freshness against the live listing per query. */
   private def skipSetFor(spark: SparkSession, root: String,
       factAttr: AttributeReference, dimAttr: AttributeReference,
-      dim: LogicalPlan, dict: DataFrame, domain: String): Option[Set[String]] = {
+      dim: LogicalPlan, dict: DataFrame, domain: String)
+      : Option[(Map[String, (Long, Long)], Set[String])] = {
     val key = (ZoneMapPruneRule.normFile(root), factAttr.name,
       dim.canonicalized, dimAttr.name)
     val hit = cache.get(key)
     if (hit != null) return hit
     ZoneMapPruneRule.inRule.set(java.lang.Boolean.TRUE)
-    val computed: Option[Set[String]] =
+    val computed: Option[(Map[String, (Long, Long)], Set[String])] =
       try {
         import org.apache.spark.sql.functions.col
         val maxKeys = conf(spark, "spark.graft.joinPrune.maxKeys",
@@ -223,9 +249,23 @@ object JoinFilePruning {
             case "double" => keys.map(_.getDouble(0)).toSeq.toDF("v")
             case _        => keys.map(_.getString(0)).toSeq.toDF("v")
           }
-          val dictCut = graft.sources.DictionaryIndex
+          // the RAW cut plus each cut file's recorded (mtime, size) —
+          // the caller applies the per-query freshness gate; frames
+          // without the fields record (-1,-1), which never passes it
+          val rawCut = graft.sources.DictionaryIndex
             .skippedFilesForKeys(dict, factAttr.name, keysDf)
             .map(ZoneMapPruneRule.normFile).toSet
+          val dictCut: Map[String, (Long, Long)] =
+            if (rawCut.isEmpty) Map.empty
+            else if (!dict.columns.contains("fileMtime"))
+              rawCut.map(f => f -> ((-1L, -1L))).toMap
+            else dict
+              .filter(col("column") === factAttr.name && col("covered"))
+              .select(col("file"), col("fileMtime"), col("fileSize"))
+              .collect()
+              .map(r => ZoneMapPruneRule.normFile(r.getString(0)) ->
+                ((r.getLong(1), r.getLong(2)))).toMap
+              .filter { case (f, _) => rawCut(f) }
           // numeric keys add the zone-map range cut: a file whose
           // [min, max] misses [min(keys), max(keys)] entirely cannot
           // hold any of them — catches key-SORTED layouts whose files
@@ -241,7 +281,7 @@ object JoinFilePruning {
                     PredValue(nums.min), PredValue(nums.max)))
               }.getOrElse(Set.empty)
             }
-          Some(dictCut ++ zoneCut)
+          Some((dictCut, zoneCut))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
       finally ZoneMapPruneRule.inRule.set(java.lang.Boolean.FALSE)

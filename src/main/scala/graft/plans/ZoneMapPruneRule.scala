@@ -69,19 +69,16 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
               (if (indices.isEmpty) Set.empty[String]
                else ZoneMapPruneRule.skipSet(roots, indices, pred)) ++
               (if (dicts.isEmpty) Set.empty[String]
-               else ZoneMapPruneRule.dictSkipSet(roots, dicts, pred)) ++
+               else ZoneMapPruneRule.dictSkipSet(roots, dicts, pred,
+                 ZoneMapPruneRule.liveStatsOf(hfs))) ++
               (if (bloomRoots.isEmpty) Set.empty[String]
                else ZoneMapPruneRule.bloomSkipSet(spark, bloomRoots, pred))
             val current = hfs.location.inputFiles.toSeq
             val kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
             if (kept.size >= current.size) f
-            else {
-              val newLocation = new InMemoryFileIndex(
-                spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
-              val pruned = rel.copy(relation =
-                hfs.copy(location = newLocation)(hfs.sparkSession))
-              Filter(cond, pruned)
-            }
+            else ZoneMapPruneRule.prunedRelation(spark, rel, hfs, kept)
+              .map(pruned => Filter(cond, pruned): LogicalPlan)
+              .getOrElse(f)
         }
 
       // The q9 shape: ORDER BY col [ASC|DESC] LIMIT k over a bare
@@ -112,6 +109,32 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object ZoneMapPruneRule {
+
+  /** Shrink a relation's listing to `kept`, PRESERVING hive-partition
+    * discovery (round 13): an InMemoryFileIndex built from bare leaf
+    * files infers an EMPTY partition spec while the copied relation
+    * keeps its non-empty partitionSchema — the scan then fails
+    * resolving partition values from empty rows (FAILED_READ_FILE /
+    * AssertionError; reproduced before this fix). With `basePath` the
+    * pruned index re-infers the same partition columns from the kept
+    * files' paths; any mismatch with the relation's schema (exotic
+    * typing, multi-root partitioned relations) REFUSES the prune —
+    * correctness over the cut. Flat layouts take the old fast path. */
+  private[graft] def prunedRelation(spark: SparkSession,
+      rel: LogicalRelation, hfs: HadoopFsRelation,
+      kept: Seq[String]): Option[LogicalRelation] = {
+    val opts =
+      if (hfs.partitionSchema.isEmpty) Map.empty[String, String]
+      else if (hfs.location.rootPaths.size == 1)
+        Map("basePath" -> hfs.location.rootPaths.head.toString)
+      else return None
+    val idx = new InMemoryFileIndex(
+      spark, kept.map(new Path(_)), opts, Some(hfs.dataSchema))
+    if (idx.partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        hfs.partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+      Some(rel.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
+    else None
+  }
   // root path -> stats index DATAFRAME (distributed; registered explicitly)
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -165,12 +188,7 @@ object ZoneMapPruneRule {
             val current = hfs.location.inputFiles.toSeq
             val kept = current.filterNot(p => skip.contains(normFile(p)))
             if (kept.size >= current.size) None
-            else {
-              val newLocation = new InMemoryFileIndex(
-                spark, kept.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
-              Some(rel.copy(relation =
-                hfs.copy(location = newLocation)(hfs.sparkSession)))
-            }
+            else prunedRelation(spark, rel, hfs, kept)
           }
         }
       case _ => None
@@ -264,32 +282,56 @@ object ZoneMapPruneRule {
     case _                        => None
   }
 
-  /** Memoized dictionary skip sets, same discipline as [[skipSet]]. */
+  /** Memoized RAW dictionary cuts with each cut file's RECORDED
+    * (mtime, size) — freshness is verified per CALL against the live
+    * listing, never cached: a file rewritten in place between queries
+    * would otherwise be pruned on its dead value set from the memo
+    * (round-13 regression test pins exactly this). */
   private val dictDecisionCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Pred), Set[String]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Pred), Map[String, (Long, Long)]](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Pred), Set[String]]): Boolean = size > 512
+          e: java.util.Map.Entry[(String, Pred), Map[String, (Long, Long)]])
+          : Boolean = size > 512
     })
 
-  private[graft] def dictSkipSet(
-      roots: Seq[String], dicts: Seq[DataFrame], pred: Pred): Set[String] = {
+  /** The dictionary cut, verified against the caller's live per-file
+    * statuses: only files whose recorded (mtime, size) still matches
+    * may be skipped; entries predating the fields — or index frames
+    * without them — skip nothing. */
+  private[graft] def dictSkipSet(roots: Seq[String], dicts: Seq[DataFrame],
+      pred: Pred, liveStats: Map[String, (Long, Long)]): Set[String] = {
     val leaves = eqLeaves(pred)
     if (leaves.isEmpty) return Set.empty
     val key = (roots.map(normFile).sorted.mkString("\u0000"), pred)
     val hit = dictDecisionCache.get(key)
-    if (hit != null) hit
-    else {
-      inRule.set(java.lang.Boolean.TRUE)
-      val skip =
-        try {
-          val index = dicts.reduce(_ unionAll _)
-          leaves.flatMap { case (column, values) =>
-            graft.sources.DictionaryIndex.skippedFilesEq(index, column, values)
-          }.map(normFile).toSet
-        } finally inRule.set(java.lang.Boolean.FALSE)
-      dictDecisionCache.put(key, skip)
-      skip
-    }
+    val raw =
+      if (hit != null) hit
+      else {
+        inRule.set(java.lang.Boolean.TRUE)
+        val cut =
+          try {
+            val index = dicts.reduce(_ unionAll _)
+            val cutFiles = leaves.flatMap { case (column, values) =>
+              graft.sources.DictionaryIndex.skippedFilesEq(index, column, values)
+            }.toSet
+            if (cutFiles.isEmpty) Map.empty[String, (Long, Long)]
+            else if (!index.columns.contains("fileMtime"))
+              cutFiles.map(f => normFile(f) -> ((-1L, -1L))).toMap
+            else {
+              import org.apache.spark.sql.functions.col
+              index.filter(col("file").isin(cutFiles.toSeq: _*))
+                .select(col("file"), col("fileMtime"), col("fileSize"))
+                .collect()
+                .map(r => normFile(r.getString(0)) ->
+                  ((r.getLong(1), r.getLong(2)))).toMap
+            }
+          } finally inRule.set(java.lang.Boolean.FALSE)
+        dictDecisionCache.put(key, cut)
+        cut
+      }
+    raw.collect { case (f, (m, sz))
+      if m >= 0 && liveStats.get(f).contains((m, sz)) => f }.toSet
   }
 
   // Roots OPTED IN to bloom probing, mapped to the columns worth
@@ -402,6 +444,45 @@ object ZoneMapPruneRule {
         finally inRule.set(java.lang.Boolean.FALSE)
       bloomDecisionCache.put(key, skip)
       skip
+    }
+  }
+
+  /** IDENTITY key wrapper for FileIndex-keyed memos. CRITICAL:
+    * InMemoryFileIndex.equals compares ROOT PATHS only — a fresh index
+    * over the same root (built after files changed on disk) would
+    * equals-hit a stale entry in any hash map keyed by the index
+    * itself, serving yesterday's statuses for today's files (caught
+    * by the rewrite-in-place spec). Referential identity is the only
+    * sound key for "statuses are immutable per instance" memos. */
+  private[graft] final class IdKey(val ref: AnyRef) {
+    override def hashCode(): Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.ref eq ref
+      case _        => false
+    }
+  }
+
+  // live per-file (norm path -> (mtime, size)) from a relation's own
+  // FileIndex — statuses are immutable per index INSTANCE, memoized by
+  // identity (bounded LRU) so the map is built once per query, not per
+  // optimizer pass per arm
+  private val liveStatsMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[IdKey, Map[String, (Long, Long)]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[IdKey, Map[String, (Long, Long)]]): Boolean =
+        size > 32
+    })
+
+  private[graft] def liveStatsOf(hfs: HadoopFsRelation): Map[String, (Long, Long)] = {
+    val key = new IdKey(hfs.location)
+    val hit = liveStatsMemo.get(key)
+    if (hit != null) hit
+    else {
+      val m = hfs.location.listFiles(Nil, Nil).flatMap(_.files)
+        .map(f => normFile(f.getPath.toString) ->
+          ((f.getModificationTime, f.getLen))).toMap
+      liveStatsMemo.put(key, m)
+      m
     }
   }
 
@@ -595,9 +676,12 @@ object ZoneMapPruneRule {
           if (!fs.exists(success)) None
           else {
             val sidecarTime = fs.getFileStatus(success).getModificationTime
-            val newestData = fs.listStatus(root).iterator
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-              .map(_.getModificationTime).foldLeft(0L)(math.max)
+            // RECURSIVE newest-data probe (round 13): a top-level-only
+            // listing reads 0 for hive-partitioned layouts, which
+            // would trust a stale sidecar over rewritten NESTED files
+            val newestData = graft.sources.MicroBlockIndex
+              .listParquetFilesWithStatus(rootPath)
+              .map(_._2).foldLeft(0L)(math.max)
             if (sidecarTime < newestData) None // stale: data newer than index
             else Some(session.read.parquet(sidecar.toString).persist())
           }

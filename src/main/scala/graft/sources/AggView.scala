@@ -129,16 +129,41 @@ object AggView {
     val claim = claimPath(viewPath, gen)
     val f = fs(claim)
     f.mkdirs(claim.getParent)
-    if (f.createNewFile(claim)) return
-    val cur = readMeta(viewPath).gen
-    if (cur != prevGen)
+    def stale(cur: Int): Nothing =
       throw new IllegalStateException(
         s"aggview $viewPath: a concurrent refresh advanced the view to " +
         s"g$cur - re-read and retry")
-    val age = System.currentTimeMillis() -
-      f.getFileStatus(claim).getModificationTime
-    if (age > ClaimTtlMs && f.delete(claim, false) && f.createNewFile(claim))
-      return
+    // acquire, then RE-VERIFY the meta under the claim: a claimant
+    // that stalled since its readMeta could be claiming a generation
+    // whose claim was already taken, flipped and GC'd — writing it
+    // would REGRESS the meta. While this claim is held nobody else
+    // can advance prevGen → gen, so the post-acquire check is
+    // race-free (releases and throws on mismatch).
+    def acquire(): Boolean =
+      f.createNewFile(claim) && {
+        val cur = readMeta(viewPath).gen
+        if (cur == prevGen) true
+        else { f.delete(claim, false); stale(cur) }
+      }
+    if (acquire()) return
+    val cur = readMeta(viewPath).gen
+    if (cur != prevGen) stale(cur)
+    // TTL takeover via atomic RENAME, never delete-then-create: two
+    // expiry observers racing a delete/create pair could BOTH end up
+    // owning (the second delete removes the first's fresh claim) —
+    // rename succeeds for exactly one contender.
+    val expired =
+      try System.currentTimeMillis() -
+        f.getFileStatus(claim).getModificationTime > ClaimTtlMs
+      catch { case _: java.io.FileNotFoundException => true } // just released
+    if (expired) {
+      val tomb = new Path(claim.getParent,
+        s"g$gen.expired.${java.util.UUID.randomUUID()}")
+      val tookOver =
+        try f.rename(claim, tomb) && { f.delete(tomb, false); true }
+        catch { case _: java.io.FileNotFoundException => true }
+      if (tookOver && acquire()) return
+    }
     throw new IllegalStateException(
       s"aggview $viewPath: generation g$gen is claimed by an in-flight " +
       "refresh - retry later")
@@ -379,7 +404,6 @@ object AggView {
         s"removed or rewritten (e.g. ${(removed ++ changed).head}) and this " +
         "view predates per-file partials — rebuild the view to upgrade")
 
-    val keys = meta.groupCols :+ meta.valueCol
     val readFiles = live.filter(f => added(f._2) || changed(f._2)).map(_._1)
     val delta =
       if (readFiles.isEmpty) None
@@ -390,6 +414,27 @@ object AggView {
         meta.groupCols, meta.valueCol))
     val nextGen = meta.gen + 1
     claimGeneration(viewPath, nextGen, meta.gen)
+    try refreshClaimed(spark, tablePath, viewPath, maxBatches, meta, live,
+      removed, changed, delta, nextGen)
+    catch {
+      case t: Throwable =>
+        // release on ANY failure: an orphaned claim would block every
+        // later refresh for the full TTL after one transient error
+        try fs(claimPath(viewPath, nextGen))
+          .delete(claimPath(viewPath, nextGen), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
+  }
+
+  private def refreshClaimed(spark: SparkSession, tablePath: String,
+      viewPath: String, maxBatches: Int, meta: ViewMeta,
+      live: Seq[(String, String, Long, Long)], removed: Set[String],
+      changed: Set[String], delta: Option[DataFrame],
+      nextGen: Int): Boolean = {
+    val keys = meta.groupCols :+ meta.valueCol
+    val liveNorm = live.map(_._2).toSet
+    val chain = meta.batches.filter(hasPartialsDir(viewPath, _))
     def deltaAgg = delta.get.drop(SrcCol)
       .groupBy(keys.map(col): _*).agg(sum("freq").as("freq"))
 

@@ -168,4 +168,133 @@ class JoinPruneSpec extends AnyFunSuite {
       assert(joined.count() == fact.filter(col("l_returnflag") === "R").count())
     } finally ZoneMapPruneRule.unregisterDict(outDir)
   }
+
+  test("hive-partitioned facts prune with partition columns intact (filter and join arms)") {
+    // pre-fix, pruning replaced the FileIndex with one built from bare
+    // leaf files: empty inferred partition spec + the relation's kept
+    // partitionSchema = FAILED_READ_FILE at scan time (reproduced).
+    // prunedRelation now rebuilds with basePath and refuses on any
+    // partition-schema mismatch. The clustered column is a derived
+    // low-cardinality bucket — high-card keys (o_orderkey) fall back
+    // to PLAIN pages and carry no dictionaries to cut by.
+    val out = scratch("partitioned")
+    val orders = Tables.load(spark, dir, "orders").limit(6000)
+      .withColumn("bucket", pmod(xxhash64(col("o_orderkey")), lit(8)))
+    // explicit partition count: AQE would coalesce this tiny shuffle
+    // into ONE task, collapsing the bucket clustering the cut needs
+    orders.repartition(8, col("bucket"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "ord", Seq("bucket")).toDF()
+      .persist()
+    assert(idx.filter(col("covered")).count() > 0, "bucket must be covered")
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      val total = graft.sources.MicroBlockIndex.listParquetFiles(out).size
+
+      // the dbg3 crash shape, direct: hand-prune the partitioned
+      // relation through prunedRelation and SCAN the partition column
+      val rel0 = spark.read.parquet(out).queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.head
+      val hfs0 = rel0.relation.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      val pruned0 = ZoneMapPruneRule.prunedRelation(spark, rel0, hfs0,
+        hfs0.location.inputFiles.take(3).toSeq).get
+      val handRows = org.apache.spark.sql.graftbridge.PlanBridge
+        .ofRows(spark, pruned0)
+        .select("o_orderkey", "o_orderstatus").collect()
+      assert(handRows.nonEmpty && handRows.forall(r =>
+        r.getString(1) != null && r.getString(1).nonEmpty),
+        "a hand-pruned partitioned relation must scan with partition values")
+
+      // FILTER arm end-to-end
+      val filtered = spark.read.parquet(out)
+        .filter(col("bucket") === 3)
+        .select("bucket", "o_orderstatus", "o_orderkey")
+      val keptF = factKeptFiles(filtered, "joinprune/partitioned")
+      assert(keptF.nonEmpty && keptF.head < total,
+        s"filter arm must prune the partitioned layout, saw $keptF of $total")
+      val rows = filtered.collect()
+      assert(rows.nonEmpty && rows.forall(r =>
+        r.getString(1) != null && r.getString(1).nonEmpty),
+        "partition-column values must survive the pruned scan")
+      ZoneMapPruneRule.unregisterDict(out)
+      val truth = spark.read.parquet(out).filter(col("bucket") === 3)
+        .select("bucket", "o_orderstatus", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+      ZoneMapPruneRule.registerDict(out, idx)
+      assert(rows.map(_.toString).sorted.toSeq == truth)
+    } finally ZoneMapPruneRule.unregisterDict(out)
+  }
+
+  test("a fact file rewritten in place under its name is never pruned on the stale value set") {
+    val out = scratch("rewritten")
+    Tables.load(spark, dir, "lineitem").limit(6000)
+      .repartition(4, col("l_suppkey"))
+      .write.mode("overwrite").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "li", Seq("l_suppkey")).toDF()
+      .persist()
+    idx.count()
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      // rewrite one file in place: give it rows for a suppkey whose
+      // dictionary entry says "absent" — the stale cut would drop them
+      val dim = spark.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_nationkey") === 14)
+      val dimKeys = spark.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_nationkey") === 14).select("s_suppkey")
+        .collect().map(_.getLong(0)).toSet
+      val victim = graft.plans.ZoneMapPruneRule.normFile(
+        graft.sources.MicroBlockIndex.listParquetFiles(out)
+          .find { f =>
+            // a file whose dictionary holds NONE of the dim keys —
+            // exactly the one the cut would skip
+            val rows = idx.filter(col("file").contains(
+                new java.io.File(graft.plans.ZoneMapPruneRule.normFile(f))
+                  .getName))
+              .select("valuesLong").collect()
+            rows.nonEmpty && rows.head.getSeq[Long](0).forall(!dimKeys(_))
+          }.get)
+      val tmp = scratch("rewritten-tmp")
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_suppkey").isin(dimKeys.toSeq: _*)).limit(100)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpFile = graft.plans.ZoneMapPruneRule.normFile(
+        graft.sources.MicroBlockIndex.listParquetFiles(tmp).head)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(tmpFile),
+        java.nio.file.Paths.get(victim),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(victim)
+        .getParent.resolve("." + java.nio.file.Paths.get(victim)
+          .getFileName.toString + ".crc"))
+      // deliberately NO cache clear: the decision memo holds the raw
+      // cut from before the rewrite — the per-QUERY freshness gate
+      // must keep the rewritten file anyway
+
+      val joined = spark.read.parquet(out)
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+      val truth = spark.read.parquet(out)
+        .filter(col("l_suppkey").isin(dimKeys.toSeq: _*)).count()
+      assert(truth >= 100L, "the rewritten file's rows must be part of the truth")
+      assert(joined.count() == truth,
+        "the (mtime,size) gate must keep the rewritten file - rows were dropped")
+    } finally ZoneMapPruneRule.unregisterDict(out)
+  }
+
+  test("a nondeterministic dim refuses (plan-time keys could differ from runtime)") {
+    val (path, _) = fixture
+    val fact = spark.read.parquet(path)
+    val randDim = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(rand(42) < 0.05)
+    assert(factKeptFiles(
+      fact.join(randDim, col("l_suppkey") === col("s_suppkey")),
+      "joinprune/li16") == Seq(16),
+      "a rand() dim filter must refuse")
+    val limitDim = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 6).limit(2)
+    assert(factKeptFiles(
+      fact.join(limitDim, col("l_suppkey") === col("s_suppkey")),
+      "joinprune/li16") == Seq(16),
+      "a LIMIT dim (order-unstable row cut) must refuse")
+  }
 }
