@@ -43,14 +43,23 @@ object JoinDppScale {
         .repartition(buckets, col("l_suppkey"))
         .write.mode("overwrite").parquet(out)
     }
-    val sidecarSuccess = java.nio.file.Paths.get(
-      graft.sources.DictionaryIndex.sidecarPath(out), "_SUCCESS")
-    if (!java.nio.file.Files.exists(sidecarSuccess))
-      graft.sources.DictionaryIndex.saveSidecar(
-        graft.sources.DictionaryIndex.build(spark, out, "li",
-          Seq("l_suppkey")), out)
-    val idx = graft.sources.DictionaryIndex.load(spark,
-      graft.sources.DictionaryIndex.sidecarPath(out)).toDF().persist()
+    // IN-MEMORY index only — a SAVED `_graft_dict` sidecar poisons the
+    // A/B: unregisterDict clears the registry but sidecar DISCOVERY
+    // (ZoneMapPruneRule.dictIndexFor) re-finds the on-disk sidecar, so
+    // the "scan" arm silently prunes too and the pair measures DPP vs
+    // DPP (the pre-fix r13 run did exactly that; its keptScan
+    // assertion below would have caught it). Scrub any sidecar a
+    // previous run left behind for the same reason.
+    val staleSidecar = java.nio.file.Paths.get(
+      graft.sources.DictionaryIndex.sidecarPath(out))
+    if (java.nio.file.Files.exists(staleSidecar)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staleSidecar).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      graft.sources.SidecarManifest.invalidate(out)
+    }
+    val idx = graft.sources.DictionaryIndex.build(spark, out, "li",
+      Seq("l_suppkey")).toDF().persist()
     idx.count()
 
     def dim = spark.read.parquet(s"$sfDir/supplier.parquet")
@@ -114,6 +123,8 @@ object JoinDppScale {
       attempt += 1
       satStart = BenchWindow.satProbe(spark)
       graft.plans.ZoneMapPruneRule.unregisterDict(out)
+      require(keptFiles() == buckets,
+        "scan arm is pruned — a discovered sidecar is poisoning the A/B")
       val a = med(fp()); scanSec = a._1; scanV = a._2
       graft.plans.ZoneMapPruneRule.registerDict(out, idx)
       kept = keptFiles()

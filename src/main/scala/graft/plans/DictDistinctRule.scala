@@ -75,14 +75,17 @@ object DictDistinctRule {
     * gate's left side); mixed-physical-type columns; per column
     * (anyNullPresent, unknown) from footer null counts — `unknown`
     * when any sidecar file lacks an entry for the column or recorded
-    * `-1`; and per file the (mtime, size) recorded AT INDEX TIME
-    * (absent for entries predating the fields). Metadata-scale
+    * `-1`; per (column, file) the RAW recorded null count (-1 =
+    * unknown — the filtered DISTINCT arm decides null handling
+    * file-by-file); and per file the (mtime, size) recorded AT INDEX
+    * TIME (absent for entries predating the fields). Metadata-scale
     * (files × columns). */
   private final case class Coverage(
       files: Set[String],
       coveredByColumn: Map[String, Set[String]],
       mixedTypeColumns: Set[String],
       nullsByColumn: Map[String, (Boolean, Boolean)],
+      nullCountByFile: Map[(String, String), Long],
       fileStats: Map[String, (Long, Long)])
 
   // (norm root, sidecar _SUCCESS mtime) -> coverage snapshot
@@ -143,6 +146,7 @@ object DictDistinctRule {
               c -> rs.filter(_._3).map(_._1).toSet },
             mixed,
             nulls,
+            rows.map(r => (r._2, r._1) -> r._7).toMap,
             rows.collect { case r if r._8 >= 0 => r._1 -> ((r._8, r._9)) }
               .toMap))
         } catch { case scala.util.control.NonFatal(_) => None }
@@ -217,6 +221,7 @@ object DictDistinctRule {
         Seq(out: AttributeReference), child, _)
         if g.exprId == out.exprId && faithful(g.dataType) =>
       tryDistinctValues(spark, agg, out, child)
+        .orElse(tryDistinctValuesFiltered(spark, out, child))
     case _ if agg.groupingExpressions.isEmpty =>
       tryCountDistinct(spark, agg)
         .orElse(tryCountDistinctFiltered(spark, agg))
@@ -477,6 +482,119 @@ object DictDistinctRule {
         val counted = both.distinct()
           .agg(count(col("v")).as("n"))
         Some(counted.queryExecution.optimizedPlan)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inRewrite.set(java.lang.Boolean.FALSE)
+  }
+
+  /** `SELECT DISTINCT col WHERE p` — the filtered serve's DISTINCT
+    * twin (round 13 carried item), reusing the same tri-state
+    * machinery as [[tryCountDistinctFiltered]]. Files PROVED
+    * all-rows-match serve their dictionary value sets; all-false
+    * files contribute nothing; the straddling minority unions in as
+    * one pruned scan with the ORIGINAL filter. Null handling is the
+    * one divergence from the count arm: an all-true file's NULLs PASS
+    * the filter and belong in the DISTINCT output, so a dict-served
+    * file must carry a KNOWN null count when the column is nullable —
+    * files with unknown counts fall back to the scan side (which sees
+    * their nulls natively) instead of refusing the serve, and any
+    * dict-side positive count adds the one NULL row plain SQL would
+    * return. Exact by construction; same COMPLETE-conversion and
+    * maxScanFraction gates. */
+  private def tryDistinctValuesFiltered(spark: SparkSession,
+      out: AttributeReference, child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      (cond, rel) <- unwrapFiltered(child)
+      if cond.deterministic
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      pred <- PredicateExtractor.convertComplete(cond)
+      mtime <- sidecarMtime(roots.head, spark)
+      cov <- coverageFor(spark, roots.head, mtime)
+      liveRaw = hfs.location.inputFiles.toSeq
+      liveFiles = liveRaw.map(norm).toSet
+      if cov.files == liveFiles
+      if statsCurrent(cov, hfs)
+      if cov.coveredByColumn.contains(out.name) &&
+        !cov.mixedTypeColumns.contains(out.name)
+      zoneIdx <- ZoneMapPruneRule.indexFor(roots.head, spark)
+      (allTrue, allFalse) <- triStateFor(spark, roots.head, zoneIdx, pred,
+        liveFiles)
+      undecided = liveFiles -- allTrue -- allFalse
+      covered = cov.coveredByColumn(out.name)
+      dictFiles = (allTrue & covered).filter(f => !out.nullable ||
+        cov.nullCountByFile.get((out.name, f)).exists(_ >= 0))
+      scanFiles = undecided ++ (allTrue -- dictFiles)
+      maxFrac = try spark.conf.get(
+        "spark.graft.dictServe.maxScanFraction", "0.5").toDouble
+        catch { case scala.util.control.NonFatal(_) => 0.5 }
+      if liveFiles.nonEmpty && scanFiles.size <= liveFiles.size * maxFrac
+      needNull = out.nullable && dictFiles.exists(f =>
+        cov.nullCountByFile.getOrElse((out.name, f), 0L) > 0)
+      plan <- filteredDistinctPlan(spark, roots.head, out, cond,
+        dictFiles, scanFiles, liveRaw, needNull)
+    } yield Project(Seq(
+      Alias(plan.output.head, out.name)(exprId = out.exprId)), plan)
+
+  /** The filtered DISTINCT plan: dictionary arrays of the provably
+    * all-match files ∪ one pruned scan (original filter re-applied,
+    * NULLs KEPT — a surviving row's NULL is a distinct value here) ∪
+    * the metadata NULL row when a dict-served file proves nulls,
+    * deduplicated. Built fresh per pass like [[filteredCountPlan]] —
+    * the expensive decisions (coverage, tri-state) are memoized. */
+  private def filteredDistinctPlan(spark: SparkSession, rootPath: String,
+      out: AttributeReference, cond: Expression, dictFiles: Set[String],
+      scanFiles: Set[String], liveRaw: Seq[String],
+      needNull: Boolean): Option[LogicalPlan] = {
+    inRewrite.set(java.lang.Boolean.TRUE)
+    try {
+      import org.apache.spark.sql.functions.{col, explode}
+      import org.apache.spark.sql.types._
+      val arrOpt = out.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some("valuesLong")
+        case FloatType | DoubleType                        => Some("valuesDouble")
+        case StringType                                    => Some("valuesStr")
+        case _                                             => None
+      }
+      arrOpt.flatMap { arr =>
+        val scanRaw = liveRaw.filter(f => scanFiles.contains(norm(f)))
+        val idx = graft.sources.DictionaryIndex.load(spark,
+          graft.sources.DictionaryIndex.sidecarPath(rootPath)).toDF()
+        // sidecar file spellings may differ from the listing's — map
+        // through norm (file-listing-scale collect)
+        val dictRaw = idx.select(col("file")).distinct().collect()
+          .map(_.getString(0)).filter(f => dictFiles.contains(norm(f)))
+        val dictSide = idx
+          .filter(col("column") === out.name && col("covered") &&
+            col("file").isin(dictRaw.toSeq: _*))
+          .select(explode(col(arr)).as("v0"))
+          .select(col("v0").cast(out.dataType).as("v"))
+        val withScan =
+          if (scanRaw.isEmpty) dictSide
+          else {
+            val unresolved = cond.transform {
+              case a: AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute.quoted(a.name)
+            }
+            val scanSide = graft.sources.MicroBlockIndex
+              .readFilesAsTable(spark, rootPath, scanRaw)
+              .filter(org.apache.spark.sql.graftbridge.ColumnBridge
+                .column(unresolved))
+              .select(col(out.name).cast(out.dataType).as("v"))
+            dictSide.unionAll(scanSide)
+          }
+        val df =
+          if (!needNull) withScan
+          else withScan.unionAll(spark.createDataFrame(
+            java.util.Collections.singletonList(org.apache.spark.sql.Row(null)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "v", out.dataType, nullable = true)))))
+        val p = df.distinct().queryExecution.optimizedPlan
+        if (p.output.size == 1 && p.output.head.dataType == out.dataType) Some(p)
+        else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally inRewrite.set(java.lang.Boolean.FALSE)

@@ -30,6 +30,15 @@ import org.apache.spark.sql.execution.datasources.{
   * Between cut on top. The fact relation's file list shrinks; the
   * join stays, so a conservative cut only saves I/O, never rows.
   *
+  * Round 13 widened the walk: EVERY equality conjunct contributes an
+  * independent cut (composite-key joins union their cuts), both
+  * sides of an INNER join are attempted, and the fact scan is found
+  * THROUGH intermediate joins — so in the star shape
+  * `fact ⋈ dim1 ⋈ dim2 ⋈ …`, every selective dim cuts fact files and
+  * the cuts intersect (each outer join prunes the already-pruned
+  * relation further as the rule visits its node). Soundness of the
+  * through-join walk is argued at [[relationFor]].
+  *
   * SOUNDNESS. A pruned file is one whose dictionary PROVES it holds
   * none of the dim's join-key values; its rows cannot produce INNER /
   * LEFT SEMI output (NULL keys never equi-match, and all-null covered
@@ -85,17 +94,21 @@ object JoinFilePruning {
     }
     if (eqs.isEmpty) return None
     // LEFT SEMI preserves only matching LEFT rows -> only the left
-    // side is prunable; INNER prunes either side.
-    val attempts: Seq[(LogicalPlan, LogicalPlan, Boolean)] = j.joinType match {
-      case Inner    => Seq((j.left, j.right, true), (j.right, j.left, false))
-      case LeftSemi => Seq((j.left, j.right, true))
+    // side is prunable; INNER prunes either side — and round 13
+    // prunes BOTH when both carry an indexed fact, instead of
+    // stopping at the first cut.
+    val (tryLeft, tryRight) = j.joinType match {
+      case Inner    => (true, true)
+      case LeftSemi => (true, false)
       case _        => return None
     }
-    attempts.view.flatMap { case (fact, dim, factIsLeft) =>
-      pruneSide(spark, fact, dim, eqs, factIsLeft).map { pruned =>
-        if (factIsLeft) j.copy(left = pruned) else j.copy(right = pruned)
-      }
-    }.headOption
+    val newLeft =
+      if (tryLeft) pruneSubtree(spark, j.left, j.right, eqs) else None
+    val newRight =
+      if (tryRight) pruneSubtree(spark, j.right, j.left, eqs) else None
+    if (newLeft.isEmpty && newRight.isEmpty) None
+    else Some(j.copy(left = newLeft.getOrElse(j.left),
+      right = newRight.getOrElse(j.right)))
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
@@ -103,20 +116,51 @@ object JoinFilePruning {
     case other      => Seq(other)
   }
 
-  /** attr-only Projects and Filters down to ONE file relation. */
-  private def factRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+  /** The file relation that OUTPUTS `attr`, reached through attr-only
+    * Projects, Filters, and — round 13 — intermediate JOINS (the
+    * multi-dim shape: `fact ⋈ dim1 ⋈ dim2` puts `Join(fact, dim1)`
+    * between the outer join and the fact scan, so a top-level-only
+    * walk never lets dim2's keys cut fact files). At a Join the walk
+    * descends into whichever child outputs the attr.
+    *
+    * SOUNDNESS of pruning through an intermediate join, any join
+    * type: the walk's path preserves `attr` unchanged (attr-only
+    * Projects; Filters and Joins never transform attributes), so
+    * every subtree output row DERIVED from a pruned fact row carries
+    * a key value the dictionary proved absent from the dim's key set
+    * — the outer equi-conjunct refutes it. Rows the pruning ADDS to
+    * the subtree's output (an intermediate outer join null-padding a
+    * now-unmatched preserved row; an anti join passing a left row
+    * whose only matches were pruned) carry NULL in `attr` — or, for
+    * semi/anti intermediates, could only surface rows from the side
+    * that does NOT output `attr`, which resolution rules out here
+    * because the outer condition references it. NULL never satisfies
+    * the EqualTo conjunct, so added rows are refuted too. Either way
+    * the outer INNER / LEFT SEMI output is unchanged. */
+  private def relationFor(p: LogicalPlan,
+      attr: AttributeReference): Option[LogicalRelation] = p match {
     case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      factRelation(pr.child)
-    case f: Filter => factRelation(f.child)
-    case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
+      relationFor(pr.child, attr)
+    case f: Filter => relationFor(f.child, attr)
+    case jn: Join =>
+      if (jn.left.outputSet.exists(_.exprId == attr.exprId))
+        relationFor(jn.left, attr)
+      else if (jn.right.outputSet.exists(_.exprId == attr.exprId))
+        relationFor(jn.right, attr)
+      else None
+    case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _)
+        if rel.output.exists(_.exprId == attr.exprId) => Some(rel)
     case _ => None
   }
 
-  private def rebuild(p: LogicalPlan, target: LogicalRelation,
-      pruned: LogicalRelation): LogicalPlan = p match {
-    case pr: Project => pr.copy(child = rebuild(pr.child, target, pruned))
-    case f: Filter   => f.copy(child = rebuild(f.child, target, pruned))
-    case r: LogicalRelation if r eq target => pruned
+  private def rebuild(p: LogicalPlan,
+      repl: Seq[(LogicalRelation, LogicalRelation)]): LogicalPlan = p match {
+    case pr: Project => pr.copy(child = rebuild(pr.child, repl))
+    case f: Filter   => f.copy(child = rebuild(f.child, repl))
+    case jn: Join    => jn.copy(left = rebuild(jn.left, repl),
+      right = rebuild(jn.right, repl))
+    case r: LogicalRelation =>
+      repl.find(_._1 eq r).map(_._2).getOrElse(r)
     case other => other
   }
 
@@ -162,33 +206,70 @@ object JoinFilePruning {
     }
   }
 
-  private def pruneSide(spark: SparkSession, fact: LogicalPlan,
-      dim: LogicalPlan, eqs: Seq[(AttributeReference, AttributeReference)],
-      factIsLeft: Boolean): Option[LogicalPlan] =
-    for {
-      rel <- factRelation(fact)
-      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
-      roots = hfs.location.rootPaths.toSeq.map(_.toString)
-      if roots.size == 1
-      // the first equality whose fact-side attr resolves to this
-      // relation (by exprId) and whose dim attr lives on the dim side
-      pair <- eqs.collectFirst {
-        case (a, b) if rel.output.exists(_.exprId == a.exprId) &&
-          dim.outputSet.exists(_.exprId == b.exprId) => (a, b)
-        case (a, b) if rel.output.exists(_.exprId == b.exprId) &&
-          dim.outputSet.exists(_.exprId == a.exprId) => (b, a)
+  /** Prune one side of the join against the other: every equality
+    * conjunct contributes an INDEPENDENT cut (each alone proves its
+    * skipped files can produce no inner/semi output), cuts targeting
+    * the same scan union, and distinct scans under the subtree prune
+    * separately — the multi-eq and multi-dim shapes the round-12
+    * first-pair-only walk left on the table. */
+  private def pruneSubtree(spark: SparkSession, fact: LogicalPlan,
+      dim: LogicalPlan, eqs: Seq[(AttributeReference, AttributeReference)])
+      : Option[LogicalPlan] = {
+    val maxDimBytes = conf(spark, "spark.graft.joinPrune.maxDimBytes",
+      MaxDimBytesDefault)
+    if (!dimEligible(dim, maxDimBytes)) return None
+    // orient each equality so the probe attr lives on the fact side
+    val oriented = eqs.flatMap { case (a, b) =>
+      if (fact.outputSet.exists(_.exprId == a.exprId) &&
+          dim.outputSet.exists(_.exprId == b.exprId)) Some((a, b))
+      else if (fact.outputSet.exists(_.exprId == b.exprId) &&
+          dim.outputSet.exists(_.exprId == a.exprId)) Some((b, a))
+      else None
+    }
+    val cuts: Seq[(LogicalRelation, Set[String])] = oriented.flatMap {
+      case (factAttr, dimAttr) => cutFor(spark, fact, dim, factAttr, dimAttr)
+    }
+    if (cuts.isEmpty) return None
+    // union cuts per relation INSTANCE — structural grouping could
+    // merge a self-join's two scans and cross-apply their cuts
+    val grouped = scala.collection.mutable.ArrayBuffer
+      .empty[(LogicalRelation, Set[String])]
+    cuts.foreach { case (r, s) =>
+      grouped.indexWhere(_._1 eq r) match {
+        case -1 => grouped += ((r, s))
+        case i  => grouped(i) = (r, grouped(i)._2 ++ s)
       }
-      (factAttr, dimAttr) = pair
+    }
+    val repl = grouped.toSeq.flatMap { case (rel, skip) =>
+      val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      val current = hfs.location.inputFiles.toSeq
+      val kept = current.filterNot(p =>
+        skip.contains(ZoneMapPruneRule.normFile(p)))
+      if (kept.size == current.size) None
+      else ZoneMapPruneRule.prunedRelation(spark, rel, hfs, kept)
+        .map(rel -> _)
+    }
+    if (repl.isEmpty) None else Some(rebuild(fact, repl))
+  }
+
+  /** One equality's cut: locate the scan that outputs `factAttr`,
+    * evaluate the dim keys, return the (relation, sound skip set)
+    * pair — None on any refusal gate. */
+  private def cutFor(spark: SparkSession, fact: LogicalPlan,
+      dim: LogicalPlan, factAttr: AttributeReference,
+      dimAttr: AttributeReference): Option[(LogicalRelation, Set[String])] =
+    for {
+      rel <- relationFor(fact, factAttr)
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      // resolves THROUGH a prior prune's leaf-file index to the table
+      // root — consecutive cuts (the multi-dim star) compose
+      root <- ZoneMapPruneRule.tableRootOf(hfs)
       domain <- keyDomain(factAttr.dataType)
       // the join key must be a DATA column (a hive-partition key has
       // no dictionary rows; the empty cut below would no-op anyway,
       // but refusing here skips the dim job)
       if hfs.dataSchema.fieldNames.contains(factAttr.name)
-      dicts <- Some(ZoneMapPruneRule.dictIndexFor(roots.head, spark))
-      if dicts.nonEmpty
-      maxDimBytes = conf(spark, "spark.graft.joinPrune.maxDimBytes",
-        MaxDimBytesDefault)
-      if dimEligible(dim, maxDimBytes)
+      dicts <- ZoneMapPruneRule.dictIndexFor(root, spark)
       // live per-file statuses from the relation's own FileIndex — no
       // extra filesystem work; the dictionary cut may only skip files
       // whose RECORDED (mtime, size) still matches (a file rewritten
@@ -196,16 +277,12 @@ object JoinFilePruning {
       // it silently drops join rows). Verified per QUERY, outside the
       // decision memo.
       liveStats = ZoneMapPruneRule.liveStatsOf(hfs)
-      cuts <- skipSetFor(spark, roots.head, factAttr, dimAttr, dim,
-        dicts.get, domain)
+      cuts <- skipSetFor(spark, root, factAttr, dimAttr, dim,
+        dicts, domain)
       skip = cuts._1.collect { case (f, (m, sz))
         if m >= 0 && liveStats.get(f).contains((m, sz)) => f }.toSet ++ cuts._2
       if skip.nonEmpty
-      current = hfs.location.inputFiles.toSeq
-      kept = current.filterNot(p => skip.contains(ZoneMapPruneRule.normFile(p)))
-      if kept.size < current.size
-      pruned <- ZoneMapPruneRule.prunedRelation(spark, rel, hfs, kept)
-    } yield rebuild(fact, rel, pruned)
+    } yield (rel, skip)
 
   private def conf(spark: SparkSession, key: String, dflt: Long): Long =
     try spark.conf.get(key, dflt.toString).toLong

@@ -119,22 +119,52 @@ object ZoneMapPruneRule {
     * pruned index re-infers the same partition columns from the kept
     * files' paths; any mismatch with the relation's schema (exotic
     * typing, multi-root partitioned relations) REFUSES the prune —
-    * correctness over the cut. Flat layouts take the old fast path. */
+    * correctness over the cut. Flat layouts take the old fast path.
+    *
+    * A pruned index's rootPaths are the kept LEAF FILES, which would
+    * make the relation unrecognizable to any LATER cut (the
+    * single-root gate refuses) — so each pruned index records its
+    * ORIGINAL table root in [[prunedRoots]], and [[tableRootOf]]
+    * resolves through it. That is what lets the join arm's multi-dim
+    * cuts COMPOSE: the outer join prunes, the inner join's visit
+    * prunes the already-pruned relation further. */
   private[graft] def prunedRelation(spark: SparkSession,
       rel: LogicalRelation, hfs: HadoopFsRelation,
       kept: Seq[String]): Option[LogicalRelation] = {
+    val rootOpt = tableRootOf(hfs)
     val opts =
       if (hfs.partitionSchema.isEmpty) Map.empty[String, String]
-      else if (hfs.location.rootPaths.size == 1)
-        Map("basePath" -> hfs.location.rootPaths.head.toString)
-      else return None
+      else rootOpt match {
+        case Some(r) => Map("basePath" -> r)
+        case None    => return None
+      }
     val idx = new InMemoryFileIndex(
       spark, kept.map(new Path(_)), opts, Some(hfs.dataSchema))
     if (idx.partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        hfs.partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+        hfs.partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq) {
+      rootOpt.foreach(r => prunedRoots.put(idx, r))
       Some(rel.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
-    else None
+    } else None
   }
+
+  /** pruned FileIndex -> the table root it was cut from. Weakly held;
+    * keyed by InMemoryFileIndex EQUALITY (root paths) — safe here,
+    * unlike the verdict memos, because the value is a pure function
+    * of the key's root paths: an equals-hit from a different index
+    * instance over the same leaf files returns the same table root. */
+  private val prunedRoots = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.execution.datasources.FileIndex, String]())
+
+  /** The TABLE root of a relation: its single rootPath, or — when the
+    * relation is the output of a previous [[prunedRelation]] cut and
+    * its rootPaths are leaf files — the recorded original root. None
+    * for genuine multi-root relations. */
+  private[graft] def tableRootOf(hfs: HadoopFsRelation): Option[String] =
+    Option(prunedRoots.get(hfs.location)).orElse {
+      val roots = hfs.location.rootPaths
+      if (roots.size == 1) Some(roots.head.toString) else None
+    }
   // root path -> stats index DATAFRAME (distributed; registered explicitly)
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

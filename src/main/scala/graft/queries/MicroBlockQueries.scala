@@ -596,6 +596,104 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_dict_distinct_where (round 13): the filtered serve's
+    // SELECT DISTINCT twin — same tri-state machinery as
+    // mb_dict_where (all-match files serve their dictionary value
+    // sets, straddlers scan with the original filter), with the one
+    // extra obligation DISTINCT carries: an all-match file's NULLs
+    // pass the filter and belong in the output, so dict-served files
+    // need KNOWN null counts (unknown-null files fall to the scan
+    // side) and any positive count adds the NULL row from metadata
+    // (plans/DictDistinctRule.tryDistinctValuesFiltered; null cases
+    // pinned in DictDistinctRuleSpec). Oracle = the same filtered
+    // DISTINCT full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_dict_distinct_where",
+      """SELECT DISTINCT l_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      val zoneSuccess = Paths.get(
+        graft.sources.MicroBlockIndex.sidecarPath(path), "_SUCCESS")
+      if (!Files.exists(zoneSuccess) ||
+          Files.getLastModifiedTime(zoneSuccess).toMillis <
+            Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.build(s, path, "lineitem"), path)
+      val dictSuccess = Paths.get(DictionaryIndex.sidecarPath(path), "_SUCCESS")
+      if (!Files.exists(dictSuccess) ||
+          Files.getLastModifiedTime(dictSuccess).toMillis <
+            sourceMtime(dir, "lineitem"))
+        DictionaryIndex.saveSidecar(dictIndex(s, dir), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_dict_dwhere_li")
+      val df = s.sql(
+        """SELECT DISTINCT l_suppkey FROM graft_dict_dwhere_li
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |ORDER BY l_suppkey""".stripMargin)
+      val reads = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains("_graft_dict"))
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.toString.contains("_graft_dict")
+      }
+      require(reads.exists(identity),
+        "filtered DISTINCT dictionary serve did not read the sidecar")
+      df
+    },
+
+    // mb_join_dpp (round 13): join-driven file pruning end-to-end in
+    // the correctness gate — the multi-dim star shape
+    // `fact ⋈ dim1 ⋈ dim2` where each dim's filter is on a NON-key
+    // column (region / name — nothing constraint inference can
+    // propagate to the fact) and the fact is clustered on the
+    // LOW-CARDINALITY join key, the regime the feature targets
+    // (plans/JoinFilePruning; its honest limit — surviving keys must
+    // be ≪ file count — is exactly why the key here is c_nationkey,
+    // not a 15M-row custkey). dim2's equality reaches the fact only
+    // THROUGH Join(fact, dim1), pinning the round-13 intermediate-join
+    // walk; the require proves the fact's file list shrank. Oracle =
+    // the same star join full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_join_dpp",
+      """SELECT n1.n_name AS nation, COUNT(*) AS n_cust,
+        |  SUM(c.c_acctbal) AS sum_bal
+        |FROM customer c, nation n1, nation n2
+        |WHERE c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = 1
+        |  AND c.c_nationkey = n2.n_nationkey
+        |  AND n2.n_name IN ('NATION_6', 'NATION_7', 'NATION_11')
+        |GROUP BY n1.n_name ORDER BY nation""".stripMargin) { (s, dir) =>
+      val path = custBucketPath(s, dir)
+      val fact = s.read.parquet(path)
+      val nat = graft.engine.Tables.load(s, dir, "nation")
+      val dim1 = nat.filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey").as("k1"), col("n_name").as("nation"))
+      val dim2 = nat.filter(col("n_name")
+          .isin("NATION_6", "NATION_7", "NATION_11"))
+        .select(col("n_nationkey").as("k2"))
+      val df = fact
+        .join(dim1, col("c_nationkey") === col("k1"))
+        .join(dim2, col("c_nationkey") === col("k2"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("nation"))
+      val kept = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              r.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.inputFiles.exists(_.contains("custbucket")) =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }
+      require(kept.nonEmpty && kept.head < 16,
+        s"join-DPP did not shrink the fact file list (kept $kept of 16)")
+      df
+    },
+
     // mb_bloom_point (round 10): the HIGH-CARDINALITY point lookup —
     // where dictionaries fall back (cardinality past the writer's
     // dict cap: doc ids, URLs, order ids) parquet-native BLOOM
@@ -936,6 +1034,39 @@ object MicroBlockQueries {
       (out, DictionaryIndex.build(s, out, "lineitem", Seq("l_suppkey")).cache())
     })
   }
+
+  private val custBucketCache =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** The LOW-cardinality-key join-DPP layout: customer hash-bucketed
+    * into 16 files by c_nationkey (25 values — every file's key SET is
+    * tiny, so a few surviving dim keys refute most files) with a SAVED
+    * `_graft_dict` sidecar, so the join arm engages through sidecar
+    * discovery alone — no register call, no per-query cache clearing.
+    * Stale-guarded like the other scratch layouts. */
+  private[graft] def custBucketPath(s: SparkSession, dir: String): String =
+    synchronized {
+      custBucketCache.getOrElseUpdate(dir, {
+        val sfName = Paths.get(dir).getFileName.toString
+        val out = s"target/scratch/custbucket/$sfName/customer"
+        val success = Paths.get(out, "_SUCCESS")
+        val stale = !Files.exists(success) ||
+          Files.getLastModifiedTime(success).toMillis < sourceMtime(dir, "customer")
+        if (stale) {
+          val cust = graft.engine.Tables.load(s, dir, "customer")
+          cust.repartition(16, col("c_nationkey"))
+            .write.mode("overwrite").parquet(out)
+          DictionaryIndex.saveSidecar(
+            DictionaryIndex.build(s, out, "customer", Seq("c_nationkey")), out)
+        } else {
+          val dictSuccess = Paths.get(DictionaryIndex.sidecarPath(out), "_SUCCESS")
+          if (!Files.exists(dictSuccess))
+            DictionaryIndex.saveSidecar(
+              DictionaryIndex.build(s, out, "customer", Seq("c_nationkey")), out)
+        }
+        out
+      })
+    }
 
   private val bloomBucketCache =
     scala.collection.mutable.Map.empty[String, String]

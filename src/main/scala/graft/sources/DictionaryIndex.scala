@@ -524,16 +524,22 @@ object DictionaryIndex {
     * multi-core scan covers in the decision job's fixed cost. */
   val DefaultPointMinBytes: Long = 256L * 1024 * 1024
 
-  /** Total data bytes directly under `tablePath` — the size signal the
-    * serve-path router runs on (one listStatus, file-listing scale). */
+  /** Total data bytes under `tablePath` — the size signal the
+    * serve-path router runs on. RECURSIVE (round 13): a
+    * hive-partitioned layout keeps its data files in nested col=value
+    * dirs, so the old top-level listStatus summed ZERO bytes and
+    * routed every partitioned table to the plain scan — correct but
+    * never the dict cut, exactly when the table is big enough to want
+    * it. Shares [[MicroBlockIndex.listParquetFilesWithStatus]] (one
+    * recursive listing, `_`/`.` segments skipped) so the byte total
+    * agrees file-for-file with what Spark's own listing would scan. */
   def tableBytes(tablePath: String): Long = {
     val p = new Path(tablePath)
     val f = p.getFileSystem(new Configuration())
     val st = f.getFileStatus(p)
     if (st.isFile) st.getLen
-    else f.listStatus(p).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    else MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+      .iterator.map(_._3).sum
   }
 
   /** The route [[prunedReadEqAuto]] takes: "scan" below the byte

@@ -384,6 +384,68 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       .agg(countDistinct(col("l_returnflag")).as("a"))))
   }
 
+  test("filtered SELECT DISTINCT serves when zone maps decide whole files") {
+    // the round-13 carried item: the filtered serve's DISTINCT twin.
+    // Same tri-state machinery as the count arm — all-match files
+    // serve their dictionary value sets, straddlers scan with the
+    // original filter re-applied.
+    val base = scratch("filtered-distinct")
+    graft.sources.MicroBlockWriter.write(
+      li.limit(20000), base, "l_shipdate", 8)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, base, "li"), base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li",
+        Seq("l_returnflag", "l_suppkey")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_fd")
+    val q = "SELECT DISTINCT l_suppkey FROM dr_fd " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'"
+    val served = spark.sql(q)
+    assert(scansDict(served),
+      "a zone-decided filter must serve DISTINCT from the dictionary sidecar")
+    val truth = spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00")
+      .select(col("l_suppkey")).distinct()
+    assert(rows(served) == rows(truth),
+      "hybrid dict+straddler-scan DISTINCT must equal the full filtered scan")
+
+    // an everywhere-straddling predicate refuses (scan side = table)
+    val refused = spark.sql(
+      "SELECT DISTINCT l_returnflag FROM dr_fd WHERE l_quantity > 25")
+    assert(!scansDict(refused))
+    assert(rows(refused) == rows(spark.read.parquet(base)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_returnflag")).distinct()))
+  }
+
+  test("filtered DISTINCT null handling: dict-side nulls surface from metadata") {
+    import spark.implicits._
+    val base = scratch("filtered-distinct-null")
+    // file A (id 0..99): grp in {a, b, NULL}; file B (id 100..199):
+    // grp in {c}. `id < 100` proves A all-match and B all-miss from
+    // zone maps, so A is served purely from its dictionary pages —
+    // its NULLs exist only as a footer null count. The serve must
+    // still return the NULL row plain SQL does.
+    val df = Seq.tabulate(200) { i =>
+      val grp = if (i >= 100) Some("c")
+        else if (i % 10 == 0) Option.empty[String]
+        else if (i % 2 == 0) Some("a") else Some("b")
+      (i.toLong, grp)
+    }.toDF("id", "grp")
+    graft.sources.MicroBlockWriter.write(df, base, "id", 2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, base, "t"), base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "t", Seq("grp", "id")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_fdn")
+    val served = spark.sql("SELECT DISTINCT grp FROM dr_fdn WHERE id < 100")
+    assert(scansDict(served), "the all-match file must dict-serve")
+    val got = served.collect().map(r =>
+      if (r.isNullAt(0)) "NULL" else r.getString(0)).sorted.toSeq
+    assert(got == Seq("NULL", "a", "b"),
+      "metadata null counts must surface the NULL row; file B's c must not leak")
+  }
+
   test("a fresh session discovers the sidecar with no register call") {
     val base = fixture
     val s2 = spark.newSession()

@@ -247,6 +247,23 @@ class DictionarySpec extends AnyFunSuite {
     assert(rows(viaDict) == rows(truth))
   }
 
+  test("cost router sees nested bytes on a hive-partitioned layout") {
+    import spark.implicits._
+    val out = scratch("route-part")
+    Seq.tabulate(200)(i => (i.toLong, i % 4, s"pad-$i"))
+      .toDF("id", "p", "s")
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    // through round 13 the router summed TOP-LEVEL files only: a
+    // partitioned table reported 0 bytes and always routed "scan" —
+    // correct but never the dict cut on the layout big tables use
+    assert(DictionaryIndex.tableBytes(out) > 0L)
+    assert(DictionaryIndex.pointLookupRoute(out, minBytes = 1L) == "dict")
+    // and the recursive total agrees with what Spark's listing scans
+    val sparkBytes = graft.sources.MicroBlockIndex
+      .listParquetFilesWithStatus(out).map(_._3).sum
+    assert(DictionaryIndex.tableBytes(out) == sparkBytes)
+  }
+
   test("timestamp columns qualify only at MICROS unit (probe domain safety)") {
     import spark.implicits._
     val df = Seq("2024-01-01 10:00:00", "2024-06-15 12:30:00", "2025-03-03 01:02:03")

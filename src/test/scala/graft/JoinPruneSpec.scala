@@ -281,6 +281,86 @@ class JoinPruneSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregisterDict(out)
   }
 
+  test("multi-dim star join: each dim's cut lands through the intermediate join; cuts intersect") {
+    // round-13 carried item: fact ⋈ dim1 ⋈ dim2 — dim2's equality
+    // reaches the fact only THROUGH Join(fact, dim1), so the walk
+    // must descend intermediate joins. Overlapping nation filters
+    // keep the final result non-empty (nation 11 survives both).
+    val (path, idx) = fixture
+    val fact = spark.read.parquet(path)
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+    val dim1 = supp.filter(col("s_nationkey").isin(6, 11))
+      .select(col("s_suppkey").as("d1_key"), col("s_name").as("d1_name"))
+    val dim2 = supp.filter(col("s_nationkey").isin(11, 3))
+      .select(col("s_suppkey").as("d2_key"), col("s_name").as("d2_name"))
+    val joined = fact
+      .join(dim1, col("l_suppkey") === col("d1_key"))
+      .join(dim2, col("l_suppkey") === col("d2_key"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("d1_name"), col("d2_name"))
+    val kept = factKeptFiles(joined, "joinprune/li16")
+
+    def keysOf(nations: Seq[Int]): Seq[graft.plans.PredValue] =
+      supp.filter(col("s_nationkey").isin(nations.map(Integer.valueOf): _*))
+        .select("s_suppkey").collect()
+        .map(r => graft.plans.PredValue(r.getLong(0))).toSeq
+    val skip1 = DictionaryIndex.skippedFilesEq(
+      idx, "l_suppkey", keysOf(Seq(6, 11))).toSet
+    val skip2 = DictionaryIndex.skippedFilesEq(
+      idx, "l_suppkey", keysOf(Seq(11, 3))).toSet
+    assert((skip1 ++ skip2).size > skip1.size &&
+      (skip1 ++ skip2).size > skip2.size,
+      "fixture: each dim must contribute files the other cannot cut")
+    assert(kept == Seq(16 - (skip1 ++ skip2).size),
+      s"kept $kept != 16 - |union of both dims' cuts| ${(skip1 ++ skip2).size}")
+
+    // losslessness vs the unpruned star join
+    val pruned = joined.collect().map(_.toString).sorted.toSeq
+    assert(pruned.nonEmpty, "fixture: nation 11 must produce join rows")
+    ZoneMapPruneRule.unregisterDict(path)
+    try {
+      val truthDf = fact
+        .join(dim1, col("l_suppkey") === col("d1_key"))
+        .join(dim2, col("l_suppkey") === col("d2_key"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("d1_name"), col("d2_name"))
+      assert(factKeptFiles(truthDf, "joinprune/li16") == Seq(16))
+      assert(pruned == truthDf.collect().map(_.toString).sorted.toSeq)
+    } finally ZoneMapPruneRule.registerDict(path, idx)
+  }
+
+  test("composite-key join: every equality conjunct's cut unions") {
+    import spark.implicits._
+    val out = scratch("composite")
+    // 8 files, file i holds exactly (k1 = i, k2 = i) — two join keys,
+    // both clustered, written deterministically one file per key
+    val df = Seq.tabulate(800)(i => (i % 8L, i % 8L, i.toLong))
+      .toDF("k1", "k2", "payload")
+    for (i <- 0 until 8)
+      df.filter(col("k1") === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+    val idx = DictionaryIndex.build(spark, out, "t", Seq("k1", "k2")).toDF()
+      .persist()
+    idx.count()
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      val fact = spark.read.parquet(out)
+      val dim = Seq((1L, 1L), (5L, 6L)).toDF("d1", "d2")
+      val joined = fact.join(dim,
+        col("k1") === col("d1") && col("k2") === col("d2"))
+      val kept = factKeptFiles(joined, "joinprune/composite")
+      // k1's cut alone keeps {F1, F5}; k2's alone keeps {F1, F6};
+      // the round-12 first-pair walk kept 2 files — the union keeps 1
+      assert(kept == Seq(1),
+        s"both conjuncts' cuts must union: expected 1 kept file, saw $kept")
+      assert(joined.count() == 100L, "only (1,1) rows can match")
+      ZoneMapPruneRule.unregisterDict(out)
+      val truth = fact.join(dim,
+        col("k1") === col("d1") && col("k2") === col("d2"))
+        .collect().map(_.toString).sorted.toSeq
+      ZoneMapPruneRule.registerDict(out, idx)
+      assert(joined.collect().map(_.toString).sorted.toSeq == truth)
+    } finally ZoneMapPruneRule.unregisterDict(out)
+  }
+
   test("a nondeterministic dim refuses (plan-time keys could differ from runtime)") {
     val (path, _) = fixture
     val fact = spark.read.parquet(path)
