@@ -18,6 +18,9 @@ import graft.plans.ZoneMapPruneRule
   *    materialized-view serving for covered aggregate shapes;
   *  - the [[graft.plans.DictDistinctRule]] — global COUNT(DISTINCT)
   *    served from a current `_graft_dict` sidecar's dictionary pages;
+  *  - the [[graft.plans.ZoneAggRule]] — global COUNT(*)/COUNT/MIN/MAX,
+  *    filtered or not, answered from a current `_graft_index`
+  *    sidecar's footer stats with a straddler-only scan;
   *  - the [[ZoneMapPruneRule]] optimizer rule — transparent index-based
   *    file pruning for registered micro-blocked tables.
   */
@@ -61,8 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strictly better where both could serve (it also covers grouped
     // shapes), and the dictionary serve fires only on filter-less
     // global COUNT(DISTINCT) — plans the pruner has nothing to cut.
+    // ZoneAggRule (round 13) slots after DictDistinctRule — disjoint
+    // shapes (it serves non-DISTINCT COUNT/MIN/MAX) — and before the
+    // pruner, which may further block-prune the straddler scan it
+    // emits.
     e.injectOptimizerRule(graft.plans.AggViewRewriteRule(_))
     e.injectOptimizerRule(graft.plans.DictDistinctRule(_))
+    e.injectOptimizerRule(graft.plans.ZoneAggRule(_))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
   }
 }

@@ -1,0 +1,384 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Transparent ZONE-STATS serving for plain-SQL global
+  * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` — filtered or
+  * not — over a bare parquet table whose `_graft_index` sidecar is
+  * provably CURRENT. The 100 TB shape this targets is the most common
+  * interactive query there is: `SELECT COUNT(*) FROM t WHERE p` over a
+  * p-clustered layout. Zone maps DECIDE p for (most) whole files
+  * ([[IndexPruning.fileTriState]] — the filtered dictionary serve's
+  * machinery): all-match files answer from footer metadata (row
+  * counts, null counts, min/max), all-miss files contribute nothing,
+  * and the straddling minority unions in as ONE pruned scan with the
+  * original filter re-applied — exact by construction. A fully
+  * decided query (every file all-match or all-miss, e.g. the
+  * unfiltered `COUNT(*)`) runs NO scan at all.
+  *
+  * Per-aggregate trust, the part that makes metadata answers EXACT
+  * rather than estimates:
+  *   - `COUNT(*)`: per-block row counts — always exact in footers.
+  *   - `COUNT(col)`: rows − nulls; every block of the file needs a
+  *     trusted (≥ 0) null count AND the column's blocks must cover
+  *     the whole file (a column absent from a block's footer hides
+  *     rows).
+  *   - `MIN/MAX(col)`: footer min/max, with THREE refusals baked in.
+  *     Only byte/short/int columns serve — the index stores the
+  *     numeric view as Double, which is exact for int32 but not for
+  *     int64 past 2^53, and float/double footer stats EXCLUDE NaN
+  *     while Spark's MAX orders NaN above everything (a NaN row would
+  *     make the metadata answer wrong). A block with absent min/max
+  *     is trusted only when its null count PROVES it all-null
+  *     (MIN ignores nulls); anything else sends the file to the scan
+  *     side.
+  * Files that fail a trust test are not refused — they fall into the
+  * scan side with the straddlers, so partial metadata still serves.
+  *
+  * SOUNDNESS GATE: serving answers from a stale index is wrong
+  * results. The rule serves only from the SAVED `_graft_index`
+  * sidecar (loaded itself, keyed by its `_SUCCESS` mtime so a rebuild
+  * is picked up immediately — the zone registry's discovery memo
+  * would keep a pre-rebuild frame for the session's lifetime), and
+  * requires the index's file set to EQUAL the relation's live listing
+  * exactly (append/delete refuses until
+  * [[graft.sources.MicroBlockIndex.refresh]] + save) AND no live
+  * file's mtime to exceed the sidecar's — a file rewritten in place
+  * after indexing carries dead stats (the index stores no per-file
+  * (mtime, size), so build-time ordering is the freshness anchor; a
+  * backdated-mtime rewrite escapes it, the same bound the zone
+  * layer's newest-data discovery probe accepts).
+  *
+  * Scan-side bound: past `spark.graft.statsServe.maxScanFraction`
+  * (default 0.5) of the live files the serve is just a worse scan and
+  * refuses. Ordering: after [[AggViewRewriteRule]] (a fresh view also
+  * serves grouped shapes) and [[DictDistinctRule]] (disjoint shapes —
+  * it fires on DISTINCT aggregates only), before [[ZoneMapPruneRule]]
+  * (which may further block-prune the straddler scan this rule
+  * emits).
+  */
+case class ZoneAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import ZoneAggRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (inRewrite.get()) plan
+    else plan.transform {
+      case agg: Aggregate =>
+        try tryRewrite(spark, agg).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
+    }
+}
+
+object ZoneAggRule {
+
+  private val inRewrite: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private def norm(p: String): String = ZoneMapPruneRule.normFile(p)
+
+  /** The `_graft_index` sidecar's `_SUCCESS` mtime, or None when
+    * absent. The mtime keys every memo below, so a REBUILT sidecar is
+    * picked up on its next mtime change — the rule loads the sidecar
+    * itself rather than going through the zone registry's discovery
+    * memo, which would keep serving the pre-rebuild frame for the
+    * session's lifetime. */
+  private def sidecarMtime(rootPath: String,
+      session: SparkSession): Option[Long] =
+    if (!graft.sources.SidecarManifest.has(rootPath, session, "_graft_index"))
+      None
+    else
+      try {
+        val p = new Path(new Path(
+          graft.sources.MicroBlockIndex.sidecarPath(rootPath)), "_SUCCESS")
+        val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private sealed trait Kind
+  private case object CountStar extends Kind
+  private final case class CountCol(c: String) extends Kind
+  private final case class MinCol(c: String, t: DataType) extends Kind
+  private final case class MaxCol(c: String, t: DataType) extends Kind
+
+  /** Int-width types whose Double footer view is exact and NaN-free. */
+  private def intLike(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType => true
+    case _                                  => false
+  }
+
+  private def recognize(agg: Aggregate): Option[Seq[(Alias, Kind)]] = {
+    val out = agg.aggregateExpressions.map {
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        fn match {
+          case Count(Seq(l: Literal)) if l.value != null => Some((al, CountStar))
+          case Count(Seq(a: AttributeReference)) => Some((al, CountCol(a.name)))
+          case Min(a: AttributeReference) if intLike(a.dataType) =>
+            Some((al, MinCol(a.name, a.dataType)))
+          case Max(a: AttributeReference) if intLike(a.dataType) =>
+            Some((al, MaxCol(a.name, a.dataType)))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (out.forall(_.isDefined) && out.nonEmpty) Some(out.map(_.get)) else None
+  }
+
+  /** attr-only Projects down to [one optional Filter over] the bare
+    * relation. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation)] = p match {
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(pr.child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      unwrapBare(child).map(r => (Some(cond), r))
+    case other => unwrapBare(other).map(r => (None, r))
+  }
+
+  private def unwrapBare(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapBare(pr.child)
+    case rel @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(rel)
+    case _ => None
+  }
+
+  /** Per-file metadata snapshot off one zone-index frame: file row
+    * counts plus, per requested column, (rows covered, trusted-null
+    * floor, null sum, untrusted-min/max block count, min, max).
+    * One distributed job, file×column-scale collect, memoized per
+    * (root, live hash, columns) and valid only for the SAME index
+    * frame (identity via WeakReference — the triCache discipline). */
+  private final case class Snap(
+      fileRows: Map[String, Long],
+      perCol: Map[(String, String), (Long, Long, Long, Long,
+        Option[Double], Option[Double])])
+
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String), Snap](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), Snap]): Boolean =
+        size > 64
+    })
+
+  private def snapshotFor(spark: SparkSession, rootPath: String,
+      mtime: Long, cols: Seq[String]): Option[Snap] = {
+    val key = (norm(rootPath), mtime, cols.sorted.mkString(","))
+    val hit = snapCache.get(key)
+    if (hit != null) return Some(hit)
+    inRewrite.set(java.lang.Boolean.TRUE)
+    val built =
+      try {
+        import org.apache.spark.sql.functions._
+        val zoneIdx = spark.read.parquet(
+          graft.sources.MicroBlockIndex.sidecarPath(rootPath))
+        val fileRows = zoneIdx
+          .select(col("file"), col("blockId"), col("rows")).distinct()
+          .groupBy(col("file")).agg(sum(col("rows")).as("r"))
+          .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+        val perCol =
+          if (cols.isEmpty) Map.empty[(String, String),
+            (Long, Long, Long, Long, Option[Double], Option[Double])]
+          else zoneIdx.filter(col("column").isin(cols: _*))
+            .groupBy(col("column"), col("file"))
+            .agg(
+              sum(col("rows")).as("rowsSum"),
+              min(col("nullCount")).as("ncMin"),
+              sum(col("nullCount")).as("ncSum"),
+              sum(when(col("minNum").isNull &&
+                !(col("nullCount") === col("rows")), 1L)
+                .otherwise(0L)).as("untrustedMM"),
+              min(col("minNum")).as("mn"),
+              max(col("maxNum")).as("mx"))
+            .collect().map { r =>
+              (r.getString(0), norm(r.getString(1))) ->
+                ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+                  if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+                  if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+            }.toMap
+        Some(Snap(fileRows, perCol))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inRewrite.set(java.lang.Boolean.FALSE)
+    built.foreach(snapCache.put(key, _))
+    built
+  }
+
+  // (root, sidecar mtime, pred) -> (all-true, all-false) file sets as
+  // recorded in the sidecar; callers intersect with the live listing
+  private val triCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String),
+        (Set[String], Set[String])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String),
+            (Set[String], Set[String])]): Boolean = size > 128
+    })
+
+  private def triStateFor(spark: SparkSession, rootPath: String,
+      mtime: Long, pred: Pred): Option[(Set[String], Set[String])] = {
+    val key = (norm(rootPath), mtime, pred.toString)
+    val hit = triCache.get(key)
+    if (hit != null) return Some(hit)
+    inRewrite.set(java.lang.Boolean.TRUE)
+    val computed =
+      try {
+        val zoneIdx = spark.read.parquet(
+          graft.sources.MicroBlockIndex.sidecarPath(rootPath))
+        val rows = IndexPruning.fileTriState(zoneIdx.toDF(), pred).collect()
+          .map(r => (norm(r.getString(0)), r.getBoolean(1), r.getBoolean(2)))
+        val allTrue = rows.collect { case (f, true, _) => f }.toSet
+        val allFalse = rows.collect { case (f, _, true) => f }.toSet
+        Some((allTrue, allFalse))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inRewrite.set(java.lang.Boolean.FALSE)
+    computed.foreach(triCache.put(key, _))
+    computed
+  }
+
+  /** Is `f` answerable from metadata for aggregate `k`? */
+  private def trusted(snap: Snap, f: String, k: Kind): Boolean = k match {
+    case CountStar => snap.fileRows.contains(f)
+    case CountCol(c) => snap.perCol.get((c, f)).exists { e =>
+      e._2 >= 0 && snap.fileRows.get(f).contains(e._1)
+    }
+    case MinCol(c, _) => snap.perCol.get((c, f)).exists { e =>
+      e._2 >= 0 && e._4 == 0 && snap.fileRows.get(f).contains(e._1)
+    }
+    case MaxCol(c, _) => trusted(snap, f, MinCol(c, IntegerType))
+  }
+
+  private[graft] def tryRewrite(
+      spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    for {
+      pairs <- recognize(agg)
+      (condOpt, rel) <- unwrap(agg.child)
+      if condOpt.forall(_.deterministic)
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      // every referenced column must be a DATA column (partition
+      // columns have no footer stats)
+      cols = pairs.map(_._2).collect {
+        case CountCol(c) => c
+        case MinCol(c, _) => c
+        case MaxCol(c, _) => c
+      }.distinct
+      if cols.forall(hfs.dataSchema.fieldNames.contains)
+      predOpt <- condOpt match {
+        case None => Some(None) // unfiltered: everything all-match
+        case Some(c) => PredicateExtractor.convertComplete(c).map(Some(_))
+      }
+      mtime <- sidecarMtime(roots.head, spark)
+      liveRaw = hfs.location.inputFiles.toSeq
+      liveFiles = liveRaw.map(norm).toSet
+      if liveFiles.nonEmpty
+      snap <- snapshotFor(spark, roots.head, mtime, cols)
+      // the answer gates: index file set == live listing EXACTLY, and
+      // no live file newer than the index (a rewritten-in-place file
+      // carries dead stats; the index stores no per-file (mtime, size)
+      // so the build-time ordering is the freshness anchor — the same
+      // trust discovery's newest-data probe encodes)
+      if snap.fileRows.keySet == liveFiles
+      if ZoneMapPruneRule.liveStatsOf(hfs).valuesIterator.forall(_._1 <= mtime)
+      (allTrueRaw, allFalseRaw) <- predOpt match {
+        case None    => Some((liveFiles, Set.empty[String]))
+        case Some(p) => triStateFor(spark, roots.head, mtime, p)
+      }
+      allTrue = allTrueRaw & liveFiles
+      allFalse = allFalseRaw & liveFiles
+      undecided = liveFiles -- allTrue -- allFalse
+      served = allTrue.filter(f => pairs.forall(p => trusted(snap, f, p._2)))
+      scanFiles = undecided ++ (allTrue -- served)
+      maxFrac = try spark.conf.get(
+        "spark.graft.statsServe.maxScanFraction", "0.5").toDouble
+        catch { case scala.util.control.NonFatal(_) => 0.5 }
+      if scanFiles.size <= liveFiles.size * maxFrac
+      plan <- buildPlan(spark, roots.head, pairs, condOpt, snap, served,
+        scanFiles, liveRaw)
+    } yield {
+      val out = pairs.zip(plan.output).map { case ((orig, _), a) =>
+        Alias(a, orig.name)(exprId = orig.exprId): NamedExpression
+      }
+      if (out.zip(agg.aggregateExpressions)
+          .exists { case (n, o) => n.dataType != o.dataType }) agg
+      else Project(out, plan)
+    }
+  }.filter(_ ne agg)
+
+  /** The serving plan: metadata values folded at PLAN time over the
+    * served files, combined with one straddler scan (original filter
+    * re-applied) — or a pure one-row projection when nothing scans. */
+  private def buildPlan(spark: SparkSession, rootPath: String,
+      pairs: Seq[(Alias, Kind)], condOpt: Option[Expression], snap: Snap,
+      served: Set[String], scanFiles: Set[String],
+      liveRaw: Seq[String]): Option[LogicalPlan] = {
+    inRewrite.set(java.lang.Boolean.TRUE)
+    try {
+      import org.apache.spark.sql.functions._
+      def typedLit(v: Option[Double], t: DataType)
+          : org.apache.spark.sql.Column = v match {
+        case None => lit(null).cast(t)
+        case Some(d) => t match {
+          case ByteType  => lit(d.toByte)
+          case ShortType => lit(d.toShort)
+          case _         => lit(d.toInt)
+        }
+      }
+      val metaCols: Seq[org.apache.spark.sql.Column] = pairs.map {
+        case (_, CountStar) =>
+          lit(served.iterator.map(snap.fileRows).sum)
+        case (_, CountCol(c)) =>
+          lit(served.iterator.map(f => snap.perCol((c, f)))
+            .map(e => e._1 - e._3).sum)
+        case (_, MinCol(c, t)) =>
+          val mns = served.toSeq.flatMap(f => snap.perCol((c, f))._5)
+          typedLit(mns.minOption, t)
+        case (_, MaxCol(c, t)) =>
+          val mxs = served.toSeq.flatMap(f => snap.perCol((c, f))._6)
+          typedLit(mxs.maxOption, t)
+      }
+      val scanRaw = liveRaw.filter(f => scanFiles.contains(norm(f)))
+      val df =
+        if (scanRaw.isEmpty)
+          spark.range(1).select(
+            metaCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
+        else {
+          var scan = graft.sources.MicroBlockIndex
+            .readFilesAsTable(spark, rootPath, scanRaw)
+          condOpt.foreach { cond =>
+            val unresolved = cond.transform {
+              case a: AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute.quoted(a.name)
+            }
+            scan = scan.filter(org.apache.spark.sql.graftbridge.ColumnBridge
+              .column(unresolved))
+          }
+          val scanAggs = pairs.zipWithIndex.map {
+            case ((_, CountStar), i)    => count(lit(1)).as(s"s$i")
+            case ((_, CountCol(c)), i)  => count(col(c)).as(s"s$i")
+            case ((_, MinCol(c, _)), i) => min(col(c)).as(s"s$i")
+            case ((_, MaxCol(c, _)), i) => max(col(c)).as(s"s$i")
+          }
+          scan.agg(scanAggs.head, scanAggs.tail: _*).select(
+            pairs.zip(metaCols).zipWithIndex.map {
+              case (((_, CountStar), m), i)     => (m + col(s"s$i")).as(s"a$i")
+              case (((_, CountCol(_)), m), i)   => (m + col(s"s$i")).as(s"a$i")
+              case (((_, MinCol(_, _)), m), i)  => least(m, col(s"s$i")).as(s"a$i")
+              case (((_, MaxCol(_, _)), m), i)  => greatest(m, col(s"s$i")).as(s"a$i")
+            }: _*)
+        }
+      val p = df.queryExecution.optimizedPlan
+      if (p.output.size == pairs.size) Some(p) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inRewrite.set(java.lang.Boolean.FALSE)
+  }
+}

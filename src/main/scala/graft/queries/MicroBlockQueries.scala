@@ -643,6 +643,60 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_zone_agg (round 13): the zone-stats aggregate serve —
+    // filtered COUNT(*)/COUNT(col)/MIN/MAX answered from footer
+    // metadata for the zone-decided files of the shipdate-clustered
+    // layout, with ONE straddler-only scan (plans/ZoneAggRule). The
+    // most common interactive query at 100 TB is `SELECT COUNT(*)
+    // WHERE p` — this row pins the exact-answers contract (row
+    // counts − null counts for COUNT, int-typed footer min/max for
+    // MIN/MAX; trust rules and refusals in ZoneAggRuleSpec). The
+    // require proves the Aggregate was REPLACED (optimized root is
+    // the rewrite's Project — file-count checks can't discriminate
+    // because the pruner alone also shrinks the listing). Oracle =
+    // the same aggregates full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_zone_agg",
+      """SELECT COUNT(*) AS n_rows, COUNT(l_returnflag) AS n_flag,
+        |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      val zoneSuccess = Paths.get(
+        graft.sources.MicroBlockIndex.sidecarPath(path), "_SUCCESS")
+      if (!Files.exists(zoneSuccess) ||
+          Files.getLastModifiedTime(zoneSuccess).toMillis <
+            Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.build(s, path, "lineitem"), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_zone_agg_li")
+      val df = s.sql(
+        """SELECT COUNT(*) AS n_rows, COUNT(l_returnflag) AS n_flag,
+          |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+          |FROM graft_zone_agg_li
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+      // the serve's signature: either a pure literal Project (fully
+      // decided) or the collapsed count(1)+<metadata literal> /
+      // least(<lit>, min) aggregate — a refused plain aggregate has no
+      // literal-combining node (file counts can't discriminate: the
+      // pruner alone also shrinks the listing)
+      val servedFired = df.queryExecution.optimizedPlan match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
+          a.aggregateExpressions.exists(_.exists {
+            case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
+            case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+            case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+            case _ => false
+          })
+        case _ => false
+      }
+      require(servedFired,
+        "zone-stats aggregate serve did not replace the Aggregate")
+      df
+    },
+
     // mb_join_dpp (round 13): join-driven file pruning end-to-end in
     // the correctness gate — the multi-dim star shape
     // `fact ⋈ dim1 ⋈ dim2` where each dim's filter is on a NON-key

@@ -1,0 +1,211 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftSession
+
+/** Zone-stats aggregate serving (plans/ZoneAggRule): plain-SQL global
+  * COUNT(*)/COUNT(col)/MIN/MAX — filtered or not — over a table with a
+  * CURRENT `_graft_index` sidecar answer from footer metadata for the
+  * zone-decided files, with one straddler-only scan. Contract under
+  * test:
+  *
+  *   - FIRE: the plan carries the serve's signature (a literal
+  *     Project when fully decided; the collapsed count(1)+<literal>
+  *     aggregate otherwise), the scan side reads EXACTLY the
+  *     undecided files, and values match the full scan — including a
+  *     fully-decided query that runs NO scan at all;
+  *   - null handling: COUNT(col) subtracts footer null counts; MIN
+  *     over an all-null served file contributes nothing (NULL when
+  *     nothing else serves);
+  *   - REFUSE (no literal-combining node in the plan): long/double
+  *     MIN (Double-view precision / NaN footer-stats rules),
+  *     incomplete predicate conversion, scan side past
+  *     maxScanFraction, stale sidecar after append.
+  */
+class ZoneAggRuleSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession.local(
+    cores = 8, appName = "graft-zoneagg-test")
+  private val dir = "/root/testdata/sf0.01"
+
+  private def scratch(tag: String) = s"target/scratch/test/zoneagg/$tag"
+
+  private lazy val li = graft.engine.Tables.load(spark, dir, "lineitem")
+
+  /** Did the serve fire AT ALL? Fully-metadata plans optimize to a
+    * Project of literals; partial serves collapse into an Aggregate
+    * whose expressions COMBINE a metadata literal with the straddler
+    * scan's aggregate (count(1) + <lit>, least(<lit>, min), ...) — a
+    * refused plain aggregate has no such combining node. */
+  private def served(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.exists(_.exists {
+          case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
+          case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+          case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+          case _ => false
+        })
+      case _ => false
+    }
+  }
+
+  private def baseFilesRead(df: DataFrame, needle: String): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.exists(_.contains(needle)) =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  /** 8-file shipdate-clustered lineitem + saved zone sidecar. */
+  private lazy val fixture: String = {
+    val out = scratch("base")
+    graft.sources.MicroBlockWriter.write(li.limit(20000), out, "l_shipdate", 8)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "li"), out)
+    out
+  }
+
+  test("filtered COUNT/MIN/MAX serve from metadata; only straddlers scan; values exact") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("za_t")
+    val q = """SELECT COUNT(*) AS n, COUNT(l_returnflag) AS nf,
+      |  MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+      |FROM za_t
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'""".stripMargin
+    val servedDf = spark.sql(q)
+    assert(served(servedDf), "the serve must fire")
+    // discriminator: the scan side reads EXACTLY the undecided files —
+    // the same tri-state the rule ran, recomputed here as the audit.
+    // (A root-shape check can't discriminate: Spark folds the rewrite's
+    // Project into the straddler-scan Aggregate, producing the
+    // count(1)+<metadata literal> plan. A pruner-only plan would keep
+    // the all-match files too — strictly more than the straddlers.)
+    val idx = spark.read.parquet(
+      graft.sources.MicroBlockIndex.sidecarPath(base))
+    val pred = graft.plans.Cmp(">=", "l_shipdate",
+      graft.plans.PredValue.ts("1997-06-15 00:00:00"))
+    val tri = graft.plans.IndexPruning.fileTriState(idx.toDF(), pred)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    val undecided = tri.count(t => !t._2 && !t._3)
+    assert(tri.exists(_._2), "fixture: some file must be provably all-match")
+    assert(baseFilesRead(servedDf, "zoneagg/base") == Seq(undecided),
+      s"scan side must read exactly the $undecided straddlers")
+    val truth = spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00")
+      .agg(count(lit(1)).as("n"), count(col("l_returnflag")).as("nf"),
+        min(col("l_linenumber")).as("mn"), max(col("l_linenumber")).as("mx"))
+    assert(rows(servedDf) == rows(truth))
+  }
+
+  test("unfiltered COUNT(*) is a pure metadata answer — no scan at all") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("za_t2")
+    val servedDf = spark.sql("SELECT COUNT(*) AS n FROM za_t2")
+    assert(served(servedDf))
+    assert(baseFilesRead(servedDf, "zoneagg/base").isEmpty,
+      "a fully-decided COUNT(*) must not read the base at all")
+    assert(servedDf.first.getLong(0) == 20000L)
+  }
+
+  test("null handling: COUNT(col) subtracts nulls; all-null file serves NULL min/max") {
+    import spark.implicits._
+    val out = scratch("nulls")
+    // file A (id 0..99): v null every 10th row; file B (id 100..199):
+    // v ALL null — its footers carry no min/max, only nullCount==rows,
+    // which is exactly the all-null proof the rule trusts
+    val df = Seq.tabulate(200) { i =>
+      val v = if (i >= 100) Option.empty[Int]
+        else if (i % 10 == 0) Option.empty[Int] else Some(i)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    graft.sources.MicroBlockWriter.write(df, out, "id", 2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_n")
+    val both = spark.sql(
+      "SELECT COUNT(v) AS nv, MIN(v) AS mn, MAX(v) AS mx FROM za_n WHERE id < 1000")
+    assert(served(both))
+    assert(baseFilesRead(both, "zoneagg/nulls").isEmpty,
+      "both files are all-match and trusted: no scan")
+    val r = both.first
+    assert(r.getLong(0) == 90L && r.getInt(1) == 1 && r.getInt(2) == 99)
+    // only the all-null file survives the filter: count 0, NULL min
+    val onlyB = spark.sql(
+      "SELECT COUNT(v) AS nv, MIN(v) AS mn FROM za_n WHERE id >= 100")
+    assert(served(onlyB))
+    assert(baseFilesRead(onlyB, "zoneagg/nulls").isEmpty)
+    val rb = onlyB.first
+    assert(rb.getLong(0) == 0L && rb.isNullAt(1))
+  }
+
+  test("refusals: long/double MIN, incomplete predicate, everywhere-straddling predicate") {
+    val base = fixture
+    spark.read.parquet(base).createOrReplaceTempView("za_t3")
+    // l_suppkey is int64: its Double footer view is lossy past 2^53
+    val longMin = spark.sql(
+      "SELECT MIN(l_suppkey) AS m FROM za_t3 " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'")
+    assert(!served(longMin), "int64 MIN must refuse the serve")
+    // l_quantity is double: footer stats exclude NaN, Spark's MAX does not
+    val dblMax = spark.sql(
+      "SELECT MAX(l_quantity) AS m FROM za_t3 " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'")
+    assert(!served(dblMax), "double MAX must refuse the serve")
+    // an unconvertible conjunct: an all-match proof over the weakened
+    // predicate would claim rows the dropped conjunct rejects
+    val partial = spark.sql(
+      "SELECT COUNT(*) AS n FROM za_t3 " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00' AND l_quantity * 2 > 30")
+    assert(!served(partial),
+      "an incompletely-convertible predicate must refuse")
+    assert(rows(partial) == rows(spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00" &&
+        col("l_quantity") * 2 > 30)
+      .agg(count(lit(1)).as("n"))))
+    // unclustered predicate: every file straddles, scan side = table
+    val straddle = spark.sql(
+      "SELECT COUNT(*) AS n FROM za_t3 WHERE l_quantity > 25")
+    assert(!served(straddle),
+      "an everywhere-straddling predicate must refuse")
+    assert(rows(straddle) == rows(spark.read.parquet(base)
+      .filter(col("l_quantity") > 25).agg(count(lit(1)).as("n"))))
+  }
+
+  test("an appended file refuses the serve until the sidecar refreshes") {
+    val out = scratch("stale")
+    graft.sources.MicroBlockWriter.write(li.limit(5000), out, "l_shipdate", 2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_s")
+    assert(served(spark.sql("SELECT COUNT(*) AS n FROM za_s")),
+      "current sidecar must serve")
+
+    li.limit(7000).repartition(1).write.mode("append").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("za_s")
+    val stale = spark.sql("SELECT COUNT(*) AS n FROM za_s")
+    assert(!served(stale),
+      "an index missing the appended file would UNDERCOUNT — must refuse")
+    assert(stale.first.getLong(0) ==
+      spark.read.parquet(out).count(), "the refused plan scans the live base")
+
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_s")
+    val again = spark.sql("SELECT COUNT(*) AS n FROM za_s")
+    assert(served(again), "a rebuilt sidecar must serve again")
+    assert(again.first.getLong(0) == spark.read.parquet(out).count())
+  }
+}
