@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The zone-stats aggregate serve (plans/ZoneAggRule, the mb_zone_agg
+  * row) measured at scale: the same plain spark.sql statements — a
+  * filtered COUNT(*)/COUNT/MIN/MAX over the shipdate-clustered layout
+  * and the unfiltered COUNT(*) — timed BEFORE any `_graft_index`
+  * exists (full scan) and AFTER it is saved (all-match files answer
+  * from footer metadata, straddlers scan; the unfiltered count runs
+  * no scan at all), same session, same window; values asserted equal.
+  * The DictRuleScale discipline: scan first, sidecar second, so the
+  * scan arm structurally cannot be poisoned by discovery. Calm-window
+  * gated; prints one JSON line.
+  *
+  * Usage: runMain graft.ZoneAggScale <sfDir> [blocks] [reps]
+  */
+object ZoneAggScale {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ZoneAggScale <sfDir> [blocks] [reps]")
+    val sfDir = args(0)
+    val blocks = if (args.length > 1) args(1).toInt else 64
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    BenchWindow.satProbe(spark) // codegen warm
+
+    val sfName = new java.io.File(sfDir).getName
+    val out = s"target/scratch/zoneaggscale/$sfName/lineitem"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      graft.sources.MicroBlockWriter.write(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_shipdate", "l_returnflag", "l_linenumber", "l_quantity"),
+        out, "l_shipdate", blocks)
+    }
+    // scan arm first, sidecar second (the DictRuleScale discipline) —
+    // scrub anything a previous run left
+    val sidecar = new org.apache.hadoop.fs.Path(
+      graft.sources.MicroBlockIndex.sidecarPath(out))
+    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sidecar, true)
+    graft.sources.SidecarManifest.invalidateAll()
+
+    spark.read.parquet(out).createOrReplaceTempView("zas_li")
+    val qFiltered = """SELECT COUNT(*) AS n, COUNT(l_returnflag) AS nf,
+      |  MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+      |FROM zas_li
+      |WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+    val qStar = "SELECT COUNT(*) AS n FROM zas_li"
+
+    /** The serve's plan signature: a literal Project (fully decided)
+      * or the collapsed count(1)+<metadata literal> aggregate. */
+    def served(df: org.apache.spark.sql.DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
+      df.queryExecution.optimizedPlan match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.exists(_.exists {
+            case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
+            case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+            case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+            case _ => false
+          })
+        case _ => false
+      }
+    }
+    def med(sql: String): (Double, Seq[String]) = {
+      var v: Seq[String] = Nil
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        v = spark.sql(sql).collect().map(_.toString).toSeq
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (ts(ts.size / 2), v)
+    }
+
+    val MaxAttempts = 3
+    var attempt = 0
+    var calm = false
+    var calmRef = -1.0
+    var satStart = -1.0
+    var satEnd = -1.0
+    var scanF = -1.0; var scanS = -1.0
+    var serveF = -1.0; var serveS = -1.0
+    var buildSec = -1.0
+    var vF: Seq[String] = Nil; var vS: Seq[String] = Nil
+    while (attempt < MaxAttempts && !calm) {
+      attempt += 1
+      satStart = BenchWindow.satProbe(spark)
+      // scan arm (sidecar deleted above / rebuilt below per attempt)
+      if (attempt > 1) {
+        sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sidecar, true)
+        graft.sources.SidecarManifest.invalidateAll()
+      }
+      require(!served(spark.sql(qFiltered)) && !served(spark.sql(qStar)),
+        "scan arm must not see a sidecar")
+      val a = med(qFiltered); scanF = a._1; vF = a._2
+      val b = med(qStar); scanS = b._1; vS = b._2
+      // one-time indexing cost
+      val tB = System.nanoTime()
+      graft.sources.MicroBlockIndex.saveSidecar(
+        graft.sources.MicroBlockIndex.build(spark, out, "li"), out)
+      buildSec = (System.nanoTime() - tB) / 1e9
+      require(served(spark.sql(qFiltered)) && served(spark.sql(qStar)),
+        "transparent arm must serve from the sidecar")
+      val c = med(qFiltered); serveF = c._1
+      require(c._2 == vF, s"filtered arms diverged: ${c._2} vs $vF")
+      val d = med(qStar); serveS = d._1
+      require(d._2 == vS, s"count-star arms diverged: ${d._2} vs $vS")
+      satEnd = BenchWindow.satProbe(spark)
+      calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
+      calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
+      if (!calm && attempt < MaxAttempts) {
+        System.err.println(s"zoneaggscale window NOISY (attempt $attempt) — retrying")
+        Thread.sleep(30000)
+      }
+    }
+    println(s"""{"bench":"zone_agg_scale","sf":"$sfDir","reps":$reps,"blocks":$blocks,"filtered_scan_sec":$scanF,"filtered_serve_sec":$serveF,"countstar_scan_sec":$scanS,"countstar_serve_sec":$serveS,"index_build_sec":$buildSec,"values_equal":true,"sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}""")
+    spark.stop()
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Transparent ZONE-STATS serving for plain-SQL global
   * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` — filtered or
@@ -30,15 +30,17 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *     trusted (≥ 0) null count AND the column's blocks must cover
   *     the whole file (a column absent from a block's footer hides
   *     rows).
-  *   - `MIN/MAX(col)`: footer min/max, with THREE refusals baked in.
-  *     Only byte/short/int columns serve — the index stores the
-  *     numeric view as Double, which is exact for int32 but not for
-  *     int64 past 2^53, and float/double footer stats EXCLUDE NaN
+  *   - `MIN/MAX(col)`: the sidecar's EXACT integral stats view
+  *     (BlockStat.minLong/maxLong — the Double view is lossy for
+  *     int64 past 2^53): ints of any width, dates (int32 days) and
+  *     MICROS timestamps serve; a MILLIS/NANOS timestamp records no
+  *     integral stats at build time and its files fall to the scan
+  *     side, as do files indexed by a sidecar predating the fields.
+  *     Float/double REFUSE outright — their footer stats EXCLUDE NaN
   *     while Spark's MAX orders NaN above everything (a NaN row would
   *     make the metadata answer wrong). A block with absent min/max
   *     is trusted only when its null count PROVES it all-null
-  *     (MIN ignores nulls); anything else sends the file to the scan
-  *     side.
+  *     (MIN ignores nulls).
   * Files that fail a trust test are not refused — they fall into the
   * scan side with the straddlers, so partial metadata still serves.
   *
@@ -108,10 +110,15 @@ object ZoneAggRule {
   private final case class MinCol(c: String, t: DataType) extends Kind
   private final case class MaxCol(c: String, t: DataType) extends Kind
 
-  /** Int-width types whose Double footer view is exact and NaN-free. */
-  private def intLike(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType => true
-    case _                                  => false
+  /** Types whose footer stats land EXACTLY in the sidecar's integral
+    * view (BlockStat.minLong/maxLong): plain ints of any width, dates
+    * (int32 days), MICROS timestamps (the builder records None for
+    * other units). Float/double stay refused — their footer stats
+    * EXCLUDE NaN while Spark's MAX orders NaN above everything. */
+  private def exactType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
   }
 
   private def recognize(agg: Aggregate): Option[Seq[(Alias, Kind)]] = {
@@ -120,9 +127,9 @@ object ZoneAggRule {
         fn match {
           case Count(Seq(l: Literal)) if l.value != null => Some((al, CountStar))
           case Count(Seq(a: AttributeReference)) => Some((al, CountCol(a.name)))
-          case Min(a: AttributeReference) if intLike(a.dataType) =>
+          case Min(a: AttributeReference) if exactType(a.dataType) =>
             Some((al, MinCol(a.name, a.dataType)))
-          case Max(a: AttributeReference) if intLike(a.dataType) =>
+          case Max(a: AttributeReference) if exactType(a.dataType) =>
             Some((al, MaxCol(a.name, a.dataType)))
           case _ => None
         }
@@ -160,7 +167,7 @@ object ZoneAggRule {
   private final case class Snap(
       fileRows: Map[String, Long],
       perCol: Map[(String, String), (Long, Long, Long, Long,
-        Option[Double], Option[Double])])
+        Option[Long], Option[Long])])
 
   private val snapCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, String), Snap](16, 0.75f, true) {
@@ -178,31 +185,33 @@ object ZoneAggRule {
     val built =
       try {
         import org.apache.spark.sql.functions._
-        val zoneIdx = spark.read.parquet(
-          graft.sources.MicroBlockIndex.sidecarPath(rootPath))
+        // load, not a raw read: back-fills minLong/maxLong on sidecars
+        // predating the exact integral view (null = unknown = scan)
+        val zoneIdx = graft.sources.MicroBlockIndex.load(spark,
+          graft.sources.MicroBlockIndex.sidecarPath(rootPath)).toDF()
         val fileRows = zoneIdx
           .select(col("file"), col("blockId"), col("rows")).distinct()
           .groupBy(col("file")).agg(sum(col("rows")).as("r"))
           .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
         val perCol =
           if (cols.isEmpty) Map.empty[(String, String),
-            (Long, Long, Long, Long, Option[Double], Option[Double])]
+            (Long, Long, Long, Long, Option[Long], Option[Long])]
           else zoneIdx.filter(col("column").isin(cols: _*))
             .groupBy(col("column"), col("file"))
             .agg(
               sum(col("rows")).as("rowsSum"),
               min(col("nullCount")).as("ncMin"),
               sum(col("nullCount")).as("ncSum"),
-              sum(when(col("minNum").isNull &&
+              sum(when(col("minLong").isNull &&
                 !(col("nullCount") === col("rows")), 1L)
                 .otherwise(0L)).as("untrustedMM"),
-              min(col("minNum")).as("mn"),
-              max(col("maxNum")).as("mx"))
+              min(col("minLong")).as("mn"),
+              max(col("maxLong")).as("mx"))
             .collect().map { r =>
               (r.getString(0), norm(r.getString(1))) ->
                 ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-                  if (r.isNullAt(6)) None else Some(r.getDouble(6)),
-                  if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+                  if (r.isNullAt(6)) None else Some(r.getLong(6)),
+                  if (r.isNullAt(7)) None else Some(r.getLong(7))))
             }.toMap
         Some(Snap(fileRows, perCol))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -323,14 +332,22 @@ object ZoneAggRule {
     inRewrite.set(java.lang.Boolean.TRUE)
     try {
       import org.apache.spark.sql.functions._
-      def typedLit(v: Option[Double], t: DataType)
-          : org.apache.spark.sql.Column = v match {
-        case None => lit(null).cast(t)
-        case Some(d) => t match {
-          case ByteType  => lit(d.toByte)
-          case ShortType => lit(d.toShort)
-          case _         => lit(d.toInt)
+      // a typed Catalyst literal from the exact integral view —
+      // internal representations: ints as their width, DateType as
+      // int32 days, timestamps as int64 micros
+      def typedLit(v: Option[Long], t: DataType)
+          : org.apache.spark.sql.Column = {
+        val l = v match {
+          case None => Literal(null, t)
+          case Some(d) => t match {
+            case ByteType    => Literal(d.toByte, t)
+            case ShortType   => Literal(d.toShort, t)
+            case IntegerType => Literal(d.toInt, t)
+            case DateType    => Literal(d.toInt, t)
+            case _           => Literal(d, t) // long / timestamp micros
+          }
         }
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(l)
       }
       val metaCols: Seq[org.apache.spark.sql.Column] = pairs.map {
         case (_, CountStar) =>

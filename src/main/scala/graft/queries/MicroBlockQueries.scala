@@ -649,8 +649,9 @@ object MicroBlockQueries {
     // layout, with ONE straddler-only scan (plans/ZoneAggRule). The
     // most common interactive query at 100 TB is `SELECT COUNT(*)
     // WHERE p` — this row pins the exact-answers contract (row
-    // counts − null counts for COUNT, int-typed footer min/max for
-    // MIN/MAX; trust rules and refusals in ZoneAggRuleSpec). The
+    // counts − null counts for COUNT; the EXACT integral stats view
+    // for MIN/MAX over ints of any width and MICROS timestamps —
+    // trust rules and refusals in ZoneAggRuleSpec). The
     // require proves the Aggregate was REPLACED (optimized root is
     // the rewrite's Project — file-count checks can't discriminate
     // because the pruner alone also shrinks the listing). Oracle =
@@ -658,21 +659,29 @@ object MicroBlockQueries {
     QueryDef.sql(
       "mb_zone_agg",
       """SELECT COUNT(*) AS n_rows, COUNT(l_returnflag) AS n_flag,
-        |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+        |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln,
+        |  MIN(l_suppkey) AS min_supp, MAX(l_shipdate) AS max_ship
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
       val path = microPath(s, dir)
       val zoneSuccess = Paths.get(
         graft.sources.MicroBlockIndex.sidecarPath(path), "_SUCCESS")
-      if (!Files.exists(zoneSuccess) ||
-          Files.getLastModifiedTime(zoneSuccess).toMillis <
-            Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis)
+      // stale when missing, older than the layout, or predating the
+      // exact integral stats the int64/timestamp serves need (scratch
+      // sidecars persist across runs)
+      val stale = !Files.exists(zoneSuccess) ||
+        Files.getLastModifiedTime(zoneSuccess).toMillis <
+          Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+        !s.read.parquet(graft.sources.MicroBlockIndex.sidecarPath(path))
+          .columns.contains("minLong")
+      if (stale)
         graft.sources.MicroBlockIndex.saveSidecar(
           graft.sources.MicroBlockIndex.build(s, path, "lineitem"), path)
       s.read.parquet(path).createOrReplaceTempView("graft_zone_agg_li")
       val df = s.sql(
         """SELECT COUNT(*) AS n_rows, COUNT(l_returnflag) AS n_flag,
-          |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+          |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln,
+          |  MIN(l_suppkey) AS min_supp, MAX(l_shipdate) AS max_ship
           |FROM graft_zone_agg_li
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
       // the serve's signature: either a pure literal Project (fully

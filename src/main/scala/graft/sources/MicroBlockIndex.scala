@@ -15,8 +15,15 @@ import scala.jdk.CollectionConverters._
   * table/column/row-group ids, row range, byte offset/length, min/max/
   * null_count, compression). `minNum`/`maxNum` carry the numeric view
   * (ints, doubles, timestamp epochs) used for range pruning; `minStr`/
-  * `maxStr` the lexical view for string columns.
-  */
+  * `maxStr` the lexical view for string columns; `minLong`/`maxLong`
+  * (round 13) the EXACT integral view — the Double view is lossy for
+  * int64 past 2^53, which pruning tolerates (a widened range only
+  * keeps more) but VALUE SERVING ([[graft.plans.ZoneAggRule]] MIN/MAX)
+  * cannot. Only populated where the physical long is the value's
+  * faithful representation: plain ints, dates (days), MICROS
+  * timestamps — a MILLIS/NANOS timestamp or time-of-day column records
+  * None so the serve falls back to scanning it. Sidecars written
+  * before these fields existed back-fill None on [[load]]. */
 final case class BlockStat(
     table: String,
     file: String,
@@ -31,7 +38,9 @@ final case class BlockStat(
     minNum: Option[Double],
     maxNum: Option[Double],
     minStr: Option[String],
-    maxStr: Option[String])
+    maxStr: Option[String],
+    minLong: Option[Long] = None,
+    maxLong: Option[Long] = None)
 
 /** Per-block serving metadata — what the engine's driver-side cache /
   * prefetch orchestration actually needs: ONE small row per block
@@ -134,6 +143,23 @@ object MicroBlockIndex {
             if (stats == null || !stats.hasNonNullValue) (None, None, None, None)
             else (numeric(stats.genericGetMin), numeric(stats.genericGetMax),
               lexical(stats.genericGetMin), lexical(stats.genericGetMax))
+          // the exact integral view: only where the physical long IS
+          // the value (MILLIS/NANOS timestamps and time-of-day columns
+          // would serve in the wrong unit — record None, the value
+          // server scans those files instead)
+          val unitUnsafe = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation =>
+              t.getUnit != org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimeUnit.MICROS
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimeLogicalTypeAnnotation => true
+            case _ => false
+          }
+          val (minL, maxL) =
+            if (stats == null || !stats.hasNonNullValue || unitUnsafe)
+              (None, None)
+            else (integral(stats.genericGetMin), integral(stats.genericGetMax))
           BlockStat(
             table = table,
             file = file,
@@ -145,7 +171,8 @@ object MicroBlockIndex {
             nullCount = if (stats == null) -1L else stats.getNumNulls,
             bytes = cc.getTotalSize,
             codec = cc.getCodec.toString,
-            minNum = minN, maxNum = maxN, minStr = minS, maxStr = maxS)
+            minNum = minN, maxNum = maxN, minStr = minS, maxStr = maxS,
+            minLong = minL, maxLong = maxL)
         }
       }
     } finally reader.close()
@@ -156,6 +183,12 @@ object MicroBlockIndex {
     case l: java.lang.Long    => Some(l.doubleValue)
     case f: java.lang.Float   => Some(f.doubleValue)
     case d: java.lang.Double  => Some(d.doubleValue)
+    case _                    => None
+  }
+
+  private def integral(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
     case _                    => None
   }
 
@@ -258,9 +291,17 @@ object MicroBlockIndex {
     existing.unionAll(spark.createDataset(appended))
   }
 
+  /** Load a saved index, BACK-FILLING columns older sidecars predate
+    * (minLong/maxLong, round 13) with nulls — absent exact stats are
+    * "unknown", which every consumer already treats conservatively. */
   def load(spark: SparkSession, path: String): Dataset[BlockStat] = {
     import spark.implicits._
-    spark.read.parquet(path).as[BlockStat]
+    import org.apache.spark.sql.functions.lit
+    var df = spark.read.parquet(path)
+    Seq("minLong", "maxLong").foreach { c =>
+      if (!df.columns.contains(c)) df = df.withColumn(c, lit(null).cast("long"))
+    }
+    df.as[BlockStat]
   }
 
   def listParquetFiles(tablePath: String): Seq[String] =

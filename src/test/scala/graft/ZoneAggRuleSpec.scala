@@ -151,14 +151,75 @@ class ZoneAggRuleSpec extends AnyFunSuite {
     assert(rb.getLong(0) == 0L && rb.isNullAt(1))
   }
 
-  test("refusals: long/double MIN, incomplete predicate, everywhere-straddling predicate") {
+  test("int64 and MICROS-timestamp MIN/MAX serve exactly from the integral stats view") {
+    import spark.implicits._
+    val out = scratch("wide")
+    // values past 2^53: the Double stats view rounds these (2^60 and
+    // 2^60+1 collapse); the integral view must not
+    val bigBase = 1L << 60
+    val df = Seq.tabulate(200) { i =>
+      (i.toLong, bigBase + i, java.sql.Timestamp.valueOf(
+        s"2024-01-01 00:00:${i % 60}.${(i % 10)}00001"))
+    }.toDF("id", "big", "ts")
+    // MICROS explicitly: Spark's default INT96 timestamps carry NO
+    // footer stats at all (Binary min/max), so only the MICROS layout
+    // can metadata-serve — the unit every modern writer uses
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      graft.sources.MicroBlockWriter.write(df, out, "id", 2)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_w")
+    val q = "SELECT MIN(big) AS mnb, MAX(big) AS mxb, " +
+      "MIN(ts) AS mnt, MAX(ts) AS mxt FROM za_w WHERE id < 1000"
+    val servedDf = spark.sql(q)
+    assert(served(servedDf), "int64/timestamp MIN/MAX must serve")
+    assert(baseFilesRead(servedDf, "zoneagg/wide").isEmpty,
+      "both files all-match and integral-trusted: no scan")
+    val truth = spark.read.parquet(out)
+      .agg(min(col("big")).as("mnb"), max(col("big")).as("mxb"),
+        min(col("ts")).as("mnt"), max(col("ts")).as("mxt"))
+    assert(rows(servedDf) == rows(truth),
+      "served values must be bit-exact past 2^53 and to the microsecond")
+  }
+
+  test("a MILLIS-unit timestamp column falls back to the scan, exactly") {
+    import spark.implicits._
+    val out = scratch("millis")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      val df = Seq.tabulate(100)(i => (i.toLong, java.sql.Timestamp.valueOf(
+        s"2024-03-0${i % 9 + 1} 10:00:00"))).toDF("id", "ts")
+      graft.sources.MicroBlockWriter.write(df, out, "id", 2)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_m")
+    // the builder recorded NO integral stats for the MILLIS column
+    // (serving its physical longs as micros would be 1000x off), so
+    // every file is untrusted for MIN(ts) -> scan side = whole table
+    // -> the maxScanFraction gate refuses; the answer stays exact
+    val q = "SELECT MIN(ts) AS mn FROM za_m WHERE id < 1000"
+    val refusedDf = spark.sql(q)
+    assert(!served(refusedDf), "a MILLIS timestamp must not serve from metadata")
+    assert(rows(refusedDf) == rows(spark.read.parquet(out)
+      .filter(col("id") < 1000).agg(min(col("ts")).as("mn"))))
+  }
+
+  test("refusals: double MIN/MAX, incomplete predicate, everywhere-straddling predicate") {
     val base = fixture
     spark.read.parquet(base).createOrReplaceTempView("za_t3")
-    // l_suppkey is int64: its Double footer view is lossy past 2^53
+    // l_suppkey is int64: the integral stats view serves it exactly
     val longMin = spark.sql(
       "SELECT MIN(l_suppkey) AS m FROM za_t3 " +
         "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'")
-    assert(!served(longMin), "int64 MIN must refuse the serve")
+    assert(served(longMin), "int64 MIN serves via the integral view")
+    assert(rows(longMin) == rows(spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00")
+      .agg(min(col("l_suppkey")).as("m"))))
     // l_quantity is double: footer stats exclude NaN, Spark's MAX does not
     val dblMax = spark.sql(
       "SELECT MAX(l_quantity) AS m FROM za_t3 " +
