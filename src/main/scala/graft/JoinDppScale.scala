@@ -50,14 +50,8 @@ object JoinDppScale {
     // DPP (the pre-fix r13 run did exactly that; its keptScan
     // assertion below would have caught it). Scrub any sidecar a
     // previous run left behind for the same reason.
-    val staleSidecar = java.nio.file.Paths.get(
-      graft.sources.DictionaryIndex.sidecarPath(out))
-    if (java.nio.file.Files.exists(staleSidecar)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(staleSidecar).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      graft.sources.SidecarManifest.invalidate(out)
-    }
+    graft.sources.DictionaryIndex.deleteSidecar(
+      out, spark.sparkContext.hadoopConfiguration)
     val idx = graft.sources.DictionaryIndex.build(spark, out, "li",
       Seq("l_suppkey")).toDF().persist()
     idx.count()

@@ -52,14 +52,8 @@ object JoinDppStarScale {
         out, Seq("l_suppkey", "l_partkey"), blocks)
     }
     // scrub any sidecar a previous run left (discovery poisons the A/B)
-    val staleSidecar = java.nio.file.Paths.get(
-      graft.sources.DictionaryIndex.sidecarPath(out))
-    if (java.nio.file.Files.exists(staleSidecar)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(staleSidecar).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      graft.sources.SidecarManifest.invalidate(out)
-    }
+    graft.sources.DictionaryIndex.deleteSidecar(
+      out, spark.sparkContext.hadoopConfiguration)
     val idx = graft.sources.DictionaryIndex.build(spark, out, "li",
       Seq("l_suppkey", "l_partkey")).toDF().persist()
     idx.count()

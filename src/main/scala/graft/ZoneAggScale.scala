@@ -57,22 +57,8 @@ object ZoneAggScale {
       |WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
     val qStar = "SELECT COUNT(*) AS n FROM zas_li"
 
-    /** The serve's plan signature: a literal Project (fully decided)
-      * or the collapsed count(1)+<metadata literal> aggregate. */
-    def served(df: org.apache.spark.sql.DataFrame): Boolean = {
-      import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
-      df.queryExecution.optimizedPlan match {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-          a.aggregateExpressions.exists(_.exists {
-            case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
-            case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-            case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-            case _ => false
-          })
-        case _ => false
-      }
-    }
+    def served(df: org.apache.spark.sql.DataFrame): Boolean =
+      graft.plans.ZoneAggRule.servedSignature(df.queryExecution.optimizedPlan)
     def med(sql: String): (Double, Seq[String]) = {
       var v: Seq[String] = Nil
       val ts = (1 to reps).map { _ =>

@@ -310,43 +310,15 @@ object DictDistinctRule {
     case _ => None
   }
 
-  // tri-state decision memo: (root, pred, live hash) -> (allTrue,
-  // allFalse) norm sets, valid only while the SAME zone index frame is
-  // registered (exact identity via WeakReference — an identity-hash
-  // key could collide across re-registrations and reuse a stale
-  // decision: wrong answers)
-  private val triCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, String, Int),
-        (java.lang.ref.WeakReference[AnyRef], Set[String], Set[String])](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int),
-            (java.lang.ref.WeakReference[AnyRef], Set[String], Set[String])])
-          : Boolean = size > 128
-    })
-
-  private def triStateFor(spark: SparkSession, rootPath: String,
-      zoneIdx: org.apache.spark.sql.DataFrame, pred: Pred,
-      liveFiles: Set[String]): Option[(Set[String], Set[String])] = {
-    val key = (norm(rootPath), pred.toString, liveFiles.hashCode)
-    val hit = triCache.get(key)
-    if (hit != null && (hit._1.get eq zoneIdx)) return Some((hit._2, hit._3))
-    inRewrite.set(java.lang.Boolean.TRUE)
-    val computed =
-      try {
-        val rows = IndexPruning.fileTriState(zoneIdx, pred).collect()
-          .map(r => (norm(r.getString(0)), r.getBoolean(1), r.getBoolean(2)))
-        val allTrue = rows.collect { case (f, true, _) => f }.toSet & liveFiles
-        val allFalse = rows.collect { case (f, _, true) => f }.toSet & liveFiles
-        Some((allTrue, allFalse))
-      } catch { case scala.util.control.NonFatal(_) => None }
-      finally inRewrite.set(java.lang.Boolean.FALSE)
-    computed.foreach { case (t, f) =>
-      triCache.put(key,
-        (new java.lang.ref.WeakReference[AnyRef](zoneIdx), t, f))
-    }
-    computed
-  }
+  // Tri-state decisions are SHARED with the zone-stats serve
+  // ([[ZoneAggRule.triStateFor]]): loaded from the `_graft_index`
+  // sidecar itself, keyed by its `_SUCCESS` mtime — a rebuilt zone
+  // sidecar is picked up immediately, where the zone registry's
+  // discovery memo would keep serving the pre-rebuild frame for the
+  // session's lifetime (a rewritten-in-place file could then be
+  // falsely proved all-true even though the DICT gates pass on its
+  // refreshed sidecar). Callers intersect with the live listing and
+  // gate live mtimes against the zone sidecar's build time.
 
   /** `COUNT(DISTINCT col)[, ...] WHERE p` over a dict-indexed table
     * whose ZONE-MAP stats decide p for (most) whole files: files
@@ -386,9 +358,16 @@ object DictDistinctRule {
       cols = pairs.map(_._2).map(a => a.name).distinct
       if cols.forall(c => cov.coveredByColumn.contains(c) &&
         !cov.mixedTypeColumns.contains(c))
-      zoneIdx <- ZoneMapPruneRule.indexFor(roots.head, spark)
-      (allTrue, allFalse) <- triStateFor(spark, roots.head, zoneIdx, pred,
-        liveFiles)
+      zoneMtime <- ZoneAggRule.sidecarMtime(roots.head, spark)
+      // no live file newer than the zone index: its all-true proofs
+      // are build-time claims (the dict gates only protect the DICT
+      // sidecar's freshness)
+      if ZoneMapPruneRule.liveStatsOf(hfs).valuesIterator
+        .forall(_._1 <= zoneMtime)
+      (allTrueRaw, allFalseRaw) <- ZoneAggRule.triStateFor(
+        spark, roots.head, zoneMtime, pred)
+      allTrue = allTrueRaw & liveFiles
+      allFalse = allFalseRaw & liveFiles
       undecided = liveFiles -- allTrue -- allFalse
       // the widest per-column scan side decides the fire gate
       maxScan = cols.map(c => (undecided ++
@@ -518,9 +497,13 @@ object DictDistinctRule {
       if statsCurrent(cov, hfs)
       if cov.coveredByColumn.contains(out.name) &&
         !cov.mixedTypeColumns.contains(out.name)
-      zoneIdx <- ZoneMapPruneRule.indexFor(roots.head, spark)
-      (allTrue, allFalse) <- triStateFor(spark, roots.head, zoneIdx, pred,
-        liveFiles)
+      zoneMtime <- ZoneAggRule.sidecarMtime(roots.head, spark)
+      if ZoneMapPruneRule.liveStatsOf(hfs).valuesIterator
+        .forall(_._1 <= zoneMtime)
+      (allTrueRaw, allFalseRaw) <- ZoneAggRule.triStateFor(
+        spark, roots.head, zoneMtime, pred)
+      allTrue = allTrueRaw & liveFiles
+      allFalse = allFalseRaw & liveFiles
       undecided = liveFiles -- allTrue -- allFalse
       covered = cov.coveredByColumn(out.name)
       dictFiles = (allTrue & covered).filter(f => !out.nullable ||

@@ -114,13 +114,37 @@ object IndexPruning {
   private def strDefined(st: Column): Column =
     st.isNotNull && st.getField("minStr").isNotNull && st.getField("maxStr").isNotNull
 
+  /** The Double stats view is EXACT only strictly inside ±2^53: an
+    * int64 value of 2^53+1 and its neighbor 2^53 round to the SAME
+    * double, and rounding is monotone but not strict — so REFUTATION
+    * stays sound under rounding (round(min) ≤ round(v) ≤ round(max)
+    * whenever min ≤ v ≤ max: a present value is never refuted) but an
+    * ALL-MATCH proof does not: `min >= round(lit)` can hold while
+    * `min >= lit` fails by one ulp, falsely proving a file all-true
+    * and serving wrong metadata answers. Strictly-inside-±2^53 is the
+    * exactness certificate for all three operands: any long that
+    * ROUNDS strictly below 2^53 IS its rounded double (the nearest
+    * representable neighbors of an out-of-range long are ≥ 2^53), so
+    * gating |min|, |max| and |lit| < 2^53 makes every compared value
+    * exact. Timestamps (micros) sit inside the bound for ±285 years
+    * around the epoch; giant raw doubles lose provability, never
+    * correctness. */
+  private val ExactDoubleBound = 9007199254740992.0 // 2^53
+  private def numExact(st: Column): Column =
+    abs(st.getField("minNum")) < lit(ExactDoubleBound) &&
+      abs(st.getField("maxNum")) < lit(ExactDoubleBound)
+  private def litExact(x: Double): Boolean =
+    math.abs(x) < ExactDoubleBound
+
   /** ALL-rows-match as a Column — the T-proof dual of [[keepColumn]]
     * (which proves "no row can match"). Sound ONLY for a COMPLETE
     * predicate ([[PredicateExtractor.convertComplete]]): a weakened
     * predicate's T-proof says nothing about its dropped conjuncts.
     * Every comparison leaf additionally requires a TRUSTED ZERO null
     * count — null rows fail every comparison, so "every row matches"
-    * needs none. The conservative fallthrough is FALSE ("unproven"),
+    * needs none — and, for numeric comparisons, the ±2^53 exactness
+    * certificate ([[numExact]]/[[litExact]]) on stats and literal
+    * alike. The conservative fallthrough is FALSE ("unproven"),
     * the opposite direction from keepColumn's TRUE ("keep"). */
   def allMatchColumn(pred: Pred, stats: Column): Column = pred match {
     case And(l, r) => allMatchColumn(l, stats) && allMatchColumn(r, stats)
@@ -130,8 +154,9 @@ object IndexPruning {
 
     case Between(c, lo, hi) =>
       val st = element_at(stats, lit(c))
-      val num = for { l <- lo.num; h <- hi.num } yield
-        when(numDefined(st) && noNulls(st),
+      val num = for { l <- lo.num; h <- hi.num
+        if litExact(l) && litExact(h) } yield
+        when(numDefined(st) && numExact(st) && noNulls(st),
           st.getField("minNum") >= lit(l) && st.getField("maxNum") <= lit(h))
       val str = for { l <- lo.str; h <- hi.str } yield
         when(strDefined(st) && noNulls(st),
@@ -143,8 +168,8 @@ object IndexPruning {
       // value is in the list
       val st = element_at(stats, lit(c))
       val hit = vs.map { v =>
-        val num = v.num.map(x =>
-          when(numDefined(st) && noNulls(st),
+        val num = v.num.filter(litExact).map(x =>
+          when(numDefined(st) && numExact(st) && noNulls(st),
             st.getField("minNum") === lit(x) && st.getField("maxNum") === lit(x)))
         val str = v.str.map(x =>
           when(strDefined(st) && noNulls(st),
@@ -166,8 +191,9 @@ object IndexPruning {
       }
       val num = for {
         x <- v.num
+        if litExact(x)
         f <- numCmp(st.getField("minNum"), st.getField("maxNum"))
-      } yield when(numDefined(st) && noNulls(st), f(lit(x)))
+      } yield when(numDefined(st) && numExact(st) && noNulls(st), f(lit(x)))
       val str = for {
         x <- v.str
         f <- numCmp(st.getField("minStr"), st.getField("maxStr"))

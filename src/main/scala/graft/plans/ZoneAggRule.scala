@@ -91,7 +91,7 @@ object ZoneAggRule {
     * itself rather than going through the zone registry's discovery
     * memo, which would keep serving the pre-rebuild frame for the
     * session's lifetime. */
-  private def sidecarMtime(rootPath: String,
+  private[plans] def sidecarMtime(rootPath: String,
       session: SparkSession): Option[Long] =
     if (!graft.sources.SidecarManifest.has(rootPath, session, "_graft_index"))
       None
@@ -103,6 +103,31 @@ object ZoneAggRule {
         if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The serve's PLAN SIGNATURE, for callers that must PROVE the
+    * rewrite fired on a global-aggregate query (the gate row's
+    * require, ZoneAggRuleSpec, ZoneAggScale): a fully-decided query
+    * optimizes to a literal Project; a partial serve collapses into an
+    * Aggregate whose expressions COMBINE a metadata literal with the
+    * straddler scan's aggregate (count(1) + <lit>, least(<lit>, min),
+    * greatest(<lit>, max)) — a refused plain aggregate has no such
+    * combining node. One definition so a future plan-shape change
+    * cannot silently desynchronize the detectors. Only meaningful on
+    * plans whose ORIGINAL form is a bare global Aggregate. */
+  def servedSignature(plan: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least}
+    plan match {
+      case _: Project => true
+      case a: Aggregate =>
+        a.aggregateExpressions.exists(_.exists {
+          case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
+          case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+          case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
+          case _ => false
+        })
+      case _ => false
+    }
+  }
 
   private sealed trait Kind
   private case object CountStar extends Kind
@@ -202,7 +227,7 @@ object ZoneAggRule {
               sum(col("rows")).as("rowsSum"),
               min(col("nullCount")).as("ncMin"),
               sum(col("nullCount")).as("ncSum"),
-              sum(when(col("minLong").isNull &&
+              sum(when((col("minLong").isNull || col("maxLong").isNull) &&
                 !(col("nullCount") === col("rows")), 1L)
                 .otherwise(0L)).as("untrustedMM"),
               min(col("minLong")).as("mn"),
@@ -230,7 +255,7 @@ object ZoneAggRule {
             (Set[String], Set[String])]): Boolean = size > 128
     })
 
-  private def triStateFor(spark: SparkSession, rootPath: String,
+  private[plans] def triStateFor(spark: SparkSession, rootPath: String,
       mtime: Long, pred: Pred): Option[(Set[String], Set[String])] = {
     val key = (norm(rootPath), mtime, pred.toString)
     val hit = triCache.get(key)

@@ -684,23 +684,10 @@ object MicroBlockQueries {
           |  MIN(l_suppkey) AS min_supp, MAX(l_shipdate) AS max_ship
           |FROM graft_zone_agg_li
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
-      // the serve's signature: either a pure literal Project (fully
-      // decided) or the collapsed count(1)+<metadata literal> /
-      // least(<lit>, min) aggregate — a refused plain aggregate has no
-      // literal-combining node (file counts can't discriminate: the
-      // pruner alone also shrinks the listing)
-      val servedFired = df.queryExecution.optimizedPlan match {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-          import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
-          a.aggregateExpressions.exists(_.exists {
-            case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
-            case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-            case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-            case _ => false
-          })
-        case _ => false
-      }
+      // file counts can't discriminate (the pruner alone also shrinks
+      // the listing) — check the serve's plan signature instead
+      val servedFired = graft.plans.ZoneAggRule
+        .servedSignature(df.queryExecution.optimizedPlan)
       require(servedFired,
         "zone-stats aggregate serve did not replace the Aggregate")
       df

@@ -585,6 +585,19 @@ object DictionaryIndex {
     SidecarManifest.invalidate(tablePath)
   }
 
+  /** Delete the table's `_graft_dict` sidecar tree (if any) and drop
+    * the shared-manifest memo. Bench harnesses use this to guarantee
+    * an UNPOISONED scan arm: unregisterDict alone is not enough —
+    * sidecar DISCOVERY re-finds any on-disk sidecar, and the A/B
+    * silently measures DPP vs DPP (the r13 join-DPP lesson). */
+  def deleteSidecar(tablePath: String,
+      conf: org.apache.hadoop.conf.Configuration = new Configuration()): Unit = {
+    val p = new Path(sidecarPath(tablePath))
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    SidecarManifest.invalidate(tablePath)
+  }
+
   def load(spark: SparkSession, path: String): Dataset[FileDict] = {
     import spark.implicits._
     var df = spark.read.parquet(path)

@@ -154,6 +154,11 @@ object MicroBlockIndex {
                 .TimeUnit.MICROS
             case _: org.apache.parquet.schema.LogicalTypeAnnotation
                 .TimeLogicalTypeAnnotation => true
+            // unsigned ints: the footer's signed accessor SIGN-EXTENDS
+            // (a UINT_32 value of 3e9 reads as a negative Int) — the
+            // integral view would serve negative MIN/MAX
+            case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                .IntLogicalTypeAnnotation if !i.isSigned => true
             case _ => false
           }
           val (minL, maxL) =

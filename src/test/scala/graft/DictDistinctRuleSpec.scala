@@ -418,6 +418,53 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       .select(col("l_returnflag")).distinct()))
   }
 
+  test("filtered serves demand a zone index at least as new as the data") {
+    // the code-review finding: the filtered arms took their all-match
+    // proofs from the zone registry's session-lifetime discovery memo,
+    // so a file rewritten in place AFTER the zone build (but with the
+    // DICT sidecar refreshed — its own gates pass) could be falsely
+    // proved all-true on dead stats. The arms now load the zone
+    // sidecar keyed by its _SUCCESS mtime AND require no live file
+    // newer than it.
+    val base = scratch("zone-fresh")
+    graft.sources.MicroBlockWriter.write(
+      li.limit(8000), base, "l_shipdate", 4)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, base, "li"), base)
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li", Seq("l_suppkey")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_zf")
+    val q = "SELECT COUNT(DISTINCT l_suppkey) AS n FROM dr_zf " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'"
+    assert(scansDict(spark.sql(q)), "fresh zone + dict must serve")
+
+    // touch one data file so it is NEWER than the zone index, and
+    // refresh only the DICT sidecar — every dict gate passes, but the
+    // zone index's all-match claims are now unverifiable
+    val victim = graft.plans.ZoneMapPruneRule.normFile(
+      graft.sources.MicroBlockIndex.listParquetFiles(base).head)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(victim),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    DictionaryIndex.saveSidecar(
+      DictionaryIndex.build(spark, base, "li", Seq("l_suppkey")), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_zf")
+    val stale = spark.sql(q)
+    assert(!scansDict(stale),
+      "a data file newer than the zone index must refuse the filtered serve")
+    assert(rows(stale) == rows(spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1997-06-15 00:00:00")
+      .agg(countDistinct(col("l_suppkey")).as("n"))))
+
+    // rebuilding the zone sidecar serves again IMMEDIATELY — the
+    // mtime-keyed reload; the discovery memo would have kept the
+    // pre-rebuild frame for the session's lifetime
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, base, "li"), base)
+    spark.read.parquet(base).createOrReplaceTempView("dr_zf")
+    assert(scansDict(spark.sql(q)), "a rebuilt zone index must serve again")
+  }
+
   test("filtered DISTINCT null handling: dict-side nulls surface from metadata") {
     import spark.implicits._
     val base = scratch("filtered-distinct-null")

@@ -33,25 +33,10 @@ class ZoneAggRuleSpec extends AnyFunSuite {
 
   private lazy val li = graft.engine.Tables.load(spark, dir, "lineitem")
 
-  /** Did the serve fire AT ALL? Fully-metadata plans optimize to a
-    * Project of literals; partial serves collapse into an Aggregate
-    * whose expressions COMBINE a metadata literal with the straddler
-    * scan's aggregate (count(1) + <lit>, least(<lit>, min), ...) — a
-    * refused plain aggregate has no such combining node. */
-  private def served(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, Least, Literal}
-    df.queryExecution.optimizedPlan match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        a.aggregateExpressions.exists(_.exists {
-          case Add(_: Literal, _, _) | Add(_, _: Literal, _) => true
-          case Least(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-          case Greatest(cs) if cs.exists(_.isInstanceOf[Literal]) => true
-          case _ => false
-        })
-      case _ => false
-    }
-  }
+  /** Did the serve fire AT ALL? One shared detector —
+    * [[graft.plans.ZoneAggRule.servedSignature]]. */
+  private def served(df: DataFrame): Boolean =
+    graft.plans.ZoneAggRule.servedSignature(df.queryExecution.optimizedPlan)
 
   private def baseFilesRead(df: DataFrame, needle: String): Seq[Int] =
     df.queryExecution.optimizedPlan.collect {
@@ -183,6 +168,70 @@ class ZoneAggRuleSpec extends AnyFunSuite {
         min(col("ts")).as("mnt"), max(col("ts")).as("mxt"))
     assert(rows(servedDf) == rows(truth),
       "served values must be bit-exact past 2^53 and to the microsecond")
+  }
+
+  test("int64 values at the 2^53 double boundary never falsely prove all-match") {
+    import spark.implicits._
+    val out = scratch("ulp")
+    // every row holds exactly 2^53; 2^53+1 rounds DOWN to the same
+    // double, so the pre-fix Double-view proof claimed min >= lit for
+    // every file and served the FULL row count — the true answer is 0
+    val big = 9007199254740992L // 2^53
+    val df = Seq.tabulate(100)(i => (i.toLong, big)).toDF("id", "big")
+    graft.sources.MicroBlockWriter.write(df, out, "id", 2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_u")
+    val boundary = spark.sql(
+      "SELECT COUNT(*) AS n FROM za_u WHERE big >= 9007199254740993")
+    assert(boundary.first.getLong(0) == 0L,
+      "no row satisfies >= 2^53+1 — a metadata serve here would be wrong")
+    assert(!served(boundary),
+      "stats outside the +-2^53 exactness certificate must not prove all-match")
+    // the certificate costs provability, never correctness: an
+    // in-range predicate on the same table still serves
+    val ok = spark.sql("SELECT COUNT(*) AS n FROM za_u WHERE id >= 0")
+    assert(served(ok) && ok.first.getLong(0) == 100L)
+  }
+
+  test("unsigned-int columns record no integral stats (sign-extension refusal)") {
+    val out = scratch("uint")
+    val outP = java.nio.file.Paths.get(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(outP.toFile)
+    java.nio.file.Files.createDirectories(outP)
+    // a UINT_32 column holding 3e9: the footer's signed accessor
+    // sign-extends to a NEGATIVE int — a foreign-writer shape Spark
+    // itself never produces (it reads the column back as LongType)
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.intType(32, false))
+      .named("u")
+      .named("spark_schema")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$out/u.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .build()
+    try {
+      val f = new SimpleGroupFactory(schema)
+      (0 until 50).foreach(i => writer.write(
+        f.newGroup().append("u", (3000000000L + i).toInt)))
+    } finally writer.close()
+    val idx = graft.sources.MicroBlockIndex.build(spark, out, "t")
+    val uRows = idx.filter(_.column == "u").collect()
+    assert(uRows.nonEmpty && uRows.forall(r =>
+      r.minLong.isEmpty && r.maxLong.isEmpty),
+      "unsigned columns must record no integral stats")
+    // end-to-end: the serve falls back to the scan and stays exact
+    graft.sources.MicroBlockIndex.saveSidecar(idx, out)
+    spark.read.parquet(out).createOrReplaceTempView("za_uint")
+    val mn = spark.sql("SELECT MIN(u) AS mn FROM za_uint")
+    assert(!served(mn), "a sign-extended integral view would serve negatives")
+    assert(mn.first.getLong(0) == 3000000000L)
   }
 
   test("a MILLIS-unit timestamp column falls back to the scan, exactly") {
