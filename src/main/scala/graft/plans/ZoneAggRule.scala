@@ -290,7 +290,7 @@ object ZoneAggRule {
 
   private[graft] def tryRewrite(
       spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.nonEmpty) return None
+    if (agg.groupingExpressions.nonEmpty) return tryGrouped(spark, agg)
     for {
       pairs <- recognize(agg)
       (condOpt, rel) <- unwrap(agg.child)
@@ -346,6 +346,258 @@ object ZoneAggRule {
       else Project(out, plan)
     }
   }.filter(_ ne agg)
+
+  /** One output entry of a GROUPED aggregate: a grouping attribute
+    * (bare or re-aliased) or a servable aggregate. */
+  private sealed trait GOut
+  private final case class GGroup(src: AttributeReference,
+      name: String, exprId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      dataType: DataType) extends GOut
+  private final case class GAgg(orig: Alias, kind: Kind, idx: Int) extends GOut
+
+  /** GROUP BY over PARTITION columns (round 13 continuation): the
+    * file→partition-value mapping is already exact in the relation's
+    * own FileIndex, so `SELECT part_col, COUNT(*)/COUNT/MIN/MAX …
+    * GROUP BY part_col [WHERE p]` serves zone-decided files from
+    * metadata per group, with one straddler-only scan grouped the
+    * same way and the partials combined (sum counts, min of mins).
+    * The 100 TB shape: per-day / per-tenant row counts over a
+    * date/tenant-partitioned fact, answered without touching data.
+    *
+    * This deliberately avoids the trap that got Spark's own
+    * `metadataOnly` optimization removed: groups come from the files
+    * actually present (an empty partition DIRECTORY has no files, no
+    * rows, and correctly no group), never from a catalog. Grouping on
+    * a DATA column refuses — only partition values are exact per
+    * file. All the global arm's gates apply unchanged (sidecar mtime,
+    * file-set equality, live-mtime ordering, trust per aggregate,
+    * maxScanFraction). */
+  private def tryGrouped(spark: SparkSession,
+      agg: Aggregate): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a
+    }
+    if (groupAttrs.size != agg.groupingExpressions.size) return None
+    // classify outputs; aggregate entries get stable indices
+    var nAggs = 0
+    val entriesOpt = agg.aggregateExpressions.map {
+      case a: AttributeReference
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        Some(GGroup(a, a.name, a.exprId, a.dataType))
+      case al @ Alias(a: AttributeReference, _)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        Some(GGroup(a, al.name, al.exprId, a.dataType))
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        val k = fn match {
+          case Count(Seq(l: Literal)) if l.value != null => Some(CountStar)
+          case Count(Seq(a: AttributeReference)) => Some(CountCol(a.name))
+          case Min(a: AttributeReference) if exactType(a.dataType) =>
+            Some(MinCol(a.name, a.dataType))
+          case Max(a: AttributeReference) if exactType(a.dataType) =>
+            Some(MaxCol(a.name, a.dataType))
+          case _ => None
+        }
+        k.map { kk => val e = GAgg(al, kk, nAggs); nAggs += 1; e }
+      case _ => None
+    }
+    if (entriesOpt.exists(_.isEmpty)) return None
+    val entries = entriesOpt.map(_.get)
+    val kinds = entries.collect { case g: GAgg => g }.sortBy(_.idx)
+    if (kinds.isEmpty) return None
+    for {
+      (condOpt, rel) <- unwrap(agg.child)
+      if condOpt.forall(_.deterministic)
+      hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      roots = hfs.location.rootPaths.toSeq.map(_.toString)
+      if roots.size == 1
+      // group columns must be PARTITION columns; aggregate columns
+      // must be DATA columns
+      if groupAttrs.forall(a =>
+        hfs.partitionSchema.fieldNames.contains(a.name))
+      cols = kinds.map(_.kind).collect {
+        case CountCol(c) => c
+        case MinCol(c, _) => c
+        case MaxCol(c, _) => c
+      }.distinct
+      if cols.forall(hfs.dataSchema.fieldNames.contains)
+      predOpt <- condOpt match {
+        case None => Some(None)
+        case Some(c) => PredicateExtractor.convertComplete(c).map(Some(_))
+      }
+      mtime <- sidecarMtime(roots.head, spark)
+      liveRaw = hfs.location.inputFiles.toSeq
+      liveFiles = liveRaw.map(norm).toSet
+      if liveFiles.nonEmpty
+      snap <- snapshotFor(spark, roots.head, mtime, cols)
+      if snap.fileRows.keySet == liveFiles
+      if ZoneMapPruneRule.liveStatsOf(hfs).valuesIterator.forall(_._1 <= mtime)
+      (allTrueRaw, allFalseRaw) <- predOpt match {
+        case None    => Some((liveFiles, Set.empty[String]))
+        case Some(p) => triStateFor(spark, roots.head, mtime, p)
+      }
+      allTrue = allTrueRaw & liveFiles
+      allFalse = allFalseRaw & liveFiles
+      undecided = liveFiles -- allTrue -- allFalse
+      served = allTrue.filter(f =>
+        kinds.forall(g => trusted(snap, f, g.kind)))
+      scanFiles = undecided ++ (allTrue -- served)
+      maxFrac = try spark.conf.get(
+        "spark.graft.statsServe.maxScanFraction", "0.5").toDouble
+        catch { case scala.util.control.NonFatal(_) => 0.5 }
+      if scanFiles.size <= liveFiles.size * maxFrac
+      plan <- buildGroupedPlan(spark, roots.head, hfs, groupAttrs,
+        kinds, condOpt, snap, served, scanFiles, liveRaw)
+    } yield {
+      // plan output = group columns (in groupAttrs order) ++ partials
+      // (in kinds order); rebind to the original names + exprIds
+      val byGroup = groupAttrs.map(_.name).zip(
+        plan.output.take(groupAttrs.size)).toMap
+      val aggOut = plan.output.drop(groupAttrs.size)
+      val out = entries.map {
+        case GGroup(src, name, id, _) =>
+          Alias(byGroup(src.name), name)(exprId = id): NamedExpression
+        case GAgg(orig, _, i) =>
+          Alias(aggOut(i), orig.name)(exprId = orig.exprId): NamedExpression
+      }
+      if (out.zip(agg.aggregateExpressions)
+          .exists { case (n, o) => n.dataType != o.dataType }) agg
+      else Project(out, plan)
+    }
+  }.filter(_ ne agg)
+
+  /** The grouped serving plan: served files fold into per-group
+    * partials at PLAN time (the file→partition-values map comes from
+    * the relation's FileIndex) shipped as a LocalRelation; the
+    * straddler scan aggregates the same shapes per group (basePath
+    * read — partition columns survive); the union re-aggregates
+    * (counts sum, mins min, maxes max). */
+  private def buildGroupedPlan(spark: SparkSession, rootPath: String,
+      hfs: HadoopFsRelation, groupAttrs: Seq[AttributeReference],
+      kinds: Seq[GAgg], condOpt: Option[Expression], snap: Snap,
+      served: Set[String], scanFiles: Set[String],
+      liveRaw: Seq[String]): Option[LogicalPlan] = {
+    inRewrite.set(java.lang.Boolean.TRUE)
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.catalyst.InternalRow
+      val partSchema = hfs.partitionSchema
+      val gIdx = groupAttrs.map(a => partSchema.fieldIndex(a.name))
+      // file -> this file's group key (internal values, in group order)
+      val fileKey: Map[String, Seq[Any]] =
+        hfs.location.listFiles(Nil, Nil).flatMap { pd =>
+          val key = gIdx.zip(groupAttrs).map { case (i, a) =>
+            pd.values.get(i, a.dataType) }
+          pd.files.map(f => norm(f.getPath.toString) -> key)
+        }.toMap
+      if (!served.forall(fileKey.contains)) return None
+      // fold served files per group: Array(count partials per kind)
+      val partials = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], Array[Any]]
+      served.toSeq.sortBy(identity).foreach { f =>
+        val acc = partials.getOrElseUpdate(fileKey(f),
+          Array.fill[Any](kinds.size)(null))
+        kinds.zipWithIndex.foreach { case (g, i) =>
+          g.kind match {
+            case CountStar =>
+              acc(i) = (if (acc(i) == null) 0L
+                else acc(i).asInstanceOf[Long]) + snap.fileRows(f)
+            case CountCol(c) =>
+              val e = snap.perCol((c, f))
+              acc(i) = (if (acc(i) == null) 0L
+                else acc(i).asInstanceOf[Long]) + (e._1 - e._3)
+            case MinCol(c, t) =>
+              snap.perCol((c, f))._5.foreach { v =>
+                val nv = if (acc(i) == null) v
+                  else math.min(acc(i).asInstanceOf[Long], v)
+                acc(i) = nv
+              }
+            case MaxCol(c, t) =>
+              snap.perCol((c, f))._6.foreach { v =>
+                val nv = if (acc(i) == null) v
+                  else math.max(acc(i).asInstanceOf[Long], v)
+                acc(i) = nv
+              }
+          }
+        }
+      }
+      // typed internal value for a partial
+      def internal(k: Kind, v: Any): Any = (k, v) match {
+        case (_, null) => null
+        case (CountStar | CountCol(_), l) => l
+        case (MinCol(_, t), l: Long) => internalOf(l, t)
+        case (MaxCol(_, t), l: Long) => internalOf(l, t)
+        case _ => null
+      }
+      val groupOut = groupAttrs.map(a =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          a.name, a.dataType, nullable = true)())
+      val partialOut = kinds.map { g =>
+        val t = g.kind match {
+          case MinCol(_, t) => t
+          case MaxCol(_, t) => t
+          case _            => LongType
+        }
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          s"gp${g.idx}", t, nullable = true)()
+      }
+      val metaRows = partials.map { case (key, acc) =>
+        InternalRow.fromSeq(key ++
+          kinds.zipWithIndex.map { case (g, i) => internal(g.kind, acc(i)) })
+      }.toSeq
+      val metaDf = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          groupOut ++ partialOut, metaRows))
+      val scanRaw = liveRaw.filter(f => scanFiles.contains(norm(f)))
+      val df =
+        if (scanRaw.isEmpty) metaDf // already one row per group
+        else {
+          var scan = graft.sources.MicroBlockIndex
+            .readFilesAsTable(spark, rootPath, scanRaw)
+          condOpt.foreach { cond =>
+            val unresolved = cond.transform {
+              case a: AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute.quoted(a.name)
+            }
+            scan = scan.filter(org.apache.spark.sql.graftbridge.ColumnBridge
+              .column(unresolved))
+          }
+          val scanAggs = kinds.map { g =>
+            (g.kind match {
+              case CountStar    => count(lit(1))
+              case CountCol(c)  => count(col(c))
+              case MinCol(c, _) => min(col(c))
+              case MaxCol(c, _) => max(col(c))
+            }).as(s"gp${g.idx}")
+          }
+          val scanAgg = scan.groupBy(groupAttrs.map(a => col(a.name)): _*)
+            .agg(scanAggs.head, scanAggs.tail: _*)
+          val combAggs = kinds.map { g =>
+            (g.kind match {
+              case CountStar | CountCol(_) => sum(col(s"gp${g.idx}"))
+              case MinCol(_, _)            => min(col(s"gp${g.idx}"))
+              case MaxCol(_, _)            => max(col(s"gp${g.idx}"))
+            }).as(s"gf${g.idx}")
+          }
+          // .agg output = group cols ++ gf$i, already in final order
+          metaDf.unionByName(scanAgg)
+            .groupBy(groupAttrs.map(a => col(a.name)): _*)
+            .agg(combAggs.head, combAggs.tail: _*)
+        }
+      val p = df.queryExecution.optimizedPlan
+      if (p.output.size == groupAttrs.size + kinds.size) Some(p) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inRewrite.set(java.lang.Boolean.FALSE)
+  }
+
+  /** Internal (Catalyst) value of the exact integral view for `t`. */
+  private def internalOf(v: Long, t: DataType): Any = t match {
+    case ByteType    => v.toByte
+    case ShortType   => v.toShort
+    case IntegerType => v.toInt
+    case DateType    => v.toInt
+    case _           => v
+  }
 
   /** The serving plan: metadata values folded at PLAN time over the
     * served files, combined with one straddler scan (original filter

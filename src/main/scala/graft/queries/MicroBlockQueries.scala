@@ -693,6 +693,57 @@ object MicroBlockQueries {
       df
     },
 
+    // mb_zone_agg_grouped (round 13): GROUP BY a PARTITION column
+    // served from file metadata — per-status row counts / null-aware
+    // column counts / exact int64 min-max over the hive-partitioned
+    // orders layout, answered without touching a single data file
+    // (the file→partition-value map is already in the FileIndex; the
+    // require proves the plan reads NO file of the layout). This is
+    // the per-day/per-tenant COUNT(*) every 100 TB fact table gets
+    // asked constantly. Deliberately file-driven, not catalog-driven —
+    // the trap that got Spark's own metadataOnly optimization removed
+    // (empty catalog partitions fabricated groups) cannot occur:
+    // groups come from files actually present. Straddler/refusal
+    // shapes are pinned in ZoneAggRuleSpec. Oracle = the same grouped
+    // aggregates full-scanned over the source orders table.
+    QueryDef.sql(
+      "mb_zone_agg_grouped",
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = partitionedOrdersPath(s, dir)
+      val zoneSuccess = Paths.get(
+        graft.sources.MicroBlockIndex.sidecarPath(path), "_SUCCESS")
+      val stale = !Files.exists(zoneSuccess) ||
+        Files.getLastModifiedTime(zoneSuccess).toMillis <
+          Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+        !s.read.parquet(graft.sources.MicroBlockIndex.sidecarPath(path))
+          .columns.contains("minLong")
+      if (stale)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.build(s, path, "orders"), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_zone_grouped_ord")
+      val df = s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_rows,
+          |  COUNT(o_custkey) AS n_cust,
+          |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+          |FROM graft_zone_grouped_ord GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+      val readsBase = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains("/partitioned/"))
+      }
+      require(!readsBase.exists(identity),
+        "grouped zone-stats serve must not read any data file")
+      df
+    },
+
     // mb_join_dpp (round 13): join-driven file pruning end-to-end in
     // the correctness gate — the multi-dim star shape
     // `fact ⋈ dim1 ⋈ dim2` where each dim's filter is on a NON-key

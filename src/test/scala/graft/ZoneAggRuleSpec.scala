@@ -294,6 +294,57 @@ class ZoneAggRuleSpec extends AnyFunSuite {
       .filter(col("l_quantity") > 25).agg(count(lit(1)).as("n"))))
   }
 
+  test("GROUP BY a partition column serves per-group metadata; straddlers scan grouped") {
+    import spark.implicits._
+    val out = scratch("grouped")
+    // v = p*100 + i%50: partition p=0 is all-false for v >= 120,
+    // p=2 all-true, p=1 straddles — per-FILE zone stats decide,
+    // per-file partition values come from the paths
+    val df = Seq.tabulate(300) { i =>
+      (i.toLong, i % 3, (i % 3) * 100 + i % 50)
+    }.toDF("id", "p", "v")
+    df.repartition(2, col("id"))
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_g")
+
+    // unfiltered: every group answered purely from metadata — no scan
+    val full = spark.sql("SELECT p, COUNT(*) AS n, COUNT(v) AS nv, " +
+      "MIN(v) AS mn, MAX(v) AS mx FROM za_g GROUP BY p ORDER BY p")
+    assert(baseFilesRead(full, "zoneagg/grouped").isEmpty,
+      "unfiltered grouped counts must not read the base at all")
+    val truthFull = spark.read.parquet(out).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("p"))
+    assert(rows(full) == rows(truthFull))
+
+    // filtered: p=0's files refuted, p=2's served from metadata, p=1's
+    // straddlers scan — and the vanished group (p=0) must VANISH
+    val filtered = spark.sql("SELECT p, COUNT(*) AS n, MIN(v) AS mn " +
+      "FROM za_g WHERE v >= 120 GROUP BY p ORDER BY p")
+    val kept = baseFilesRead(filtered, "zoneagg/grouped")
+    assert(kept.nonEmpty && kept.head < 6,
+      s"only the straddling files may scan, saw $kept of 6")
+    val truthF = spark.read.parquet(out).filter(col("v") >= 120)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"))
+      .orderBy(col("p"))
+    assert(rows(filtered) == rows(truthF))
+    assert(!filtered.collect().exists(_.getInt(0) == 0),
+      "an all-refuted partition must not appear as a group")
+
+    // grouping on a DATA column refuses — only partition values are
+    // exact per file
+    val dataGroup = spark.sql(
+      "SELECT v, COUNT(*) AS n FROM za_g GROUP BY v ORDER BY v")
+    assert(baseFilesRead(dataGroup, "zoneagg/grouped") == Seq(6),
+      "a data-column GROUP BY must run the plain scan")
+    assert(rows(dataGroup) == rows(spark.read.parquet(out)
+      .groupBy(col("v")).agg(count(lit(1)).as("n")).orderBy(col("v"))))
+  }
+
   test("an appended file refuses the serve until the sidecar refreshes") {
     val out = scratch("stale")
     graft.sources.MicroBlockWriter.write(li.limit(5000), out, "l_shipdate", 2)
