@@ -42,11 +42,30 @@ object IndexPruning {
     case NullCheck(c, _)  => Set(c)
   }
 
+  /** Back-fill columns an index frame may predate (nanRisk, round 14)
+    * so the stats struct always resolves — a raw `spark.read.parquet`
+    * of an old sidecar is a legal input to every entry point here.
+    * Null = unknown provenance = risky (conservative). */
+  private def withCompat(index: DataFrame): DataFrame =
+    if (index.columns.contains("nanRisk")) index
+    else index.withColumn("nanRisk", lit(null).cast("boolean"))
+
   /** May-match as a Column over `stats: map<string, struct<minNum,
     * maxNum, minStr, maxStr>>`. Mirrors [[ZoneMapPruner.mayMatch]]
     * case-for-case; each leaf is a `coalesce(numeric-case,
     * string-case, true)` so any missing stat or type mismatch falls
-    * through to "keep" exactly like the Scala match does. */
+    * through to "keep" exactly like the Scala match does.
+    *
+    * NaN (round 14): Spark orders NaN ABOVE every value, while
+    * spec-compliant parquet writers (arrow) EXCLUDE NaN from float
+    * min/max — so for a float/double column, `max` is NOT an upper
+    * bound on the Spark-visible values unless the entry's recorded
+    * `nanRisk` is false. The only refutation leaves that use max as
+    * an upper bound are `>` / `>=` (skip iff max ≤/< lit — a hidden
+    * NaN row would match); they additionally require [[nanOk]].
+    * Every other leaf refutes through min (faithful: NaN never
+    * lowers it) or refutes values NaN cannot take (`=`, IN, BETWEEN
+    * need value ≤ hi, which NaN fails). */
   def keepColumn(pred: Pred, stats: Column): Column = pred match {
     case And(l, r) => keepColumn(l, stats) && keepColumn(r, stats)
     case Or(l, r)  => keepColumn(l, stats) || keepColumn(r, stats)
@@ -86,10 +105,14 @@ object IndexPruning {
         case "<=" => Some(x => mn <= x)
         case _    => None // unknown op: keep (never reached by the extractor)
       }
+      // max-as-upper-bound refutations need NaN-faithful stats
+      val guard: Column =
+        if (op == ">" || op == ">=") numDefined(st) && nanOk(st)
+        else numDefined(st)
       val num = for {
         x <- v.num
         f <- numCmp(st.getField("minNum"), st.getField("maxNum"))
-      } yield when(numDefined(st), f(lit(x)))
+      } yield when(guard, f(lit(x)))
       val str = for {
         x <- v.str
         f <- numCmp(st.getField("minStr"), st.getField("maxStr"))
@@ -113,6 +136,11 @@ object IndexPruning {
     st.isNotNull && st.getField("minNum").isNotNull && st.getField("maxNum").isNotNull
   private def strDefined(st: Column): Column =
     st.isNotNull && st.getField("minStr").isNotNull && st.getField("maxStr").isNotNull
+  /** NaN-faithful stats: `nanRisk` RECORDED false (non-float column,
+    * or a writer that propagates NaN into max). Null — an entry from a
+    * sidecar predating the flag — counts as risky. */
+  private def nanOk(st: Column): Column =
+    coalesce(st.getField("nanRisk") === lit(false), lit(false))
 
   /** The Double stats view is EXACT only strictly inside ±2^53: an
     * int64 value of 2^53+1 and its neighbor 2^53 round to the SAME
@@ -145,7 +173,15 @@ object IndexPruning {
     * needs none — and, for numeric comparisons, the ±2^53 exactness
     * certificate ([[numExact]]/[[litExact]]) on stats and literal
     * alike. The conservative fallthrough is FALSE ("unproven"),
-    * the opposite direction from keepColumn's TRUE ("keep"). */
+    * the opposite direction from keepColumn's TRUE ("keep").
+    *
+    * NaN (round 14): every T-proof whose claim bounds the values from
+    * ABOVE (`<`, `<=`, `=`, BETWEEN, IN via min==max) is unsound when
+    * float stats may hide NaN — the invisible NaN row fails the
+    * predicate while the proof claims all rows pass — so those leaves
+    * additionally require [[nanOk]]. `>`, `>=` and `!=` stay: min is
+    * faithful, and a hidden NaN row satisfies `> lit` (Spark orders
+    * NaN above everything) and `!= lit` anyway. */
   def allMatchColumn(pred: Pred, stats: Column): Column = pred match {
     case And(l, r) => allMatchColumn(l, stats) && allMatchColumn(r, stats)
     // OR: one branch covering every row suffices (conservative — rows
@@ -156,7 +192,7 @@ object IndexPruning {
       val st = element_at(stats, lit(c))
       val num = for { l <- lo.num; h <- hi.num
         if litExact(l) && litExact(h) } yield
-        when(numDefined(st) && numExact(st) && noNulls(st),
+        when(numDefined(st) && numExact(st) && noNulls(st) && nanOk(st),
           st.getField("minNum") >= lit(l) && st.getField("maxNum") <= lit(h))
       val str = for { l <- lo.str; h <- hi.str } yield
         when(strDefined(st) && noNulls(st),
@@ -169,7 +205,7 @@ object IndexPruning {
       val st = element_at(stats, lit(c))
       val hit = vs.map { v =>
         val num = v.num.filter(litExact).map(x =>
-          when(numDefined(st) && numExact(st) && noNulls(st),
+          when(numDefined(st) && numExact(st) && noNulls(st) && nanOk(st),
             st.getField("minNum") === lit(x) && st.getField("maxNum") === lit(x)))
         val str = v.str.map(x =>
           when(strDefined(st) && noNulls(st),
@@ -189,11 +225,17 @@ object IndexPruning {
         case "<=" => Some(x => mx <= x)
         case _    => None
       }
+      // claims that bound values from above need NaN-faithful stats;
+      // >, >= and != survive a hidden NaN row (it matches them)
+      val needNanOk = op == "=" || op == "<" || op == "<="
+      val numGuard =
+        if (needNanOk) numDefined(st) && numExact(st) && noNulls(st) && nanOk(st)
+        else numDefined(st) && numExact(st) && noNulls(st)
       val num = for {
         x <- v.num
         if litExact(x)
         f <- numCmp(st.getField("minNum"), st.getField("maxNum"))
-      } yield when(numDefined(st) && numExact(st) && noNulls(st), f(lit(x)))
+      } yield when(numGuard, f(lit(x)))
       val str = for {
         x <- v.str
         f <- numCmp(st.getField("minStr"), st.getField("maxStr"))
@@ -222,11 +264,12 @@ object IndexPruning {
     * class. One distributed aggregation, file-listing-scale result —
     * the filtered dictionary serve's decision
     * ([[graft.plans.DictDistinctRule]]). */
-  def fileTriState(index: DataFrame, pred: Pred): DataFrame = {
+  def fileTriState(index0: DataFrame, pred: Pred): DataFrame = {
+    val index = withCompat(index0)
     val refs = refColumns(pred).toSeq
     val entry = when(col("column").isin(refs: _*),
       struct(col("column").as("key"),
-        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows"), col("nanRisk")).as("value")))
     index.groupBy(col("blockId").as("block_id"), col("file"))
       .agg(map_from_entries(collect_list(entry)).as("stats"))
       .select(col("file"),
@@ -246,11 +289,12 @@ object IndexPruning {
     * so the shuffle carries refCols × blocks entries, not the whole
     * index), while every block stays represented — a block with no
     * stats for a referenced column keeps conservatively. */
-  def decide(index: DataFrame, pred: Pred): DataFrame = {
+  def decide(index0: DataFrame, pred: Pred): DataFrame = {
+    val index = withCompat(index0)
     val refs = refColumns(pred).toSeq
     val entry = when(col("column").isin(refs: _*),
       struct(col("column").as("key"),
-        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows"), col("nanRisk")).as("value")))
     index.groupBy(col("blockId").as("block_id"), col("file"))
       .agg(
         first(col("rows")).as("rows"),
@@ -267,12 +311,13 @@ object IndexPruning {
     * replay evaluates its whole predicate set against the index in a
     * single job instead of one job per shape; the stats map is built
     * once over the union of all referenced columns. */
-  def decideMany(index: DataFrame, preds: Seq[Pred]): DataFrame = {
+  def decideMany(index0: DataFrame, preds: Seq[Pred]): DataFrame = {
     require(preds.nonEmpty, "decideMany needs at least one predicate")
+    val index = withCompat(index0)
     val refs = preds.flatMap(refColumns).distinct
     val entry = when(col("column").isin(refs: _*),
       struct(col("column").as("key"),
-        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows")).as("value")))
+        struct(col("minNum"), col("maxNum"), col("minStr"), col("maxStr"), col("nullCount"), col("rows"), col("nanRisk")).as("value")))
     index.groupBy(col("blockId").as("block_id"), col("file"))
       .agg(
         first(col("rows")).as("rows"),
@@ -334,26 +379,39 @@ object IndexPruning {
     * `nullsFirst` orderings keep every null-holding block (those null
     * rows ARE the top of the result). One aggregation over the index;
     * the driver receives one small row per block — file-listing scale,
-    * the same contract as [[skippedFiles]]. */
-  def topKSkippedFiles(index: DataFrame, colName: String, k: Int,
+    * the same contract as [[skippedFiles]].
+    *
+    * NaN (round 14): both theta proofs lean on max as an upper bound
+    * on a block's values (DESC skips `max < theta`; ASC's theta is the
+    * prefix's max) — a hidden NaN row (Spark sorts it above
+    * everything) breaks both, so blocks without NaN-faithful stats
+    * (`nanRisk` ≠ recorded false) or with NaN-VALUED bounds join the
+    * conservative "statless" class: never skipped, never proving. */
+  def topKSkippedFiles(index0: DataFrame, colName: String, k: Int,
       ascending: Boolean, nullsFirst: Boolean): Seq[String] = {
+    val index = withCompat(index0)
     val blocks = index.groupBy(col("blockId"), col("file"))
       .agg(first(col("rows")).as("rows"),
         min(when(col("column") === colName, col("minNum"))).as("mn"),
         max(when(col("column") === colName, col("maxNum"))).as("mx"),
         max(when(col("column") === colName, col("nullCount"))).as("nc"),
-        max(when(col("column") === colName, lit(1)).otherwise(lit(0))).as("has"))
+        max(when(col("column") === colName, lit(1)).otherwise(lit(0))).as("has"),
+        min(when(col("column") === colName,
+          when(coalesce(col("nanRisk") === lit(false), lit(false)), 1)
+            .otherwise(0))).as("nanok"))
       .collect()
       .map(r => (r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
-        r.getInt(6) == 1))
+        r.getInt(6) == 1,
+        !r.isNullAt(7) && r.getInt(7) == 1))
     if (!blocks.exists(_._6)) return Nil // column unindexed: no cut
     // stated = numeric bounds + a trusted null count, and (for NULLS
     // FIRST) provably null-free; everything else keeps conservatively
     val (stated, statless) = blocks.partition(b =>
       b._6 && b._3.isDefined && b._4.isDefined && b._5.exists(_ >= 0) &&
+        b._7 && !b._3.get.isNaN && !b._4.get.isNaN &&
         !(nullsFirst && b._5.exists(_ > 0)))
     val ordered =
       if (ascending) stated.sortBy(_._3.get) // by min asc

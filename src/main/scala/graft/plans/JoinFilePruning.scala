@@ -279,8 +279,20 @@ object JoinFilePruning {
       liveStats = ZoneMapPruneRule.liveStatsOf(hfs)
       cuts <- skipSetFor(spark, root, factAttr, dimAttr, dim,
         dicts, domain)
+      // the ZONE-RANGE cut gets the same per-query freshness gate as
+      // the dictionary cut (round 14): a fact file rewritten in place
+      // under its name carries stats the zone frame never saw — only
+      // files whose live mtime is ≤ the frame's anchor (registration
+      // wall-clock / sidecar _SUCCESS mtime) may be range-cut; no
+      // anchor, no zone cut. The dictionary cut keeps its stricter
+      // per-file (mtime, size) match.
+      zoneAnchor = ZoneMapPruneRule.zoneAnchorFor(root, spark)
+      zoneCut = zoneAnchor match {
+        case None    => Set.empty[String]
+        case Some(a) => cuts._2.filter(f => liveStats.get(f).exists(_._1 <= a))
+      }
       skip = cuts._1.collect { case (f, (m, sz))
-        if m >= 0 && liveStats.get(f).contains((m, sz)) => f }.toSet ++ cuts._2
+        if m >= 0 && liveStats.get(f).contains((m, sz)) => f }.toSet ++ zoneCut
       if skip.nonEmpty
     } yield (rel, skip)
 

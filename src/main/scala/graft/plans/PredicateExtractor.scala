@@ -127,7 +127,13 @@ object PredicateExtractor {
     case (null, _) => None
     case (v: Number, _: ByteType | _: ShortType | _: IntegerType | _: LongType |
                      _: FloatType | _: DoubleType) =>
-      Some(PredValue(v.doubleValue))
+      // a NaN literal is unprunable: Spark orders NaN above every
+      // value (NaN = NaN matches!) while the stats algebra — and the
+      // driver-side Scala mirror with IEEE semantics — would compare
+      // it as never-matching. Refuse conversion; the conjunct drops
+      // (refutation) or the whole predicate refuses (T-proof serves).
+      val d = v.doubleValue
+      if (d.isNaN) None else Some(PredValue(d))
     case (v: java.math.BigDecimal, _) => Some(PredValue(v.doubleValue))
     case (v: Decimal, _)              => Some(PredValue(v.toDouble))
     case (v: UTF8String, _: StringType) => Some(PredValue(v.toString))

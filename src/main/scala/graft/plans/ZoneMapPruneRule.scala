@@ -169,6 +169,34 @@ object ZoneMapPruneRule {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // root path -> wall-clock time of the LAST register() call: the
+  // freshness anchor for zone cuts off registered (non-sidecar)
+  // frames. Registration is the caller's assertion that the frame
+  // matches the on-disk state AT THAT MOMENT — a file whose live
+  // mtime exceeds it may carry stats the frame never saw.
+  private val regTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The newest moment up to which a zone frame for `rootPath` is
+    * known good: the register() wall-clock for an in-session
+    * registered frame, else the `_graft_index` sidecar's `_SUCCESS`
+    * mtime. None = no anchor — value-grade consumers (the join arm's
+    * zone-range cut) must then refuse rather than trust an unanchored
+    * frame against files that may have been rewritten in place. */
+  private[plans] def zoneAnchorFor(rootPath: String,
+      session: SparkSession): Option[Long] = {
+    val registered = indexFor(rootPath).filter(_.sparkSession eq session)
+    val regTime =
+      if (registered.isEmpty) None
+      else {
+        val cheap = normFile(rootPath)
+        Option(regTimes.get(cheap)).orElse(
+          if (cheap.startsWith("/")) None
+          else Option(regTimes.get(norm(rootPath)))).map(_.longValue)
+      }
+    regTime.orElse(ZoneAggRule.sidecarMtime(rootPath, session))
+  }
+
   // root path -> DICTIONARY index DataFrame (graft.sources.DictionaryIndex
   // rows: per-(file, column) exact value sets) — the equality/IN cut
   private val dictRegistry =
@@ -531,6 +559,7 @@ object ZoneMapPruneRule {
     * index table); queries over `rootPath` will be file-pruned from
     * here on. */
   def register(rootPath: String, index: DataFrame): Unit = {
+    regTimes.put(norm(rootPath), java.lang.Long.valueOf(System.currentTimeMillis()))
     val old = registry.put(norm(rootPath), index)
     // Lifecycle: the replaced entry's cached blocks are freed (it is
     // unreachable from the registry now), and entries whose owning

@@ -9,8 +9,12 @@ import graft.sources.{BlockStat, MicroBlockIndex}
 final case class ColStats(
     minNum: Option[Double], maxNum: Option[Double],
     minStr: Option[String], maxStr: Option[String],
-    nullCount: Option[Long] = None, rows: Option[Long] = None) {
+    nullCount: Option[Long] = None, rows: Option[Long] = None,
+    nanRisk: Option[Boolean] = Some(false)) {
   def defined: Boolean = minNum.isDefined || minStr.isDefined
+  /** NaN-faithful stats — see [[graft.sources.BlockStat]].nanRisk.
+    * None (unknown provenance) counts as risky. */
+  def nanOk: Boolean = nanRisk.contains(false)
 }
 
 /** Zone-map pruning: decide, from per-block min/max alone, which blocks
@@ -39,6 +43,11 @@ object ZoneMapPruner {
       stats.get(c).filter(_.defined) match {
         case None => true
         case Some(st) => (st.minNum, st.maxNum, lo.num, hi.num) match {
+          // NaN-VALUED bounds (parquet-mr propagates NaN into max when
+          // a NaN row exists): the finite extremum is lost — keep.
+          // Scala IEEE comparisons would otherwise silently prune.
+          case (Some(mn), Some(mx), Some(_), Some(_))
+              if mn.isNaN || mx.isNaN => true
           case (Some(mn), Some(mx), Some(l), Some(h)) => !(mx < l || mn > h)
           case _ => (st.minStr, st.maxStr, lo.str, hi.str) match {
             case (Some(mn), Some(mx), Some(l), Some(h)) =>
@@ -55,6 +64,8 @@ object ZoneMapPruner {
           // prune only if every value falls outside [min, max]
           val anyInside = vs.exists { v =>
             (st.minNum, st.maxNum, v.num) match {
+              case (Some(mn), Some(mx), Some(_))
+                  if mn.isNaN || mx.isNaN => true // NaN-valued bound: keep
               case (Some(mn), Some(mx), Some(x)) => x >= mn && x <= mx
               case _ => (st.minStr, st.maxStr, v.str) match {
                 case (Some(mn), Some(mx), Some(x)) =>
@@ -71,6 +82,15 @@ object ZoneMapPruner {
         case None => true
         case Some(st) =>
           (st.minNum, st.maxNum, v.num) match {
+            // `>` / `>=` refute through max-as-upper-bound, which a
+            // NaN-blind footer (arrow float stats) breaks — Spark
+            // orders NaN above everything, so a hidden NaN row matches
+            case (Some(_), Some(_), Some(_))
+                if (op == ">" || op == ">=") && !st.nanOk => true
+            // NaN-VALUED bounds (parquet-mr): finite extremum lost,
+            // and Scala IEEE comparisons would silently prune — keep
+            case (Some(mn), Some(mx), Some(_))
+                if mn.isNaN || mx.isNaN => true
             case (Some(mn), Some(mx), Some(x)) => cmpMayMatch(op, mn, mx, x)
             case _ => (st.minStr, st.maxStr, v.str) match {
               case (Some(mn), Some(mx), Some(x)) =>
@@ -138,7 +158,7 @@ object ZoneMapPruner {
       .map { case ((id, file), cols) =>
         (id, file, cols.head.rows,
           cols.map(c => c.column -> ColStats(c.minNum, c.maxNum, c.minStr, c.maxStr,
-            Some(c.nullCount).filter(_ >= 0), Some(c.rows))).toMap)
+            Some(c.nullCount).filter(_ >= 0), Some(c.rows), c.nanRisk)).toMap)
       }
       .sortBy(_._1)
 

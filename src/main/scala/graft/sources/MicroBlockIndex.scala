@@ -23,7 +23,28 @@ import scala.jdk.CollectionConverters._
   * faithful representation: plain ints, dates (days), MICROS
   * timestamps — a MILLIS/NANOS timestamp or time-of-day column records
   * None so the serve falls back to scanning it. Sidecars written
-  * before these fields existed back-fill None on [[load]]. */
+  * before these fields existed back-fill None on [[load]].
+  *
+  * Round 14 — the numeric view is nulled at build for every column
+  * whose PHYSICAL footer value is not the Spark-visible value in the
+  * same unit ([[MicroBlockIndex.readFooterStats]]): decimals (footer
+  * min/max are UNSCALED while predicate literals arrive scaled),
+  * non-MICROS timestamps (wrong epoch unit), time-of-day, unsigned
+  * ints (the signed accessor sign-extends). Pruning on those columns
+  * is forfeited; wrong-domain comparisons — which could falsely PROVE
+  * files all-match/all-miss and serve wrong metadata answers — cannot
+  * happen. `nanRisk` marks float/double entries whose footer stats may
+  * HIDE NaN (parquet-format-compliant writers like arrow skip NaN in
+  * min/max, while Spark orders NaN above every value): Some(true) =
+  * stats may be NaN-blind, Some(false) = trustworthy (non-float
+  * column, or a parquet-mr writer — parquet-mr propagates NaN into
+  * max, measured on 1.16), None (legacy sidecar back-fill) = unknown,
+  * treated as risky. The proof layers ([[graft.plans.IndexPruning]])
+  * refuse exactly the leaves NaN can break unless nanRisk is a
+  * recorded false. `sumLong` (round 14) carries the PER-FILE exact
+  * integral sum for opt-in columns ([[MicroBlockIndex.withSums]]),
+  * repeated on each of the file's block entries; None = not built /
+  * overflowed long / untrusted. */
 final case class BlockStat(
     table: String,
     file: String,
@@ -40,7 +61,9 @@ final case class BlockStat(
     minStr: Option[String],
     maxStr: Option[String],
     minLong: Option[Long] = None,
-    maxLong: Option[Long] = None)
+    maxLong: Option[Long] = None,
+    nanRisk: Option[Boolean] = Some(false),
+    sumLong: Option[Long] = None)
 
 /** Per-block serving metadata — what the engine's driver-side cache /
   * prefetch orchestration actually needs: ONE small row per block
@@ -130,6 +153,14 @@ object MicroBlockIndex {
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // parquet-mr's float/double statistics use Double.compare order,
+      // so a NaN value PROPAGATES into max (verified on parquet-mr
+      // 1.16; the old Math.min/max era turned both bounds NaN) — its
+      // stats never silently hide NaN. Arrow/parquet-cpp follows the
+      // format spec and SKIPS NaN when computing min/max, so its float
+      // stats can be NaN-blind.
+      val createdBy = Option(reader.getFooter.getFileMetaData.getCreatedBy)
+      val nanFaithfulWriter = createdBy.exists(_.startsWith("parquet-mr"))
       blocks.zipWithIndex.flatMap { case (bm, rg) =>
         // provisional id: file ordinal * 10^6 + row group; densified in
         // build(). Only ADJACENT-distinctness matters there (the prefix
@@ -139,31 +170,58 @@ object MicroBlockIndex {
         val provisionalId = fileOrd * 1000000 + rg
         bm.getColumns.asScala.toSeq.map { cc =>
           val stats = cc.getStatistics
-          val (minN, maxN, minS, maxS) =
-            if (stats == null || !stats.hasNonNullValue) (None, None, None, None)
-            else (numeric(stats.genericGetMin), numeric(stats.genericGetMax),
-              lexical(stats.genericGetMin), lexical(stats.genericGetMax))
-          // the exact integral view: only where the physical long IS
-          // the value (MILLIS/NANOS timestamps and time-of-day columns
-          // would serve in the wrong unit — record None, the value
-          // server scans those files instead)
-          val unitUnsafe = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+          // EVERY stats view is nulled where the physical footer value
+          // is not the Spark-visible value in the same domain:
+          //   - decimals: footer min/max are UNSCALED (int32/int64/
+          //     FLBA) while Spark literals arrive SCALED — comparing
+          //     them can falsely prove files all-match/all-miss;
+          //   - MILLIS/NANOS timestamps, time-of-day: wrong epoch unit
+          //     vs the extractor's micros literals;
+          //   - unsigned ints: the signed accessor SIGN-EXTENDS (a
+          //     UINT_32 of 3e9 reads negative).
+          // Pruning on these columns is forfeited, never wrong.
+          val domainUnsafe = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .DecimalLogicalTypeAnnotation => true
             case t: org.apache.parquet.schema.LogicalTypeAnnotation
                 .TimestampLogicalTypeAnnotation =>
               t.getUnit != org.apache.parquet.schema.LogicalTypeAnnotation
                 .TimeUnit.MICROS
             case _: org.apache.parquet.schema.LogicalTypeAnnotation
                 .TimeLogicalTypeAnnotation => true
-            // unsigned ints: the footer's signed accessor SIGN-EXTENDS
-            // (a UINT_32 value of 3e9 reads as a negative Int) — the
-            // integral view would serve negative MIN/MAX
             case i: org.apache.parquet.schema.LogicalTypeAnnotation
                 .IntLogicalTypeAnnotation if !i.isSigned => true
             case _ => false
           }
+          // the lexical view only for columns whose Binary min/max ARE
+          // UTF-8 text in Spark's string domain — a decimal-FLBA or
+          // BSON column's bytes rendered as a string would compare
+          // garbage against string literals
+          val strSafe = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .StringLogicalTypeAnnotation => true
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .EnumLogicalTypeAnnotation => true
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .JsonLogicalTypeAnnotation => true
+            case _ => false
+          }
+          val isFloat = {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val p = cc.getPrimitiveType.getPrimitiveTypeName
+            p == FLOAT || p == DOUBLE
+          }
+          val noStats = stats == null || !stats.hasNonNullValue
+          val (minN, maxN) =
+            if (noStats || domainUnsafe) (None, None)
+            else (numeric(stats.genericGetMin), numeric(stats.genericGetMax))
+          val (minS, maxS) =
+            if (noStats || !strSafe) (None, None)
+            else (lexical(stats.genericGetMin), lexical(stats.genericGetMax))
+          // the exact integral view: only where the physical long IS
+          // the value (same domain gate as the numeric view)
           val (minL, maxL) =
-            if (stats == null || !stats.hasNonNullValue || unitUnsafe)
-              (None, None)
+            if (noStats || domainUnsafe) (None, None)
             else (integral(stats.genericGetMin), integral(stats.genericGetMax))
           BlockStat(
             table = table,
@@ -177,7 +235,8 @@ object MicroBlockIndex {
             bytes = cc.getTotalSize,
             codec = cc.getCodec.toString,
             minNum = minN, maxNum = maxN, minStr = minS, maxStr = maxS,
-            minLong = minL, maxLong = maxL)
+            minLong = minL, maxLong = maxL,
+            nanRisk = Some(isFloat && !nanFaithfulWriter))
         }
       }
     } finally reader.close()
@@ -199,7 +258,7 @@ object MicroBlockIndex {
 
   private def lexical(v: Any): Option[String] = v match {
     case b: Binary => Some(b.toStringUsingUTF8)
-    case other     => Option(other).map(_.toString)
+    case _         => None
   }
 
   /** Persist the index as a parquet table (reference: save_metadata.py
@@ -237,17 +296,30 @@ object MicroBlockIndex {
     * delta). Existing block ids and row offsets are STABLE — cache
     * keys, access logs and trained prefetch models keyed by them stay
     * valid — and new files' blocks append after the current max id /
-    * row offset in sorted-file order. Files deleted from disk keep
-    * their index entries (pruning against them is harmless: the rule
-    * only ever skips files present in the live listing; pass the
-    * result through a rebuild when compaction rewrites history). */
+    * row offset in sorted-file order. Files DELETED from disk DROP
+    * their entries (round 14): pruning against dead entries was
+    * harmless (the rules only skip live files), but the value-serving
+    * layers ([[graft.plans.ZoneAggRule]]) gate on the index's file set
+    * EQUALLING the live listing — keeping dead entries meant a
+    * post-delete refresh could never re-enable serving, only a full
+    * rebuild could. Dropping entries never disturbs surviving blocks'
+    * ids or row offsets (they are recorded, not recomputed); the
+    * retired ids simply never recur. */
   def refresh(spark: SparkSession, tablePath: String, table: String,
       existing: Dataset[BlockStat]): Dataset[BlockStat] = {
     import org.apache.spark.sql.functions._
     val known = existing.select("file").distinct()
       .collect().map(_.getString(0)).toSet // file-listing scale
-    val newFiles = listParquetFiles(tablePath).filterNot(known)
-    if (newFiles.isEmpty) return existing
+    val live = listParquetFiles(tablePath)
+    val liveSet = live.toSet
+    // anti-filter on the (small) dead set, never an IN over millions
+    // of live paths
+    val dead = known.filterNot(liveSet).toSeq
+    val base =
+      if (dead.isEmpty) existing
+      else existing.filter(!col("file").isin(dead: _*))
+    val newFiles = live.filterNot(known)
+    if (newFiles.isEmpty) return base
     val (maxId, maxEnd) = existing
       .agg(max("blockId"), max("rowEnd"))
       .collect().headOption
@@ -293,7 +365,7 @@ object MicroBlockIndex {
       }
     }
     import spark.implicits._
-    existing.unionAll(spark.createDataset(appended))
+    base.unionAll(spark.createDataset(appended))
   }
 
   /** Load a saved index, BACK-FILLING columns older sidecars predate
@@ -303,9 +375,13 @@ object MicroBlockIndex {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     var df = spark.read.parquet(path)
-    Seq("minLong", "maxLong").foreach { c =>
+    Seq("minLong", "maxLong", "sumLong").foreach { c =>
       if (!df.columns.contains(c)) df = df.withColumn(c, lit(null).cast("long"))
     }
+    // legacy sidecars predate the NaN-faithfulness flag: null = unknown
+    // = the proof layers treat the entry as risky (conservative)
+    if (!df.columns.contains("nanRisk"))
+      df = df.withColumn("nanRisk", lit(null).cast("boolean"))
     df.as[BlockStat]
   }
 

@@ -166,7 +166,9 @@ class IndexPruningSpec extends AnyFunSuite {
         lit("x").as("column"),
         (col("id") * maxVal / 4.0).as("minNum"), ((col("id") + 1) * maxVal / 4.0).as("maxNum"),
         lit(null).cast("string").as("minStr"), lit(null).cast("string").as("maxStr"),
-        lit(0L).as("nullCount"))
+        lit(0L).as("nullCount"),
+        // `>` refutation needs recorded NaN-faithful stats (round 14)
+        lit(false).as("nanRisk"))
     val pred = graft.plans.Cmp(">", "x", graft.plans.PredValue(150.0))
     val roots = Seq("memtest-root")
     // index says values span [0, 100] -> everything above 150 skippable
