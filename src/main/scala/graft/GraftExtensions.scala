@@ -72,5 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(graft.plans.DictDistinctRule(_))
     e.injectOptimizerRule(graft.plans.ZoneAggRule(_))
     e.injectOptimizerRule(ZoneMapPruneRule(_))
+    // Bucket-layout discovery LAST among the relation rewrites: it
+    // changes only the physical scan contract (bucketSpec), so the
+    // serve rules above keep matching the same logical shapes; the
+    // eager-aggregation push is gated on the claim having happened
+    // (both run in the same fixpoint batch, so ordering here is a
+    // first-pass nicety, not a correctness dependency).
+    e.injectOptimizerRule(graft.plans.BucketLayoutRule(_))
+    e.injectOptimizerRule(graft.plans.EagerAggregationRule(_))
   }
 }

@@ -235,10 +235,43 @@ object ScaleBench {
       System.gc() // see timed()
       val s0 = System.nanoTime(); q12Bucketed().count(); (System.nanoTime() - s0) / 1e9
     }.sorted
-    val qs = (results :+ ("q12_join_multi_bucketed" -> bts(bts.size / 2)))
+
+    // The TRANSPARENT arm (round 14): the ORIGINAL q12 SQL, verbatim,
+    // over plain parquet PATHS of the bucketed layouts — no catalog
+    // table, no hand moves. BucketLayoutRule re-attaches the written
+    // spec from the sidecar; EagerAggregationRule pushes the revenue
+    // partial below the join (the hand arm's move #2, now automatic).
+    // What a user who just writes SQL actually gets.
+    def q12Transparent(): DataFrame = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      spark.read.parquet(s"$wh/li_bkt").createOrReplaceTempView("li_bkt_v")
+      spark.read.parquet(s"$wh/ord_bkt").createOrReplaceTempView("ord_bkt_v")
+      spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("sb_cust_v")
+      spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("sb_nation_v")
+      spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("sb_region_v")
+      spark.sql(
+        """SELECT r_name, n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM li_bkt_v
+          |JOIN ord_bkt_v ON l_orderkey = o_orderkey
+          |JOIN sb_cust_v ON o_custkey = c_custkey
+          |JOIN sb_nation_v ON c_nationkey = n_nationkey
+          |JOIN sb_region_v ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    }
+    val tts = (1 to reps).map { _ =>
+      spark.catalog.clearCache()
+      System.gc()
+      val s0 = System.nanoTime(); q12Transparent().count(); (System.nanoTime() - s0) / 1e9
+    }.sorted
+    val qs = (results ++ Seq(
+      "q12_join_multi_bucketed" -> bts(bts.size / 2),
+      "q12_join_multi_transparent" -> tts(tts.size / 2)))
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val repsArr = bts.mkString("[", ",", "]")
-    println(s"""{"bench":"scale","sf":"$sfDir","reps":$reps,"bucket_build_sec":$buildSec,"graft_sec":$qs,"q12_bucketed_reps_sorted":$repsArr}""")
+    val trepsArr = tts.mkString("[", ",", "]")
+    println(s"""{"bench":"scale","sf":"$sfDir","reps":$reps,"bucket_build_sec":$buildSec,"graft_sec":$qs,"q12_bucketed_reps_sorted":$repsArr,"q12_transparent_reps_sorted":$trepsArr}""")
     spark.stop()
   }
 }

@@ -56,6 +56,11 @@ object ZoneAggScale {
       |FROM zas_li
       |WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
     val qStar = "SELECT COUNT(*) AS n FROM zas_li"
+    // round 14: SUM from per-file exact sums (MicroBlockIndex.withSums)
+    val qSum = """SELECT SUM(l_linenumber) AS s, COUNT(*) AS n
+      |FROM zas_li
+      |WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+    val qSumAll = "SELECT SUM(l_linenumber) AS s FROM zas_li"
 
     def served(df: org.apache.spark.sql.DataFrame): Boolean =
       graft.plans.ZoneAggRule.servedSignature(df.queryExecution.optimizedPlan)
@@ -79,8 +84,11 @@ object ZoneAggScale {
     var satEnd = -1.0
     var scanF = -1.0; var scanS = -1.0
     var serveF = -1.0; var serveS = -1.0
-    var buildSec = -1.0
+    var scanSum = -1.0; var serveSum = -1.0
+    var scanSumAll = -1.0; var serveSumAll = -1.0
+    var buildSec = -1.0; var sumsBuildSec = -1.0
     var vF: Seq[String] = Nil; var vS: Seq[String] = Nil
+    var vSum: Seq[String] = Nil; var vSumAll: Seq[String] = Nil
     while (attempt < MaxAttempts && !calm) {
       attempt += 1
       satStart = BenchWindow.satProbe(spark)
@@ -94,6 +102,8 @@ object ZoneAggScale {
         "scan arm must not see a sidecar")
       val a = med(qFiltered); scanF = a._1; vF = a._2
       val b = med(qStar); scanS = b._1; vS = b._2
+      val a2 = med(qSum); scanSum = a2._1; vSum = a2._2
+      val b2 = med(qSumAll); scanSumAll = b2._1; vSumAll = b2._2
       // one-time indexing cost
       val tB = System.nanoTime()
       graft.sources.MicroBlockIndex.saveSidecar(
@@ -105,6 +115,21 @@ object ZoneAggScale {
       require(c._2 == vF, s"filtered arms diverged: ${c._2} vs $vF")
       val d = med(qStar); serveS = d._1
       require(d._2 == vS, s"count-star arms diverged: ${d._2} vs $vS")
+      // the sums-less sidecar must REFUSE the SUM serve (no silent
+      // wrong answers), then the withSums build turns it on
+      require(!served(spark.sql(qSum)), "SUM must refuse without per-file sums")
+      val tS = System.nanoTime()
+      graft.sources.MicroBlockIndex.saveSidecar(
+        graft.sources.MicroBlockIndex.withSums(spark, out,
+          graft.sources.MicroBlockIndex.build(spark, out, "li"),
+          Seq("l_linenumber")), out)
+      sumsBuildSec = (System.nanoTime() - tS) / 1e9
+      require(served(spark.sql(qSum)) && served(spark.sql(qSumAll)),
+        "SUM serve must fire once per-file sums exist")
+      val c2 = med(qSum); serveSum = c2._1
+      require(c2._2 == vSum, s"filtered SUM arms diverged: ${c2._2} vs $vSum")
+      val d2 = med(qSumAll); serveSumAll = d2._1
+      require(d2._2 == vSumAll, s"SUM arms diverged: ${d2._2} vs $vSumAll")
       satEnd = BenchWindow.satProbe(spark)
       calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
       calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
@@ -113,7 +138,7 @@ object ZoneAggScale {
         Thread.sleep(30000)
       }
     }
-    println(s"""{"bench":"zone_agg_scale","sf":"$sfDir","reps":$reps,"blocks":$blocks,"filtered_scan_sec":$scanF,"filtered_serve_sec":$serveF,"countstar_scan_sec":$scanS,"countstar_serve_sec":$serveS,"index_build_sec":$buildSec,"values_equal":true,"sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}""")
+    println(s"""{"bench":"zone_agg_scale","sf":"$sfDir","reps":$reps,"blocks":$blocks,"filtered_scan_sec":$scanF,"filtered_serve_sec":$serveF,"countstar_scan_sec":$scanS,"countstar_serve_sec":$serveS,"index_build_sec":$buildSec,"filtered_sum_scan_sec":$scanSum,"filtered_sum_serve_sec":$serveSum,"sum_scan_sec":$scanSumAll,"sum_serve_sec":$serveSumAll,"sums_build_sec":$sumsBuildSec,"values_equal":true,"sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}""")
     spark.stop()
   }
 }

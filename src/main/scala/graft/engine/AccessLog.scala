@@ -6,9 +6,14 @@ import scala.collection.mutable
 
 /** One logged query access: which blocks a query touched, and which
   * columns its predicate filtered (empty for non-predicate paths like
-  * range scans) — the signal workload-adaptive clustering reads. */
+  * range scans) — the signal workload-adaptive clustering reads.
+  * `op` (round 14) classifies the access for the LAYOUT-KIND election:
+  * "filter" (cols = filtered columns — favors range/z-order
+  * clustering), "join" (cols = equi-join keys) and "window" (cols =
+  * PARTITION BY keys) — both of which favor hash-bucket co-location
+  * on the dominant key. */
 final case class Access(queryIdx: Long, table: String, blocks: Seq[Int],
-    cols: Seq[String] = Nil)
+    cols: Seq[String] = Nil, op: String = "filter")
 
 /** Append-only access log + bounded global history.
   *
@@ -24,8 +29,8 @@ final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) 
   private var nextIdx = 0L
 
   def log(table: String, blocks: Seq[Int],
-      cols: Seq[String] = Nil): Access = synchronized {
-    val a = Access(nextIdx, table, blocks, cols)
+      cols: Seq[String] = Nil, op: String = "filter"): Access = synchronized {
+    val a = Access(nextIdx, table, blocks, cols, op)
     nextIdx += 1
     accesses += a
     blocks.foreach { b =>
@@ -45,7 +50,7 @@ final class AccessLog(logPath: Option[String] = None, historyWindow: Int = 256) 
         case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
         case ch => ch.toString
       } + "\"").mkString(",")
-      val line = s"""{"queryIdx":${a.queryIdx},"table":"$tableJson","blocks":[${a.blocks.mkString(",")}],"cols":[$colsJson]}\n"""
+      val line = s"""{"queryIdx":${a.queryIdx},"table":"$tableJson","blocks":[${a.blocks.mkString(",")}],"cols":[$colsJson],"op":"${a.op}"}\n"""
       Files.write(Paths.get(p), line.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }

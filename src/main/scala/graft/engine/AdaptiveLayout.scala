@@ -25,7 +25,8 @@ object AdaptiveLayout {
     * over the in-memory log — access logs are metadata-scale; the
     * JSONL twin of this aggregation is one Spark groupBy away). */
   def columnFilterCounts(log: AccessLog): Map[String, Long] =
-    log.all.flatMap(_.cols).groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    log.all.filter(_.op == "filter")
+      .flatMap(_.cols).groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
 
   /** Elect up to `maxKeys` cluster keys: most-filtered columns first,
     * name as the deterministic tie-break. Columns filtered in under
@@ -35,7 +36,8 @@ object AdaptiveLayout {
   def chooseKeys(log: AccessLog, maxKeys: Int = 2,
       minShare: Double = 0.2): Seq[String] = {
     val counts = columnFilterCounts(log)
-    val denom = math.max(1L, log.all.count(_.cols.nonEmpty).toLong)
+    val denom = math.max(1L,
+      log.all.count(a => a.op == "filter" && a.cols.nonEmpty).toLong)
     counts.toSeq
       .filter { case (_, n) => n.toDouble / denom >= minShare }
       .sortBy { case (c, n) => (-n, c) }
@@ -50,6 +52,52 @@ object AdaptiveLayout {
     if (keys.size == 1) MicroBlockWriter.write(df, out, keys.head, blocks)
     else MicroBlockWriter.writeZOrdered(df, out, keys, blocks)
     keys
+  }
+
+  /** The layout KINDS the advisor can elect (round 14 — the election
+    * now chooses the layout family, not just the keys):
+    *   - [[RangeCluster]]: one dominant filter column → range-sorted
+    *     files, zone maps decide most of them;
+    *   - [[ZOrderCluster]]: several filter columns → z-order interleave
+    *     so every dimension keeps usable run lengths;
+    *   - [[HashBucket]]: the workload's shuffles (equi-joins / window
+    *     PARTITION BYs on one dominant key) outweigh its filters →
+    *     hash-bucketed layout, repeated shuffles become exchange-free
+    *     ([[graft.sources.Bucketing]]). */
+  sealed trait LayoutKind
+  final case class RangeCluster(key: String) extends LayoutKind
+  final case class ZOrderCluster(keys: Seq[String]) extends LayoutKind
+  final case class HashBucket(key: String) extends LayoutKind
+
+  /** Elect the layout KIND from the logged access mix. The vote is
+    * column-weighted per access class: shuffle-side accesses (op =
+    * "join" / "window") vote for hash-bucketing on their dominant key
+    * — a bucket layout removes their exchange+sort per query, which a
+    * range/z-order layout cannot; filter accesses vote for range /
+    * z-order clustering (file skipping). The class with the heavier
+    * dominant column wins; filter layouts then pick range vs z-order
+    * exactly as [[chooseKeys]] always did. Ties break to the shuffle
+    * side (an exchange saved is worth more than a partial skip at
+    * equal frequency — it touches every row of both join sides).
+    * None = no predicate-bearing accesses to learn from. */
+  def chooseLayoutKind(log: AccessLog, maxKeys: Int = 2,
+      minShare: Double = 0.2): Option[LayoutKind] = {
+    val accesses = log.all
+    def dominant(ops: Set[String]): Option[(String, Long)] =
+      accesses.filter(a => ops(a.op)).flatMap(_.cols)
+        .groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+        .toSeq.sortBy { case (c, n) => (-n, c) }.headOption
+    val shuffle = dominant(Set("join", "window"))
+    val filter = dominant(Set("filter"))
+    (shuffle, filter) match {
+      case (Some((sk, sn)), Some((_, fn))) if sn >= fn => Some(HashBucket(sk))
+      case (Some((sk, _)), None) => Some(HashBucket(sk))
+      case (_, Some(_)) =>
+        val keys = chooseKeys(log, maxKeys, minShare)
+        if (keys.size >= 2) Some(ZOrderCluster(keys))
+        else keys.headOption.map(RangeCluster.apply)
+      case _ => None
+    }
   }
 
   /** Total row volume the zone-map index would KEEP replaying

@@ -91,7 +91,20 @@ final class GraftEngine(
     * PER block id (duplicate rows in the union, duplicate storage). */
   private[engine] def keyOf(id: Int): String = s"file-${fileOf(id)}"
 
-  val service = new PrefetchService(accessLog, () => prefetcher, cache, loadBlock _, keyOf _)
+  // confidence gate + scheduled retrain from session conf (reference
+  // parity: prefetch_scheduler.py's prefetch_threshold=0.6 and
+  // retrain_model.py's periodic refit). Defaults preserve the
+  // ungated/on-demand behavior.
+  val service = new PrefetchService(accessLog, () => prefetcher, cache,
+    loadBlock _, keyOf _,
+    threshold = confDouble("spark.graft.prefetch.threshold", 0.0),
+    retrainEveryTicks =
+      confDouble("spark.graft.prefetch.retrainTicks", 0.0).toInt,
+    retrain = () => retrain())
+
+  private def confDouble(key: String, dflt: Double): Double =
+    try spark.conf.get(key, dflt.toString).toDouble
+    catch { case scala.util.control.NonFatal(_) => dflt }
 
   def blockIds: Seq[Int] = blocks.map(_.blockId)
 

@@ -286,15 +286,23 @@ final class GruPrefetcher(
     this
   }
 
-  override def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
+  override def suggest(recent: Seq[Int], k: Int): Seq[Int] =
+    suggestScored(recent, k).map(_._1)
+
+  /** Softmax over the output logits — the training objective's own
+    * probabilities, serving as the thresholded service's confidences. */
+  override def suggestScored(recent: Seq[Int], k: Int): Seq[(Int, Double)] = {
     if (recent.isEmpty || nB == 0 || weights.isEmpty) return Seq.empty
     // run the net over the known-block suffix of the recent window
     val xs = recent.flatMap(indexOf.get).takeRight(window).toArray
     if (xs.isEmpty) return Seq.empty
     val h = GruMath.forward(weights, nB, hidden, xs, null)
     val lg = GruMath.logits(weights, nB, hidden, h)
-    (0 until nB).map(c => (blocks(c), lg(c)))
-      .sortBy { case (b, v) => (-v, b) }.take(k).map(_._1)
+    val m = lg.max
+    val exps = lg.map(v => math.exp(v - m))
+    val norm = exps.sum
+    (0 until nB).map(c => (blocks(c), exps(c) / norm))
+      .sortBy { case (b, pr) => (-pr, b) }.take(k)
   }
 
   /** Persist weights + block mapping (the reference's trained_model.pt

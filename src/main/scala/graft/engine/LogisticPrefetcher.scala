@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * [[PrefetchModels.load]]. */
 trait Prefetcher {
   def suggest(recent: Seq[Int], k: Int): Seq[Int]
+  /** [[suggest]] with per-block CONFIDENCE in [0, 1] — the reference
+    * scheduler's contract (prefetch_scheduler.py suggest_topk_prefetch
+    * returns (block, probability) pairs and the service drops
+    * candidates below `prefetch_threshold`). Default: unscored models
+    * report certainty 1.0, so an unthresholded service behaves exactly
+    * as before. */
+  def suggestScored(recent: Seq[Int], k: Int): Seq[(Int, Double)] =
+    suggest(recent, k).map(_ -> 1.0)
   def fitted: Boolean
   def save(spark: SparkSession, dir: String): Unit
 }
@@ -174,18 +182,31 @@ final class LogisticPrefetcher(
     this
   }
 
-  override def suggest(recent: Seq[Int], k: Int): Seq[Int] = {
+  override def suggest(recent: Seq[Int], k: Int): Seq[Int] =
+    suggestScored(recent, k).map(_._1)
+
+  /** Softmax over the class scores: the model trains as a softmax
+    * classifier, so exp-normalized logits ARE its next-block
+    * probabilities — the confidences the thresholded service gates on. */
+  override def suggestScored(recent: Seq[Int], k: Int): Seq[(Int, Double)] = {
     if (recent.isEmpty || nB == 0) return Seq.empty
     // context most-recent-first, unknown blocks skipped (no feature)
     val ctx = recent.reverse.take(order)
       .flatMap(indexOf.get).map(featOf).toArray
-    val scored = (0 until nB).map { c =>
+    val zs = new Array[Double](nB)
+    var c = 0
+    while (c < nB) {
       var z = weights(bIdx(c))
       var p = 0
       while (p < ctx.length) { z += weights(wIdx(p, ctx(p), c)); p += 1 }
-      (blocks(c), z)
+      zs(c) = z
+      c += 1
     }
-    scored.sortBy { case (b, z) => (-z, b) }.take(k).map(_._1)
+    val zMax = zs.max
+    val exps = zs.map(z => math.exp(z - zMax))
+    val norm = exps.sum
+    (0 until nB).map(i => (blocks(i), exps(i) / norm))
+      .sortBy { case (b, pr) => (-pr, b) }.take(k)
   }
 
   /** Persist the fitted weights + block mapping (the reference's

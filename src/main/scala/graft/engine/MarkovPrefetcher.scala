@@ -84,6 +84,30 @@ final class MarkovPrefetcher(order: Int = 1) extends Prefetcher {
     out.toSeq
   }
 
+  /** Confidence = the block's transition frequency at the LONGEST
+    * context that names it, discounted 0.4 per backoff level (stupid
+    * backoff — a shorter-context guess is a weaker guess). Same
+    * candidate order as [[suggest]]. */
+  override def suggestScored(recent: Seq[Int], k: Int): Seq[(Int, Double)] = {
+    if (recent.isEmpty) return Seq.empty
+    val out = mutable.LinkedHashMap.empty[Int, Double]
+    var ctxLen = math.min(order, recent.size)
+    var discount = 1.0
+    while (out.size < k && ctxLen >= 1) {
+      val ctx = recent.takeRight(ctxLen).mkString(",")
+      val nexts = transitions.getOrElse(ctxLen, Map.empty)
+        .getOrElse(ctx, Seq.empty)
+      val total = nexts.map(_._2).sum.toDouble
+      nexts.foreach { case (b, cnt) =>
+        if (out.size < k && !out.contains(b))
+          out += b -> (discount * cnt / math.max(1.0, total))
+      }
+      ctxLen -= 1
+      discount *= 0.4
+    }
+    out.toSeq
+  }
+
   def fitted: Boolean = transitions.values.exists(_.nonEmpty)
 
   /** The fitted max-order transitions as rows (ctx, block, cnt). */

@@ -103,10 +103,10 @@ object PrefetchLoopBench {
     val randomized = rnd.shuffle(periodic)
 
     def arm(workloadName: String, preds: Seq[Pred], armName: String,
-        model: Option[Prefetcher]): ArmResult = {
+        model: Option[Prefetcher], threshold: Double = 0.0): ArmResult = {
       val service = model.map(m => new PrefetchService(
         engine.accessLog, () => m, engine.cache, engine.loadBlock _,
-        engine.keyOf _, topK, historyLen))
+        engine.keyOf _, topK, historyLen, threshold = threshold))
       final case class Rep(serve: Double, warm: Double,
           hits: Long, misses: Long, prefetched: Long, rows: Long)
       val repRows = (1 to reps).map { _ =>
@@ -140,13 +140,21 @@ object PrefetchLoopBench {
         r.prefetched, r.rows)
     }
 
-    val arms: Seq[(String, Option[Prefetcher])] =
-      ("off", Option.empty[Prefetcher]) +:
-        models.map { case (n, m) => (n, Option(m)) }
+    // the THRESHOLDED arm (reference parity: prefetch_scheduler.py's
+    // prefetch_threshold=0.6): the same best model gated on its own
+    // confidence. On the periodic workload it should serve ~unchanged
+    // (a learned cycle is high-confidence); on the random workload it
+    // should stop paying warm_sec for guesses that cannot be right —
+    // the cache-pollution regime the gate exists for.
+    val arms: Seq[(String, Option[Prefetcher], Double)] =
+      (("off", Option.empty[Prefetcher], 0.0) +:
+        models.map { case (n, m) => (n, Option(m), 0.0) }) :+
+        (("markov_t60", models.collectFirst {
+          case ("markov", m) => m }, 0.6))
     for {
       (wname, preds) <- Seq("periodic" -> periodic, "random" -> randomized)
-      (aname, model) <- arms
-    } yield arm(wname, preds, aname, model)
+      (aname, model, thr) <- arms
+    } yield arm(wname, preds, aname, model, thr)
   }
 
   /** The OVERLAPPED arm — the experiment the synchronous A/B could not

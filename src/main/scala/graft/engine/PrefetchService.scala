@@ -21,9 +21,13 @@ final class PrefetchService(
     topK: Int = 3,
     historyLen: Int = 8,
     intervalMillis: Long = 1000L,
-    tickBudgetMillis: Long = 0L) {
+    tickBudgetMillis: Long = 0L,
+    threshold: Double = 0.0,
+    retrainEveryTicks: Int = 0,
+    retrain: () => Unit = () => ()) {
 
   @volatile private var prefetchedCount = 0L
+  @volatile private var retrainCountV = 0L
   @volatile private var tickCountV = 0L
   @volatile private var tickMillisTotalV = 0L
   @volatile private var overBudgetCountV = 0L
@@ -46,10 +50,25 @@ final class PrefetchService(
     * cache entry would be a wasted load; it only meters. */
   def tick(): Seq[Int] = {
     val t0 = System.nanoTime()
+    maybeRetrain()
     val recent = log.recent(historyLen)
     val model = prefetcher() // re-read each cycle: \model swaps live
-    if (recent.isEmpty || !model.fitted) return Seq.empty
-    val predicted = model.suggest(recent, topK)
+    if (recent.isEmpty || !model.fitted) {
+      // an idle tick still IS a tick: the scheduled-retrain cadence
+      // must advance while the model is unfitted — that unfitted model
+      // is exactly what the retrain hook exists to replace
+      tickCountV += 1
+      return Seq.empty
+    }
+    // CONFIDENCE GATE (reference parity: prefetch_scheduler.py:19
+    // `prefetch_threshold=0.6`): a weak model's low-probability
+    // guesses are cache pollution — every wrong warm evicts something
+    // a real query wanted. Candidates below the threshold are dropped
+    // BEFORE any load; threshold 0.0 (default) admits everything,
+    // preserving the unthresholded behavior for unscored models
+    // (their default confidence is 1.0).
+    val predicted = model.suggestScored(recent, topK)
+      .filter(_._2 >= threshold).map(_._1)
     // peek, not get: the existence probe is not a serving access and
     // must not count toward the cache's hit/miss serving metrics
     val warmed = predicted.filter(b => !cache.peek(keyFor(b)))
@@ -92,4 +111,23 @@ final class PrefetchService(
   }
 
   def prefetched: Long = prefetchedCount
+
+  /** Scheduled retraining (reference parity: retrain_model.py as a
+    * periodic job): every `retrainEveryTicks` ticks the service
+    * invokes the caller's retrain hook — typically
+    * [[GraftEngine.retrain]], which refits the CURRENT model class
+    * from the full access log and hot-swaps it (the same path the
+    * shell's `\retrain` drives by hand). 0 disables. Failures are
+    * swallowed like any background tick failure: a broken retrain
+    * must not kill serving on the stale-but-working model. */
+  private def maybeRetrain(): Unit =
+    if (retrainEveryTicks > 0 && tickCountV > 0 &&
+        tickCountV % retrainEveryTicks == 0 && lastRetrainTick != tickCountV) {
+      lastRetrainTick = tickCountV
+      try { retrain(); retrainCountV += 1 }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  @volatile private var lastRetrainTick = -1L
+
+  def retrains: Long = retrainCountV
 }

@@ -390,28 +390,31 @@ object IndexPruning {
   def topKSkippedFiles(index0: DataFrame, colName: String, k: Int,
       ascending: Boolean, nullsFirst: Boolean): Seq[String] = {
     val index = withCompat(index0)
-    val blocks = index.groupBy(col("blockId"), col("file"))
-      .agg(first(col("rows")).as("rows"),
-        min(when(col("column") === colName, col("minNum"))).as("mn"),
-        max(when(col("column") === colName, col("maxNum"))).as("mx"),
-        max(when(col("column") === colName, col("nullCount"))).as("nc"),
-        max(when(col("column") === colName, lit(1)).otherwise(lit(0))).as("has"),
-        min(when(col("column") === colName,
-          when(coalesce(col("nanRisk") === lit(false), lit(false)), 1)
-            .otherwise(0))).as("nanok"))
+    // SINGLE-STAGE decision (round 14 — the q9 cold-path cost): a
+    // pushed filter on the column name replaces the old
+    // groupBy(block)-then-collect shuffle. Sound because the builder
+    // emits one entry per (row group, column) even when footer stats
+    // are ABSENT (None bounds), so per-file completeness survives the
+    // filter: every block of every file that has the column is
+    // represented, and a file with no entries never appears — and is
+    // therefore never skipped (conservative for schema-evolved files
+    // missing the column entirely).
+    val blocks = index.filter(col("column") === lit(colName))
+      .select(col("file"), col("rows"), col("minNum"), col("maxNum"),
+        col("nullCount"), col("nanRisk"))
       .collect()
-      .map(r => (r.getString(1), r.getLong(2),
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)),
-        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
-        if (r.isNullAt(5)) None else Some(r.getLong(5)),
-        r.getInt(6) == 1,
-        !r.isNullAt(7) && r.getInt(7) == 1))
-    if (!blocks.exists(_._6)) return Nil // column unindexed: no cut
-    // stated = numeric bounds + a trusted null count, and (for NULLS
-    // FIRST) provably null-free; everything else keeps conservatively
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        !r.isNullAt(5) && !r.getBoolean(5))) // NaN-faithful stats
+    if (blocks.isEmpty) return Nil // column unindexed: no cut
+    // stated = numeric bounds + a trusted null count + NaN-faithful
+    // non-NaN bounds, and (for NULLS FIRST) provably null-free;
+    // everything else keeps conservatively
     val (stated, statless) = blocks.partition(b =>
-      b._6 && b._3.isDefined && b._4.isDefined && b._5.exists(_ >= 0) &&
-        b._7 && !b._3.get.isNaN && !b._4.get.isNaN &&
+      b._3.isDefined && b._4.isDefined && b._5.exists(_ >= 0) &&
+        b._6 && !b._3.get.isNaN && !b._4.get.isNaN &&
         !(nullsFirst && b._5.exists(_ > 0)))
     val ordered =
       if (ascending) stated.sortBy(_._3.get) // by min asc

@@ -87,6 +87,11 @@ object JoinFilePruning {
 
   private[graft] def clearCache(): Unit = cache.clear()
 
+  /** Decision jobs actually RUN (memo misses) — the observable the
+    * round-14 cost-bound spec pins: a star whose first cut already
+    * collapsed the kept set must not pay one job per remaining dim. */
+  val decisionJobs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def tryPrune(spark: SparkSession, j: Join): Option[Join] = {
     if (j.condition.isEmpty) return None
     val eqs = splitAnd(j.condition.get).collect {
@@ -226,20 +231,47 @@ object JoinFilePruning {
           dim.outputSet.exists(_.exprId == a.exprId)) Some((b, a))
       else None
     }
-    val cuts: Seq[(LogicalRelation, Set[String])] = oriented.flatMap {
-      case (factAttr, dimAttr) => cutFor(spark, fact, dim, factAttr, dimAttr)
-    }
-    if (cuts.isEmpty) return None
-    // union cuts per relation INSTANCE — structural grouping could
-    // merge a self-join's two scans and cross-apply their cuts
+    // COST BOUND (round 14): each conjunct's cut is a plan-time dim
+    // job; a many-dim star must not pay them serially after the kept
+    // set has already collapsed. Three brakes, all CONSERVATIVE (a
+    // skipped cut only keeps more files):
+    //   - short-circuit a relation whose remaining kept set is ≤ 1
+    //     file — there is nothing left worth a decision job;
+    //   - stop cutting a relation after two consecutive cuts added
+    //     NOTHING new (the kept set stopped shrinking);
+    //   - a hard wall-clock budget on this prune's NEW decision work
+    //     (`spark.graft.joinPrune.maxDecisionMillis`, default 10 s;
+    //     memoized cuts don't count — they're free).
+    val deadline = System.nanoTime() +
+      conf(spark, "spark.graft.joinPrune.maxDecisionMillis", 10000L) * 1000000L
     val grouped = scala.collection.mutable.ArrayBuffer
       .empty[(LogicalRelation, Set[String])]
-    cuts.foreach { case (r, s) =>
-      grouped.indexWhere(_._1 eq r) match {
-        case -1 => grouped += ((r, s))
-        case i  => grouped(i) = (r, grouped(i)._2 ++ s)
+    val dryStreak = scala.collection.mutable.HashMap
+      .empty[Int, Int] // grouped index -> consecutive no-shrink cuts
+    oriented.foreach { case (factAttr, dimAttr) =>
+      val relOpt = relationFor(fact, factAttr)
+      val gIdx = relOpt.map(r => grouped.indexWhere(_._1 eq r)).getOrElse(-1)
+      val remaining = relOpt.map { r =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length -
+          (if (gIdx >= 0) grouped(gIdx)._2.size else 0)
+      }.getOrElse(Int.MaxValue)
+      val dried = gIdx >= 0 && dryStreak.getOrElse(gIdx, 0) >= 2
+      if (relOpt.isDefined && remaining > 1 && !dried &&
+          System.nanoTime() < deadline) {
+        cutFor(spark, fact, dim, factAttr, dimAttr).foreach { case (r, s) =>
+          grouped.indexWhere(_._1 eq r) match {
+            case -1 => grouped += ((r, s))
+            case i =>
+              val before = grouped(i)._2.size
+              grouped(i) = (r, grouped(i)._2 ++ s)
+              dryStreak(i) =
+                if (grouped(i)._2.size == before) dryStreak.getOrElse(i, 0) + 1
+                else 0
+          }
+        }
       }
     }
+    if (grouped.isEmpty) return None
     val repl = grouped.toSeq.flatMap { case (rel, skip) =>
       val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       val current = hfs.location.inputFiles.toSeq
@@ -311,6 +343,7 @@ object JoinFilePruning {
       dim.canonicalized, dimAttr.name)
     val hit = cache.get(key)
     if (hit != null) return hit
+    decisionJobs.incrementAndGet()
     ZoneMapPruneRule.inRule.set(java.lang.Boolean.TRUE)
     val computed: Option[(Map[String, (Long, Long)], Set[String])] =
       try {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -134,6 +134,17 @@ object ZoneAggRule {
   private final case class CountCol(c: String) extends Kind
   private final case class MinCol(c: String, t: DataType) extends Kind
   private final case class MaxCol(c: String, t: DataType) extends Kind
+  // SUM over an integral column (round 14): served from the EXACT
+  // per-file sums MicroBlockIndex.withSums stamped into the sidecar
+  // (footers carry no sums — the opt-in build scan does). Result type
+  // is always LongType (Spark's SUM over any int width).
+  private final case class SumCol(c: String) extends Kind
+
+  /** Integral input types whose SUM serves from the per-file sums. */
+  private def sumType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   /** Types whose footer stats land EXACTLY in the sidecar's integral
     * view (BlockStat.minLong/maxLong): plain ints of any width, dates
@@ -156,6 +167,8 @@ object ZoneAggRule {
             Some((al, MinCol(a.name, a.dataType)))
           case Max(a: AttributeReference) if exactType(a.dataType) =>
             Some((al, MaxCol(a.name, a.dataType)))
+          case Sum(a: AttributeReference, _) if sumType(a.dataType) =>
+            Some((al, SumCol(a.name)))
           case _ => None
         }
       case _ => None
@@ -192,7 +205,7 @@ object ZoneAggRule {
   private final case class Snap(
       fileRows: Map[String, Long],
       perCol: Map[(String, String), (Long, Long, Long, Long,
-        Option[Long], Option[Long])])
+        Option[Long], Option[Long], Option[Long])])
 
   private val snapCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, String), Snap](16, 0.75f, true) {
@@ -220,7 +233,7 @@ object ZoneAggRule {
           .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
         val perCol =
           if (cols.isEmpty) Map.empty[(String, String),
-            (Long, Long, Long, Long, Option[Long], Option[Long])]
+            (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
           else zoneIdx.filter(col("column").isin(cols: _*))
             .groupBy(col("column"), col("file"))
             .agg(
@@ -231,12 +244,16 @@ object ZoneAggRule {
                 !(col("nullCount") === col("rows")), 1L)
                 .otherwise(0L)).as("untrustedMM"),
               min(col("minLong")).as("mn"),
-              max(col("maxLong")).as("mx"))
+              max(col("maxLong")).as("mx"),
+              // per-file sums are stamped identically on every block
+              // entry of the (file, column) — any pick is THE value
+              max(col("sumLong")).as("sm"))
             .collect().map { r =>
               (r.getString(0), norm(r.getString(1))) ->
                 ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
                   if (r.isNullAt(6)) None else Some(r.getLong(6)),
-                  if (r.isNullAt(7)) None else Some(r.getLong(7))))
+                  if (r.isNullAt(7)) None else Some(r.getLong(7)),
+                  if (r.isNullAt(8)) None else Some(r.getLong(8))))
             }.toMap
         Some(Snap(fileRows, perCol))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -276,6 +293,23 @@ object ZoneAggRule {
     computed
   }
 
+  /** Can file `f` be PROVEN to hold exactly ONE group value for data
+    * column `c` (round 14 — grouped serving beyond partition columns)?
+    * Some(Some(v)) = every row holds the integral value v (trusted
+    * zero nulls, complete coverage, every block's exact view defined,
+    * file-wide min == max); Some(None) = every row is NULL (its group
+    * is the NULL group); None = unprovable — the file scans. */
+  private def singleGroupValue(snap: Snap, f: String,
+      c: String): Option[Option[Long]] =
+    snap.perCol.get((c, f)).flatMap { e =>
+      val covered = snap.fileRows.get(f).contains(e._1)
+      if (!covered || e._2 < 0) None
+      else if (e._3 == 0 && e._4 == 0 && e._5.isDefined &&
+        e._6.isDefined && e._5 == e._6) Some(e._5)
+      else if (e._3 == e._1) Some(None) // all-NULL: one (NULL) group
+      else None
+    }
+
   /** Is `f` answerable from metadata for aggregate `k`? */
   private def trusted(snap: Snap, f: String, k: Kind): Boolean = k match {
     case CountStar => snap.fileRows.contains(f)
@@ -286,6 +320,11 @@ object ZoneAggRule {
       e._2 >= 0 && e._4 == 0 && snap.fileRows.get(f).contains(e._1)
     }
     case MaxCol(c, _) => trusted(snap, f, MinCol(c, IntegerType))
+    // the sum was computed from the DATA, not footers — its own
+    // presence is the whole trust test (None = not built, single-file
+    // overflow, or all-NULL; those files fall to the scan side, which
+    // also preserves SUM's all-NULL ⇒ NULL semantics)
+    case SumCol(c) => snap.perCol.get((c, f)).exists(_._7.isDefined)
   }
 
   private[graft] def tryRewrite(
@@ -304,6 +343,7 @@ object ZoneAggRule {
         case CountCol(c) => c
         case MinCol(c, _) => c
         case MaxCol(c, _) => c
+        case SumCol(c) => c
       }.distinct
       if cols.forall(hfs.dataSchema.fieldNames.contains)
       predOpt <- condOpt match {
@@ -395,6 +435,8 @@ object ZoneAggRule {
             Some(MinCol(a.name, a.dataType))
           case Max(a: AttributeReference) if exactType(a.dataType) =>
             Some(MaxCol(a.name, a.dataType))
+          case Sum(a: AttributeReference, _) if sumType(a.dataType) =>
+            Some(SumCol(a.name))
           case _ => None
         }
         k.map { kk => val e = GAgg(al, kk, nAggs); nAggs += 1; e }
@@ -410,15 +452,22 @@ object ZoneAggRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
-      // group columns must be PARTITION columns; aggregate columns
-      // must be DATA columns
-      if groupAttrs.forall(a =>
+      // group columns: PARTITION columns serve from the FileIndex's
+      // exact file->value map; DATA columns (round 14) serve per file
+      // when the stats PROVE the file holds one group (min == max with
+      // zero nulls, or all-NULL) — clustered/sorted layouts mostly do.
+      // A data group column needs the exact integral view (strings and
+      // floats refuse); unprovable files fall to the grouped scan.
+      dataGroupCols = groupAttrs.filterNot(a =>
         hfs.partitionSchema.fieldNames.contains(a.name))
-      cols = kinds.map(_.kind).collect {
+      if dataGroupCols.forall(a =>
+        exactType(a.dataType) && hfs.dataSchema.fieldNames.contains(a.name))
+      cols = (kinds.map(_.kind).collect {
         case CountCol(c) => c
         case MinCol(c, _) => c
         case MaxCol(c, _) => c
-      }.distinct
+        case SumCol(c) => c
+      } ++ dataGroupCols.map(_.name)).distinct
       if cols.forall(hfs.dataSchema.fieldNames.contains)
       predOpt <- condOpt match {
         case None => Some(None)
@@ -439,7 +488,9 @@ object ZoneAggRule {
       allFalse = allFalseRaw & liveFiles
       undecided = liveFiles -- allTrue -- allFalse
       served = allTrue.filter(f =>
-        kinds.forall(g => trusted(snap, f, g.kind)))
+        kinds.forall(g => trusted(snap, f, g.kind)) &&
+          dataGroupCols.forall(a =>
+            singleGroupValue(snap, f, a.name).isDefined))
       scanFiles = undecided ++ (allTrue -- served)
       maxFrac = try spark.conf.get(
         "spark.graft.statsServe.maxScanFraction", "0.5").toDouble
@@ -481,14 +532,30 @@ object ZoneAggRule {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.catalyst.InternalRow
       val partSchema = hfs.partitionSchema
-      val gIdx = groupAttrs.map(a => partSchema.fieldIndex(a.name))
-      // file -> this file's group key (internal values, in group order)
-      val fileKey: Map[String, Seq[Any]] =
+      // file -> its partition values row (for partition group columns)
+      val partValues: Map[String, org.apache.spark.sql.catalyst.InternalRow] =
         hfs.location.listFiles(Nil, Nil).flatMap { pd =>
-          val key = gIdx.zip(groupAttrs).map { case (i, a) =>
-            pd.values.get(i, a.dataType) }
-          pd.files.map(f => norm(f.getPath.toString) -> key)
+          pd.files.map(f => norm(f.getPath.toString) -> pd.values)
         }.toMap
+      // file -> this file's group key (internal values, in group
+      // order): partition columns read the FileIndex's exact map; data
+      // columns read the PROVEN single-group value from the stats
+      // (None components never occur for served files — the serve
+      // filter required the proof)
+      def keyFor(f: String): Option[Seq[Any]] = {
+        val parts = groupAttrs.map { a =>
+          if (partSchema.fieldNames.contains(a.name))
+            partValues.get(f).map(r =>
+              r.get(partSchema.fieldIndex(a.name), a.dataType))
+          else singleGroupValue(snap, f, a.name).map {
+            case Some(v) => internalOf(v, a.dataType)
+            case None    => null
+          }
+        }
+        if (parts.forall(_.isDefined)) Some(parts.map(_.get)) else None
+      }
+      val fileKey: Map[String, Seq[Any]] =
+        served.toSeq.flatMap(f => keyFor(f).map(f -> _)).toMap
       if (!served.forall(fileKey.contains)) return None
       // fold served files per group: Array(count partials per kind)
       val partials = scala.collection.mutable.LinkedHashMap
@@ -517,13 +584,21 @@ object ZoneAggRule {
                   else math.max(acc(i).asInstanceOf[Long], v)
                 acc(i) = nv
               }
+            case SumCol(c) =>
+              snap.perCol((c, f))._7.foreach { v =>
+                // addExact: a per-group overflow aborts the whole
+                // rewrite (caught below) rather than wrapping silently
+                val nv = if (acc(i) == null) v
+                  else Math.addExact(acc(i).asInstanceOf[Long], v)
+                acc(i) = nv
+              }
           }
         }
       }
       // typed internal value for a partial
       def internal(k: Kind, v: Any): Any = (k, v) match {
         case (_, null) => null
-        case (CountStar | CountCol(_), l) => l
+        case (CountStar | CountCol(_) | SumCol(_), l) => l
         case (MinCol(_, t), l: Long) => internalOf(l, t)
         case (MaxCol(_, t), l: Long) => internalOf(l, t)
         case _ => null
@@ -568,13 +643,16 @@ object ZoneAggRule {
               case CountCol(c)  => count(col(c))
               case MinCol(c, _) => min(col(c))
               case MaxCol(c, _) => max(col(c))
+              case SumCol(c)    => sum(col(c))
             }).as(s"gp${g.idx}")
           }
           val scanAgg = scan.groupBy(groupAttrs.map(a => col(a.name)): _*)
             .agg(scanAggs.head, scanAggs.tail: _*)
           val combAggs = kinds.map { g =>
             (g.kind match {
-              case CountStar | CountCol(_) => sum(col(s"gp${g.idx}"))
+              // SUM partials combine like counts: add, null-skipping
+              case CountStar | CountCol(_) | SumCol(_) =>
+                sum(col(s"gp${g.idx}"))
               case MinCol(_, _)            => min(col(s"gp${g.idx}"))
               case MaxCol(_, _)            => max(col(s"gp${g.idx}"))
             }).as(s"gf${g.idx}")
@@ -638,6 +716,20 @@ object ZoneAggRule {
         case (_, MaxCol(c, t)) =>
           val mxs = served.toSeq.flatMap(f => snap.perCol((c, f))._6)
           typedLit(mxs.maxOption, t)
+        case (_, SumCol(c)) =>
+          // exact BigInt fold; a combined total past long range throws
+          // -> the surrounding try refuses the whole serve (Spark's
+          // own scan would throw/wrap per its overflow semantics — a
+          // silently-wrapped metadata answer must never replace that)
+          val sums = served.toSeq.flatMap(f => snap.perCol((c, f))._7)
+          if (sums.isEmpty)
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              Literal(null, org.apache.spark.sql.types.LongType))
+          else {
+            val total = sums.foldLeft(BigInt(0))(_ + _)
+            require(total.isValidLong, "served SUM exceeds long range")
+            lit(total.toLong)
+          }
       }
       val scanRaw = liveRaw.filter(f => scanFiles.contains(norm(f)))
       val df =
@@ -661,6 +753,7 @@ object ZoneAggRule {
             case ((_, CountCol(c)), i)  => count(col(c)).as(s"s$i")
             case ((_, MinCol(c, _)), i) => min(col(c)).as(s"s$i")
             case ((_, MaxCol(c, _)), i) => max(col(c)).as(s"s$i")
+            case ((_, SumCol(c)), i)    => sum(col(c)).as(s"s$i")
           }
           scan.agg(scanAggs.head, scanAggs.tail: _*).select(
             pairs.zip(metaCols).zipWithIndex.map {
@@ -668,6 +761,11 @@ object ZoneAggRule {
               case (((_, CountCol(_)), m), i)   => (m + col(s"s$i")).as(s"a$i")
               case (((_, MinCol(_, _)), m), i)  => least(m, col(s"s$i")).as(s"a$i")
               case (((_, MaxCol(_, _)), m), i)  => greatest(m, col(s"s$i")).as(s"a$i")
+              // SUM's null algebra: NULL only when BOTH sides have no
+              // non-null input (m + s is null-poisoned, so coalesce
+              // through the three live cases)
+              case (((_, SumCol(_)), m), i) =>
+                coalesce(m + col(s"s$i"), m, col(s"s$i")).as(s"a$i")
             }: _*)
         }
       val p = df.queryExecution.optimizedPlan

@@ -50,6 +50,69 @@ object MicroBlockQueries {
     out
   }
 
+  /** Build (once) the one-file-per-l_linenumber lineitem layout — the
+    * per-value-file shape every compaction-by-key job produces, and
+    * the regime where grouped DATA-column serving is total (each
+    * file's stats prove a single group). */
+  private[graft] def lineClusteredPath(
+      spark: SparkSession, dir: String): String = synchronized {
+    val sfName = Paths.get(dir).getFileName.toString
+    val out = s"target/scratch/microblocks/$sfName/lineclustered"
+    if (!built.contains(out)) {
+      if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+        val li = graft.engine.Tables.load(spark, dir, "lineitem")
+          .select("l_linenumber", "l_orderkey", "l_suppkey")
+        // one clustering write, one file per group value
+        li.repartition(col("l_linenumber"))
+          .sortWithinPartitions("l_linenumber")
+          .write.mode("overwrite").parquet(out + ".tmp")
+        val vals = li.select("l_linenumber").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val src = spark.read.parquet(out + ".tmp")
+        vals.zipWithIndex.foreach { case (v, i) =>
+          src.filter(col("l_linenumber") === v).coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+        }
+      }
+      built += out
+    }
+    out
+  }
+
+  /** Build (once per sf dir, reuse across JVMs) the BUCKETED
+    * lineitem/orders layouts for the transparent-bucket gate row —
+    * warehouse-located, catalog-registered by the write, but consumed
+    * as bare PATHS (the transparency under test). Table names carry
+    * the sf dir so sf0.01 and sf0.1 runs never collide; a layout older
+    * than its source table rebuilds (testdata regenerates per round). */
+  private[graft] def bucketedPaths(
+      spark: SparkSession, dir: String): (String, String) = synchronized {
+    val sfName = Paths.get(dir).getFileName.toString
+      .toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val liT = s"graft_gate_li_bkt_$sfName"
+    val ordT = s"graft_gate_ord_bkt_$sfName"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def srcNewest(table: String): Long =
+      MicroBlockIndex.listParquetFilesWithStatus(s"$dir/$table.parquet")
+        .map(_._2).foldLeft(0L)(math.max)
+    def fresh(table: String, src: String): Boolean = {
+      val spec = Paths.get(s"$wh/$table", "_graft_bucket_spec.json")
+      Files.exists(spec) &&
+        Files.getLastModifiedTime(spec).toMillis >= srcNewest(src)
+    }
+    if (!fresh(liT, "lineitem"))
+      graft.sources.Bucketing.writeBucketed(
+        graft.engine.Tables.load(spark, dir, "lineitem"), liT, "l_orderkey", 8,
+        columns = Seq("l_extendedprice", "l_discount"))
+    else graft.sources.Bucketing.registerExisting(spark, liT, "l_orderkey", 8)
+    if (!fresh(ordT, "orders"))
+      graft.sources.Bucketing.writeBucketed(
+        graft.engine.Tables.load(spark, dir, "orders"), ordT, "o_orderkey", 8,
+        columns = Seq("o_custkey", "o_orderdate"))
+    else graft.sources.Bucketing.registerExisting(spark, ordT, "o_orderkey", 8)
+    (s"$wh/$liT", s"$wh/$ordT")
+  }
+
   /** Build (once) the hive-partitioned orders copy for this sf dir —
     * o_orderstatus partitions × o_orderkey-clustered files, the
     * standard two-level 100 TB fact layout ([[MicroBlockWriter
@@ -436,22 +499,23 @@ object MicroBlockQueries {
     // DICTIONARY holds exactly its bucket's keys, so `l_suppkey = 3`
     // keeps only the files whose value set contains 3 (~1/16; the
     // zone-map contrast — 16/16 kept — is pinned in DictionarySpec).
-    // Round 11: served through the COST ROUTER (prunedReadEqAuto) —
-    // below ~256 MB the distributed skip-list job costs more than the
-    // scan it saves (dict_ab at sf0.1 measured the inversion: 0.26 s
-    // dict vs 0.19 s scan on 17 MB), so small tables take the straight
-    // scan and the dictionary cut engages where it wins (sf100: 0.73 s
-    // vs 1.85 s, BENCH_DICT.json). Both routes end in the same row
+    // Round 11 served through a fixed 256 MB cost router; round 14
+    // replaces the constant with the MEASURED router
+    // (prunedReadEqMeasured): the decision-job cost and the scan
+    // throughput are EWMAs learned from this session's own runs
+    // (first lookup calibrates), and the route is dictionary iff
+    // est_decision_sec < table_bytes / est_scan_bps — the same
+    // crossover the old threshold hand-approximated, priced on the
+    // box it actually runs on. Both routes end in the same row
     // filter, so the oracle's full-scan hash match holds either way;
-    // the dictionary route's losslessness at this sf is pinned in
-    // DictionarySpec against Spark full scans.
+    // losslessness is pinned in DictionarySpec.
     QueryDef.sql(
       "mb_dict_point",
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_suppkey = 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       val (path, idx) = dictBucketIndex(s, dir)
-      DictionaryIndex.prunedReadEqAuto(s, idx, path, "l_suppkey", Seq(PredValue(3L)))
+      DictionaryIndex.prunedReadEqMeasured(s, idx, path, "l_suppkey", Seq(PredValue(3L)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
     },
@@ -741,6 +805,176 @@ object MicroBlockQueries {
       }
       require(!readsBase.exists(identity),
         "grouped zone-stats serve must not read any data file")
+      df
+    },
+
+    // mb_zone_agg_sum (round 14): SUM served from metadata — the
+    // other half of every dashboard aggregate (COUNT/MIN/MAX landed
+    // round 13). Footers carry no sums, so the sidecar carries EXACT
+    // per-file integral sums computed once at index build
+    // (MicroBlockIndex.withSums — one columnar scan of the named
+    // columns, stamped into the same sidecar, same freshness gates).
+    // Filtered SUM then folds the zone-decided files' sums at plan
+    // time and unions ONE straddler scan; SUM's null algebra (all-NULL
+    // ⇒ NULL, never 0) survives because all-NULL files record no sum
+    // and fall to the scan side. 2^53+ exactness is pinned in
+    // ZoneAggRuleSpec (sums are longs end-to-end — the Double view
+    // never touches them). Oracle = the same aggregates full-scanned
+    // by DuckDB (CAST to BIGINT: DuckDB sums ints into HUGEINT).
+    QueryDef.sql(
+      "mb_zone_agg_sum",
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val path = microPath(s, dir)
+      val sidecar = graft.sources.MicroBlockIndex.sidecarPath(path)
+      val zoneSuccess = Paths.get(sidecar, "_SUCCESS")
+      // stale when missing, older than the layout, or predating the
+      // per-file sums this serve needs
+      def hasSums = {
+        val idx = s.read.parquet(sidecar)
+        idx.columns.contains("sumLong") &&
+          idx.filter(org.apache.spark.sql.functions.col("column") === "l_suppkey" &&
+            org.apache.spark.sql.functions.col("sumLong").isNotNull)
+            .limit(1).count() > 0
+      }
+      val stale = !Files.exists(zoneSuccess) ||
+        Files.getLastModifiedTime(zoneSuccess).toMillis <
+          Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+        !hasSums
+      if (stale)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.withSums(s, path,
+            graft.sources.MicroBlockIndex.build(s, path, "lineitem"),
+            Seq("l_suppkey", "l_linenumber")), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_zone_sum_li")
+      val df = s.sql(
+        """SELECT COUNT(*) AS n_rows, SUM(l_suppkey) AS sum_supp,
+          |  SUM(l_linenumber) AS sum_ln
+          |FROM graft_zone_sum_li
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+      val servedFired = graft.plans.ZoneAggRule
+        .servedSignature(df.queryExecution.optimizedPlan)
+      require(servedFired,
+        "zone-stats SUM serve did not replace the Aggregate")
+      df
+    },
+
+    // mb_zone_agg_grouped_data (round 14): GROUP BY a clustered DATA
+    // column served from metadata — round 13's grouped arm refused
+    // anything but partition columns; now a file whose stats PROVE it
+    // holds exactly one group value (min == max with trusted zero
+    // nulls and complete coverage, or all-NULL — its own group)
+    // serves from footer metadata, and only unprovable files scan.
+    // The fixture is the per-value-file layout every
+    // compaction-by-key job produces (one file per l_linenumber
+    // value); the require proves NO data file is read. Oracle = the
+    // same grouped aggregates full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_zone_agg_grouped_data",
+      """SELECT l_linenumber, COUNT(*) AS n_rows,
+        |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin) { (s, dir) =>
+      val path = lineClusteredPath(s, dir)
+      val sidecar = graft.sources.MicroBlockIndex.sidecarPath(path)
+      val zoneSuccess = Paths.get(sidecar, "_SUCCESS")
+      def hasSums = {
+        val idx = s.read.parquet(sidecar)
+        idx.columns.contains("sumLong") &&
+          idx.filter(col("column") === "l_suppkey" &&
+            col("sumLong").isNotNull).limit(1).count() > 0
+      }
+      val stale = !Files.exists(zoneSuccess) ||
+        Files.getLastModifiedTime(zoneSuccess).toMillis <
+          Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+        !hasSums
+      if (stale)
+        graft.sources.MicroBlockIndex.saveSidecar(
+          graft.sources.MicroBlockIndex.withSums(s, path,
+            graft.sources.MicroBlockIndex.build(s, path, "lineitem"),
+            Seq("l_suppkey")), path)
+      s.read.parquet(path).createOrReplaceTempView("graft_zone_gd_li")
+      val df = s.sql(
+        """SELECT l_linenumber, COUNT(*) AS n_rows, SUM(l_suppkey) AS sum_supp,
+          |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+          |FROM graft_zone_gd_li GROUP BY l_linenumber
+          |ORDER BY l_linenumber""".stripMargin)
+      val readsBase = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains("/lineclustered/"))
+      }
+      require(!readsBase.exists(identity),
+        "grouped data-column serve must not read any data file")
+      df
+    },
+
+    // mb_bucket_join (round 14): the transparent bucketed layout +
+    // eager aggregation, end-to-end through PLAIN SQL over bare
+    // parquet PATHS — no catalog table, no register call. The layouts
+    // are pay-once clustering writes (Bucketing.writeBucketed);
+    // BucketLayoutRule re-attaches their specs from the
+    // _graft_bucket_spec.json sidecars, so the l⋈o join runs with no
+    // exchange on either scan, and EagerAggregationRule pushes the
+    // revenue partial below the join (the q12 structural move at
+    // 100 TB: the fact side shrinks to |distinct orderkey| BEFORE any
+    // shuffle above it). The require proves the push actually
+    // happened — an un-pushed plan passes the value check too, which
+    // is exactly why plan-shape requires exist. Oracle = the same
+    // star over the source tables in DuckDB (decimal-routed sum, the
+    // q12 determinism contract).
+    QueryDef.sql(
+      "mb_bucket_join",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val (liP, ordP) = bucketedPaths(s, dir)
+      s.read.parquet(liP).createOrReplaceTempView("g_bkt_li")
+      s.read.parquet(ordP).createOrReplaceTempView("g_bkt_ord")
+      graft.engine.Tables.load(s, dir, "customer")
+        .createOrReplaceTempView("g_bkt_cust")
+      graft.engine.Tables.load(s, dir, "nation")
+        .createOrReplaceTempView("g_bkt_nat")
+      val df = s.sql(
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_items
+          |FROM g_bkt_li
+          |JOIN g_bkt_ord ON l_orderkey = o_orderkey
+          |JOIN g_bkt_cust ON o_custkey = c_custkey
+          |JOIN g_bkt_nat ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      val claimed = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              r.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .bucketSpec.exists(_.bucketColumnNames == Seq("l_orderkey")) =>
+          true
+      }.nonEmpty
+      require(claimed, "bucket spec was not re-attached to the plain path read")
+      val pushed = df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if Seq(j.left, j.right).exists(_.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.nonEmpty) => true
+      }.nonEmpty
+      require(pushed, "eager aggregation did not push below the join")
       df
     },
 

@@ -66,14 +66,32 @@ object Bucketing {
     // spec (a wrong bucket count silently breaks bucket pruning and
     // exchange-free joins — wrong rows, not just slow ones). Persist the
     // written spec beside the data so reuse can validate against it.
-    val specPath = new org.apache.hadoop.fs.Path(loc, SpecFile)
+    val specPath = new org.apache.hadoop.fs.Path(loc, SpecFileName)
     val out = fs.create(specPath, true)
     try out.write(
       s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
+    // the spec doubles as the TRANSPARENT discovery marker
+    // ([[graft.plans.BucketLayoutRule]]): a plain parquet read of this
+    // location in any session re-attaches the bucket spec. Same-session
+    // discovery needs the manifest memo dropped.
+    SidecarManifest.invalidate(loc.toString)
+    graft.plans.BucketLayoutRule.clearCache()
   }
 
-  private val SpecFile = "_graft_bucket_spec.json"
+  /** The bucket-spec sidecar name — `_graft`-prefixed so the shared
+    * [[SidecarManifest]] probe sees it and data scans ignore it. */
+  private[graft] val SpecFileName = "_graft_bucket_spec.json"
+  private val SpecFile = SpecFileName
+
+  /** Parse the fixed-shape spec JSON this object writes. */
+  private[graft] def parseSpec(raw: String): Option[(String, Int)] = {
+    val re = """\{"key":"([^"]+)","buckets":(\d+)\}""".r
+    raw.trim match {
+      case re(k, n) => scala.util.Try(n.toInt).toOption.map(k -> _)
+      case _        => None
+    }
+  }
 
   /** Re-register an ALREADY-WRITTEN bucketed table in a fresh session.
     * The default in-memory catalog forgets bucket metadata when the

@@ -571,6 +571,84 @@ object DictionaryIndex {
       spark.read.parquet(tablePath).filter(rowFilter)
     } else prunedReadEq(spark, index, tablePath, column, values)
 
+  // ---------------------------------------------------------------
+  // MEASURED point-lookup router (round 14) — replaces the fixed
+  // 256 MB threshold as the shipped decision. The trade it prices:
+  // the dictionary route pays a fixed-cost distributed decision job
+  // to (maybe) skip most of the scan; the scan route just scans. The
+  // crossover is where decision-job seconds meet full-scan seconds —
+  // both MEASURED in-session instead of guessed:
+  //   - decision cost: the wall time of each dictionary decision
+  //     actually run, folded into an EWMA (seeded by the first routed
+  //     lookup, which always takes the dictionary route to learn it);
+  //   - scan throughput: one calibration pass over the table's median
+  //     file (internal-row traversal — the decode cost the scan route
+  //     pays), bytes/sec into an EWMA.
+  // Route: dictionary iff est_decision_sec < table_bytes / est_bps.
+  // No tuned constant survives: a fast box with cheap jobs routes
+  // smaller tables to the dictionary than a slow one, automatically.
+  // ---------------------------------------------------------------
+  @volatile private var decSecEwma: Option[Double] = None
+  @volatile private var scanBpsEwma: Option[Double] = None
+  private def ewma(old: Option[Double], x: Double): Option[Double] =
+    Some(old.fold(x)(o => 0.7 * o + 0.3 * x))
+  /** Test/bench isolation: forget the session's measured constants. */
+  private[graft] def resetRouterStats(): Unit = {
+    decSecEwma = None; scanBpsEwma = None
+  }
+  /** The measured constants (decision sec, scan bytes/sec), for
+    * harnesses to report the decision inputs actually used. */
+  def routerStats: (Option[Double], Option[Double]) =
+    (decSecEwma, scanBpsEwma)
+
+  /** The route the MEASURED router takes for `tablePath` right now:
+    * "dict", "scan", or "calibrate" (constants not yet learned — the
+    * next [[prunedReadEqMeasured]] seeds them). */
+  def pointLookupRouteMeasured(tablePath: String): String =
+    (decSecEwma, scanBpsEwma) match {
+      case (Some(d), Some(b)) =>
+        if (d < tableBytes(tablePath) / b) "dict" else "scan"
+      case _ => "calibrate"
+    }
+
+  /** [[prunedReadEqAuto]] with the MEASURED router. Identical rows on
+    * every route (same lossless-cut argument); only the cost model
+    * differs. The first lookup of a session calibrates: one median-
+    * file traversal prices the scan, and the lookup runs through the
+    * dictionary route so its decision job prices itself. */
+  def prunedReadEqMeasured(spark: SparkSession, index: Dataset[FileDict],
+      tablePath: String, column: String,
+      values: Seq[graft.plans.PredValue]): DataFrame = {
+    if (scanBpsEwma.isEmpty) {
+      val files = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+      if (files.nonEmpty) {
+        val sortedBySize = files.sortBy(_._3)
+        val (f, _, sz) = sortedBySize(sortedBySize.size / 2)
+        val t0 = System.nanoTime()
+        spark.read.parquet(f).queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) it.next())
+        val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-3)
+        scanBpsEwma = ewma(scanBpsEwma, sz / sec)
+      }
+    }
+    def viaDict(): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = prunedReadEq(spark, index, tablePath, column, values)
+      // prunedReadEq runs its decision job eagerly — the call's wall
+      // time IS the decision cost (the returned scan stays lazy)
+      decSecEwma = ewma(decSecEwma, (System.nanoTime() - t0) / 1e9)
+      df
+    }
+    pointLookupRouteMeasured(tablePath) match {
+      case "scan" =>
+        val rowFilter =
+          if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
+          else graft.plans.In(column, values).toColumn
+        spark.read.parquet(tablePath).filter(rowFilter)
+      case _ => viaDict() // "dict", or "calibrate" seeding the EWMA
+    }
+  }
+
   /** Sidecar convention, mirroring the zone-map index: the dictionary
     * index for a table lives at `<tablePath>/_graft_dict` (underscore
     * dir — invisible to Spark's file listing). */

@@ -261,6 +261,60 @@ object MicroBlockIndex {
     case _         => None
   }
 
+  /** Opt-in EXACT per-file integral sums (round 14): footers carry no
+    * sums, so serving `SUM(col)` from metadata ([[graft.plans
+    * .ZoneAggRule]]) needs one distributed scan of the named columns
+    * at index-build time. Each file's sum is computed in
+    * DECIMAL(38,0) — exact for any int64 column at any file size —
+    * and stamped (as a long; None when a single file's sum exceeds
+    * long range, or the file is all-NULL: SUM of nothing is NULL and
+    * the serve must not fabricate a 0) onto that file's existing
+    * block entries for the column. The sums live in the same sidecar
+    * as the min/max stats and inherit its freshness gates unchanged.
+    *
+    * Cost model: one columnar scan of exactly `columns` — pay once,
+    * then every filtered/unfiltered SUM over zone-decided files is a
+    * metadata read. Only integral columns are accepted (float sums
+    * are order-dependent; decimal sums belong to the AggView layer). */
+  def withSums(spark: SparkSession, tablePath: String,
+      index: Dataset[BlockStat], columns: Seq[String]): Dataset[BlockStat] = {
+    import org.apache.spark.sql.functions._
+    if (columns.isEmpty) return index
+    val files = listParquetFiles(tablePath)
+    if (files.isEmpty) return index
+    val df = readFilesAsTable(spark, tablePath, files)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val cols = columns.filter(c =>
+      df.schema.fields.exists(f => f.name == c && integral(f.dataType)))
+    if (cols.isEmpty) return index
+    val aggs = cols.map(c => sum(col(c).cast("decimal(38,0)")).as(c))
+    val perFile = df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    // (column, normalized file) -> exact sum. Driver map at file×column
+    // scale (the documented metadata-plane bound), broadcast to the
+    // executors stamping the entries.
+    val sums: Map[(String, String), Long] = perFile.flatMap { r =>
+      val f = graft.plans.ZoneMapPruneRule.normFile(r.getString(0))
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(i + 1)) None
+        else {
+          val bi = r.getDecimal(i + 1).toBigInteger
+          if (bi.bitLength() <= 63) Some((c, f) -> bi.longValue) else None
+        }
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(sums)
+    import spark.implicits._
+    index.map { b =>
+      bc.value.get((b.column, graft.plans.ZoneMapPruneRule.normFile(b.file))) match {
+        case Some(v) => b.copy(sumLong = Some(v))
+        case None    => b
+      }
+    }
+  }
+
   /** Persist the index as a parquet table (reference: save_metadata.py
     * writes block metadata to disk). The index is data: at 100 TB it's
     * queried/joined like any table and refreshed incrementally

@@ -25,6 +25,52 @@ class AdaptiveLayoutSpec extends AnyFunSuite {
     assert(AdaptiveLayout.chooseKeys(new AccessLog()).isEmpty)
   }
 
+  test("layout-kind election on a mixed workload matches the structurally measured best") {
+    import org.apache.spark.sql.functions._
+    // JOIN-heavy mix: 8 equi-joins + 2 window partitions on k vs 3
+    // filters on ts — the advisor must elect the hash-bucket layout
+    val joinLog = new AccessLog()
+    (1 to 8).foreach(_ => joinLog.log("t", Seq(1), Seq("k"), op = "join"))
+    (1 to 2).foreach(_ => joinLog.log("t", Seq(1), Seq("k"), op = "window"))
+    (1 to 3).foreach(_ => joinLog.log("t", Seq(2), Seq("ts")))
+    assert(AdaptiveLayout.chooseLayoutKind(joinLog)
+      .contains(AdaptiveLayout.HashBucket("k")))
+    // FILTER-heavy mixes elect range (one column) / z-order (two)
+    val f1 = new AccessLog()
+    (1 to 9).foreach(_ => f1.log("t", Seq(1), Seq("ts")))
+    f1.log("t", Seq(1), Seq("k"), op = "join")
+    assert(AdaptiveLayout.chooseLayoutKind(f1)
+      .contains(AdaptiveLayout.RangeCluster("ts")))
+    val f2 = new AccessLog()
+    (1 to 5).foreach(_ => f2.log("t", Seq(1), Seq("x", "y")))
+    assert(AdaptiveLayout.chooseLayoutKind(f2)
+      .contains(AdaptiveLayout.ZOrderCluster(Seq("x", "y"))))
+    assert(AdaptiveLayout.chooseLayoutKind(new AccessLog()).isEmpty)
+
+    // MEASURED-best for the join-heavy mix, structurally: the bucketed
+    // layout joins with ZERO hash exchanges, the range-clustered one
+    // cannot (both shuffle-free claims audited on executed plans —
+    // deterministic, unlike small-scale wall clocks)
+    val src = spark.range(20000).select((col("id") % 500).as("k"),
+      (col("id") % 97).as("ts"), col("id").as("v"))
+    graft.sources.Bucketing.writeBucketed(src, "adv_bkt", "k", 4)
+    spark.sql("DROP TABLE IF EXISTS adv_bkt")
+    val bktLoc = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/adv_bkt"
+    val rangeLoc = "target/scratch/test/adaptive/range"
+    graft.sources.MicroBlockWriter.write(src, rangeLoc, "ts", 4)
+    def exchanges(loc: String): Int = {
+      val t = spark.read.parquet(loc)
+      val j = t.as("a").join(t.as("b"), "k").groupBy("k")
+        .agg(sum(col("a.v")))
+      j.collect()
+      j.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+    }
+    assert(exchanges(bktLoc) == 0, "bucketed self-join must be exchange-free")
+    assert(exchanges(rangeLoc) > 0, "the range layout pays the shuffle")
+  }
+
   test("mb_adaptive_layout: the elected layout is the replay's measured best") {
     val rows = SparkEntry.queries("mb_adaptive_layout")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))

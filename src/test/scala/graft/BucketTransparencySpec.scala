@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.engine.GraftSession
+import graft.sources.Bucketing
+
+/** Transparent bucketed-layout discovery ([[graft.plans
+  * .BucketLayoutRule]]) + eager aggregation ([[graft.plans
+  * .EagerAggregationRule]]) — the pay-once clustering write serving
+  * PLAIN parquet reads:
+  *
+  *   - a `spark.read.parquet` of a `writeBucketed` location gets the
+  *     bucket spec re-attached (no catalog table, fresh session) and a
+  *     key-join + key-groupBy over two such layouts runs with ZERO
+  *     hash exchanges;
+  *   - appending a plain (unbucketed) file refuses the claim — a
+  *     wrong claim is wrong rows;
+  *   - a fact-joins-dims aggregate pushes a grouped partial aggregate
+  *     below the join (values identical with the rule off, including
+  *     COUNT's empty-join zero), and the refusal gates hold.
+  */
+class BucketTransparencySpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-bkt-test")
+
+  private def warehouseLoc(table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/" + table
+
+  /** fact(k, v, w) 60k rows over 2k keys; ord(k, ck, dt) 2k rows;
+    * cust(ck, name) 40 rows — both big sides bucketed by k. */
+  private lazy val fixture: (String, String, String) = {
+    val fact = spark.range(60000).select(
+      (col("id") % 2000).as("k"),
+      when(col("id") % 97 =!= 0, col("id") * 1.5).as("v"),
+      when(col("id") % 11 =!= 0, col("id") % 1000).as("w"))
+    val ord = spark.range(2000).select(
+      col("id").as("k"), (col("id") % 40).as("ck"),
+      (col("id") % 400).as("dt"))
+    Bucketing.writeBucketed(fact, "bt_fact", "k", 8)
+    Bucketing.writeBucketed(ord, "bt_ord", "k", 8)
+    spark.range(40).select(col("id").as("ck"),
+      concat(lit("n"), col("id")).as("name"))
+      .write.mode("overwrite").parquet(warehouseLoc("bt_cust"))
+    // drop the catalog entries: transparency means the PATH alone serves
+    spark.sql("DROP TABLE IF EXISTS bt_fact")
+    spark.sql("DROP TABLE IF EXISTS bt_ord")
+    (warehouseLoc("bt_fact"), warehouseLoc("bt_ord"), warehouseLoc("bt_cust"))
+  }
+
+  private def claimedSpec(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) => h.bucketSpec
+    }.flatten
+
+  test("a plain parquet read of a bucketed layout gets the spec re-attached") {
+    val (factLoc, _, _) = fixture
+    val spec = claimedSpec(spark.read.parquet(factLoc))
+    assert(spec.exists(s => s.numBuckets == 8 &&
+      s.bucketColumnNames == Seq("k") && s.sortColumnNames == Seq("k")),
+      s"claim must re-attach the written spec, got $spec")
+  }
+
+  test("key-join + key-groupBy over two transparent layouts: zero hash exchanges") {
+    val (factLoc, ordLoc, _) = fixture
+    spark.read.parquet(factLoc).createOrReplaceTempView("bt_fact_v")
+    spark.read.parquet(ordLoc).createOrReplaceTempView("bt_ord_v")
+    val df = spark.sql(
+      """SELECT f.k, SUM(f.v) AS sv FROM bt_fact_v f
+        |JOIN bt_ord_v o ON f.k = o.k GROUP BY f.k""".stripMargin)
+    df.collect() // AQE: audit the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join + groupBy must be exchange-free:\n${p.take(3000)}")
+    // and the values are the values
+    val expect = spark.read.parquet(factLoc).as("f")
+      .join(spark.read.parquet(ordLoc).as("o"), "k")
+      .groupBy("k").agg(sum("v")).collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted.sameElements(expect))
+  }
+
+  test("disabled discovery leaves the plain read unbucketed") {
+    val (factLoc, _, _) = fixture
+    spark.conf.set("spark.graft.bucketDiscovery.enabled", "false")
+    try assert(claimedSpec(spark.read.parquet(factLoc)).isEmpty)
+    finally spark.conf.set("spark.graft.bucketDiscovery.enabled", "true")
+  }
+
+  test("an appended plain file refuses the claim") {
+    val fact = spark.range(1000).select(
+      (col("id") % 100).as("k"), col("id").cast("double").as("v"),
+      col("id").as("w"))
+    Bucketing.writeBucketed(fact, "bt_app", "k", 4)
+    spark.sql("DROP TABLE IF EXISTS bt_app")
+    val loc = warehouseLoc("bt_app")
+    assert(claimedSpec(spark.read.parquet(loc)).isDefined)
+    // a plain append has no bucket-id suffix and postdates the spec
+    spark.range(5).select(lit(1L).as("k"), lit(1.0).as("v"), lit(1L).as("w"))
+      .write.mode("append").parquet(loc)
+    assert(claimedSpec(spark.read.parquet(loc)).isEmpty,
+      "files the spec never covered must refuse the claim")
+  }
+
+  // -----------------------------------------------------------------
+  // eager aggregation
+  // -----------------------------------------------------------------
+
+  private def eagerSql(where: String = "o.dt >= 100"): String =
+    s"""SELECT c.name,
+       |  SUM(f.v) AS sv, COUNT(*) AS n, COUNT(f.w) AS nw,
+       |  MIN(f.v) AS mn, MAX(f.v) AS mx
+       |FROM bt_fact_v f
+       |JOIN bt_ord_v o ON f.k = o.k
+       |JOIN bt_cust_v c ON o.ck = c.ck
+       |WHERE $where
+       |GROUP BY c.name""".stripMargin
+
+  private def withViews[T](body: => T): T = {
+    val (factLoc, ordLoc, custLoc) = fixture
+    spark.read.parquet(factLoc).createOrReplaceTempView("bt_fact_v")
+    spark.read.parquet(ordLoc).createOrReplaceTempView("bt_ord_v")
+    spark.read.parquet(custLoc).createOrReplaceTempView("bt_cust_v")
+    body
+  }
+
+  private def preAggBelowJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case j: Join if j.left.exists(_.isInstanceOf[Aggregate]) ||
+        j.right.exists(_.isInstanceOf[Aggregate]) => true
+    }.nonEmpty
+
+  test("fact-only aggregates push a grouped partial below the join; values unchanged") {
+    withViews {
+      val df = spark.sql(eagerSql())
+      assert(preAggBelowJoin(df),
+        s"expected a pre-aggregate under the join:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      val expect =
+        try spark.sql(eagerSql()).collect().map(_.toString).sorted
+        finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      assert(got.sameElements(expect), "eager aggregation changed the answer")
+    }
+  }
+
+  test("COUNT over an empty join stays 0, never NULL") {
+    withViews {
+      val df = spark.sql(
+        """SELECT COUNT(*) AS n, COUNT(f.w) AS nw, SUM(f.v) AS sv
+          |FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k
+          |WHERE o.dt >= 99999""".stripMargin)
+      assert(preAggBelowJoin(df))
+      val r = df.collect().head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+    }
+  }
+
+  test("refusals: mixed-side aggregate, fact-side grouping, outer join") {
+    withViews {
+      // aggregate reading both sides
+      val mixed = spark.sql(
+        """SELECT SUM(f.v + o.dt) AS s FROM bt_fact_v f
+          |JOIN bt_ord_v o ON f.k = o.k""".stripMargin)
+      assert(!preAggBelowJoin(mixed))
+      // grouping on a fact column
+      val gfact = spark.sql(
+        """SELECT f.w, SUM(f.v) AS s FROM bt_fact_v f
+          |JOIN bt_ord_v o ON f.k = o.k GROUP BY f.w""".stripMargin)
+      assert(!preAggBelowJoin(gfact))
+      // outer join
+      val outer = spark.sql(
+        """SELECT SUM(f.v) AS s FROM bt_fact_v f
+          |LEFT JOIN bt_ord_v o ON f.k = o.k""".stripMargin)
+      assert(!preAggBelowJoin(outer))
+      // and a refused query still answers identically to the rule-off run
+      val got = mixed.collect().head.toString
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      try assert(got == spark.sql(
+        """SELECT SUM(f.v + o.dt) AS s FROM bt_fact_v f
+          |JOIN bt_ord_v o ON f.k = o.k""".stripMargin).collect().head.toString)
+      finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    }
+  }
+}

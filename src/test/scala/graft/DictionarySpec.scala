@@ -247,6 +247,34 @@ class DictionarySpec extends AnyFunSuite {
     assert(rows(viaDict) == rows(truth))
   }
 
+  test("measured router: first lookup calibrates, later routes follow the learned constants, rows identical") {
+    val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey"))
+    DictionaryIndex.resetRouterStats()
+    assert(DictionaryIndex.pointLookupRouteMeasured(dictPath) == "calibrate")
+    val probe = Seq(PredValue(7L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val truth = spark.read.parquet(dictPath).filter(col("l_suppkey") === 7)
+    // seeding call: runs the dictionary route, prices the decision
+    // job and the scan throughput
+    val first = DictionaryIndex.prunedReadEqMeasured(
+      spark, idx, dictPath, "l_suppkey", probe)
+    assert(rows(first) == rows(truth))
+    val (dec, bps) = DictionaryIndex.routerStats
+    assert(dec.exists(_ > 0) && bps.exists(_ > 0),
+      "both constants must be measured after the seeding lookup")
+    // routed call: whatever side of the crossover this box measures,
+    // the route is the one the constants price cheaper — and the rows
+    // are identical either way
+    val route = DictionaryIndex.pointLookupRouteMeasured(dictPath)
+    val estScanSec = DictionaryIndex.tableBytes(dictPath) / bps.get
+    assert(route == (if (dec.get < estScanSec) "dict" else "scan"))
+    val second = DictionaryIndex.prunedReadEqMeasured(
+      spark, idx, dictPath, "l_suppkey", probe)
+    assert(rows(second) == rows(truth))
+    DictionaryIndex.resetRouterStats()
+  }
+
   test("cost router sees nested bytes on a hive-partitioned layout") {
     import spark.implicits._
     val out = scratch("route-part")

@@ -361,6 +361,42 @@ class JoinPruneSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregisterDict(out)
   }
 
+  test("cost bound: once one cut collapses the kept set, later conjuncts run no decision jobs") {
+    import spark.implicits._
+    val out = scratch("costbound")
+    // 8 files, file i constant in all four keys — the first conjunct's
+    // cut alone keeps exactly one file
+    (0 until 8).foreach { i =>
+      Seq.tabulate(50)(r => (i.toLong, i.toLong, i.toLong, i.toLong, r.toLong))
+        .toDF("k1", "k2", "k3", "k4", "v").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+    }
+    val idx = DictionaryIndex.build(spark, out, "cb",
+      Seq("k1", "k2", "k3", "k4")).toDF().persist()
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      graft.plans.JoinFilePruning.clearCache()
+      val before = graft.plans.JoinFilePruning.decisionJobs.get()
+      val fact = spark.read.parquet(out)
+      val dim = Seq((3L, 3L, 3L, 3L, "d")).toDF("d1", "d2", "d3", "d4", "n")
+      val joined = fact.join(dim,
+        col("k1") === col("d1") && col("k2") === col("d2") &&
+          col("k3") === col("d3") && col("k4") === col("d4"))
+      assert(factKeptFiles(joined, "joinprune/costbound") == Seq(1))
+      val jobs = graft.plans.JoinFilePruning.decisionJobs.get() - before
+      assert(jobs <= 1,
+        s"the collapsed kept set must short-circuit the other 3 conjuncts, ran $jobs")
+      // and the short-circuited prune is still lossless
+      val pruned = joined.select("k1", "v").collect().map(_.toString).sorted
+      ZoneMapPruneRule.unregisterDict(out)
+      val truth = spark.read.parquet(out).join(dim,
+        col("k1") === col("d1") && col("k2") === col("d2") &&
+          col("k3") === col("d3") && col("k4") === col("d4"))
+        .select("k1", "v").collect().map(_.toString).sorted
+      assert(pruned.sameElements(truth))
+    } finally ZoneMapPruneRule.unregisterDict(out)
+  }
+
   test("a nondeterministic dim refuses (plan-time keys could differ from runtime)") {
     val (path, _) = fixture
     val fact = spark.read.parquet(path)

@@ -85,6 +85,61 @@ class PrefetchServeSpec extends AnyFunSuite {
     assert(svc.tick() == Seq(0)) // swapped model serves immediately
   }
 
+  test("confidence threshold: a weak model stops polluting the cache; a confident one serves") {
+    val log = new AccessLog()
+    pattern.foreach(b => log.log("t", Seq(b)))
+    // weak arm: a hand-rolled scorer whose best guess is 30% sure —
+    // under the reference's 0.6 gate it must warm NOTHING
+    val weak = new Prefetcher {
+      def suggest(recent: Seq[Int], k: Int): Seq[Int] = Seq(7)
+      override def suggestScored(recent: Seq[Int], k: Int) = Seq((7, 0.3))
+      def fitted = true
+      def save(s: org.apache.spark.sql.SparkSession, d: String): Unit = ()
+    }
+    val cache = new BlockCacheManager(8)
+    val gated = new PrefetchService(log, () => weak, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1,
+      threshold = 0.6)
+    assert(gated.tick().isEmpty && gated.prefetched == 0,
+      "sub-threshold guesses must never load")
+    // ungated service with the same weak model pollutes (the behavior
+    // the gate exists to stop)
+    val ungated = new PrefetchService(log, () => weak, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1)
+    assert(ungated.tick() == Seq(7))
+    // a well-trained model on a deterministic cycle clears the gate
+    val gru = new GruPrefetcher(hidden = 8, window = 6, epochs = 60, lr = 0.6)
+      .fit(spark, pattern)
+    assert(gru.suggestScored(log.recent(8), 1).head._2 >= 0.6,
+      "fixture: the trained model must actually be confident")
+    val cache2 = new BlockCacheManager(8)
+    val confident = new PrefetchService(log, () => gru, cache2,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1,
+      threshold = 0.6)
+    assert(confident.tick() == Seq(0))
+  }
+
+  test("scheduled retrain fires every N ticks and hot-swaps the refit model") {
+    val log = new AccessLog()
+    pattern.foreach(b => log.log("t", Seq(b)))
+    @volatile var model: Prefetcher = new MarkovPrefetcher(1) // unfitted
+    var retrained = 0
+    val cache = new BlockCacheManager(8)
+    val svc = new PrefetchService(log, () => model, cache,
+      id => spark.range(id * 10L, id * 10L + 10).toDF("id"), topK = 1,
+      retrainEveryTicks = 2,
+      retrain = () => {
+        retrained += 1
+        model = new MarkovPrefetcher(1).fitSeq(spark,
+          log.all.flatMap(_.blocks))
+      })
+    assert(svc.tick().isEmpty) // tick 1: unfitted, no retrain yet
+    assert(svc.tick().isEmpty) // tick 2 ran BEFORE the scheduled refit
+    val third = svc.tick()     // tick 3: the tick-2 boundary refit model serves
+    assert(retrained >= 1 && svc.retrains == retrained.toLong)
+    assert(third == Seq(0), s"the refit model must serve, got $third")
+  }
+
   test("engine.retrain refits whatever model class is installed") {
     import org.apache.spark.sql.functions.col
     val mbPath = "target/scratch/test/serve-engine"

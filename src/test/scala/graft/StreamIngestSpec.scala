@@ -152,6 +152,44 @@ class StreamIngestSpec extends AnyFunSuite {
       "all three batches must have landed")
   }
 
+  test("sidecars ride the batch commit: transparent serves answer fresh right after ingest") {
+    import spark.implicits._
+    val (_, out) = freshDirs("sidecar-fresh")
+    val ingest = new StreamIngest(spark, out, "events_sc", "ts", 2)
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    // batch 0 lands, then sidecars are built over it (the pre-stream
+    // state every indexed table starts from)
+    ingest.ingestBatch(ev.filter(col("event_id") % 2 === 0), 0)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "events_sc"), out)
+    graft.sources.DictionaryIndex.saveSidecar(
+      graft.sources.DictionaryIndex.build(spark, out, "events_sc",
+        Seq("event_type")), out)
+    def count(): Long = {
+      val df = spark.sql(s"SELECT COUNT(*) AS n FROM parquet.`$out`")
+      require(graft.plans.ZoneAggRule.servedSignature(
+        df.queryExecution.optimizedPlan), "zone serve must fire")
+      df.collect().head.getLong(0)
+    }
+    val n0 = count()
+    assert(n0 == ev.filter(col("event_id") % 2 === 0).count())
+    // batch 1 commits — the sidecars must fold the new files IN THE
+    // SAME commit, so the very next query serves fresh (pre-round-14:
+    // the file-set gate refused every serve until a manual refresh)
+    ingest.ingestBatch(ev.filter(col("event_id") % 2 =!= 0), 1)
+    val n1 = count()
+    assert(n1 == ev.count(), s"post-commit serve must see batch 1: $n1")
+    // the dict sidecar refreshed too: its file set matches the listing
+    val dict = graft.sources.DictionaryIndex.load(spark,
+      graft.sources.DictionaryIndex.sidecarPath(out))
+    val dictFiles = dict.select("file").distinct()
+      .collect().map(r => graft.plans.ZoneMapPruneRule.normFile(r.getString(0))).toSet
+    val live = graft.sources.MicroBlockIndex.listParquetFiles(out)
+      .map(graft.plans.ZoneMapPruneRule.normFile).toSet
+    assert(dictFiles == live, "dict sidecar must cover the live listing")
+  }
+
   test("batch replay and crash remnants land exactly once (idempotent ingest)") {
     val (_, out) = freshDirs("idem")
     val ev = Tables.load(spark, dir, "events").limit(500).cache()

@@ -345,6 +345,115 @@ class ZoneAggRuleSpec extends AnyFunSuite {
       .groupBy(col("v")).agg(count(lit(1)).as("n")).orderBy(col("v"))))
   }
 
+  test("SUM serves from per-file sums: filtered straddler combine, 2^53+ exactness, all-NULL ⇒ NULL") {
+    import spark.implicits._
+    val out = scratch("sums")
+    // three id-clustered files; w sits ABOVE 2^53 (the Double stats
+    // view is lossy there — sums must run in exact longs end-to-end);
+    // v is all-NULL in the last file (SUM must say NULL, never 0,
+    // when only that file survives a filter)
+    val big = 9007199254740993L // 2^53 + 1
+    // v is all-NULL in the FIRST file (ids 0..99) so the later filters
+    // keep the untrusted file OUT of the served region
+    val df = Seq.tabulate(300) { i =>
+      val v = if (i < 100) Option.empty[Long] else Some(i.toLong % 97)
+      (i.toLong, v, big + i)
+    }.toDF("id", "v", "w")
+    graft.sources.MicroBlockWriter.write(df, out, "id", 3)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.withSums(spark, out,
+        graft.sources.MicroBlockIndex.build(spark, out, "sums"), Seq("v", "w")),
+      out)
+    spark.read.parquet(out).createOrReplaceTempView("za_sum_t")
+    // unfiltered: w's total spans 2^53 neighbors a double can't tell apart
+    val all = spark.sql("SELECT SUM(w) AS sw, SUM(v) AS sv FROM za_sum_t")
+    assert(served(all), "the SUM serve must fire")
+    val truth = spark.read.parquet(out)
+      .agg(sum(col("w")).as("sw"), sum(col("v")).as("sv"))
+    assert(rows(all) == rows(truth))
+    // filtered: decided files fold from metadata, straddler scans
+    val filtered = spark.sql(
+      "SELECT SUM(v) AS sv, COUNT(*) AS n FROM za_sum_t WHERE id >= 150")
+    assert(served(filtered))
+    val ftruth = spark.read.parquet(out).filter(col("id") >= 150)
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    assert(rows(filtered) == rows(ftruth))
+    // only the all-NULL file: its sum was never recorded (None), so it
+    // falls to the scan side and the answer is Spark's own NULL
+    val onlyNull = spark.sql(
+      "SELECT SUM(v) AS sv FROM za_sum_t WHERE id < 100")
+    assert(onlyNull.first.isNullAt(0), "SUM over all-NULL must be NULL")
+    // a sums-less sidecar refuses the SUM serve but still answers
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "sums"), out)
+    val noSums = spark.sql("SELECT SUM(w) AS sw FROM za_sum_t")
+    assert(!served(noSums), "no per-file sums -> no serve")
+    assert(rows(noSums) == rows(spark.read.parquet(out).agg(sum(col("w")).as("sw"))))
+  }
+
+  test("grouped SUM over a partition column serves per-group from metadata") {
+    import spark.implicits._
+    val out = scratch("gsums")
+    Seq.tabulate(400)(i => (i.toLong, s"g${i % 3}", (i % 53).toLong))
+      .toDF("id", "g", "v")
+      .write.partitionBy("g").mode("overwrite").parquet(out)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.withSums(spark, out,
+        graft.sources.MicroBlockIndex.build(spark, out, "gsums"), Seq("v")),
+      out)
+    spark.read.parquet(out).createOrReplaceTempView("za_gsum_t")
+    val df = spark.sql(
+      "SELECT g, SUM(v) AS sv, COUNT(*) AS n FROM za_gsum_t GROUP BY g ORDER BY g")
+    val reads = baseFilesRead(df, "zoneagg/gsums")
+    assert(reads.isEmpty, s"grouped SUM must not read data files, read $reads")
+    val truth = spark.read.parquet(out).groupBy("g")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n")).orderBy("g")
+    assert(rows(df) == rows(truth))
+  }
+
+  test("GROUP BY a clustered DATA column: single-group-proven files serve, straddlers scan") {
+    import spark.implicits._
+    val out = scratch("gdata")
+    // files 0/1/2 each constant in g (10, 20, 30); file 3 straddles
+    // (20 and 30 mixed) and must be the ONLY data file read
+    def part(vals: Seq[Long], tag: Int) =
+      vals.zipWithIndex.map { case (g, i) => (tag * 1000L + i, g, i.toLong % 7) }
+        .toDF("id", "g", "v").coalesce(1)
+    part(Seq.fill(50)(10L), 0).write.mode("overwrite").parquet(out)
+    part(Seq.fill(50)(20L), 1).write.mode("append").parquet(out)
+    part(Seq.fill(50)(30L), 2).write.mode("append").parquet(out)
+    part(Seq.tabulate(40)(i => if (i < 20) 20L else 30L), 3)
+      .write.mode("append").parquet(out)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "gdata"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_gd")
+    val df = spark.sql(
+      """SELECT g, COUNT(*) AS n, COUNT(v) AS nv, MIN(v) AS mn, MAX(v) AS mx
+        |FROM za_gd GROUP BY g ORDER BY g""".stripMargin)
+    assert(baseFilesRead(df, "zoneagg/gdata") == Seq(1),
+      "exactly the straddling file may scan")
+    val truth = spark.read.parquet(out).groupBy("g")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")).orderBy("g")
+    assert(rows(df) == rows(truth))
+    // an all-NULL-group file is ITS OWN group
+    val out2 = scratch("gdata-null")
+    part(Seq.fill(30)(5L), 0).write.mode("overwrite").parquet(out2)
+    Seq.tabulate(30)(i => (9000L + i, Option.empty[Long], i.toLong))
+      .toDF("id", "g", "v").coalesce(1).write.mode("append").parquet(out2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out2, "gdn"), out2)
+    spark.read.parquet(out2).createOrReplaceTempView("za_gdn")
+    val dfn = spark.sql(
+      "SELECT g, COUNT(*) AS n FROM za_gdn GROUP BY g ORDER BY g NULLS FIRST")
+    assert(baseFilesRead(dfn, "zoneagg/gdata-null").isEmpty,
+      "both files are single-group-proven: no scan")
+    val truthN = spark.read.parquet(out2).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("g").asc_nulls_first)
+    assert(rows(dfn) == rows(truthN))
+  }
+
   test("an appended file refuses the serve until the sidecar refreshes") {
     val out = scratch("stale")
     graft.sources.MicroBlockWriter.write(li.limit(5000), out, "l_shipdate", 2)
