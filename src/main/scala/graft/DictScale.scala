@@ -132,6 +132,27 @@ object DictScale {
     require(scanFp == zoneFp && scanFp == dictFp,
       s"fingerprints diverged: scan=$scanFp zone=$zoneFp dict=$dictFp")
 
+    // ---- MEASURED router (round 14): seed, then route ---------------
+    // The first lookup calibrates (median-file traversal + one timed
+    // decision); the routed lookup must then take whichever side the
+    // measured constants price cheaper — reported with the constants
+    // so the artifact shows the decision inputs, not just the outcome.
+    DictionaryIndex.resetRouterStats()
+    val seedDf = DictionaryIndex.prunedReadEqMeasured(
+      spark, bIdx, bucketPath, "l_suppkey", Seq(PredValue(probeValue)))
+    require(fingerprint(seedDf) == scanFp, "measured-router seed diverged")
+    val routeTaken = DictionaryIndex.pointLookupRouteMeasured(bucketPath)
+    val (decC, bpsC) = DictionaryIndex.routerStats
+    var measuredFp = 0L
+    val (measuredSec, _) = medianOf {
+      val df = DictionaryIndex.prunedReadEqMeasured(
+        spark, bIdx, bucketPath, "l_suppkey", Seq(PredValue(probeValue)))
+      measuredFp = fingerprint(df)
+      measuredFp
+    }
+    require(measuredFp == scanFp, "measured-router route diverged")
+    println(f"[dict-scale] measured router: route=$routeTaken dec=${decC.getOrElse(-1.0)}%.3fs bps=${bpsC.getOrElse(-1.0)}%.0f sec=$measuredSec%.2f")
+
     // ---- HIGH-CARDINALITY point lookup: bloom filters --------------
     // Orderkey-bucketed layout with dictionary OFF + bloom ON for the
     // key (the regime where dictionaries overflow and blooms are the
@@ -187,6 +208,8 @@ object DictScale {
         s""""point_scan":{"sec":$scanSec,"files":${allBucketFiles.size}},""" +
         s""""point_zone":{"sec":$zoneSec,"files":$zoneKept},""" +
         s""""point_dict":{"sec":$dictSec,"files":$dictKept},""" +
+        s""""point_measured":{"sec":$measuredSec,"route":"$routeTaken",""" +
+        s""""dec_sec":${decC.getOrElse(-1.0)},"scan_bps":${bpsC.getOrElse(-1.0)}},""" +
         s""""bloom_build_sec":$bloomBuildSec,""" +
         s""""bpoint_scan":{"sec":$bScanSec,"files":${bloomFiles.size}},""" +
         s""""bpoint_bloom":{"sec":$bBloomSec,"files":$bloomKept}}"""

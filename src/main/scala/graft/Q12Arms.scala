@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedicated q12 layout A/B (round 14): the HAND-TUNED bucketed plan
+  * (ScaleBench's q12Bucketed — join order + agg pushdown + late
+  * strings by hand) vs the TRANSPARENT arm (the ORIGINAL q12 SQL over
+  * bare paths of the same layouts — BucketLayoutRule re-attaches the
+  * spec, EagerAggregationRule pushes the revenue partial below the
+  * join). Arms INTERLEAVE (A,B,A,B,…) so page-cache drift and GC debt
+  * land on both equally — the sequential ScaleBench tail measured the
+  * transparent arm last and noisiest. Calm-window gated; asserts the
+  * transparent plan actually claimed the buckets and pushed the
+  * pre-aggregate, and that both arms return identical rows.
+  *
+  * Usage: runMain graft.Q12Arms <sfDir> [reps] [buckets]
+  * Requires the li_bkt/ord_bkt layouts (ScaleBench builds them).
+  * Writes target/q12_arms.json.
+  */
+object Q12Arms {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Q12Arms <sfDir> [reps] [buckets]")
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val buckets = if (args.length > 2) args(2).toInt else 128
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    BenchWindow.satProbe(spark)
+
+    require(
+      graft.sources.Bucketing.registerExisting(spark, "li_bkt", "l_orderkey", buckets) &&
+        graft.sources.Bucketing.registerExisting(spark, "ord_bkt", "o_orderkey", buckets),
+      "bucketed layouts missing — run ScaleBench first")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+
+    import graft.queries.Det.dec4
+    def handArm(): DataFrame = {
+      val revByOrder = spark.table("li_bkt")
+        .groupBy("l_orderkey")
+        .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+      val ordNation = spark.table("ord_bkt")
+        .filter(col("o_orderdate") >= "1996-01-01 00:00:00")
+        .join(spark.read.parquet(s"$sfDir/customer.parquet")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      revByOrder.join(ordNation, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_nationkey").agg(sum(col("rev")).as("rev"))
+        .join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(spark.read.parquet(s"$sfDir/region.parquet")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }
+    def transparentArm(): DataFrame = {
+      spark.read.parquet(s"$wh/li_bkt").createOrReplaceTempView("li_bkt_v")
+      spark.read.parquet(s"$wh/ord_bkt").createOrReplaceTempView("ord_bkt_v")
+      spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("qa_cust")
+      spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("qa_nation")
+      spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("qa_region")
+      spark.sql(
+        """SELECT r_name, n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM li_bkt_v
+          |JOIN ord_bkt_v ON l_orderkey = o_orderkey
+          |JOIN qa_cust ON o_custkey = c_custkey
+          |JOIN qa_nation ON c_nationkey = n_nationkey
+          |JOIN qa_region ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY r_name, n_name""".stripMargin)
+    }
+
+    // plan audit on the transparent arm: the claim and the push
+    val tdf = transparentArm()
+    val opt = tdf.queryExecution.optimizedPlan
+    val claimed = opt.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .bucketSpec.exists(_.bucketColumnNames == Seq("l_orderkey")) => true
+    }.nonEmpty
+    val pushed = opt.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if Seq(j.left, j.right).exists(_.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.nonEmpty) => true
+    }.nonEmpty
+    require(claimed, "transparent arm did not claim the bucket spec")
+    require(pushed, "transparent arm did not push the pre-aggregate")
+
+    // row equality once (sorted stringified rows)
+    val hv = handArm().orderBy("r_name", "n_name")
+      .collect().map(_.toString).toSeq
+    val tv = transparentArm().orderBy("r_name", "n_name")
+      .collect().map(_.toString).toSeq
+    require(hv == tv, s"arms disagree: $hv vs $tv")
+
+    def rep(mk: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime(); mk().count(); (System.nanoTime() - t0) / 1e9
+    }
+    val MaxAttempts = 3
+    var attempt = 0
+    var calm = false
+    var hand: Seq[Double] = Nil
+    var trans: Seq[Double] = Nil
+    var satStart = -1.0; var satEnd = -1.0; var calmRef = -1.0
+    while (attempt < MaxAttempts && !calm) {
+      attempt += 1
+      satStart = BenchWindow.satProbe(spark)
+      val pairs = (1 to reps).map { _ => (rep(handArm _), rep(transparentArm _)) }
+      hand = pairs.map(_._1).sorted
+      trans = pairs.map(_._2).sorted
+      satEnd = BenchWindow.satProbe(spark)
+      calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
+      calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
+      if (!calm && attempt < MaxAttempts) {
+        System.err.println(s"q12 arms window NOISY (attempt $attempt) — retrying")
+        Thread.sleep(30000)
+      }
+    }
+    val line =
+      s"""{"bench":"q12_arms","sf":"$sfDir","reps":$reps,"buckets":$buckets,""" +
+        s""""hand_median_sec":${hand(hand.size / 2)},"hand_reps_sorted":[${hand.mkString(",")}],""" +
+        s""""transparent_median_sec":${trans(trans.size / 2)},"transparent_reps_sorted":[${trans.mkString(",")}],""" +
+        s""""claimed":true,"pushed":true,"rows_equal":true,""" +
+        s""""sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,""" +
+        s""""sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},""" +
+        s""""window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}"""
+    println(line)
+    val outP = java.nio.file.Paths.get("target/q12_arms.json")
+    java.nio.file.Files.createDirectories(outP.getParent)
+    java.nio.file.Files.write(outP,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

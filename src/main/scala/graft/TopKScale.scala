@@ -45,7 +45,29 @@ object TopKScale {
       MicroBlockWriter.write(
         spark.read.parquet(s"$sfDir/lineitem.parquet"), mbPath, "l_shipdate", blocks)
     val buildSec = (System.nanoTime() - t0) / 1e9
+
+    // COLD transparent serve (round 14 — the q9 weak-row tail): the
+    // very first graft-touching statement of the session, before any
+    // engine construction or registration. Pays sidecar discovery
+    // (manifest listing + _SUCCESS stat), the sidecar parquet load,
+    // the single-stage top-k decision and the 1-file scan — the
+    // fresh-session cost a warm number hides. Only measurable when a
+    // PREVIOUS run left the sidecar (first run seeds it below).
+    val ruleSql =
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM topk_scale_li
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    val sidecarSuccess = new org.apache.hadoop.fs.Path(
+      graft.sources.MicroBlockIndex.sidecarPath(mbPath), "_SUCCESS")
+    var coldSec = -1.0
+    if (fs.exists(sidecarSuccess)) {
+      spark.read.parquet(mbPath).createOrReplaceTempView("topk_scale_li")
+      val s0 = System.nanoTime()
+      spark.sql(ruleSql).collect()
+      coldSec = (System.nanoTime() - s0) / 1e9
+    }
+
     val engine = new GraftEngine(spark, mbPath, "lineitem")
+    if (!fs.exists(sidecarSuccess)) engine.saveIndexSidecar()
 
     def probe(): Double = {
       val s = System.nanoTime()
@@ -87,9 +109,6 @@ object TopKScale {
     // engine call in the query path at all. No explicit registration:
     // constructing the GraftEngine above already registered its index.
     spark.read.parquet(mbPath).createOrReplaceTempView("topk_scale_li")
-    val ruleSql =
-      """SELECT l_orderkey, l_linenumber, l_shipdate FROM topk_scale_li
-        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
     def ruleScanFiles: Long = {
       val df = spark.sql(ruleSql)
       df.collect()
@@ -113,7 +132,8 @@ object TopKScale {
     val line =
       s"""{"bench":"topk_scale","sf":"$sfDir","reps":$reps,"blocks":$blocks,""" +
         s""""mb_build_sec":$buildSec,"probe_start_sec":$probeStart,""" +
-        s""""probe_end_sec":$probeEnd,"topk_ab":${PruningBench.toJson(rows :+ ruleRow)}}"""
+        s""""probe_end_sec":$probeEnd,"sql_rule_topk_cold_sec":$coldSec,""" +
+        s""""topk_ab":${PruningBench.toJson(rows :+ ruleRow)}}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/topk_scale.json")

@@ -589,25 +589,36 @@ object DictionaryIndex {
   // smaller tables to the dictionary than a slow one, automatically.
   // ---------------------------------------------------------------
   @volatile private var decSecEwma: Option[Double] = None
-  @volatile private var scanBpsEwma: Option[Double] = None
+  @volatile private var calObs: Option[(Double, Long)] = None // (sec, bytes)
   private def ewma(old: Option[Double], x: Double): Option[Double] =
     Some(old.fold(x)(o => 0.7 * o + 0.3 * x))
   /** Test/bench isolation: forget the session's measured constants. */
   private[graft] def resetRouterStats(): Unit = {
-    decSecEwma = None; scanBpsEwma = None
+    decSecEwma = None; calObs = None
   }
-  /** The measured constants (decision sec, scan bytes/sec), for
-    * harnesses to report the decision inputs actually used. */
-  def routerStats: (Option[Double], Option[Double]) =
-    (decSecEwma, scanBpsEwma)
+  /** The measured constants (decision-job sec, MARGINAL scan
+    * bytes/sec), for harnesses to report the decision inputs actually
+    * used. Every Spark job on this box pays a fixed scheduling/codegen
+    * overhead J; the decision job is metadata-scale, so its wall time
+    * IS a live estimate of J — subtracting it from the calibration
+    * scan isolates the per-byte cost (a raw bytes/wall quotient on a
+    * small file measures mostly J and mis-routes small tables to the
+    * dictionary, the exact failure the fixed threshold had backwards). */
+  def routerStats: (Option[Double], Option[Double]) = (decSecEwma,
+    for { d <- decSecEwma; (cs, cb) <- calObs }
+      yield cb / math.max(cs - d, cs * 0.05))
 
   /** The route the MEASURED router takes for `tablePath` right now:
     * "dict", "scan", or "calibrate" (constants not yet learned — the
-    * next [[prunedReadEqMeasured]] seeds them). */
+    * next [[prunedReadEqMeasured]] seeds them). Both routes pay one
+    * scan job; the dictionary route pays the decision job ON TOP and
+    * saves (nearly) the whole scan's bytes when the cut works — so it
+    * wins exactly when the decision's extra wall time undercuts the
+    * per-byte scan cost: dec < bytes / marginal_bw. */
   def pointLookupRouteMeasured(tablePath: String): String =
-    (decSecEwma, scanBpsEwma) match {
-      case (Some(d), Some(b)) =>
-        if (d < tableBytes(tablePath) / b) "dict" else "scan"
+    routerStats match {
+      case (Some(d), Some(bw)) =>
+        if (d < tableBytes(tablePath) / bw) "dict" else "scan"
       case _ => "calibrate"
     }
 
@@ -619,7 +630,7 @@ object DictionaryIndex {
   def prunedReadEqMeasured(spark: SparkSession, index: Dataset[FileDict],
       tablePath: String, column: String,
       values: Seq[graft.plans.PredValue]): DataFrame = {
-    if (scanBpsEwma.isEmpty) {
+    if (calObs.isEmpty) {
       val files = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
       if (files.nonEmpty) {
         val sortedBySize = files.sortBy(_._3)
@@ -628,7 +639,7 @@ object DictionaryIndex {
         spark.read.parquet(f).queryExecution.toRdd
           .foreachPartition(it => while (it.hasNext) it.next())
         val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-3)
-        scanBpsEwma = ewma(scanBpsEwma, sz / sec)
+        calObs = Some((sec, sz))
       }
     }
     def viaDict(): DataFrame = {

@@ -269,6 +269,9 @@ class DictionarySpec extends AnyFunSuite {
     val route = DictionaryIndex.pointLookupRouteMeasured(dictPath)
     val estScanSec = DictionaryIndex.tableBytes(dictPath) / bps.get
     assert(route == (if (dec.get < estScanSec) "dict" else "scan"))
+    // the marginal-bandwidth correction: bps is the decision-overhead-
+    // subtracted per-byte rate, so a metadata-sized table must route
+    // to the straight scan (the pre-fix raw quotient mis-routed it)
     val second = DictionaryIndex.prunedReadEqMeasured(
       spark, idx, dictPath, "l_suppkey", probe)
     assert(rows(second) == rows(truth))
