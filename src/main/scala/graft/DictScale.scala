@@ -141,8 +141,6 @@ object DictScale {
     val seedDf = DictionaryIndex.prunedReadEqMeasured(
       spark, bIdx, bucketPath, "l_suppkey", Seq(PredValue(probeValue)))
     require(fingerprint(seedDf) == scanFp, "measured-router seed diverged")
-    val routeTaken = DictionaryIndex.pointLookupRouteMeasured(bucketPath)
-    val (decC, bpsC) = DictionaryIndex.routerStats
     var measuredFp = 0L
     val (measuredSec, _) = medianOf {
       val df = DictionaryIndex.prunedReadEqMeasured(
@@ -151,6 +149,12 @@ object DictScale {
       measuredFp
     }
     require(measuredFp == scanFp, "measured-router route diverged")
+    // the SETTLED route + constants — read AFTER the reps, because
+    // each dict-route rep folds its decision time into the EWMA and
+    // could legitimately flip the route mid-measurement; the artifact
+    // must report the inputs that describe the end state
+    val routeTaken = DictionaryIndex.pointLookupRouteMeasured(bucketPath)
+    val (decC, bpsC) = DictionaryIndex.routerStats
     println(f"[dict-scale] measured router: route=$routeTaken dec=${decC.getOrElse(-1.0)}%.3fs bps=${bpsC.getOrElse(-1.0)}%.0f sec=$measuredSec%.2f")
 
     // ---- HIGH-CARDINALITY point lookup: bloom filters --------------

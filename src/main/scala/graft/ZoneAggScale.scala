@@ -122,12 +122,19 @@ object ZoneAggScale {
       // the sums-less sidecar must REFUSE the SUM serve (no silent
       // wrong answers), then the withSums build turns it on
       require(!served(spark.sql(qSum)), "SUM must refuse without per-file sums")
+      // sums_build_sec must time the sums scan alone, not double-count
+      // the footer sweep already reported as index_build_sec — so the
+      // sweep materializes OUTSIDE the timer. (Loading the saved
+      // sidecar instead would read and overwrite the same path.)
+      val rebuilt = graft.sources.MicroBlockIndex
+        .build(spark, out, "li").persist()
+      rebuilt.count()
       val tS = System.nanoTime()
       graft.sources.MicroBlockIndex.saveSidecar(
-        graft.sources.MicroBlockIndex.withSums(spark, out,
-          graft.sources.MicroBlockIndex.build(spark, out, "li"),
+        graft.sources.MicroBlockIndex.withSums(spark, out, rebuilt,
           Seq("l_linenumber")), out)
       sumsBuildSec = (System.nanoTime() - tS) / 1e9
+      rebuilt.unpersist(blocking = false)
       require(served(spark.sql(qSum)) && served(spark.sql(qSumAll)),
         "SUM serve must fire once per-file sums exist")
       // let the 600M-row sums build's wake settle, then warm the

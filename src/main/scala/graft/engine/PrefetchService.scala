@@ -54,10 +54,12 @@ final class PrefetchService(
     val recent = log.recent(historyLen)
     val model = prefetcher() // re-read each cycle: \model swaps live
     if (recent.isEmpty || !model.fitted) {
-      // an idle tick still IS a tick: the scheduled-retrain cadence
-      // must advance while the model is unfitted — that unfitted model
-      // is exactly what the retrain hook exists to replace
-      tickCountV += 1
+      // an idle tick advances the RETRAIN cadence (the unfitted model
+      // is exactly what the retrain hook replaces) but must not dilute
+      // the serving-tick metrics — meanTickMillis/overBudgetFraction
+      // feed the operator's model-swap rule and an 80%-idle service
+      // would under-report a consistently over-budget serving tick 5×
+      cadenceTickV += 1
       return Seq.empty
     }
     // CONFIDENCE GATE (reference parity: prefetch_scheduler.py:19
@@ -80,6 +82,7 @@ final class PrefetchService(
     }
     val ms = (System.nanoTime() - t0) / 1000000L
     tickCountV += 1
+    cadenceTickV += 1
     tickMillisTotalV += ms
     if (tickBudgetMillis > 0 && ms > tickBudgetMillis) overBudgetCountV += 1
     warmed
@@ -121,13 +124,17 @@ final class PrefetchService(
     * swallowed like any background tick failure: a broken retrain
     * must not kill serving on the stale-but-working model. */
   private def maybeRetrain(): Unit =
-    if (retrainEveryTicks > 0 && tickCountV > 0 &&
-        tickCountV % retrainEveryTicks == 0 && lastRetrainTick != tickCountV) {
-      lastRetrainTick = tickCountV
+    if (retrainEveryTicks > 0 && cadenceTickV > 0 &&
+        cadenceTickV % retrainEveryTicks == 0 &&
+        lastRetrainTick != cadenceTickV) {
+      lastRetrainTick = cadenceTickV
       try { retrain(); retrainCountV += 1 }
       catch { case scala.util.control.NonFatal(_) => () }
     }
   @volatile private var lastRetrainTick = -1L
+  // every tick, idle included — the retrain schedule's clock, kept
+  // apart from the serving metrics' tickCountV
+  @volatile private var cadenceTickV = 0L
 
   def retrains: Long = retrainCountV
 }

@@ -65,10 +65,6 @@ case class BucketLayoutRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object BucketLayoutRule {
 
-  // the same suffix convention Spark's bucketed writer emits and
-  // Bucketing.registerExisting validates: part-00007-<uuid>_00042.c000…
-  private val BucketSuffix = "_(\\d{5})(?:\\.|$)".r
-
   // (root, session-uuid) -> parsed spec (key, buckets, spec mtime);
   // None = no/invalid sidecar. Freshness is NOT cached — the per-file
   // suffix+mtime gate runs per query against the relation's live
@@ -133,8 +129,8 @@ object BucketLayoutRule {
       bucketSpec = Some(BucketSpec(buckets, Seq(key), Seq(key))))(
       hfs.sparkSession))
 
-  private def bucketIdOf(path: String): Option[Int] = {
-    val name = path.substring(path.lastIndexOf('/') + 1)
-    BucketSuffix.findFirstMatchIn(name).map(_.group(1).toInt)
-  }
+  // ONE naming contract, shared with registerExisting's validator
+  private def bucketIdOf(path: String): Option[Int] =
+    graft.sources.Bucketing.bucketIdOf(
+      path.substring(path.lastIndexOf('/') + 1))
 }

@@ -144,14 +144,33 @@ object EagerAggregationRule {
     }
     if (!pushable) { dbg(s"not pushable: $aggFns"); return None }
 
-    // 2. candidate fact sites under the child join tree
-    val sites = agg.child.collect {
-      case j: Join if j.joinType == Inner && j.condition.isDefined =>
-        Seq(
-          bucketScanOf(j.left).map(k => Site(j, leftSide = true, j.left, k)),
-          bucketScanOf(j.right).map(k => Site(j, leftSide = false, j.right, k)))
-          .flatten
-    }.flatten
+    // 2. candidate fact sites — reached ONLY through Project / Filter /
+    // INNER-Join chains. Everything else STOPS the walk: a Limit,
+    // Sample, Window, Deduplicate or outer join between the Aggregate
+    // and the site join changes per-row multiplicity in ways the
+    // pushed partial cannot see (e.g. `... JOIN ... LIMIT 100` sums
+    // 100 joined ROWS, while a pushed partial would sum whole per-key
+    // sums over up to 100 collapsed rows), and the missing-input /
+    // schema audits cannot catch it because those nodes pass
+    // attributes through unchanged. Projects and Filters are 1:1 /
+    // row-removing on columns the audits DO police; inner joins
+    // multiply by match count, which is exactly the M(k) the algebra
+    // accounts for.
+    def collectSites(p: LogicalPlan): Seq[Site] = p match {
+      case pr: Project => collectSites(pr.child)
+      case f: Filter   => collectSites(f.child)
+      case j: Join if j.joinType == Inner =>
+        val here =
+          if (j.condition.isDefined)
+            Seq(
+              bucketScanOf(j.left).map(k => Site(j, leftSide = true, j.left, k)),
+              bucketScanOf(j.right).map(k => Site(j, leftSide = false, j.right, k)))
+              .flatten
+          else Nil
+        here ++ collectSites(j.left) ++ collectSites(j.right)
+      case _ => Nil
+    }
+    val sites = collectSites(agg.child)
 
     dbg(s"sites: ${sites.size}")
     sites.view.flatMap(site => tryPushTo(agg, site)).headOption

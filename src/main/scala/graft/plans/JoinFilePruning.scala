@@ -246,8 +246,11 @@ object JoinFilePruning {
       conf(spark, "spark.graft.joinPrune.maxDecisionMillis", 10000L) * 1000000L
     val grouped = scala.collection.mutable.ArrayBuffer
       .empty[(LogicalRelation, Set[String])]
-    val dryStreak = scala.collection.mutable.HashMap
-      .empty[Int, Int] // grouped index -> consecutive no-shrink cuts
+    // relation identity -> consecutive cuts that added NOTHING —
+    // including cuts that came back EMPTY (cutFor None): an
+    // unprunable fact must dry out after two fruitless decision
+    // jobs, not pay one per remaining conjunct
+    val dryStreak = new java.util.IdentityHashMap[LogicalRelation, Integer]()
     oriented.foreach { case (factAttr, dimAttr) =>
       val relOpt = relationFor(fact, factAttr)
       val gIdx = relOpt.map(r => grouped.indexWhere(_._1 eq r)).getOrElse(-1)
@@ -255,20 +258,26 @@ object JoinFilePruning {
         r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length -
           (if (gIdx >= 0) grouped(gIdx)._2.size else 0)
       }.getOrElse(Int.MaxValue)
-      val dried = gIdx >= 0 && dryStreak.getOrElse(gIdx, 0) >= 2
+      val dried = relOpt.exists(r =>
+        Option(dryStreak.get(r)).exists(_.intValue >= 2))
       if (relOpt.isDefined && remaining > 1 && !dried &&
           System.nanoTime() < deadline) {
+        val rel = relOpt.get
+        var grew = false
         cutFor(spark, fact, dim, factAttr, dimAttr).foreach { case (r, s) =>
           grouped.indexWhere(_._1 eq r) match {
-            case -1 => grouped += ((r, s))
+            case -1 =>
+              grouped += ((r, s)); grew = s.nonEmpty
             case i =>
               val before = grouped(i)._2.size
               grouped(i) = (r, grouped(i)._2 ++ s)
-              dryStreak(i) =
-                if (grouped(i)._2.size == before) dryStreak.getOrElse(i, 0) + 1
-                else 0
+              grew = grouped(i)._2.size > before
           }
         }
+        dryStreak.put(rel,
+          if (grew) Integer.valueOf(0)
+          else Integer.valueOf(
+            Option(dryStreak.get(rel)).map(_.intValue).getOrElse(0) + 1))
       }
     }
     if (grouped.isEmpty) return None

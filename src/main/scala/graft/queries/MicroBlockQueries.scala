@@ -73,6 +73,11 @@ object MicroBlockQueries {
           src.filter(col("l_linenumber") === v).coalesce(1)
             .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
         }
+        // drop the staging copy — it exists only to avoid re-shuffling
+        // the source once per value
+        val tmpP = new org.apache.hadoop.fs.Path(out + ".tmp")
+        tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tmpP, true)
       }
       built += out
     }
@@ -737,7 +742,7 @@ object MicroBlockQueries {
         Files.getLastModifiedTime(zoneSuccess).toMillis <
           Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
         !s.read.parquet(graft.sources.MicroBlockIndex.sidecarPath(path))
-          .columns.contains("minLong")
+          .columns.contains("nanRisk") // round-14 schema (implies minLong too)
       if (stale)
         graft.sources.MicroBlockIndex.saveSidecar(
           graft.sources.MicroBlockIndex.build(s, path, "lineitem"), path)
@@ -784,7 +789,7 @@ object MicroBlockQueries {
         Files.getLastModifiedTime(zoneSuccess).toMillis <
           Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
         !s.read.parquet(graft.sources.MicroBlockIndex.sidecarPath(path))
-          .columns.contains("minLong")
+          .columns.contains("nanRisk") // round-14 schema (implies minLong too)
       if (stale)
         graft.sources.MicroBlockIndex.saveSidecar(
           graft.sources.MicroBlockIndex.build(s, path, "orders"), path)

@@ -82,6 +82,16 @@ object Bucketing {
   /** The bucket-spec sidecar name — `_graft`-prefixed so the shared
     * [[SidecarManifest]] probe sees it and data scans ignore it. */
   private[graft] val SpecFileName = "_graft_bucket_spec.json"
+
+  /** Spark's bucket-file naming contract, in ONE place: bucketed part
+    * files carry `_NNNNN` before the extension chain
+    * (`part-00007-<uuid>_00042.c000.snappy.parquet`); plain writes
+    * don't. Shared by [[registerExisting]]'s fallback validation and
+    * the transparent claim ([[graft.plans.BucketLayoutRule]]) so the
+    * two can never drift. */
+  private[graft] val BucketIdPattern = """_(\d{5})(?:\.|$)""".r
+  private[graft] def bucketIdOf(fileName: String): Option[Int] =
+    BucketIdPattern.findFirstMatchIn(fileName).map(_.group(1).toInt)
   private val SpecFile = SpecFileName
 
   /** Parse the fixed-shape spec JSON this object writes. */
@@ -127,10 +137,8 @@ object Bucketing {
       // exact-match on the tiny fixed-shape JSON we wrote ourselves
       if (spec != s"""{"key":"$key","buckets":$buckets}""") return false
     } else {
-      val suffix = "_(\\d{5})\\.".r
       val ids = fs.listStatus(loc).toSeq
-        .flatMap(st => suffix.findFirstMatchIn(st.getPath.getName))
-        .map(_.group(1).toInt)
+        .flatMap(st => bucketIdOf(st.getPath.getName))
       if (ids.isEmpty || ids.max != buckets - 1 ||
           ids.distinct.size != buckets) return false
     }

@@ -158,6 +158,50 @@ class BucketTransparencySpec extends AnyFunSuite {
     }
   }
 
+  test("multiplicity barriers refuse the push: LIMIT / Window / Distinct between agg and join") {
+    withViews {
+      // LIMIT between: the original sums 10 joined ROWS; a pushed
+      // partial would sum whole per-key sums over 10 collapsed rows —
+      // the round-14 review hole, pinned with values
+      val limited = spark.sql(
+        """SELECT SUM(v) AS s FROM
+          |  (SELECT f.v FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k LIMIT 10) t""".stripMargin)
+      assert(!preAggBelowJoin(limited), "LIMIT must stop the walk")
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      val truth =
+        try spark.sql(
+          """SELECT SUM(v) AS s FROM
+            |  (SELECT f.v FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k LIMIT 10) t""".stripMargin)
+          .collect().head
+        finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      // LIMIT without ORDER BY is row-nondeterministic; the pinned
+      // property is the row COUNT semantics, not which rows
+      assert(!limited.collect().head.isNullAt(0) && !truth.isNullAt(0))
+      // window between: per-joined-row numbering must survive
+      val windowed = spark.sql(
+        """SELECT SUM(v) AS s FROM
+          |  (SELECT f.v, ROW_NUMBER() OVER (PARTITION BY o.ck ORDER BY f.v DESC) rn
+          |   FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k) t
+          |WHERE rn <= 2""".stripMargin)
+      assert(!preAggBelowJoin(windowed), "Window must stop the walk")
+      val gotW = windowed.collect().head.getDouble(0)
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      val truthW =
+        try spark.sql(
+          """SELECT SUM(v) AS s FROM
+            |  (SELECT f.v, ROW_NUMBER() OVER (PARTITION BY o.ck ORDER BY f.v DESC) rn
+            |   FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k) t
+            |WHERE rn <= 2""".stripMargin).collect().head.getDouble(0)
+        finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      assert(gotW == truthW, "windowed sum must be rule-invariant")
+      // DISTINCT between: row collapse must not see pre-agg rows
+      val dedup = spark.sql(
+        """SELECT SUM(v) AS s FROM
+          |  (SELECT DISTINCT f.v FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k) t""".stripMargin)
+      assert(!preAggBelowJoin(dedup), "Distinct must stop the walk")
+    }
+  }
+
   test("refusals: mixed-side aggregate, fact-side grouping, outer join") {
     withViews {
       // aggregate reading both sides

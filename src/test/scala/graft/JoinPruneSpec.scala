@@ -397,6 +397,34 @@ class JoinPruneSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregisterDict(out)
   }
 
+  test("cost bound: fruitless cuts dry out after two strikes instead of one job per conjunct") {
+    import spark.implicits._
+    val out = scratch("drystreak")
+    // every file holds EVERY key value: no cut can ever refute a file
+    (0 until 4).foreach { i =>
+      Seq.tabulate(64)(r => (r.toLong % 8, r.toLong % 8, r.toLong % 8,
+        r.toLong % 8, (i * 100 + r).toLong))
+        .toDF("k1", "k2", "k3", "k4", "v").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+    }
+    val idx = DictionaryIndex.build(spark, out, "ds",
+      Seq("k1", "k2", "k3", "k4")).toDF().persist()
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      graft.plans.JoinFilePruning.clearCache()
+      val before = graft.plans.JoinFilePruning.decisionJobs.get()
+      val fact = spark.read.parquet(out)
+      val dim = Seq((3L, 3L, 3L, 3L, "d")).toDF("d1", "d2", "d3", "d4", "n")
+      val joined = fact.join(dim,
+        col("k1") === col("d1") && col("k2") === col("d2") &&
+          col("k3") === col("d3") && col("k4") === col("d4"))
+      joined.queryExecution.optimizedPlan // drive the rule
+      val jobs = graft.plans.JoinFilePruning.decisionJobs.get() - before
+      assert(jobs <= 2,
+        s"an unprunable fact must dry out after two empty cuts, ran $jobs")
+    } finally ZoneMapPruneRule.unregisterDict(out)
+  }
+
   test("a nondeterministic dim refuses (plan-time keys could differ from runtime)") {
     val (path, _) = fixture
     val fact = spark.read.parquet(path)
