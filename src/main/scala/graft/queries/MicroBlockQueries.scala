@@ -36,6 +36,36 @@ object MicroBlockQueries {
 
   private val built = scala.collection.mutable.Set.empty[String]
 
+  /** Ensure `path` carries a CURRENT round-14 zone sidecar (nanRisk
+    * schema, per-file sums for `sumCols`) — ONCE, at layout-access
+    * time, BEFORE any row loads an engine or a serve frame over it.
+    * Round-14 lesson (the sf0.1 gate caught it): letting individual
+    * gate rows rebuild a SHARED sidecar mid-session deletes part
+    * files out from under frames earlier rows already planned
+    * (FAILED_READ_FILE on the old sidecar part names). Centralizing
+    * the upgrade here makes every row's own stale check find a fresh
+    * sidecar and never rebuild mid-run. */
+  private def ensureRound14Sidecar(spark: SparkSession, path: String,
+      table: String, sumCols: Seq[String]): Unit = {
+    val sidecar = MicroBlockIndex.sidecarPath(path)
+    val success = Paths.get(sidecar, "_SUCCESS")
+    def hasSums: Boolean = sumCols.isEmpty || {
+      val idx = spark.read.parquet(sidecar)
+      idx.columns.contains("sumLong") && sumCols.forall(c =>
+        idx.filter(col("column") === c && col("sumLong").isNotNull)
+          .limit(1).count() > 0)
+    }
+    val stale = !Files.exists(success) ||
+      Files.getLastModifiedTime(success).toMillis <
+        Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")).toMillis ||
+      !spark.read.parquet(sidecar).columns.contains("nanRisk") ||
+      !hasSums
+    if (stale)
+      MicroBlockIndex.saveSidecar(
+        MicroBlockIndex.withSums(spark, path,
+          MicroBlockIndex.build(spark, path, table), sumCols), path)
+  }
+
   /** Build (once) the micro-blocked lineitem copy for this sf dir. */
   private[graft] def microPath(spark: SparkSession, dir: String): String = synchronized {
     val sfName = Paths.get(dir).getFileName.toString
@@ -45,6 +75,8 @@ object MicroBlockQueries {
         val li = graft.engine.Tables.load(spark, dir, "lineitem")
         MicroBlockWriter.write(li, out, "l_shipdate", NumBlocks)
       }
+      ensureRound14Sidecar(spark, out, "lineitem",
+        Seq("l_suppkey", "l_linenumber"))
       built += out
     }
     out
@@ -79,6 +111,7 @@ object MicroBlockQueries {
         tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(tmpP, true)
       }
+      ensureRound14Sidecar(spark, out, "lineitem", Seq("l_suppkey"))
       built += out
     }
     out
@@ -134,6 +167,7 @@ object MicroBlockQueries {
         MicroBlockWriter.writePartitioned(
           orders, out, "o_orderstatus", "o_orderkey", 4)
       }
+      ensureRound14Sidecar(spark, out, "orders", Nil)
       built += out
     }
     out
