@@ -154,7 +154,7 @@ object DictScale {
     // could legitimately flip the route mid-measurement; the artifact
     // must report the inputs that describe the end state
     val routeTaken = DictionaryIndex.pointLookupRouteMeasured(bucketPath)
-    val (decC, bpsC) = DictionaryIndex.routerStats
+    val (decC, bpsC) = DictionaryIndex.routerStats(bucketPath)
     println(f"[dict-scale] measured router: route=$routeTaken dec=${decC.getOrElse(-1.0)}%.3fs bps=${bpsC.getOrElse(-1.0)}%.0f sec=$measuredSec%.2f")
 
     // ---- HIGH-CARDINALITY point lookup: bloom filters --------------

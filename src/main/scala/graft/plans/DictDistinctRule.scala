@@ -109,12 +109,24 @@ object DictDistinctRule {
         if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
       } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The measured benefit gate (round 15): on a root with CALIBRATED
+    * [[graft.sources.CostRouter]] constants, refuse the serve when
+    * even a perfect metadata answer cannot repay the decision jobs —
+    * the BENCH_ZONEFRAC_r14 small-scale loss. Uncalibrated roots keep
+    * round-14 behavior (serve when provable), so fixtures and gate
+    * rows that never calibrate are untouched. */
+  private def costOk(hfs: HadoopFsRelation, root: String): Boolean =
+    graft.sources.CostRouter
+      .decisionWorthIt(root, hfs.location.sizeInBytes)
+      .getOrElse(true)
+
   private def coverageFor(spark: SparkSession, rootPath: String,
       mtime: Long): Option[Coverage] = {
     val key = (norm(rootPath), mtime)
     val hit = coverageCache.get(key)
     if (hit != null) Some(hit)
     else {
+      val decT0 = System.nanoTime()
       inRewrite.set(java.lang.Boolean.TRUE)
       val built =
         try {
@@ -151,6 +163,10 @@ object DictDistinctRule {
               .toMap))
         } catch { case scala.util.control.NonFatal(_) => None }
         finally inRewrite.set(java.lang.Boolean.FALSE)
+      // feed the shared per-root cost model: the coverage job is this
+      // serve's decision cost
+      graft.sources.CostRouter.observeDecision(
+        rootPath, (System.nanoTime() - decT0) / 1e9)
       built.foreach(coverageCache.put(key, _))
       built
     }
@@ -239,6 +255,7 @@ object DictDistinctRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      if costOk(hfs, roots.head)
       mtime <- sidecarMtime(roots.head, spark)
       cov <- coverageFor(spark, roots.head, mtime)
       liveFiles = hfs.location.inputFiles.toSeq.map(norm).toSet
@@ -260,6 +277,7 @@ object DictDistinctRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      if costOk(hfs, roots.head)
       // every output must be Alias(COUNT(DISTINCT attr)) over a
       // FAITHFUL type — the same gate the SELECT DISTINCT arm and the
       // engine's dictServe apply. Without it a partially-covered
@@ -340,6 +358,7 @@ object DictDistinctRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      if costOk(hfs, roots.head)
       pairs <- traverse(agg.aggregateExpressions.map {
         case al @ Alias(AggregateExpression(
             Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
@@ -488,6 +507,7 @@ object DictDistinctRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      if costOk(hfs, roots.head)
       pred <- PredicateExtractor.convertComplete(cond)
       mtime <- sidecarMtime(roots.head, spark)
       cov <- coverageFor(spark, roots.head, mtime)

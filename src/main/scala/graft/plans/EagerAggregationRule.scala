@@ -143,6 +143,16 @@ object EagerAggregationRule {
         })
     }
     if (!pushable) { dbg(s"not pushable: $aggFns"); return None }
+    // grouping must be deterministic: the rewrite changes the top
+    // Aggregate's INPUT row set (|fact| joined rows → |distinct k|
+    // pre-aggregated rows joined), so a non-deterministic group key
+    // (rand(), monotonically_increasing_id()) would evaluate over
+    // different rows and group differently — a multiplicity change the
+    // missing-input and schema audits cannot see (round 15, mirroring
+    // the aggregate-function determinism gate)
+    if (!agg.groupingExpressions.forall(_.deterministic)) {
+      dbg("non-deterministic grouping"); return None
+    }
 
     // 2. candidate fact sites — reached ONLY through Project / Filter /
     // INNER-Join chains. Everything else STOPS the walk: a Limit,
@@ -155,11 +165,18 @@ object EagerAggregationRule {
     // attributes through unchanged. Projects and Filters are 1:1 /
     // row-removing on columns the audits DO police; inner joins
     // multiply by match count, which is exactly the M(k) the algebra
-    // accounts for.
+    // accounts for. Round 15: every expression ON the walk (Project
+    // lists, Filter conditions, intermediate join conditions) must be
+    // DETERMINISTIC — a rand() filter above the site evaluates over
+    // |distinct k| pre-aggregated rows instead of |fact| joined rows
+    // after the rewrite, the same invisible-multiplicity class as the
+    // barrier nodes, so a non-deterministic node STOPS the walk too.
     def collectSites(p: LogicalPlan): Seq[Site] = p match {
-      case pr: Project => collectSites(pr.child)
-      case f: Filter   => collectSites(f.child)
-      case j: Join if j.joinType == Inner =>
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        collectSites(pr.child)
+      case f: Filter if f.condition.deterministic => collectSites(f.child)
+      case j: Join if j.joinType == Inner &&
+          j.condition.forall(_.deterministic) =>
         val here =
           if (j.condition.isDefined)
             Seq(

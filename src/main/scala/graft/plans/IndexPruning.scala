@@ -65,7 +65,18 @@ object IndexPruning {
     * NaN row would match); they additionally require [[nanOk]].
     * Every other leaf refutes through min (faithful: NaN never
     * lowers it) or refutes values NaN cannot take (`=`, IN, BETWEEN
-    * need value ≤ hi, which NaN fails). */
+    * need value ≤ hi, which NaN fails).
+    *
+    * NaN-VALUED bounds (round 15, mirroring [[ZoneMapPruner.mayMatch]]
+    * case-for-case again): legacy parquet-mr files from the
+    * Math.min/max era carry NaN-POISONED min/max — and the createdBy
+    * check that records `nanRisk` is version-blind, so such an entry
+    * can arrive with nanRisk=false. Spark orders NaN ABOVE every
+    * value, so a NaN min makes `minNum < lit` / `minNum <= lit` /
+    * BETWEEN / IN refutations evaluate FALSE and wrongly skip files
+    * holding finite matching rows. Every numeric refutation leaf now
+    * keeps outright on a NaN-valued bound ([[nanBound]]) — the finite
+    * extremum is lost, so nothing is provable. */
   def keepColumn(pred: Pred, stats: Column): Column = pred match {
     case And(l, r) => keepColumn(l, stats) && keepColumn(r, stats)
     case Or(l, r)  => keepColumn(l, stats) || keepColumn(r, stats)
@@ -73,7 +84,8 @@ object IndexPruning {
     case Between(c, lo, hi) =>
       val st = element_at(stats, lit(c))
       val num = for { l <- lo.num; h <- hi.num } yield
-        when(numDefined(st), !(st.getField("maxNum") < lit(l) || st.getField("minNum") > lit(h)))
+        when(numDefined(st), nanBound(st) ||
+          !(st.getField("maxNum") < lit(l) || st.getField("minNum") > lit(h)))
       val str = for { l <- lo.str; h <- hi.str } yield
         when(strDefined(st), !(st.getField("maxStr") < lit(l) || st.getField("minStr") > lit(h)))
       coalesce(num.toSeq ++ str.toSeq :+ lit(true): _*)
@@ -86,7 +98,8 @@ object IndexPruning {
       val defined = numDefined(st) || strDefined(st)
       val anyInside = vs.map { v =>
         val num = v.num.map(x =>
-          when(numDefined(st), st.getField("minNum") <= lit(x) && st.getField("maxNum") >= lit(x)))
+          when(numDefined(st), nanBound(st) ||
+            (st.getField("minNum") <= lit(x) && st.getField("maxNum") >= lit(x))))
         val str = v.str.map(x =>
           when(strDefined(st), st.getField("minStr") <= lit(x) && st.getField("maxStr") >= lit(x)))
         coalesce(num.toSeq ++ str.toSeq :+ lit(true): _*)
@@ -112,7 +125,7 @@ object IndexPruning {
       val num = for {
         x <- v.num
         f <- numCmp(st.getField("minNum"), st.getField("maxNum"))
-      } yield when(guard, f(lit(x)))
+      } yield when(guard, nanBound(st) || f(lit(x)))
       val str = for {
         x <- v.str
         f <- numCmp(st.getField("minStr"), st.getField("maxStr"))
@@ -141,6 +154,14 @@ object IndexPruning {
     * sidecar predating the flag — counts as risky. */
   private def nanOk(st: Column): Column =
     coalesce(st.getField("nanRisk") === lit(false), lit(false))
+  /** A NaN-VALUED numeric bound (legacy parquet-mr Math.min/max era
+    * files, whose version-blind createdBy check records nanRisk=false):
+    * the finite extremum is lost, refutation leaves must keep. Only
+    * evaluated under [[numDefined]] (bounds non-null). The T-proof side
+    * needs no twin: [[numExact]]'s abs(NaN) < 2^53 is false, so
+    * NaN-valued bounds already fall through to "unproven". */
+  private def nanBound(st: Column): Column =
+    isnan(st.getField("minNum")) || isnan(st.getField("maxNum"))
 
   /** The Double stats view is EXACT only strictly inside ±2^53: an
     * int64 value of 2^53+1 and its neighbor 2^53 round to the SAME

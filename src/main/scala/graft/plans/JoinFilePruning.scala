@@ -233,8 +233,18 @@ object JoinFilePruning {
     }
     // COST BOUND (round 14): each conjunct's cut is a plan-time dim
     // job; a many-dim star must not pay them serially after the kept
-    // set has already collapsed. Three brakes, all CONSERVATIVE (a
+    // set has already collapsed. Four brakes, all CONSERVATIVE (a
     // skipped cut only keeps more files):
+    //   - BENEFIT GATE (round 15 — the measured cost router): when
+    //     [[graft.sources.CostRouter]] holds calibrated constants for
+    //     the fact's root, refuse the whole cut unless the decision
+    //     job's estimated seconds undercut what a PERFECT cut could
+    //     save (table_bytes / marginal_bw) — the r14 bench showed DPP
+    //     LOSING at sf0.1 (0.35 s vs 0.27 s scan: the decision jobs
+    //     cost more than a 17 MB table's scan). Uncalibrated roots
+    //     keep r14 behavior, so gate fixtures stay served; every
+    //     decision job observed here feeds the same per-root EWMAs
+    //     the point router and the stats serves read.
     //   - short-circuit a relation whose remaining kept set is ≤ 1
     //     file — there is nothing left worth a decision job;
     //   - stop cutting a relation after two consecutive cuts added
@@ -260,7 +270,16 @@ object JoinFilePruning {
       }.getOrElse(Int.MaxValue)
       val dried = relOpt.exists(r =>
         Option(dryStreak.get(r)).exists(_.intValue >= 2))
-      if (relOpt.isDefined && remaining > 1 && !dried &&
+      // the measured benefit gate: only active for calibrated roots
+      val worthIt = relOpt.forall { r =>
+        val h = r.relation.asInstanceOf[HadoopFsRelation]
+        ZoneMapPruneRule.tableRootOf(h).forall { root =>
+          graft.sources.CostRouter
+            .decisionWorthIt(root, h.location.sizeInBytes)
+            .getOrElse(true)
+        }
+      }
+      if (relOpt.isDefined && remaining > 1 && !dried && worthIt &&
           System.nanoTime() < deadline) {
         val rel = relOpt.get
         var grew = false
@@ -353,6 +372,7 @@ object JoinFilePruning {
     val hit = cache.get(key)
     if (hit != null) return hit
     decisionJobs.incrementAndGet()
+    val decT0 = System.nanoTime()
     ZoneMapPruneRule.inRule.set(java.lang.Boolean.TRUE)
     val computed: Option[(Map[String, (Long, Long)], Set[String])] =
       try {
@@ -416,6 +436,10 @@ object JoinFilePruning {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
       finally ZoneMapPruneRule.inRule.set(java.lang.Boolean.FALSE)
+    // feed the shared per-root cost model: this decision's wall time
+    // is exactly what the benefit gate prices on the next query
+    graft.sources.CostRouter.observeDecision(
+      root, (System.nanoTime() - decT0) / 1e9)
     cache.put(key, computed)
     computed
   }

@@ -53,10 +53,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * exactly (append/delete refuses until
   * [[graft.sources.MicroBlockIndex.refresh]] + save) AND no live
   * file's mtime to exceed the sidecar's — a file rewritten in place
-  * after indexing carries dead stats (the index stores no per-file
-  * (mtime, size), so build-time ordering is the freshness anchor; a
-  * backdated-mtime rewrite escapes it, the same bound the zone
-  * layer's newest-data discovery probe accepts).
+  * after the sidecar save carries dead stats (the anchor ordering is
+  * the freshness bound; a backdated-mtime rewrite escapes it, the
+  * same bound the zone layer's newest-data discovery probe accepts).
+  * A rewrite BEFORE the save is covered by the index itself: round 15
+  * records per-file (mtime, size) and [[graft.sources
+  * .MicroBlockIndex.refresh]] drops + re-reads changed files, so a
+  * refresh that re-stamps the anchor can never re-bless dead stats.
   *
   * Scan-side bound: past `spark.graft.statsServe.maxScanFraction`
   * (default 0.5) of the live files the serve is just a worse scan and
@@ -219,6 +222,7 @@ object ZoneAggRule {
     val key = (norm(rootPath), mtime, cols.sorted.mkString(","))
     val hit = snapCache.get(key)
     if (hit != null) return Some(hit)
+    val decT0 = System.nanoTime()
     inRewrite.set(java.lang.Boolean.TRUE)
     val built =
       try {
@@ -258,6 +262,10 @@ object ZoneAggRule {
         Some(Snap(fileRows, perCol))
       } catch { case scala.util.control.NonFatal(_) => None }
       finally inRewrite.set(java.lang.Boolean.FALSE)
+    // feed the shared per-root cost model (round 15): the snapshot job
+    // is the serve's decision cost, priced by the benefit gate
+    graft.sources.CostRouter.observeDecision(
+      rootPath, (System.nanoTime() - decT0) / 1e9)
     built.foreach(snapCache.put(key, _))
     built
   }
@@ -277,6 +285,7 @@ object ZoneAggRule {
     val key = (norm(rootPath), mtime, pred.toString)
     val hit = triCache.get(key)
     if (hit != null) return Some(hit)
+    val decT0 = System.nanoTime()
     inRewrite.set(java.lang.Boolean.TRUE)
     val computed =
       try {
@@ -289,6 +298,8 @@ object ZoneAggRule {
         Some((allTrue, allFalse))
       } catch { case scala.util.control.NonFatal(_) => None }
       finally inRewrite.set(java.lang.Boolean.FALSE)
+    graft.sources.CostRouter.observeDecision(
+      rootPath, (System.nanoTime() - decT0) / 1e9)
     computed.foreach(triCache.put(key, _))
     computed
   }
@@ -337,6 +348,15 @@ object ZoneAggRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      // measured benefit gate (round 15): on a root with CALIBRATED
+      // cost-router constants, refuse the serve when even a perfect
+      // metadata answer cannot repay the decision jobs (the
+      // BENCH_ZONEFRAC_r14 admission: at sf0.1 the serve never clearly
+      // wins and costs tens of ms per query). Uncalibrated roots keep
+      // r14 behavior — serve when provable.
+      if graft.sources.CostRouter
+        .decisionWorthIt(roots.head, hfs.location.sizeInBytes)
+        .getOrElse(true)
       // every referenced column must be a DATA column (partition
       // columns have no footer stats)
       cols = pairs.map(_._2).collect {
@@ -356,10 +376,11 @@ object ZoneAggRule {
       if liveFiles.nonEmpty
       snap <- snapshotFor(spark, roots.head, mtime, cols)
       // the answer gates: index file set == live listing EXACTLY, and
-      // no live file newer than the index (a rewritten-in-place file
-      // carries dead stats; the index stores no per-file (mtime, size)
-      // so the build-time ordering is the freshness anchor — the same
-      // trust discovery's newest-data probe encodes)
+      // no live file newer than the index — a file rewritten in place
+      // AFTER the sidecar save carries dead stats (the anchor ordering
+      // is the bound); a rewrite BEFORE it is caught by refresh's
+      // per-file (mtime, size) diff, which re-reads changed files
+      // (round 15)
       if snap.fileRows.keySet == liveFiles
       if ZoneMapPruneRule.liveStatsOf(hfs).valuesIterator.forall(_._1 <= mtime)
       (allTrueRaw, allFalseRaw) <- predOpt match {
@@ -452,6 +473,10 @@ object ZoneAggRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
+      // measured benefit gate — see the global arm
+      if graft.sources.CostRouter
+        .decisionWorthIt(roots.head, hfs.location.sizeInBytes)
+        .getOrElse(true)
       // group columns: PARTITION columns serve from the FileIndex's
       // exact file->value map; DATA columns (round 14) serve per file
       // when the stats PROVE the file holds one group (min == max with

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-measured cost model for every "pay a metadata decision job
+  * to (maybe) skip most of a scan" serve layer — the round-14 point
+  * router's machinery (sources/DictionaryIndex.scala r14:574-661),
+  * promoted to a shared, PER-TABLE-ROOT store so the dictionary point
+  * lookup, the join-DPP file cut ([[graft.plans.JoinFilePruning]]) and
+  * the stats/dict metadata serves ([[graft.plans.ZoneAggRule]],
+  * [[graft.plans.DictDistinctRule]]) all route on the same two
+  * measured constants instead of per-layer tuned thresholds:
+  *
+  *   - '''decision cost''' `dec_sec`: the wall time of each metadata
+  *     decision job actually run, folded into an EWMA;
+  *   - '''marginal scan bandwidth''' `bw`: bytes/sec of real data
+  *     traversal with the fixed per-job overhead removed — from one
+  *     calibration pass over the table's median file (internal-row
+  *     traversal, the decode cost the scan route pays). Every Spark
+  *     job on this box pays a fixed scheduling/codegen overhead J; the
+  *     decision job is metadata-scale, so its wall time IS a live
+  *     estimate of J — subtracting it from the calibration scan
+  *     isolates the per-byte cost (a raw bytes/wall quotient on a
+  *     small file measures mostly J and mis-routes small tables to
+  *     the metadata path — the r14 lesson, BENCH_ROUTER_r14.json).
+  *
+  * Route: pay the decision iff `dec_sec < table_bytes / bw` — the
+  * decision's extra wall time must undercut what a full cut could
+  * save. The bound is OPTIMISTIC for the serve (assumes the cut saves
+  * everything), so a "scan" verdict is trustworthy — the serve could
+  * not have won even in the best case — while a "serve" verdict may
+  * still pay a decision that saves little (bounded by the decision
+  * cost itself, the same exposure the fixed gates had).
+  *
+  * PER-ROOT state (round 15, the r14 carried-forward limit): the
+  * EWMAs are keyed by normalized table root, so a mixed cold/hot
+  * storage deployment prices each table by its own storage — a
+  * session touching a small fast-local table no longer poisons the
+  * routing of a big object-store table. The session-global EWMA
+  * remains as the COLD SEED for routing decisions on roots never
+  * calibrated (point router only — see [[strictStats]]).
+  *
+  * Concurrency (round-15 ADVICE): calibration is guarded per root —
+  * exactly one thread pays the median-file seed scan (double-checked
+  * under the entry's lock); concurrent decision observations fold
+  * under the same lock so EWMAs never lose updates.
+  *
+  * ACTIVATION contract for the transparent serve layers: they gate
+  * ONLY on [[strictStats]] — constants calibrated for THAT root. An
+  * uncalibrated root keeps round-14 behavior (serve when provable),
+  * so correctness-gate fixtures and specs that never calibrate are
+  * untouched, and a global seed from an unrelated table can never
+  * switch off a serve it knows nothing about. Harnesses and the
+  * measured point router opt roots in by calling
+  * [[calibrateIfNeeded]].
+  */
+object CostRouter {
+
+  private final class Entry {
+    @volatile var decSecEwma: Option[Double] = None
+    @volatile var calObs: Option[(Double, Long)] = None // (sec, bytes)
+  }
+
+  private val perRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  // session-global cold seeds (the r14 session-wide EWMAs)
+  private val globalLock = new Object
+  @volatile private var globalDec: Option[Double] = None
+  @volatile private var globalCal: Option[(Double, Long)] = None
+
+  private def norm(p: String): String = graft.plans.ZoneMapPruneRule.normFile(p)
+  private def entry(root: String): Entry =
+    perRoot.computeIfAbsent(norm(root), _ => new Entry)
+  private def fold(old: Option[Double], x: Double): Option[Double] =
+    Some(old.fold(x)(o => 0.7 * o + 0.3 * x))
+
+  /** Test/bench isolation: forget every measured constant. */
+  private[graft] def reset(): Unit = {
+    perRoot.clear()
+    globalLock.synchronized { globalDec = None; globalCal = None }
+  }
+
+  /** Test hook: force a root's constants (deterministic gate tests). */
+  private[graft] def seed(root: String, decSec: Double,
+      calSec: Double, calBytes: Long): Unit = {
+    val e = entry(root)
+    e.synchronized {
+      e.decSecEwma = Some(decSec)
+      e.calObs = Some((calSec, calBytes))
+    }
+  }
+
+  /** Fold one decision job's measured wall time into the root's (and
+    * the global seed's) EWMA. */
+  def observeDecision(root: String, sec: Double): Unit = {
+    val e = entry(root)
+    e.synchronized { e.decSecEwma = fold(e.decSecEwma, sec) }
+    globalLock.synchronized { globalDec = fold(globalDec, sec) }
+  }
+
+  /** One-time per-root calibration: traverse the table's MEDIAN file
+    * as internal rows (the decode cost the scan route pays) and record
+    * (sec, bytes). CAS-style double-checked under the entry's lock so
+    * concurrent first lookups can't double-calibrate — exactly one
+    * thread pays the seed scan (round-15 ADVICE). No-op when already
+    * calibrated or the root has no files. */
+  def calibrateIfNeeded(spark: SparkSession, root: String): Unit = {
+    val e = entry(root)
+    if (e.calObs.isDefined) return
+    e.synchronized {
+      if (e.calObs.isEmpty) {
+        val files = MicroBlockIndex.listParquetFilesWithStatus(root)
+        if (files.nonEmpty) {
+          val bySize = files.sortBy(_._3)
+          val (f, _, sz) = bySize(bySize.size / 2)
+          val t0 = System.nanoTime()
+          spark.read.parquet(f).queryExecution.toRdd
+            .foreachPartition(it => while (it.hasNext) it.next())
+          val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-3)
+          e.calObs = Some((sec, sz))
+          globalLock.synchronized {
+            if (globalCal.isEmpty) globalCal = e.calObs
+          }
+        }
+      }
+    }
+  }
+
+  /** The r14 marginal-bandwidth formula, single-sourced: per-byte scan
+    * rate with the measured per-job overhead (the decision EWMA — a
+    * live estimate of the fixed job cost) subtracted from the
+    * calibration wall time; floored at 5% of the calibration time so
+    * a decision slower than the whole calibration can't produce a
+    * negative/absurd rate. */
+  private def bw(dec: Double, cal: (Double, Long)): Double =
+    cal._2 / math.max(cal._1 - dec, cal._1 * 0.05)
+
+  /** (decision sec, marginal bytes/sec) for ROUTING: per-root values,
+    * each falling back to the session-global cold seed. The point
+    * router's contract — a brand-new root routes on what the session
+    * has learned so far and refines as its own observations arrive. */
+  def seededStats(root: String): (Option[Double], Option[Double]) = {
+    val e = entry(root)
+    val dec = e.decSecEwma.orElse(globalDec)
+    val cal = e.calObs.orElse(globalCal)
+    (dec, for { d <- dec; c <- cal } yield bw(d, c))
+  }
+
+  /** STRICT per-root stats: defined only when THIS root was calibrated
+    * (decision EWMA may still seed from global — job overhead is a
+    * box property, not a table property). The transparent serve
+    * layers' activation key. */
+  def strictStats(root: String): (Option[Double], Option[Double]) = {
+    val e = entry(root)
+    val dec = e.decSecEwma.orElse(globalDec)
+    (dec, for { d <- dec; c <- e.calObs } yield bw(d, c))
+  }
+
+  /** Is paying a metadata decision job worth it for `tableBytes` of
+    * data under `root`? None = this root never calibrated (caller
+    * keeps its legacy behavior); Some(false) = even a perfect cut
+    * cannot repay the decision — scan. */
+  def decisionWorthIt(root: String, tableBytes: Long): Option[Boolean] =
+    strictStats(root) match {
+      case (Some(d), Some(b)) => Some(d < tableBytes / b)
+      case _                  => None
+    }
+}

@@ -577,36 +577,22 @@ object DictionaryIndex {
   // the dictionary route pays a fixed-cost distributed decision job
   // to (maybe) skip most of the scan; the scan route just scans. The
   // crossover is where decision-job seconds meet full-scan seconds —
-  // both MEASURED in-session instead of guessed:
-  //   - decision cost: the wall time of each dictionary decision
-  //     actually run, folded into an EWMA (seeded by the first routed
-  //     lookup, which always takes the dictionary route to learn it);
-  //   - scan throughput: one calibration pass over the table's median
-  //     file (internal-row traversal — the decode cost the scan route
-  //     pays), bytes/sec into an EWMA.
-  // Route: dictionary iff est_decision_sec < table_bytes / est_bps.
-  // No tuned constant survives: a fast box with cheap jobs routes
-  // smaller tables to the dictionary than a slow one, automatically.
+  // both MEASURED in-session instead of guessed. Round 15: the state
+  // lives in the shared PER-TABLE-ROOT store ([[CostRouter]] — also
+  // the join-DPP and stats/dict serve gates' model), so a mixed
+  // cold/hot-storage deployment prices each table by its own storage
+  // and concurrent first lookups can't double-calibrate; the
+  // session-global EWMA remains the cold seed for never-seen roots.
   // ---------------------------------------------------------------
-  @volatile private var decSecEwma: Option[Double] = None
-  @volatile private var calObs: Option[(Double, Long)] = None // (sec, bytes)
-  private def ewma(old: Option[Double], x: Double): Option[Double] =
-    Some(old.fold(x)(o => 0.7 * o + 0.3 * x))
   /** Test/bench isolation: forget the session's measured constants. */
-  private[graft] def resetRouterStats(): Unit = {
-    decSecEwma = None; calObs = None
-  }
+  private[graft] def resetRouterStats(): Unit = CostRouter.reset()
   /** The measured constants (decision-job sec, MARGINAL scan
-    * bytes/sec), for harnesses to report the decision inputs actually
-    * used. Every Spark job on this box pays a fixed scheduling/codegen
-    * overhead J; the decision job is metadata-scale, so its wall time
-    * IS a live estimate of J — subtracting it from the calibration
-    * scan isolates the per-byte cost (a raw bytes/wall quotient on a
-    * small file measures mostly J and mis-routes small tables to the
-    * dictionary, the exact failure the fixed threshold had backwards). */
-  def routerStats: (Option[Double], Option[Double]) = (decSecEwma,
-    for { d <- decSecEwma; (cs, cb) <- calObs }
-      yield cb / math.max(cs - d, cs * 0.05))
+    * bytes/sec) the router would use for `tablePath` — per-root,
+    * seeded from the session-global EWMAs for never-calibrated roots.
+    * See [[CostRouter]] for the marginal-bandwidth formula (per-job
+    * overhead subtracted from the calibration wall time). */
+  def routerStats(tablePath: String): (Option[Double], Option[Double]) =
+    CostRouter.seededStats(tablePath)
 
   /** The route the MEASURED router takes for `tablePath` right now:
     * "dict", "scan", or "calibrate" (constants not yet learned — the
@@ -616,7 +602,7 @@ object DictionaryIndex {
     * wins exactly when the decision's extra wall time undercuts the
     * per-byte scan cost: dec < bytes / marginal_bw. */
   def pointLookupRouteMeasured(tablePath: String): String =
-    routerStats match {
+    routerStats(tablePath) match {
       case (Some(d), Some(bw)) =>
         if (d < tableBytes(tablePath) / bw) "dict" else "scan"
       case _ => "calibrate"
@@ -624,30 +610,20 @@ object DictionaryIndex {
 
   /** [[prunedReadEqAuto]] with the MEASURED router. Identical rows on
     * every route (same lossless-cut argument); only the cost model
-    * differs. The first lookup of a session calibrates: one median-
-    * file traversal prices the scan, and the lookup runs through the
-    * dictionary route so its decision job prices itself. */
+    * differs. The first lookup of a session calibrates THIS root: one
+    * median-file traversal prices the scan (CAS-guarded in
+    * [[CostRouter]] — one thread pays it), and the lookup runs
+    * through the dictionary route so its decision job prices itself. */
   def prunedReadEqMeasured(spark: SparkSession, index: Dataset[FileDict],
       tablePath: String, column: String,
       values: Seq[graft.plans.PredValue]): DataFrame = {
-    if (calObs.isEmpty) {
-      val files = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
-      if (files.nonEmpty) {
-        val sortedBySize = files.sortBy(_._3)
-        val (f, _, sz) = sortedBySize(sortedBySize.size / 2)
-        val t0 = System.nanoTime()
-        spark.read.parquet(f).queryExecution.toRdd
-          .foreachPartition(it => while (it.hasNext) it.next())
-        val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-3)
-        calObs = Some((sec, sz))
-      }
-    }
+    CostRouter.calibrateIfNeeded(spark, tablePath)
     def viaDict(): DataFrame = {
       val t0 = System.nanoTime()
       val df = prunedReadEq(spark, index, tablePath, column, values)
       // prunedReadEq runs its decision job eagerly — the call's wall
       // time IS the decision cost (the returned scan stays lazy)
-      decSecEwma = ewma(decSecEwma, (System.nanoTime() - t0) / 1e9)
+      CostRouter.observeDecision(tablePath, (System.nanoTime() - t0) / 1e9)
       df
     }
     pointLookupRouteMeasured(tablePath) match {
@@ -695,7 +671,11 @@ object DictionaryIndex {
     // every consumer already handles
     for (c <- Seq("nullCount", "fileMtime", "fileSize"))
       if (!df.columns.contains(c)) df = df.withColumn(c, lit(-1L))
-    df.as[FileDict]
+    // case-class column order: refresh's by-position union appends an
+    // encoder-ordered dataset
+    val order = org.apache.spark.sql.Encoders.product[FileDict]
+      .schema.fieldNames
+    df.select(order.map(col): _*).as[FileDict]
   }
 
   /** INCREMENTAL refresh (the [[MicroBlockIndex.refresh]] contract):
@@ -709,16 +689,37 @@ object DictionaryIndex {
     * entries harmlessly (the pruning rule only ever skips files
     * present in the live listing; [[countDistinct]]/[[distinctValues]]
     * key coverage by the live listing too, so a dead entry is never
-    * served); a compaction that REWRITES files in place needs a
-    * rebuild — the sidecar staleness guard refuses the stale index in
-    * fresh sessions for exactly that case. */
+    * served).
+    *
+    * CHANGED files (round 15, the [[MicroBlockIndex.refresh]]
+    * discipline): a file REWRITTEN IN PLACE keeps its path, so the old
+    * path-only diff kept its dead value sets forever. The per-file
+    * (mtime, size) serve gates made that stale-but-never-served;
+    * now the refresh DETECTS the mismatch against the live listing,
+    * drops the dead entries and re-reads the file's dictionary pages —
+    * a post-compaction refresh re-enables serving without a full
+    * rebuild. Entries recording `-1` (a pre-r13 sidecar) have unknown
+    * provenance and re-read once, conservatively. */
   def refresh(spark: SparkSession, tablePath: String, table: String,
       existing: Dataset[FileDict], columns: Seq[String] = Nil): Dataset[FileDict] = {
     import spark.implicits._
-    val known = existing.select("file").distinct()
-      .collect().map(_.getString(0)).toSet // file-listing scale
-    val newFiles = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
-      .filterNot(f => known(f._1)).sortBy(_._1)
+    // file-listing-scale collect: recorded (mtime, size) per known file
+    // (stamped uniformly across a file's entries)
+    val known: Map[String, (Long, Long)] = existing
+      .groupBy(col("file"))
+      .agg(min(col("fileMtime")).as("m"), min(col("fileSize")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val live = MicroBlockIndex.listParquetFilesWithStatus(tablePath)
+    val changed = live.filter { case (f, m, s) =>
+      known.get(f).exists(rec => rec != ((m, s))) // mismatch OR legacy -1
+    }
+    val changedSet = changed.map(_._1).toSet
+    val base =
+      if (changedSet.isEmpty) existing
+      else existing.filter(!col("file").isin(changedSet.toSeq: _*))
+    val newFiles = (live.filterNot(f => known.contains(f._1)) ++ changed)
+      .sortBy(_._1)
     if (newFiles.isEmpty) return existing
     val cols =
       if (columns.nonEmpty) columns.toArray
@@ -733,6 +734,6 @@ object DictionaryIndex {
           .map(_.copy(fileMtime = mtime, fileSize = size))
       }
       .toDS()
-    existing.unionAll(added)
+    base.toDF().unionByName(added.toDF()).as[FileDict]
   }
 }

@@ -44,7 +44,18 @@ import scala.jdk.CollectionConverters._
   * recorded false. `sumLong` (round 14) carries the PER-FILE exact
   * integral sum for opt-in columns ([[MicroBlockIndex.withSums]]),
   * repeated on each of the file's block entries; None = not built /
-  * overflowed long / untrusted. */
+  * overflowed long / untrusted. `fileMtime`/`fileSize` (round 15) are
+  * the base file's status AT FOOTER-READ TIME — the same per-file
+  * discipline [[FileDict]] carries. [[MicroBlockIndex.refresh]] diffs
+  * the live listing against them, so a file REWRITTEN IN PLACE under
+  * its name (same path, new mtime/size) is detected as CHANGED and its
+  * entries dropped + re-read instead of silently surviving a refresh;
+  * before round 15 a streaming commit's sidecar refresh re-stamped the
+  * freshness anchor (`_SUCCESS`) while keeping such a file's dead
+  * stats, re-blessing them for every mtime-anchored serve gate. None
+  * (legacy sidecar back-fill) = unknown provenance: refresh treats the
+  * file as changed and re-reads its footer once, which also back-fills
+  * `nanRisk` — the metadata-scale auto-migration for pre-r14 sidecars. */
 final case class BlockStat(
     table: String,
     file: String,
@@ -63,7 +74,9 @@ final case class BlockStat(
     minLong: Option[Long] = None,
     maxLong: Option[Long] = None,
     nanRisk: Option[Boolean] = Some(false),
-    sumLong: Option[Long] = None)
+    sumLong: Option[Long] = None,
+    fileMtime: Option[Long] = None,
+    fileSize: Option[Long] = None)
 
 /** Per-block serving metadata — what the engine's driver-side cache /
   * prefetch orchestration actually needs: ONE small row per block
@@ -89,7 +102,7 @@ object MicroBlockIndex {
   /** Build the index for one table path (a parquet file or directory). */
   def build(spark: SparkSession, tablePath: String, table: String): Dataset[BlockStat] = {
     import spark.implicits._
-    val files = listParquetFiles(tablePath)
+    val files = listParquetFilesWithStatus(tablePath)
     // Footer reads are tiny metadata I/O — parallelize the *file list*,
     // never the data. Block ids follow the sorted file order (stable:
     // part numbers are zero-padded) then row-group order within a file.
@@ -97,12 +110,13 @@ object MicroBlockIndex {
     // task, floored at the cluster's parallelism) — a fixed cap would
     // serialize tens of thousands of footer reads per task at millions
     // of files.
-    val fileWithOrd = files.sorted.zipWithIndex
+    val fileWithOrd = files.sortBy(_._1).zipWithIndex
     val numParts = math.max(1, math.min(fileWithOrd.size,
       math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
     val raw = spark.sparkContext
       .parallelize(fileWithOrd, numParts)
-      .flatMap { case (file, fileOrd) => readFooterStats(table, file, fileOrd) }
+      .flatMap { case ((file, mtime, size), fileOrd) =>
+        readFooterStats(table, file, fileOrd, mtime, size) }
     // Densify (fileOrd, rowGroup) → global block id / row offsets with
     // a TWO-PASS DISTRIBUTED PREFIX SUM. parallelize() assigns files to
     // partitions positionally, so global block order = (partition,
@@ -147,8 +161,12 @@ object MicroBlockIndex {
     spark.createDataset(dense)
   }
 
-  /** Footer → per-(row-group, column) stats. Runs on executors. */
-  private def readFooterStats(table: String, file: String, fileOrd: Int): Seq[BlockStat] = {
+  /** Footer → per-(row-group, column) stats. Runs on executors.
+    * `mtime`/`size` are the file's LISTED status (taken by the caller
+    * before the footer read, so a concurrent rewrite makes the entry
+    * look STALE, never falsely fresh). */
+  private def readFooterStats(table: String, file: String, fileOrd: Int,
+      mtime: Long, size: Long): Seq[BlockStat] = {
     val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
     val reader = ParquetFileReader.open(in)
     try {
@@ -236,7 +254,8 @@ object MicroBlockIndex {
             codec = cc.getCodec.toString,
             minNum = minN, maxNum = maxN, minStr = minS, maxStr = maxS,
             minLong = minL, maxLong = maxL,
-            nanRisk = Some(isFloat && !nanFaithfulWriter))
+            nanRisk = Some(isFloat && !nanFaithfulWriter),
+            fileMtime = Some(mtime), fileSize = Some(size))
         }
       }
     } finally reader.close()
@@ -345,34 +364,65 @@ object MicroBlockIndex {
   }
 
   /** INCREMENTAL refresh: read footers only for files the existing
-    * index doesn't know (the common append-only ingest shape — at
-    * millions of files a full rebuild re-reads every footer for a 1%
-    * delta). Existing block ids and row offsets are STABLE — cache
-    * keys, access logs and trained prefetch models keyed by them stay
-    * valid — and new files' blocks append after the current max id /
-    * row offset in sorted-file order. Files DELETED from disk DROP
-    * their entries (round 14): pruning against dead entries was
-    * harmless (the rules only skip live files), but the value-serving
-    * layers ([[graft.plans.ZoneAggRule]]) gate on the index's file set
-    * EQUALLING the live listing — keeping dead entries meant a
-    * post-delete refresh could never re-enable serving, only a full
-    * rebuild could. Dropping entries never disturbs surviving blocks'
-    * ids or row offsets (they are recorded, not recomputed); the
-    * retired ids simply never recur. */
+    * index doesn't know OR that CHANGED on disk (the common
+    * append-only ingest shape — at millions of files a full rebuild
+    * re-reads every footer for a 1% delta). Existing block ids and row
+    * offsets are STABLE — cache keys, access logs and trained prefetch
+    * models keyed by them stay valid — and new files' blocks append
+    * after the current max id / row offset in sorted-file order. Files
+    * DELETED from disk DROP their entries (round 14): pruning against
+    * dead entries was harmless (the rules only skip live files), but
+    * the value-serving layers ([[graft.plans.ZoneAggRule]]) gate on the
+    * index's file set EQUALLING the live listing — keeping dead entries
+    * meant a post-delete refresh could never re-enable serving, only a
+    * full rebuild could. Dropping entries never disturbs surviving
+    * blocks' ids or row offsets (they are recorded, not recomputed);
+    * the retired ids simply never recur.
+    *
+    * CHANGED files (round 15): a file REWRITTEN IN PLACE keeps its
+    * PATH, so the old path-only diff kept its now-dead entries — and
+    * because the streaming sidecar refresh re-stamps `_SUCCESS` (the
+    * freshness anchor every serve layer's mtime gate compares against)
+    * on each commit, those dead stats were silently RE-BLESSED: wrong
+    * metadata aggregates, wrong join-prune cuts. A known file whose
+    * live (mtime, size) differs from the recorded `fileMtime`/
+    * `fileSize` is now treated as deleted-then-added: entries dropped,
+    * footer re-read, fresh blocks appended under NEW ids (the old ids
+    * retire — a rewritten file's row offsets are new data anyway).
+    * Entries with NO recorded status (a pre-r15 sidecar's back-filled
+    * None) have unknown provenance and are conservatively re-read too;
+    * that one-time footer sweep is also the auto-migration that
+    * back-fills `nanRisk` (pre-r14 sidecars regain `>`/`>=` refutation
+    * without a manual rebuild — the round-14 carried-forward gap). */
   def refresh(spark: SparkSession, tablePath: String, table: String,
       existing: Dataset[BlockStat]): Dataset[BlockStat] = {
     import org.apache.spark.sql.functions._
-    val known = existing.select("file").distinct()
-      .collect().map(_.getString(0)).toSet // file-listing scale
-    val live = listParquetFiles(tablePath)
-    val liveSet = live.toSet
-    // anti-filter on the (small) dead set, never an IN over millions
-    // of live paths
-    val dead = known.filterNot(liveSet).toSeq
+    // file-listing-scale collect: one row per known file with its
+    // recorded status (stamped uniformly across the file's entries;
+    // a None-status file yields nulls through the min())
+    val known: Map[String, (Option[Long], Option[Long])] =
+      existing.groupBy(col("file"))
+        .agg(min(col("fileMtime")).as("m"), min(col("fileSize")).as("s"))
+        .collect().map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        .toMap
+    val live = listParquetFilesWithStatus(tablePath)
+    val liveSet = live.map(_._1).toSet
+    val changed = live.filter { case (f, m, s) =>
+      known.get(f).exists { case (rm, rs) =>
+        !rm.contains(m) || !rs.contains(s) // mismatch OR legacy None
+      }
+    }
+    val changedSet = changed.map(_._1).toSet
+    // anti-filter on the (small) dead+changed set, never an IN over
+    // millions of live paths
+    val dead = (known.keySet.filterNot(liveSet) ++ changedSet).toSeq
     val base =
       if (dead.isEmpty) existing
       else existing.filter(!col("file").isin(dead: _*))
-    val newFiles = live.filterNot(known)
+    val newFiles = live.filterNot(f => known.contains(f._1)) ++ changed
+    if (newFiles.isEmpty && dead.isEmpty) return existing
     if (newFiles.isEmpty) return base
     val (maxId, maxEnd) = existing
       .agg(max("blockId"), max("rowEnd"))
@@ -380,11 +430,12 @@ object MicroBlockIndex {
       .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
         if (r.isNullAt(1)) -1L else r.getLong(1)))
       .getOrElse((-1, -1L))
-    val fileWithOrd = newFiles.sorted.zipWithIndex
+    val fileWithOrd = newFiles.sortBy(_._1).zipWithIndex
     val numParts = math.max(1, math.min(fileWithOrd.size,
       math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
     val raw = spark.sparkContext.parallelize(fileWithOrd, numParts)
-      .flatMap { case (file, ord) => readFooterStats(table, file, ord) }
+      .flatMap { case ((file, mtime, size), ord) =>
+        readFooterStats(table, file, ord, mtime, size) }
     // same two-pass prefix sum as build(), based at (maxId+1, maxEnd+1)
     val perPart = raw.mapPartitionsWithIndex { (idx, it) =>
       var last = Long.MinValue; var nBlocks = 0L; var nRows = 0L
@@ -419,7 +470,9 @@ object MicroBlockIndex {
       }
     }
     import spark.implicits._
-    base.unionAll(spark.createDataset(appended))
+    // by-name union: `base` may carry a loaded sidecar's column order
+    base.toDF().unionByName(spark.createDataset(appended).toDF())
+      .as[BlockStat]
   }
 
   /** Load a saved index, BACK-FILLING columns older sidecars predate
@@ -429,14 +482,19 @@ object MicroBlockIndex {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     var df = spark.read.parquet(path)
-    Seq("minLong", "maxLong", "sumLong").foreach { c =>
+    Seq("minLong", "maxLong", "sumLong", "fileMtime", "fileSize").foreach { c =>
       if (!df.columns.contains(c)) df = df.withColumn(c, lit(null).cast("long"))
     }
     // legacy sidecars predate the NaN-faithfulness flag: null = unknown
     // = the proof layers treat the entry as risky (conservative)
     if (!df.columns.contains("nanRisk"))
       df = df.withColumn("nanRisk", lit(null).cast("boolean"))
-    df.as[BlockStat]
+    // normalize to the case-class column ORDER: downstream unions
+    // (refresh appends an encoder-ordered dataset) are positional, and
+    // a legacy sidecar's back-filled columns land at the END otherwise
+    val order = org.apache.spark.sql.Encoders.product[BlockStat]
+      .schema.fieldNames
+    df.select(order.map(org.apache.spark.sql.functions.col): _*).as[BlockStat]
   }
 
   def listParquetFiles(tablePath: String): Seq[String] =

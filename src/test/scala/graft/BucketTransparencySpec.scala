@@ -202,6 +202,36 @@ class BucketTransparencySpec extends AnyFunSuite {
     }
   }
 
+  test("non-determinism refuses the push: rand() grouping / filter-on-the-walk") {
+    withViews {
+      // a non-deterministic FILTER between the Aggregate and the site
+      // join evaluates over |distinct k| pre-aggregated rows instead
+      // of |fact| joined rows after a rewrite — the same invisible-
+      // multiplicity class as the LIMIT barrier (round-15 ADVICE)
+      // NB: rand() <= 1.0 would be folded away as provably true —
+      // the threshold must leave a genuinely nondeterministic Filter
+      val ndFilter = spark.sql(
+        """SELECT SUM(v) AS s FROM
+          |  (SELECT f.v FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k) t
+          |WHERE rand() <= 0.9999999""".stripMargin)
+      assert(!preAggBelowJoin(ndFilter),
+        "a non-deterministic filter on the walk must stop the push")
+      // non-deterministic grouping: group count would change when the
+      // expression evaluates over collapsed rows
+      val ndGroup = spark.sql(
+        """SELECT SUM(f.v) AS s FROM bt_fact_v f
+          |JOIN bt_ord_v o ON f.k = o.k
+          |GROUP BY CAST(rand() * 0 AS INT) + o.ck""".stripMargin)
+      assert(!preAggBelowJoin(ndGroup),
+        "a non-deterministic grouping expression must refuse the push")
+      // deterministic control: the same shapes WITHOUT rand() push
+      val det = spark.sql(
+        """SELECT SUM(v) AS s FROM
+          |  (SELECT f.v FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k) t""".stripMargin)
+      assert(preAggBelowJoin(det), "the deterministic twin must still push")
+    }
+  }
+
   test("refusals: mixed-side aggregate, fact-side grouping, outer join") {
     withViews {
       // aggregate reading both sides

@@ -83,6 +83,25 @@ class DictDistinctRuleSpec extends AnyFunSuite {
       .agg(countDistinct(col("l_orderkey")).as("n"))))
   }
 
+  test("measured benefit gate: a calibrated can't-repay root refuses the serve; values unchanged") {
+    val base = fixture
+    val root = new java.io.File(base).getAbsolutePath
+    spark.read.parquet(base).createOrReplaceTempView("dr_cost")
+    val q = "SELECT COUNT(DISTINCT l_suppkey) AS n FROM dr_cost"
+    try {
+      assert(scansDict(spark.sql(q)), "uncalibrated root must keep serving")
+      val truth = spark.sql(q).first.getLong(0)
+      graft.sources.CostRouter.seed(root, decSec = 10.0,
+        calSec = 11.0, calBytes = 1L << 30)
+      val gated = spark.sql(q)
+      assert(!scansDict(gated), "the gated serve must fall back to the scan")
+      assert(gated.first.getLong(0) == truth)
+      graft.sources.CostRouter.seed(root, decSec = 1e-4,
+        calSec = 11.0, calBytes = 1024L)
+      assert(scansDict(spark.sql(q)), "a worthwhile decision serves again")
+    } finally graft.sources.CostRouter.reset()
+  }
+
   test("unsafe shapes refuse: filters, grouping, mixed aggregates, unindexed columns") {
     val base = fixture
     spark.read.parquet(base).createOrReplaceTempView("dr_t2")

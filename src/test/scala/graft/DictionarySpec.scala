@@ -184,6 +184,79 @@ class DictionarySpec extends AnyFunSuite {
       spark.read.parquet(out).filter(col("l_suppkey") === 3).count())
   }
 
+  test("refresh detects an in-place rewrite and re-reads its dictionary pages") {
+    val out = scratch("refresh-rewrite")
+    def writeAs(name: String, distinct: Seq[Long]): Unit = {
+      import spark.implicits._
+      val stage = s"$out-stage"
+      // repeat each value: parquet-mr only keeps the dictionary when it
+      // compresses (3 unique rows fall back to PLAIN → covered=false)
+      val keys = (0 until 900).map(i => distinct(i % distinct.size))
+      keys.toDF("k").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(out).mkdirs()
+      val dst = new java.io.File(s"$out/$name")
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(System.currentTimeMillis() + 4000)
+    }
+    Option(new java.io.File(out).listFiles()).foreach(_.foreach(_.delete()))
+    writeAs("a.parquet", Seq(1L, 2L, 3L))
+    writeAs("b.parquet", Seq(10L, 11L))
+    val v1 = DictionaryIndex.build(spark, out, "t", Seq("k"))
+    // b.parquet rewritten in place (a compaction under the same name):
+    // its recorded value set {10, 11} is DEAD
+    writeAs("b.parquet", Seq(100L, 101L, 102L))
+    val v2 = DictionaryIndex.refresh(spark, out, "t", v1)
+    val byFile = v2.collect().groupBy(_.file.split('/').last)
+    assert(byFile("a.parquet").head.valuesLong.toSet == Set(1L, 2L, 3L))
+    assert(byFile("b.parquet").head.valuesLong.toSet == Set(100L, 101L, 102L),
+      "the rewritten file's entry must carry the NEW value set")
+    // serving works again without a full rebuild (the r14 doc said
+    // 'a compaction that rewrites in place needs a rebuild' — no more)
+    val (n, covered, total) = DictionaryIndex.countDistinct(spark, v2, out, "k")
+    assert(n == 6L && covered == 2L && total == 2L)
+    // idempotent after the re-read
+    assert(DictionaryIndex.refresh(spark, out, "t", v2) eq v2)
+  }
+
+  test("per-root router: two roots of different file sizes route independently") {
+    import spark.implicits._
+    val smallRoot = scratch("route-small")
+    val bigRoot = scratch("route-big")
+    (0L until 100L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(smallRoot)
+    (0L until 400000L).map(i => (i, s"pad-$i-${"x" * 40}")).toDF("k", "s")
+      .repartition(2).write.mode("overwrite").parquet(bigRoot)
+    DictionaryIndex.resetRouterStats()
+    try {
+      val smallIdx = DictionaryIndex.build(spark, smallRoot, "s", Seq("k"))
+      val bigIdx = DictionaryIndex.build(spark, bigRoot, "b", Seq("k"))
+      // seed each root: calibration is PER ROOT, so the big root's
+      // (slower, bigger) median file never poisons the small root's
+      // pricing and vice versa — the r14 session-global carried limit
+      DictionaryIndex.prunedReadEqMeasured(
+        spark, smallIdx, smallRoot, "k", Seq(PredValue(7L))).collect()
+      DictionaryIndex.prunedReadEqMeasured(
+        spark, bigIdx, bigRoot, "k", Seq(PredValue(7L))).collect()
+      val (decS, bwS) = DictionaryIndex.routerStats(smallRoot)
+      val (decB, bwB) = DictionaryIndex.routerStats(bigRoot)
+      assert(decS.exists(_ > 0) && bwS.exists(_ > 0))
+      assert(decB.exists(_ > 0) && bwB.exists(_ > 0))
+      // the calibration observations differ per root (different median
+      // files), so the marginal rates are independently derived
+      assert(bwS.get != bwB.get,
+        "per-root calibrations must be independent observations")
+      // each root's route follows ITS OWN constants
+      for ((root, dec, bw) <- Seq((smallRoot, decS, bwS), (bigRoot, decB, bwB))) {
+        val est = DictionaryIndex.tableBytes(root) / bw.get
+        assert(DictionaryIndex.pointLookupRouteMeasured(root) ==
+          (if (dec.get < est) "dict" else "scan"), s"root $root")
+      }
+    } finally DictionaryIndex.resetRouterStats()
+  }
+
   test("absent probe refutes every file and still returns a typed empty result") {
     val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey")).cache()
     val skipped = DictionaryIndex.skippedFilesEq(idx, "l_suppkey", Seq(PredValue(1000000L)))
@@ -260,7 +333,7 @@ class DictionarySpec extends AnyFunSuite {
     val first = DictionaryIndex.prunedReadEqMeasured(
       spark, idx, dictPath, "l_suppkey", probe)
     assert(rows(first) == rows(truth))
-    val (dec, bps) = DictionaryIndex.routerStats
+    val (dec, bps) = DictionaryIndex.routerStats(dictPath)
     assert(dec.exists(_ > 0) && bps.exists(_ > 0),
       "both constants must be measured after the seeding lookup")
     // routed call: whatever side of the crossover this box measures,

@@ -62,6 +62,13 @@ class IndexPruningSpec extends AnyFunSuite {
     val (a, b) = (value(), value())
     val xEntry =
       if (rnd.nextInt(6) == 0) stat("x", None, None, None, None) // no stats
+      else if (rnd.nextInt(8) == 0)
+        // NaN-POISONED bounds (legacy parquet-mr Math.min/max era,
+        // version-blind createdBy ⇒ nanRisk recorded false): the
+        // mirror keeps, the distributed side must too (round 15)
+        stat("x",
+          Some(if (rnd.nextBoolean()) Double.NaN else math.min(a, b)),
+          Some(Double.NaN), None, None)
       else stat("x", Some(math.min(a, b)), Some(math.max(a, b)), None, None)
     val ss = Seq.fill(2)(pool(rnd.nextInt(pool.size)))
       .sortWith((p, q) => ZoneMapPruner.u8cmp(p, q) < 0)
@@ -87,6 +94,37 @@ class IndexPruningSpec extends AnyFunSuite {
         assert(got(id) == ZoneMapPruner.mayMatch(p, stats),
           s"block $id disagrees for $p (stats=$stats)")
       }
+    }
+  }
+
+  test("NaN-valued bounds with nanRisk=false never refute (the round-15 advice scenario)") {
+    import spark.implicits._
+    // a legacy parquet-mr (Math.min/max era) float entry: NaN poisoned
+    // min/max, but the version-blind createdBy check recorded
+    // nanRisk=false. Spark's NaN-greatest ordering makes `NaN < 5`
+    // false — the pre-fix keepColumn refuted and skipped a file whose
+    // finite rows match.
+    val poisoned = BlockStat("t", "fNaN", 0, 0L, 9L, "x",
+      10L, 0L, 100L, "SNAPPY",
+      Some(Double.NaN), Some(Double.NaN), None, None)
+    val index = spark.createDataset(Seq(poisoned)).toDF()
+    for (p <- Seq[Pred](
+        Cmp("<", "x", PredValue(5.0)),
+        Cmp("<=", "x", PredValue(5.0)),
+        Cmp("=", "x", PredValue(5.0)),
+        Cmp(">", "x", PredValue(5.0)),
+        Cmp(">=", "x", PredValue(5.0)),
+        Between("x", PredValue(1.0), PredValue(5.0)),
+        In("x", Seq(PredValue(5.0))))) {
+      val kept = IndexPruning.decide(index, p)
+        .collect().map(_.getBoolean(5))
+      assert(kept.forall(identity),
+        s"NaN-valued bounds must keep conservatively for $p")
+      assert(IndexPruning.skippedFiles(index, p).isEmpty)
+      // and the T-proof side stays unproven (numExact rejects NaN)
+      val t = IndexPruning.fileTriState(index, p)
+        .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
+      assert(t.forall { case (allTrue, allFalse) => !allTrue && !allFalse })
     }
   }
 
@@ -155,6 +193,82 @@ class IndexPruningSpec extends AnyFunSuite {
     assert(total == 500L)
     // idempotent: nothing new -> same dataset back
     assert(graft.sources.MicroBlockIndex.refresh(spark, path, "t", v2) eq v2)
+  }
+
+  test("refresh detects an in-place rewrite (same path, new mtime/size) and re-reads it") {
+    import org.apache.spark.sql.functions._
+    val root = "target/scratch/test/incr-rewrite"
+    def writeAs(name: String, lo: Long, hi: Long): Unit = {
+      val stage = s"$root-stage"
+      spark.range(lo, hi).select(col("id"), (col("id") % 7).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(root).mkdirs()
+      val dst = new java.io.File(s"$root/$name")
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // beat filesystem mtime granularity: the rewrite must be newer
+      dst.setLastModified(System.currentTimeMillis() + 4000)
+    }
+    new java.io.File(root).listFiles() match {
+      case null => (); case fs => fs.foreach(_.delete())
+    }
+    writeAs("a.parquet", 0L, 100L)
+    writeAs("b.parquet", 100L, 200L)
+    val v1 = graft.sources.MicroBlockIndex.build(spark, root, "t")
+    val v1Rows = v1.collect().toSeq
+    // the advice scenario: b.parquet REWRITTEN IN PLACE — same path,
+    // new content (ids 1000..1099), new mtime. The old path-only diff
+    // kept the dead entries; a streaming commit then re-stamped the
+    // sidecar anchor and re-blessed them for every mtime-gated serve.
+    writeAs("b.parquet", 1000L, 1100L)
+    val v2 = graft.sources.MicroBlockIndex.refresh(spark, root, "t", v1)
+    val v2Rows = v2.collect().toSeq
+    val bRows = v2Rows.filter(_.file.endsWith("b.parquet"))
+    val aRows = v2Rows.filter(_.file.endsWith("a.parquet"))
+    // a.parquet untouched: entries byte-identical
+    assert(aRows.toSet == v1Rows.filter(_.file.endsWith("a.parquet")).toSet)
+    // b.parquet re-read: stats reflect the NEW data, never the old
+    val bId = bRows.filter(_.column == "id")
+    assert(bId.nonEmpty && bId.forall(e =>
+      e.minLong.contains(1000L) && e.maxLong.contains(1099L)),
+      s"rewritten file must carry fresh stats, got $bId")
+    // the dead entries are gone and the new ones got NEW (retired-
+    // forever) block ids past the old max
+    val oldMaxId = v1Rows.map(_.blockId).max
+    assert(bRows.forall(_.blockId > oldMaxId))
+    assert(v2Rows.map(_.file).toSet == v1Rows.map(_.file).toSet)
+    // idempotent after the re-read
+    assert(graft.sources.MicroBlockIndex.refresh(spark, root, "t", v2) eq v2)
+  }
+
+  test("refresh re-reads legacy entries (no recorded status) once — the nanRisk auto-migration") {
+    import org.apache.spark.sql.functions._
+    val root = "target/scratch/test/incr-legacy"
+    spark.range(0, 200).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(2).write.mode("overwrite").parquet(root)
+    val fresh = graft.sources.MicroBlockIndex.build(spark, root, "t")
+    // simulate a pre-r14 sidecar: no nanRisk, no fileMtime/fileSize
+    val legacyPath = s"$root-legacy-sidecar"
+    fresh.toDF().drop("nanRisk", "fileMtime", "fileSize", "sumLong")
+      .write.mode("overwrite").parquet(legacyPath)
+    val legacy = graft.sources.MicroBlockIndex.load(spark, legacyPath)
+    assert(legacy.collect().forall(e =>
+      e.nanRisk.isEmpty && e.fileMtime.isEmpty && e.fileSize.isEmpty))
+    // one refresh = the migration: unknown provenance conservatively
+    // re-reads the footers, back-filling nanRisk AND the per-file
+    // status, so `>`/`>=` refutation returns without a manual rebuild
+    val migrated = graft.sources.MicroBlockIndex.refresh(spark, root, "t", legacy)
+    val rows = migrated.collect().toSeq
+    assert(rows.nonEmpty && rows.forall(e =>
+      e.nanRisk.isDefined && e.fileMtime.isDefined && e.fileSize.isDefined))
+    // same coverage as a fresh build
+    assert(rows.map(_.file).toSet == fresh.collect().map(_.file).toSet)
+    assert(rows.groupBy(_.blockId).map(_._2.head.rows).sum == 200L)
+    // and the second refresh is a no-op — the migration is one-time
+    assert(graft.sources.MicroBlockIndex.refresh(spark, root, "t", migrated)
+      eq migrated)
   }
 
   test("re-registering a refreshed index invalidates cached skip decisions") {

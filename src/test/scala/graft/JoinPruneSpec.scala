@@ -397,6 +397,45 @@ class JoinPruneSpec extends AnyFunSuite {
     } finally ZoneMapPruneRule.unregisterDict(out)
   }
 
+  test("benefit gate: a calibrated root where the decision can't repay refuses the cut entirely") {
+    import spark.implicits._
+    val out = scratch("benefit")
+    (0 until 8).foreach { i =>
+      Seq.tabulate(50)(r => (i.toLong, (i * 50 + r).toLong))
+        .toDF("k", "v").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+    }
+    val idx = DictionaryIndex.build(spark, out, "bg", Seq("k")).toDF().persist()
+    val root = new java.io.File(out).getAbsolutePath
+    ZoneMapPruneRule.registerDict(out, idx)
+    try {
+      def joined = spark.read.parquet(out).join(
+        Seq((3L, "d")).toDF("d", "n"), col("k") === col("d"))
+      // constants that price the decision ABOVE any possible saving
+      // (dec 10 s, marginal bw ~1 GB/s over a KB-scale table): the
+      // rule must not pay a single decision job — the r14 sf0.1
+      // inversion (join_dpp_ab 0.35 s DPP vs 0.27 s scan)
+      graft.sources.CostRouter.seed(root, decSec = 10.0,
+        calSec = 11.0, calBytes = 1L << 30)
+      graft.plans.JoinFilePruning.clearCache()
+      val before = graft.plans.JoinFilePruning.decisionJobs.get()
+      assert(factKeptFiles(joined, "joinprune/benefit") == Seq(8),
+        "the gated plan must stay unpruned")
+      assert(graft.plans.JoinFilePruning.decisionJobs.get() == before,
+        "a refused cut must cost ZERO decision jobs")
+      // flip the constants: decision is nearly free, scan is slow —
+      // the same query now cuts (uncalibrated default behavior too)
+      graft.sources.CostRouter.seed(root, decSec = 1e-4,
+        calSec = 11.0, calBytes = 1024L)
+      graft.plans.JoinFilePruning.clearCache()
+      assert(factKeptFiles(joined, "joinprune/benefit") == Seq(1),
+        "a worthwhile decision must cut as before")
+    } finally {
+      ZoneMapPruneRule.unregisterDict(out)
+      graft.sources.CostRouter.reset()
+    }
+  }
+
   test("cost bound: fruitless cuts dry out after two strikes instead of one job per conjunct") {
     import spark.implicits._
     val out = scratch("drystreak")

@@ -478,4 +478,69 @@ class ZoneAggRuleSpec extends AnyFunSuite {
     assert(served(again), "a rebuilt sidecar must serve again")
     assert(again.first.getLong(0) == spark.read.parquet(out).count())
   }
+
+  test("measured benefit gate: a calibrated can't-repay root refuses the serve; values unchanged") {
+    val base = fixture
+    val root = new java.io.File(base).getAbsolutePath
+    spark.read.parquet(base).createOrReplaceTempView("za_cost")
+    val q = "SELECT COUNT(*) AS n FROM za_cost"
+    try {
+      assert(served(spark.sql(q)), "uncalibrated root must keep serving")
+      val truth = spark.sql(q).first.getLong(0)
+      // decision 10 s vs a ~1 GB/s marginal rate over a tiny table:
+      // even a perfect metadata answer can't repay — route to the scan
+      graft.sources.CostRouter.seed(root, decSec = 10.0,
+        calSec = 11.0, calBytes = 1L << 30)
+      val gated = spark.sql(q)
+      assert(!served(gated), "the gated serve must fall back to the scan")
+      assert(gated.first.getLong(0) == truth)
+      // cheap decision: serves again
+      graft.sources.CostRouter.seed(root, decSec = 1e-4,
+        calSec = 11.0, calBytes = 1024L)
+      assert(served(spark.sql(q)))
+    } finally graft.sources.CostRouter.reset()
+  }
+
+  test("an in-place rewrite is re-read by refresh, never re-blessed (round-15 advice)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val out = scratch("rewrite")
+    def writeAs(name: String, lo: Long, hi: Long): Unit = {
+      val stage = s"$out-stage"
+      spark.range(lo, hi).select(c("id"), (c("id") % 7).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(out).mkdirs()
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$out/$name").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Option(new java.io.File(out).listFiles()).foreach(_.foreach(_.delete()))
+    writeAs("a.parquet", 0L, 100L)
+    writeAs("b.parquet", 100L, 200L)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "t"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_rw")
+    val before = spark.sql("SELECT COUNT(*) AS n, MAX(id) AS mx FROM za_rw")
+    assert(served(before) && before.first.toString == "[200,199]")
+    // b.parquet REWRITTEN IN PLACE (same path, 50 rows, new range),
+    // then the streaming-commit shape: refresh + re-save (which
+    // re-stamps _SUCCESS, the freshness anchor). The pre-fix path-only
+    // refresh kept b's dead entries and the re-stamp RE-BLESSED them —
+    // the serve would answer 200/199 against 150 live rows.
+    writeAs("b.parquet", 1000L, 1050L)
+    val refreshed = graft.sources.MicroBlockIndex.refresh(spark, out, "t",
+      graft.sources.MicroBlockIndex.load(
+        spark, graft.sources.MicroBlockIndex.sidecarPath(out)))
+    // materialize before the overwrite (the refreshed plan reads the
+    // sidecar being replaced — the StreamIngest swap discipline)
+    val mat = refreshed.collect().toSeq
+    import spark.implicits._
+    graft.sources.MicroBlockIndex.saveSidecar(spark.createDataset(mat), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_rw")
+    val after = spark.sql("SELECT COUNT(*) AS n, MAX(id) AS mx FROM za_rw")
+    assert(after.first.toString == "[150,1049]",
+      "the refreshed sidecar must reflect the rewritten file's data")
+    assert(served(after), "the re-read entries must serve again")
+  }
 }
