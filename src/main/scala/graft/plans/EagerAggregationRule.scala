@@ -2,16 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, AttributeSet, Cast, Coalesce, EqualTo,
-  Expression, Literal, NamedExpression}
+  Alias, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo,
+  EvalMode, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Min, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{
+  ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 /** EAGER AGGREGATION (Yan & Larson, VLDB '95): push a grouped partial
   * aggregate BELOW a join when every aggregate reads only the join's
@@ -42,6 +43,20 @@ import org.apache.spark.sql.types.LongType
   *   - COUNT(*) / COUNT(cols): the partial COUNT per key times M(k),
   *     i.e. SUM(cnt) above the join; COALESCE(...,0) restores
   *     COUNT's no-rows = 0 (a global SUM over an empty join is NULL).
+  *   - AVG(e) over an INTEGRAL e (round 15): decomposes into the
+  *     pushed SUM(e)/COUNT(e) partials — Σ and N distribute exactly
+  *     as above, and the outer Divide(cast(ΣΣ, double), cast(ΣN,
+  *     double)) reproduces Average's integral evaluate (a double sum
+  *     of integral values divided by the non-null count). Equal to
+  *     the unrewritten plan whenever the true Σ is
+  *     double-representable (|Σe| < 2^53 — where the original's
+  *     double row-accumulation is itself order-independent and
+  *     exact), the closer-to-mathematical answer beyond — the
+  *     [[AggViewRewriteRule]] integral-AVG argument verbatim. The
+  *     LEGACY Divide restores AVG's empty-group NULL (count 0 ⇒
+  *     NULL, never an ANSI error the original would not raise).
+  *     Decimal/float AVG refuses (precision-promotion semantics /
+  *     order-dependent addition); TRY refuses for symmetry.
   *   - NULL join keys: the fact's NULL-k rows form a pre-agg group
   *     that never equi-matches — exactly the rows the original join
   *     dropped.
@@ -51,9 +66,10 @@ import org.apache.spark.sql.types.LongType
   *     reads fact columns except through the pushed aggregates.
   *
   * REFUSAL GATES (conservative; any miss leaves the plan untouched):
-  *   - every aggregate in the top Aggregate is SUM/MIN/MAX/COUNT,
-  *     Complete, non-DISTINCT, un-FILTERed, deterministic, and reads
-  *     only fact columns (or nothing: COUNT(*));
+  *   - every aggregate in the top Aggregate is SUM/MIN/MAX/COUNT or
+  *     integral AVG, Complete, non-DISTINCT, un-FILTERed,
+  *     deterministic, and reads only fact columns (or nothing:
+  *     COUNT(*));
   *   - grouping expressions read no fact columns;
   *   - the fact side is [attr-only Project / Filter]* over a scan
   *     whose relation carries a SINGLE-column bucket spec (the
@@ -69,13 +85,24 @@ import org.apache.spark.sql.types.LongType
   *     (a Filter on fact attrs above the join, a non-attr Project)
   *     refuses the rewrite wholesale.
   *
-  * Honest corner (documented, not hidden): the pre-aggregate also
-  * sums fact rows whose key never matches. Under ANSI mode a partial
-  * SUM over those rows could overflow where the original never
-  * aggregates them. With the shipped DECIMAL(18,4) revenue path the
+  * Honest corner (round 15 — HARDENED, because ANSI is Spark 4's
+  * DEFAULT): the pre-aggregate also sums fact rows whose key never
+  * matches, and under ANSI a LONG partial over those rows THREW
+  * where the original never aggregates them (two Long.MaxValue rows
+  * on a dead key — spec-pinned, this actually fired). Integral SUM
+  * partials therefore accumulate in DECIMAL(38,0) under ANSI: the
+  * partial cannot realistically overflow (10^38 needs ~10^19
+  * max-long rows on ONE key — the decimal revenue path's own
+  * 10^24-class bound), and the final cast back to the original long
+  * type throws exactly when the TRUE total is out of range. A
+  * completed ANSI sum is the true total, so non-throwing plans agree
+  * (Spark's own partial-aggregation order makes "which prefix
+  * overflows" nondeterministic anyway — the [[AggViewRewriteRule]]
+  * SumV acceptance argument). LEGACY keeps the long partials: wrap
+  * is mod-2^64 associative, so dead-key wraps never surface. TRY
+  * refuses (it nulls at engine-chosen prefixes). The decimal path's
   * partial accumulates in DECIMAL(28,4) — overflow needs |S(k)| ≥
-  * 10^24, i.e. ~10^19 max-magnitude rows on ONE key — and the
-  * long-sum path wraps identically mod 2^64 in legacy mode.
+  * 10^24 — unchanged.
   *
   * Runs in the operator-optimization fixpoint (injected rule):
   * ColumnPruning re-derives minimal Projects around the rewritten
@@ -128,6 +155,12 @@ object EagerAggregationRule {
   private def dbg(msg: => String): Unit =
     if (sys.props.contains("graft.eager.debug")) println(s"[eager] $msg")
 
+  private def integralType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+
   private[graft] def tryRewrite(agg: Aggregate): Option[Aggregate] = {
     // 1. every aggregate function in the output must be pushable
     val aggFns = agg.aggregateExpressions.flatMap(_.collect {
@@ -138,8 +171,15 @@ object EagerAggregationRule {
       ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
         ae.aggregateFunction.deterministic &&
         (ae.aggregateFunction match {
-          case _: Sum | _: Min | _: Max | _: Count => true
-          case _                                   => false
+          // TRY sums/avgs null at engine-chosen prefixes — the pushed
+          // partial would null on rows the original never aggregates
+          case s: Sum => s.evalContext.evalMode != EvalMode.TRY
+          case _: Min | _: Max | _: Count => true
+          case a: Average =>
+            // integral AVG only — see the header's soundness entry
+            a.dataType == DoubleType && integralType(a.child.dataType) &&
+              a.evalMode != EvalMode.TRY
+          case _ => false
         })
     }
     if (!pushable) { dbg(s"not pushable: $aggFns"); return None }
@@ -245,8 +285,28 @@ object EagerAggregationRule {
           distinctFns += ((ae, al))
           al
       }
+    // ANSI-mode integral sums push a DECIMAL(38,0) partial — a LONG
+    // partial over never-matching keys could throw where the original
+    // never aggregates those rows (see the header's honest-corner
+    // entry); the final cast restores the original result type and
+    // throws exactly when the TRUE total is out of range
+    def ansiIntegral(s: Sum): Boolean =
+      integralType(s.child.dataType) &&
+        s.evalContext.evalMode == EvalMode.ANSI
+    def decimalSumPartial(s: Sum): Alias =
+      partialFor(AggregateExpression(
+        Sum(Cast(s.child, DecimalType(38, 0))), Complete, isDistinct = false))
     // outer combiner per original function
     def outerOf(ae: AggregateExpression): Expression = {
+      ae.aggregateFunction match {
+        case sum: Sum if ansiIntegral(sum) =>
+          val part = decimalSumPartial(sum).toAttribute
+          Cast(AggregateExpression(Sum(part), Complete, isDistinct = false),
+            ae.dataType)
+        case _ => outerOfPlain(ae)
+      }
+    }
+    def outerOfPlain(ae: AggregateExpression): Expression = {
       val part = partialFor(ae).toAttribute
       ae.aggregateFunction match {
         case sum: Sum =>
@@ -267,11 +327,31 @@ object EagerAggregationRule {
         case _ => ae // unreachable: gated above
       }
     }
+    // AVG decomposes into TWO partials (SUM + COUNT of the same
+    // child) — partialFor's semantic dedup shares them with any
+    // explicit SUM(e)/COUNT(e) in the same query
+    def avgOuterOf(avg: Average): Expression = {
+      val sumFn = Sum(avg.child)
+      val sumPart =
+        if (ansiIntegral(sumFn)) decimalSumPartial(sumFn).toAttribute
+        else partialFor(AggregateExpression(
+          sumFn, Complete, isDistinct = false)).toAttribute
+      val cntPart = partialFor(AggregateExpression(
+        Count(Seq(avg.child)), Complete, isDistinct = false)).toAttribute
+      Divide(
+        Cast(AggregateExpression(
+          Sum(sumPart), Complete, isDistinct = false), DoubleType),
+        Cast(AggregateExpression(
+          Sum(cntPart), Complete, isDistinct = false), DoubleType),
+        EvalMode.LEGACY)
+    }
     // transformUp, not transform: the COUNT combiner wraps a fresh
     // AggregateExpression in Coalesce, and a top-down walk would
     // descend into its own replacement and combine the combiner
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       ne.transformUp {
+        case ae @ AggregateExpression(avg: Average, _, _, _, _) =>
+          avgOuterOf(avg)
         case ae: AggregateExpression => outerOf(ae)
       }.asInstanceOf[NamedExpression]
     }

@@ -201,14 +201,16 @@ object ZoneAggRule {
 
   /** Per-file metadata snapshot off one zone-index frame: file row
     * counts plus, per requested column, (rows covered, trusted-null
-    * floor, null sum, untrusted-min/max block count, min, max).
+    * floor, null sum, untrusted-min/max block count, min, max, sum,
+    * untrusted-string-bounds block count, minStr, maxStr).
     * One distributed job, file×column-scale collect, memoized per
     * (root, live hash, columns) and valid only for the SAME index
     * frame (identity via WeakReference — the triCache discipline). */
   private final case class Snap(
       fileRows: Map[String, Long],
       perCol: Map[(String, String), (Long, Long, Long, Long,
-        Option[Long], Option[Long], Option[Long])])
+        Option[Long], Option[Long], Option[Long],
+        Long, Option[String], Option[String])])
 
   private val snapCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, String), Snap](16, 0.75f, true) {
@@ -237,7 +239,8 @@ object ZoneAggRule {
           .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
         val perCol =
           if (cols.isEmpty) Map.empty[(String, String),
-            (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+            (Long, Long, Long, Long, Option[Long], Option[Long],
+              Option[Long], Long, Option[String], Option[String])]
           else zoneIdx.filter(col("column").isin(cols: _*))
             .groupBy(col("column"), col("file"))
             .agg(
@@ -251,13 +254,24 @@ object ZoneAggRule {
               max(col("maxLong")).as("mx"),
               // per-file sums are stamped identically on every block
               // entry of the (file, column) — any pick is THE value
-              max(col("sumLong")).as("sm"))
+              max(col("sumLong")).as("sm"),
+              // the lexical view (round 15, string group columns):
+              // Spark's string min/max is unsigned UTF-8 byte order —
+              // the same order footer binary stats are computed in
+              sum(when((col("minStr").isNull || col("maxStr").isNull) &&
+                !(col("nullCount") === col("rows")), 1L)
+                .otherwise(0L)).as("untrustedS"),
+              min(col("minStr")).as("mnS"),
+              max(col("maxStr")).as("mxS"))
             .collect().map { r =>
               (r.getString(0), norm(r.getString(1))) ->
                 ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
                   if (r.isNullAt(6)) None else Some(r.getLong(6)),
                   if (r.isNullAt(7)) None else Some(r.getLong(7)),
-                  if (r.isNullAt(8)) None else Some(r.getLong(8))))
+                  if (r.isNullAt(8)) None else Some(r.getLong(8)),
+                  r.getLong(9),
+                  if (r.isNullAt(10)) None else Some(r.getString(10)),
+                  if (r.isNullAt(11)) None else Some(r.getString(11))))
             }.toMap
         Some(Snap(fileRows, perCol))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -306,15 +320,38 @@ object ZoneAggRule {
 
   /** Can file `f` be PROVEN to hold exactly ONE group value for data
     * column `c` (round 14 — grouped serving beyond partition columns)?
-    * Some(Some(v)) = every row holds the integral value v (trusted
-    * zero nulls, complete coverage, every block's exact view defined,
-    * file-wide min == max); Some(None) = every row is NULL (its group
-    * is the NULL group); None = unprovable — the file scans. */
+    * Some(Some(v)) = every row holds the value v — a Long for the
+    * exact integral view, a String for the lexical view (trusted zero
+    * nulls, complete coverage, every block's view defined, file-wide
+    * min == max); Some(None) = every row is NULL (its group is the
+    * NULL group); None = unprovable — the file scans.
+    *
+    * STRINGS and footer truncation (round 15, the r14 refusal): a
+    * format-compliant writer may truncate binary footer stats, but
+    * truncation is STRICTLY one-sided — a truncated min is a proper
+    * prefix of the true min (strictly SMALLER in unsigned byte order:
+    * a prefix always precedes its extensions), and a truncated max
+    * has its last byte incremented to stay an upper bound (strictly
+    * GREATER than the true max: a shorter string can't equal a value
+    * it upper-bounds, so inexact ⇒ strict). Therefore
+    * `minStr == maxStr` is UNSATISFIABLE when either bound is inexact
+    * (it would force min > max through trunc(min) = trunc(max) >
+    * max ≥ min > trunc(min)) — equality itself certifies both bounds
+    * exact and the file single-valued, no exactness flag needed.
+    * Writers that can't produce an upper bound (all-0xFF tail) omit
+    * the stat ⇒ None ⇒ the file scans. parquet-mr additionally DROPS
+    * oversized binary stats outright — also None ⇒ scan. */
   private def singleGroupValue(snap: Snap, f: String,
-      c: String): Option[Option[Long]] =
+      c: String, t: DataType): Option[Option[Any]] =
     snap.perCol.get((c, f)).flatMap { e =>
       val covered = snap.fileRows.get(f).contains(e._1)
       if (!covered || e._2 < 0) None
+      else if (t == org.apache.spark.sql.types.StringType) {
+        if (e._3 == 0 && e._8 == 0 && e._9.isDefined && e._9 == e._10)
+          Some(e._9)
+        else if (e._3 == e._1) Some(None) // all-NULL: one (NULL) group
+        else None
+      }
       else if (e._3 == 0 && e._4 == 0 && e._5.isDefined &&
         e._6.isDefined && e._5 == e._6) Some(e._5)
       else if (e._3 == e._1) Some(None) // all-NULL: one (NULL) group
@@ -481,12 +518,17 @@ object ZoneAggRule {
       // exact file->value map; DATA columns (round 14) serve per file
       // when the stats PROVE the file holds one group (min == max with
       // zero nulls, or all-NULL) — clustered/sorted layouts mostly do.
-      // A data group column needs the exact integral view (strings and
-      // floats refuse); unprovable files fall to the grouped scan.
+      // A data group column needs the exact integral view or (round
+      // 15) the lexical string view, whose min == max proof is
+      // truncation-safe by strictness (see [[singleGroupValue]]);
+      // floats refuse (NaN rules). Unprovable files fall to the
+      // grouped scan.
       dataGroupCols = groupAttrs.filterNot(a =>
         hfs.partitionSchema.fieldNames.contains(a.name))
       if dataGroupCols.forall(a =>
-        exactType(a.dataType) && hfs.dataSchema.fieldNames.contains(a.name))
+        (exactType(a.dataType) ||
+          a.dataType == org.apache.spark.sql.types.StringType) &&
+          hfs.dataSchema.fieldNames.contains(a.name))
       cols = (kinds.map(_.kind).collect {
         case CountCol(c) => c
         case MinCol(c, _) => c
@@ -515,7 +557,7 @@ object ZoneAggRule {
       served = allTrue.filter(f =>
         kinds.forall(g => trusted(snap, f, g.kind)) &&
           dataGroupCols.forall(a =>
-            singleGroupValue(snap, f, a.name).isDefined))
+            singleGroupValue(snap, f, a.name, a.dataType).isDefined))
       scanFiles = undecided ++ (allTrue -- served)
       maxFrac = try spark.conf.get(
         "spark.graft.statsServe.maxScanFraction", "0.5").toDouble
@@ -572,9 +614,11 @@ object ZoneAggRule {
           if (partSchema.fieldNames.contains(a.name))
             partValues.get(f).map(r =>
               r.get(partSchema.fieldIndex(a.name), a.dataType))
-          else singleGroupValue(snap, f, a.name).map {
-            case Some(v) => internalOf(v, a.dataType)
-            case None    => null
+          else singleGroupValue(snap, f, a.name, a.dataType).map {
+            case Some(v: Long) => internalOf(v, a.dataType)
+            case Some(s: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case _ => null
           }
         }
         if (parts.forall(_.isDefined)) Some(parts.map(_.get)) else None

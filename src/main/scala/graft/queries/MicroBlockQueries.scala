@@ -117,6 +117,30 @@ object MicroBlockQueries {
     out
   }
 
+  /** One file per l_returnflag VALUE — the string-key compaction
+    * layout (round 15: string data columns serve the grouped
+    * metadata arm via the truncation-safe minStr == maxStr proof). */
+  private[graft] def strClusteredPath(
+      spark: SparkSession, dir: String): String = synchronized {
+    val sfName = Paths.get(dir).getFileName.toString
+    val out = s"target/scratch/microblocks/$sfName/strclustered"
+    if (!built.contains(out)) {
+      if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+        val li = graft.engine.Tables.load(spark, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_suppkey")
+        val vals = li.select("l_returnflag").distinct()
+          .collect().map(_.getString(0)).sorted
+        vals.zipWithIndex.foreach { case (v, i) =>
+          li.filter(col("l_returnflag") === v).coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+        }
+      }
+      ensureRound14Sidecar(spark, out, "lineitem", Nil)
+      built += out
+    }
+    out
+  }
+
   /** Build (once per sf dir, reuse across JVMs) the BUCKETED
     * lineitem/orders layouts for the transparent-bucket gate row —
     * warehouse-located, catalog-registered by the write, but consumed
@@ -1287,6 +1311,45 @@ object MicroBlockQueries {
       }
       rows.toDF("layout", "predicate", "total_files", "kept_files")
         .orderBy("layout", "predicate")
+    },
+
+    // mb_zone_agg_grouped_str (round 15): GROUP BY a clustered STRING
+    // data column served from metadata — row 149's documented refusal
+    // closed. Footer binary stats may be TRUNCATED, but compliant
+    // truncation is strictly one-sided (a truncated min is a proper
+    // prefix — strictly smaller; a truncated max increments its last
+    // byte — strictly larger), so minStr == maxStr is unsatisfiable
+    // unless both bounds are exact: equality itself certifies the
+    // single-valued file, no exactness flag needed
+    // (plans/ZoneAggRule.singleGroupValue; the truncated-stats fixture
+    // is spec-pinned in ZoneAggRuleSpec). The fixture is the one-file-
+    // per-value layout a compaction-by-string-key job produces; the
+    // require proves NO data file is read. Oracle = the same grouped
+    // aggregates full-scanned by DuckDB.
+    QueryDef.sql(
+      "mb_zone_agg_grouped_str",
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val path = strClusteredPath(s, dir)
+      s.read.parquet(path).createOrReplaceTempView("graft_zone_gs_li")
+      val df = s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+          |FROM graft_zone_gs_li GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+      val readsBase = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains("/strclustered/"))
+      }
+      require(!readsBase.exists(identity),
+        "string grouped data-column serve must not read any data file")
+      df
     }
   )
 

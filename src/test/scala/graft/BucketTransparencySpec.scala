@@ -202,6 +202,88 @@ class BucketTransparencySpec extends AnyFunSuite {
     }
   }
 
+  test("integral AVG decomposes into pushed SUM/COUNT partials; float AVG refuses") {
+    withViews {
+      val q =
+        """SELECT o.ck, AVG(f.w) AS a, SUM(f.w) AS s, COUNT(f.w) AS c
+          |FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k
+          |GROUP BY o.ck ORDER BY o.ck""".stripMargin
+      val df = spark.sql(q)
+      assert(preAggBelowJoin(df), "integral AVG must push")
+      val got = df.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      val expect =
+        try spark.sql(q).collect().map(_.toString).sorted
+        finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      assert(got.sameElements(expect), "AVG decomposition changed the answer")
+      // all-NULL input: AVG stays NULL through the decomposition
+      val nullAvg = spark.sql(
+        """SELECT AVG(CASE WHEN f.w < 0 THEN f.w END) AS a
+          |FROM bt_fact_v f JOIN bt_ord_v o ON f.k = o.k""".stripMargin)
+      assert(preAggBelowJoin(nullAvg))
+      assert(nullAvg.collect().head.isNullAt(0), "empty AVG must stay NULL")
+      // float/double AVG: order-dependent addition — refuse
+      val floatAvg = spark.sql(
+        """SELECT AVG(f.v) AS a FROM bt_fact_v f
+          |JOIN bt_ord_v o ON f.k = o.k""".stripMargin)
+      assert(!preAggBelowJoin(floatAvg), "double AVG must refuse the push")
+    }
+  }
+
+  test("ANSI (the default) overflow hardening: dead-key partials cannot phantom-throw") {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    // fact: key 1 matches the dim; key 999 never does and holds two
+    // Long.MaxValue rows — the pre-aggregate sums them, the original
+    // never aggregates them (the join drops the rows first). Under
+    // ANSI (Spark 4's DEFAULT) a LONG partial THREW here; the
+    // decimal(38,0) partial completes and agrees with the rule-off
+    // plan.
+    val fact = spark.range(100).select(
+      l(1L).as("k"), (c("id") % 50).as("v"))
+      .union(spark.range(2).select(l(999L).as("k"), l(Long.MaxValue).as("v")))
+    Bucketing.writeBucketed(fact, "bt_ansi_fact", "k", 2)
+    spark.sql("DROP TABLE IF EXISTS bt_ansi_fact")
+    spark.read.parquet(warehouseLoc("bt_ansi_fact"))
+      .createOrReplaceTempView("bta_f")
+    // non-foldable dim key (a foldable literal would be propagated
+    // into the join condition, turning the equi-conjunct into
+    // attr = literal and refusing the push)
+    spark.range(1).select((c("id") + 1).as("d"), l(7L).as("ck"))
+      .createOrReplaceTempView("bta_d")
+    val q = "SELECT SUM(f.v) AS s FROM bta_f f JOIN bta_d d ON f.k = d.d"
+    val avgQ = "SELECT AVG(f.v) AS a FROM bta_f f JOIN bta_d d ON f.k = d.d"
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "Spark 4 sessions run ANSI by default — the case under test")
+    def ruleOff[T](body: => T): T = {
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      try body
+      finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    }
+    val df = spark.sql(q)
+    assert(preAggBelowJoin(df), "the ANSI sum must still push")
+    val got = df.collect().head.getLong(0)
+    assert(got == ruleOff(spark.sql(q).collect().head.getLong(0)),
+      "the decimal partial must complete and agree where a long " +
+        "partial phantom-threw")
+    val avgDf = spark.sql(avgQ)
+    assert(preAggBelowJoin(avgDf), "the ANSI integral AVG must push")
+    assert(avgDf.collect().head.getDouble(0) ==
+      ruleOff(spark.sql(avgQ).collect().head.getDouble(0)))
+    // LEGACY: long partials wrap mod 2^64 — associative, so the
+    // dead-key wrap never surfaces in the joined answer
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val dfL = spark.sql(q)
+      assert(preAggBelowJoin(dfL))
+      assert(dfL.collect().head.getLong(0) ==
+        ruleOff(spark.sql(q).collect().head.getLong(0)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // TRY nulls at engine-chosen prefixes: refuse the push outright
+    val tryDf = spark.sql(
+      "SELECT TRY_SUM(f.v) AS s FROM bta_f f JOIN bta_d d ON f.k = d.d")
+    assert(!preAggBelowJoin(tryDf), "TRY_SUM must refuse the push")
+  }
+
   test("non-determinism refuses the push: rand() grouping / filter-on-the-walk") {
     withViews {
       // a non-deterministic FILTER between the Aggregate and the site

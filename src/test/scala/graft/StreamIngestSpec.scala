@@ -190,6 +190,38 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(dictFiles == live, "dict sidecar must cover the live listing")
   }
 
+  test("per-file sums ride the commit: SUM serves immediately after ingest") {
+    import spark.implicits._
+    val (_, out) = freshDirs("sums-fresh")
+    val ingest = new StreamIngest(spark, out, "events_sum", "ts", 2)
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    ingest.ingestBatch(ev.filter(col("event_id") % 2 === 0), 0)
+    // a SUMS-BEARING sidecar over the pre-stream state (withSums is
+    // the explicit opt-in; the stream must keep it serving)
+    val idx = graft.sources.MicroBlockIndex.build(spark, out, "events_sum")
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.withSums(spark, out, idx,
+        Seq("user_id")), out)
+    def sumServe(): Long = {
+      val df = spark.sql(s"SELECT SUM(user_id) AS s FROM parquet.`$out`")
+      require(graft.plans.ZoneAggRule.servedSignature(
+        df.queryExecution.optimizedPlan),
+        "the SUM serve must fire — a sums-less refresh would refuse")
+      df.collect().head.getLong(0)
+    }
+    val half = ev.filter(col("event_id") % 2 === 0)
+      .agg(sum(col("user_id"))).first.getLong(0)
+    assert(sumServe() == half)
+    // the commit's refresh must stamp the NEW files' per-file sums
+    // (round 15) — before, the sidecar went sums-stale per batch and
+    // every SUM refused until a manual 15-second withSums rebuild
+    ingest.ingestBatch(ev.filter(col("event_id") % 2 =!= 0), 1)
+    val full = ev.agg(sum(col("user_id"))).first.getLong(0)
+    assert(sumServe() == full,
+      "post-commit SUM must serve fresh, including the new files' sums")
+  }
+
   test("batch replay and crash remnants land exactly once (idempotent ingest)") {
     val (_, out) = freshDirs("idem")
     val ev = Tables.load(spark, dir, "events").limit(500).cache()

@@ -454,6 +454,66 @@ class ZoneAggRuleSpec extends AnyFunSuite {
     assert(rows(dfn) == rows(truthN))
   }
 
+  test("GROUP BY a clustered STRING data column serves; truncated stats fall to the scan") {
+    import spark.implicits._
+    val out = scratch("gstr")
+    // files 0/1/2 each constant in the string key; file 3 straddles
+    def part(vals: Seq[String], tag: Int) =
+      vals.zipWithIndex.map { case (g, i) => (tag * 1000L + i, g, i.toLong % 7) }
+        .toDF("id", "g", "v").coalesce(1)
+    part(Seq.fill(50)("alpha"), 0).write.mode("overwrite").parquet(out)
+    part(Seq.fill(50)("beta"), 1).write.mode("append").parquet(out)
+    part(Seq.fill(50)("中文键"), 2).write.mode("append").parquet(out)
+    part(Seq.tabulate(40)(i => if (i < 20) "beta" else "gamma"), 3)
+      .write.mode("append").parquet(out)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out, "gstr"), out)
+    spark.read.parquet(out).createOrReplaceTempView("za_gs")
+    val df = spark.sql(
+      """SELECT g, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx
+        |FROM za_gs GROUP BY g ORDER BY g""".stripMargin)
+    assert(baseFilesRead(df, "zoneagg/gstr") == Seq(1),
+      "exactly the straddling file may scan")
+    val truth = spark.read.parquet(out).groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx")).orderBy("g")
+    assert(rows(df) == rows(truth))
+
+    // TRUNCATED footer stats: a single-valued file of long strings
+    // written with parquet.statistics.truncate.length=8 — its min is
+    // a strict-prefix truncation and its max an incremented prefix,
+    // so minStr != maxStr: the proof must REFUSE the file (it falls
+    // to the scan side), never serve a truncated prefix as the group
+    val out2 = scratch("gstr-trunc")
+    val longVal = "k" * 64 + "-stable-group-value"
+    part(Seq.fill(40)("short"), 0).write.mode("overwrite").parquet(out2)
+    part(Seq.fill(40)(longVal), 1)
+      .write.mode("append")
+      .option("parquet.statistics.truncate.length", "8")
+      .parquet(out2)
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, out2, "gst"), out2)
+    // fixture sanity: the truncated file's footer really is inexact
+    val idx = graft.sources.MicroBlockIndex.load(spark,
+      graft.sources.MicroBlockIndex.sidecarPath(out2))
+      .filter(col("column") === "g").collect()
+    val truncated = idx.filter(_.minStr.exists(s =>
+      s.startsWith("kkkk") && s.length <= 8))
+    assert(truncated.nonEmpty, "fixture must produce truncated stats")
+    assert(truncated.forall(e => e.minStr != e.maxStr),
+      "compliant truncation is strictly one-sided: bounds must differ " +
+        s"(saw ${truncated.map(e => (e.minStr, e.maxStr)).toSeq})")
+    spark.read.parquet(out2).createOrReplaceTempView("za_gst")
+    val dft = spark.sql(
+      "SELECT g, COUNT(*) AS n FROM za_gst GROUP BY g ORDER BY g")
+    // the truncated file scans; the exact-stats file serves
+    assert(baseFilesRead(dft, "zoneagg/gstr-trunc") == Seq(1),
+      "the truncated-stats file must fall to the scan side")
+    val truthT = spark.read.parquet(out2).groupBy("g")
+      .agg(count(lit(1)).as("n")).orderBy("g")
+    assert(rows(dft) == rows(truthT))
+  }
+
   test("an appended file refuses the serve until the sidecar refreshes") {
     val out = scratch("stale")
     graft.sources.MicroBlockWriter.write(li.limit(5000), out, "l_shipdate", 2)
