@@ -279,9 +279,27 @@ object Bench {
       val (scanSec, scanV) = med(fp(joined))
       graft.plans.ZoneMapPruneRule.registerDict(path, dIdx.toDF())
       val (dppSec, dppV) = med(fp(joined))
-      graft.plans.ZoneMapPruneRule.unregisterDict(path)
       require(scanV == dppV, s"join_dpp_ab rows diverged: $scanV vs $dppV")
-      s"""{"join_scan":{"sec":$scanSec},"join_dpp":{"sec":$dppSec}}"""
+      // round 15: the AUTO arm — the dictionary stays registered but
+      // the MEASURED cost router decides whether the decision jobs
+      // are worth the cut (the r14 inversion: DPP lost at sf0.1, won
+      // at sf100; auto must track the winner at every scale). One
+      // calibration + one observed decision seed the constants, then
+      // the measured reps run whatever the gate picks.
+      val rootAbs = new java.io.File(path).getAbsolutePath
+      graft.sources.CostRouter.reset()
+      graft.sources.CostRouter.calibrateIfNeeded(spark, rootAbs)
+      graft.plans.JoinFilePruning.clearCache()
+      fp(joined) // seeding run: pays + observes the decision jobs
+      graft.plans.JoinFilePruning.clearCache()
+      val (autoSec, autoV) = med(fp(joined))
+      require(autoV == scanV, s"join_dpp_ab auto rows diverged: $autoV")
+      val worth = graft.sources.CostRouter.decisionWorthIt(rootAbs,
+        graft.sources.DictionaryIndex.tableBytes(path)).getOrElse(true)
+      graft.plans.ZoneMapPruneRule.unregisterDict(path)
+      graft.sources.CostRouter.reset()
+      s"""{"join_scan":{"sec":$scanSec},"join_dpp":{"sec":$dppSec},""" +
+        s""""join_auto":{"sec":$autoSec,"route":"${if (worth) "dpp" else "scan"}"}}"""
     } catch {
       case t: Throwable =>
         System.err.println(

@@ -110,8 +110,11 @@ object JoinDppScale {
     var satEnd = -1.0
     var scanSec = -1.0
     var dppSec = -1.0
+    var autoSec = -1.0
+    var autoRoute = "?"
     var scanV: (Long, Long) = null
     var dppV: (Long, Long) = null
+    var autoV: (Long, Long) = null
     var kept = -1
     while (attempt < MaxAttempts && !calm) {
       attempt += 1
@@ -123,8 +126,25 @@ object JoinDppScale {
       graft.plans.ZoneMapPruneRule.registerDict(out, idx)
       kept = keptFiles()
       val b = med(fp()); dppSec = b._1; dppV = b._2
-      graft.plans.ZoneMapPruneRule.unregisterDict(out)
       require(scanV == dppV, s"rows diverged: $scanV vs $dppV")
+      // round 15 AUTO arm: dictionary registered, but the MEASURED
+      // cost router gates the cut — auto must track the winning arm
+      // at every scale (the r14 inversion: DPP lost at sf0.1, won at
+      // sf100). Calibrate + one seeding run, then measure.
+      val rootAbs = new java.io.File(out).getAbsolutePath
+      graft.sources.CostRouter.reset()
+      graft.sources.CostRouter.calibrateIfNeeded(spark, rootAbs)
+      graft.plans.JoinFilePruning.clearCache()
+      fp() // seeding run: pays + observes the decision jobs
+      graft.plans.JoinFilePruning.clearCache()
+      val c = med(fp()); autoSec = c._1; autoV = c._2
+      autoRoute =
+        if (graft.sources.CostRouter.decisionWorthIt(rootAbs,
+          graft.sources.DictionaryIndex.tableBytes(out)).getOrElse(true))
+          "dpp" else "scan"
+      graft.plans.ZoneMapPruneRule.unregisterDict(out)
+      graft.sources.CostRouter.reset()
+      require(scanV == autoV, s"auto rows diverged: $scanV vs $autoV")
       satEnd = BenchWindow.satProbe(spark)
       calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
       calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
@@ -133,7 +153,7 @@ object JoinDppScale {
         Thread.sleep(30000)
       }
     }
-    println(s"""{"bench":"join_dpp","cold_cache":$dropCaches,"sf":"$sfDir","reps":$reps,"buckets":$buckets,"dim_keys":${dimKeys.length},"rows":${scanV._1},"files_total":$buckets,"files_kept":$kept,"join_scan_sec":$scanSec,"join_dpp_sec":$dppSec,"sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}""")
+    println(s"""{"bench":"join_dpp","cold_cache":$dropCaches,"sf":"$sfDir","reps":$reps,"buckets":$buckets,"dim_keys":${dimKeys.length},"rows":${scanV._1},"files_total":$buckets,"files_kept":$kept,"join_scan_sec":$scanSec,"join_dpp_sec":$dppSec,"join_auto_sec":$autoSec,"join_auto_route":"$autoRoute","sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,"sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},"window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}""")
     spark.stop()
   }
 }

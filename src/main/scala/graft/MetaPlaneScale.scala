@@ -139,8 +139,61 @@ object MetaPlaneScale {
       s"""{"files":$files,"zone_skip_sec":$skipSec,"skipped":$skipped,"tristate_sec":$triSec}"""
     }
 
+    // round 15 — the footer sweep's PARALLELISM (the r14 verdict's
+    // "141 s at 20k files is linear but serial-ish"): the same build
+    // pinned to 1 task vs the auto partitioning. Build time must
+    // scale with files/cores, not files. Plus the INCREMENTAL path: a
+    // 1% append refreshed (footers + per-file sums for the delta
+    // only) vs the monolithic rebuild a million-file table must never
+    // pay.
+    val sweep = {
+      val n = Seq(1000, 5000, 20000).filter(_ <= maxReal)
+        .filter(_ <= 5000).max // serial at 20k would run ~2 min
+      val out = s"target/scratch/metaplane/files$n"
+      spark.conf.set("spark.graft.index.buildPartitions", "1")
+      val serialSec = timeOnce {
+        graft.sources.MicroBlockIndex.build(spark, out, "mp_sweep").count()
+      }
+      spark.conf.unset("spark.graft.index.buildPartitions")
+      val parSec = timeOnce {
+        graft.sources.MicroBlockIndex.build(spark, out, "mp_sweep").count()
+      }
+      // incremental: land a 1% delta, refresh (footers + sums of the
+      // delta only), then restore the fixture
+      val base = graft.sources.MicroBlockIndex.withSums(spark, out,
+        graft.sources.MicroBlockIndex.build(spark, out, "mp_sweep"),
+        Seq("v")).cache()
+      base.count()
+      val delta = math.max(1, n / 100)
+      val stage = s"$out-delta-stage"
+      spark.range(n * 100L, n * 100L + delta * 100L)
+        .select(col("id"), (col("id") % 7).as("v"))
+        .repartitionByRange(delta, col("id"))
+        .write.mode("overwrite").parquet(stage)
+      val outDir = new java.io.File(out)
+      val moved = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.map {
+          case (f, i) =>
+            val dst = new java.io.File(outDir, f"delta-$i%05d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst
+        }
+      val refreshSec = timeOnce {
+        graft.sources.MicroBlockIndex.refresh(spark, out, "mp_sweep", base)
+          .count()
+      }
+      moved.foreach(_.delete()) // restore the fixture
+      base.unpersist()
+      s"""{"sweep_files":$n,"build_serial_sec":$serialSec,""" +
+        s""""build_parallel_sec":$parSec,""" +
+        s""""parallel_speedup":${serialSec / math.max(parSec, 1e-9)},""" +
+        s""""delta_files":$delta,"refresh_delta_sec":$refreshSec,""" +
+        s""""refresh_vs_rebuild":${refreshSec / math.max(parSec, 1e-9)}}"""
+    }
+
     val line =
       s"""{"bench":"metaplane","cpus":$cpus,"real":[${real.mkString(",")}],""" +
+        s""""sweep":$sweep,""" +
         s""""synthetic_index":[${synth.mkString(",")}]}"""
     println(line)
     val outP = java.nio.file.Paths.get("target/metaplane.json")

@@ -111,8 +111,17 @@ object MicroBlockIndex {
     // serialize tens of thousands of footer reads per task at millions
     // of files.
     val fileWithOrd = files.sortBy(_._1).zipWithIndex
-    val numParts = math.max(1, math.min(fileWithOrd.size,
-      math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
+    // `spark.graft.index.buildPartitions` (bench/ops knob, 0 = auto):
+    // pins the footer-sweep task count — MetaPlaneScale's serial-vs-
+    // parallel arm measures that build time scales with files/cores,
+    // not files
+    val confParts =
+      try spark.conf.get("spark.graft.index.buildPartitions", "0").toInt
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    val numParts =
+      if (confParts > 0) math.max(1, math.min(confParts, fileWithOrd.size))
+      else math.max(1, math.min(fileWithOrd.size,
+        math.max(spark.sparkContext.defaultParallelism, fileWithOrd.size / 256)))
     val raw = spark.sparkContext
       .parallelize(fileWithOrd, numParts)
       .flatMap { case ((file, mtime, size), fileOrd) =>
