@@ -80,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // first-pass nicety, not a correctness dependency).
     e.injectOptimizerRule(graft.plans.BucketLayoutRule(_))
     e.injectOptimizerRule(graft.plans.EagerAggregationRule(_))
+    // DecimalSumRule LAST (round 15): it replaces the Sum FUNCTION
+    // node with the int128 unscaled accumulator, and every
+    // recognition rule above matches Spark's Sum shapes —
+    // EagerAggregationRule additionally accepts the rewritten form,
+    // so fixpoint revisits stay safe.
+    e.injectOptimizerRule(graft.plans.DecimalSumRule(_))
   }
 }

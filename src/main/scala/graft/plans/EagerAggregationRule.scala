@@ -174,6 +174,10 @@ object EagerAggregationRule {
           // TRY sums/avgs null at engine-chosen prefixes — the pushed
           // partial would null on rows the original never aggregates
           case s: Sum => s.evalContext.evalMode != EvalMode.TRY
+          // the int128 decimal sum distributes exactly like SUM
+          // (DecimalSumRule may have rewritten before a fixpoint
+          // revisit reaches this aggregate)
+          case _: graft.functions.SumUnscaled128 => true
           case _: Min | _: Max | _: Count => true
           case a: Average =>
             // integral AVG only — see the header's soundness entry
@@ -311,6 +315,14 @@ object EagerAggregationRule {
       ae.aggregateFunction match {
         case sum: Sum =>
           val outer = AggregateExpression(sum.copy(child = part), Complete,
+            isDistinct = false)
+          if (outer.dataType == ae.dataType) outer
+          else Cast(outer, ae.dataType)
+        case _: graft.functions.SumUnscaled128 =>
+          // the partial's output is the DECIMAL result type; the outer
+          // combine is an ordinary decimal SUM over the per-key
+          // partials (Σ = Σ_k M(k)·S(k) — the SUM algebra verbatim)
+          val outer = AggregateExpression(Sum(part), Complete,
             isDistinct = false)
           if (outer.dataType == ae.dataType) outer
           else Cast(outer, ae.dataType)
