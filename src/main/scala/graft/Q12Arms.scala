@@ -114,7 +114,13 @@ object Q12Arms {
     def rep(mk: () => DataFrame): Double = {
       spark.catalog.clearCache()
       System.gc()
-      val t0 = System.nanoTime(); mk().count(); (System.nanoTime() - t0) / 1e9
+      // noop sink, NOT count(): count() lets ColumnPruning drop the
+      // revenue SUM out of BOTH arms (the per-row decimal work — the
+      // query's dominant cost — was never measured; round-15 bench
+      // honesty fix, r14's 17.4 s/19.0 s pair was the pruned query)
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
     }
     val MaxAttempts = 3
     var attempt = 0

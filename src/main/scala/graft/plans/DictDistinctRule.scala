@@ -110,14 +110,15 @@ object DictDistinctRule {
       } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The measured benefit gate (round 15): on a root with CALIBRATED
-    * [[graft.sources.CostRouter]] constants, refuse the serve when
-    * even a perfect metadata answer cannot repay the decision jobs —
-    * the BENCH_ZONEFRAC_r14 small-scale loss. Uncalibrated roots keep
+    * [[graft.sources.CostRouter]] constants, pay the (memoized)
+    * decision jobs under the ski-rental policy — immediately when one
+    * query repays them, after enough repeats otherwise (the
+    * BENCH_ZONEFRAC_r14 small-scale loss). Uncalibrated roots keep
     * round-14 behavior (serve when provable), so fixtures and gate
     * rows that never calibrate are untouched. */
   private def costOk(hfs: HadoopFsRelation, root: String): Boolean =
     graft.sources.CostRouter
-      .decisionWorthIt(root, hfs.location.sizeInBytes)
+      .shouldInvest(root, "dict", hfs.location.sizeInBytes)
       .getOrElse(true)
 
   private def coverageFor(spark: SparkSession, rootPath: String,

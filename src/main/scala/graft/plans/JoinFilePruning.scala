@@ -270,12 +270,14 @@ object JoinFilePruning {
       }.getOrElse(Int.MaxValue)
       val dried = relOpt.exists(r =>
         Option(dryStreak.get(r)).exists(_.intValue >= 2))
-      // the measured benefit gate: only active for calibrated roots
+      // the measured benefit gate (ski-rental): only active for
+      // calibrated roots; a memoized cut's repeats invest eventually
       val worthIt = relOpt.forall { r =>
         val h = r.relation.asInstanceOf[HadoopFsRelation]
         ZoneMapPruneRule.tableRootOf(h).forall { root =>
           graft.sources.CostRouter
-            .decisionWorthIt(root, h.location.sizeInBytes)
+            .shouldInvest(root, "jdpp:" + factAttr.name,
+              h.location.sizeInBytes)
             .getOrElse(true)
         }
       }

@@ -385,15 +385,6 @@ object ZoneAggRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
-      // measured benefit gate (round 15): on a root with CALIBRATED
-      // cost-router constants, refuse the serve when even a perfect
-      // metadata answer cannot repay the decision jobs (the
-      // BENCH_ZONEFRAC_r14 admission: at sf0.1 the serve never clearly
-      // wins and costs tens of ms per query). Uncalibrated roots keep
-      // r14 behavior — serve when provable.
-      if graft.sources.CostRouter
-        .decisionWorthIt(roots.head, hfs.location.sizeInBytes)
-        .getOrElse(true)
       // every referenced column must be a DATA column (partition
       // columns have no footer stats)
       cols = pairs.map(_._2).collect {
@@ -407,6 +398,16 @@ object ZoneAggRule {
         case None => Some(None) // unfiltered: everything all-match
         case Some(c) => PredicateExtractor.convertComplete(c).map(Some(_))
       }
+      // measured benefit gate (round 15): on a root with CALIBRATED
+      // cost-router constants, pay the (memoized) decision jobs only
+      // under the ski-rental policy — immediately when even one query
+      // repays them, after enough repeats otherwise; refuse while
+      // renting the scan is cheaper (the BENCH_ZONEFRAC_r14
+      // admission). Uncalibrated roots keep r14 always-serve behavior.
+      if graft.sources.CostRouter.shouldInvest(roots.head,
+        "za:" + cols.mkString(",") + "|" +
+          predOpt.map(_.toString).getOrElse(""),
+        hfs.location.sizeInBytes).getOrElse(true)
       mtime <- sidecarMtime(roots.head, spark)
       liveRaw = hfs.location.inputFiles.toSeq
       liveFiles = liveRaw.map(norm).toSet
@@ -510,10 +511,10 @@ object ZoneAggRule {
       hfs = rel.relation.asInstanceOf[HadoopFsRelation]
       roots = hfs.location.rootPaths.toSeq.map(_.toString)
       if roots.size == 1
-      // measured benefit gate — see the global arm
-      if graft.sources.CostRouter
-        .decisionWorthIt(roots.head, hfs.location.sizeInBytes)
-        .getOrElse(true)
+      // measured benefit gate (ski-rental) — see the global arm
+      if graft.sources.CostRouter.shouldInvest(roots.head,
+        "zag:" + groupAttrs.map(_.name).mkString(","),
+        hfs.location.sizeInBytes).getOrElse(true)
       // group columns: PARTITION columns serve from the FileIndex's
       // exact file->value map; DATA columns (round 14) serve per file
       // when the stats PROVE the file holds one group (min == max with

@@ -77,6 +77,7 @@ object CostRouter {
   /** Test/bench isolation: forget every measured constant. */
   private[graft] def reset(): Unit = {
     perRoot.clear()
+    refusals.clear()
     globalLock.synchronized { globalDec = None; globalCal = None }
   }
 
@@ -159,10 +160,51 @@ object CostRouter {
   /** Is paying a metadata decision job worth it for `tableBytes` of
     * data under `root`? None = this root never calibrated (caller
     * keeps its legacy behavior); Some(false) = even a perfect cut
-    * cannot repay the decision — scan. */
+    * cannot repay the decision — scan. ONE-OFF economics; the serve
+    * gates use [[shouldInvest]], which adds repeat-awareness. */
   def decisionWorthIt(root: String, tableBytes: Long): Option[Boolean] =
     strictStats(root) match {
       case (Some(d), Some(b)) => Some(d < tableBytes / b)
       case _                  => None
+    }
+
+  // (root, query-shape) -> times the gate refused this shape — the
+  // ski-rental counter. Bounded; evicts arbitrarily at the cap (an
+  // evicted counter just re-rents a few more times).
+  private val refusals =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.util.concurrent.atomic.AtomicLong]()
+
+  /** SKI-RENTAL investment policy for the transparent serve gates.
+    * The decision jobs are MEMOIZED per (root, shape): once paid, a
+    * repeated query serves almost for free — so a gate priced purely
+    * on one-off economics routes a REPEATED small-table workload to
+    * the scan forever and loses to the best fixed route (the serve
+    * measured 0.11 s vs the 0.29 s scan at sf0.1 once warm). Classic
+    * rent-vs-buy: rent (scan) while cheap, buy (pay the decision)
+    * once the CUMULATIVE forgone savings reach the decision cost —
+    * within 2× of the offline-optimal policy for any workload length,
+    * one-off and steady-state both handled:
+    *
+    *   - worth even once (dec < bytes/bw): invest immediately;
+    *   - else: invest at the n-th repeat where n · bytes/bw ≥ dec.
+    *
+    * None = root never calibrated (caller keeps legacy always-serve
+    * behavior — fixtures and gate rows stay untouched). */
+  def shouldInvest(root: String, shape: String,
+      tableBytes: Long): Option[Boolean] =
+    strictStats(root) match {
+      case (Some(d), Some(b)) =>
+        val scanEst = tableBytes / b
+        if (d < scanEst) Some(true)
+        else {
+          if (refusals.size > 4096) refusals.clear()
+          val n = refusals
+            .computeIfAbsent((norm(root), shape),
+              _ => new java.util.concurrent.atomic.AtomicLong())
+            .incrementAndGet()
+          Some(n * scanEst >= d)
+        }
+      case _ => None
     }
 }
