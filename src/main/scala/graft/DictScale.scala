@@ -75,9 +75,11 @@ object DictScale {
     val totalFiles = MicroBlockIndex.listParquetFiles(liPath).size.toLong
 
     // ---- COUNT(DISTINCT) arms ---------------------------------------
+    val scanVals = scala.collection.mutable.Map.empty[String, Long]
     val distinctArms = cols.flatMap { c =>
       val (scanSec, scanVal) = medianOf(
         li.select(countDistinct(col(c)).as("n")).first.getLong(0))
+      scanVals(c) = scanVal
       println(f"[dict-scale] distinct $c scan: $scanSec%.2fs n=$scanVal")
       val (dictSec, dictVal) = medianOf(
         DictionaryIndex.countDistinct(spark, idx, liPath, c)._1)
@@ -86,6 +88,30 @@ object DictScale {
       Seq(
         s""""distinct_${c}_scan":{"sec":$scanSec,"n":$scanVal}""",
         s""""distinct_${c}_dict":{"sec":$dictSec,"n":$dictVal,"covered_files":${coverage(c)},"total_files":$totalFiles}""")
+    }
+
+    // ---- round 16 (verdict #7): the ADVISORY's structural fix on the
+    // UNCOVERED column — an AggView bounded by distinct values, served
+    // instead of the scan-parity degraded dictionary path. Build cost
+    // is the one-time indexing-side price (reported separately); the
+    // serve reads only the (value, freq) view. The view lives in
+    // scratch, not beside the (possibly read-only) sf layout — the
+    // in-place auto-build path is spec-covered in AdvisorSpec.
+    val viewArms = cols.filter(c => coverage(c) < totalFiles).flatMap { c =>
+      val vp = s"target/scratch/dict-scale/${new java.io.File(sfDir).getName}/aggview-$c"
+      val tV = System.nanoTime()
+      val exists =
+        try graft.sources.AggView.readMeta(vp).valueCol == c
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!exists) graft.sources.AggView.build(spark, liPath, vp, Nil, c)
+      else graft.sources.AggView.refresh(spark, liPath, vp)
+      val vBuildSec = (System.nanoTime() - tV) / 1e9
+      val (vSec, vVal) = medianOf(
+        graft.sources.AggView.serveCountDistinct(spark, vp)
+          .select(col("n_distinct")).first.getLong(0))
+      println(f"[dict-scale] distinct $c view: $vSec%.2fs n=$vVal (build $vBuildSec%.1fs)")
+      require(vVal == scanVals(c), s"$c: scan=${scanVals(c)} view=$vVal")
+      Seq(s""""distinct_${c}_view":{"sec":$vSec,"n":$vVal,"build_sec":$vBuildSec}""")
     }
 
     // ---- point lookup on a hash-bucketed layout ----------------------
@@ -207,7 +233,7 @@ object DictScale {
       s"""{"bench":"dict_scale","sf":"$sfDir","reps":$reps,"buckets":$buckets,""" +
         s""""probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,""" +
         s""""dict_index_build_sec":$idxBuildSec,""" +
-        distinctArms.mkString("", ",", ",") +
+        (distinctArms ++ viewArms).mkString("", ",", ",") +
         s""""bucket_build_sec":$bucketBuildSec,"bucket_index_build_sec":$bIdxBuildSec,""" +
         s""""point_scan":{"sec":$scanSec,"files":${allBucketFiles.size}},""" +
         s""""point_zone":{"sec":$zoneSec,"files":$zoneKept},""" +

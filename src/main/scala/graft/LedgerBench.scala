@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Generic cross-engine-ledger timing for SparkEntry queries over ANY
   * test-table directory — the [[ScaleBench]] protocol (median of
-  * isolated reps, System.gc between, count-wrapped action) without its
+  * isolated reps, System.gc between, NOOP-SINK action: count() lets
+  * ColumnPruning drop projected/aggregated expressions out of the
+  * timed plan, the round-15 Q12Arms discovery) without its
   * lineitem-only assumptions, so the documents/events-backed shapes
   * (q38 explode, q42 range join) get sf100-scale rows too.
   *
@@ -69,7 +71,8 @@ object LedgerBench {
         spark.read.parquet(s"$sfDir/$primary.parquet").count()
       }
       results = names.map { n =>
-        n -> timed(SparkEntry.queries(n)(spark, sfDir).count())
+        n -> timed(SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
       }
       satEnd = BenchWindow.satProbe(spark)
       calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))

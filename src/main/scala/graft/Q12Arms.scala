@@ -3,16 +3,17 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dedicated q12 layout A/B (round 14): the HAND-TUNED bucketed plan
-  * (ScaleBench's q12Bucketed — join order + agg pushdown + late
-  * strings by hand) vs the TRANSPARENT arm (the ORIGINAL q12 SQL over
-  * bare paths of the same layouts — BucketLayoutRule re-attaches the
-  * spec, EagerAggregationRule pushes the revenue partial below the
-  * join). Arms INTERLEAVE (A,B,A,B,…) so page-cache drift and GC debt
-  * land on both equally — the sequential ScaleBench tail measured the
-  * transparent arm last and noisiest. Calm-window gated; asserts the
-  * transparent plan actually claimed the buckets and pushed the
-  * pre-aggregate, and that both arms return identical rows.
+/** Dedicated q12 layout A/B (round 14; round 16: four arms): the
+  * HAND-TUNED bucketed plan (ScaleBench's q12Bucketed — join order +
+  * agg pushdown + late strings by hand) vs three TRANSPARENT arms
+  * (the ORIGINAL q12 SQL over bare paths of the same layouts —
+  * BucketLayoutRule re-attaches the spec): gate-off forced push,
+  * eager-agg fully disabled, and AUTO — the group-cardinality cost
+  * gate ([[graft.plans.EagerAggregationRule]] round 16) routing from
+  * a zone sidecar built on li_bkt. Arms INTERLEAVE (A,B,C,D,…) so
+  * page-cache drift and GC debt land on all equally. Calm-window
+  * gated; asserts the claim, the forced push, the disabled non-push,
+  * records the auto decision, and requires identical rows on all arms.
   *
   * Usage: runMain graft.Q12Arms <sfDir> [reps] [buckets]
   * Requires the li_bkt/ord_bkt layouts (ScaleBench builds them).
@@ -84,10 +85,48 @@ object Q12Arms {
           |GROUP BY r_name, n_name""".stripMargin)
     }
 
-    // plan audit on the transparent arm: the claim and the push
-    val tdf = transparentArm()
-    val opt = tdf.queryExecution.optimizedPlan
-    val claimed = opt.collectFirst {
+    // Round 16: FOUR arms. The group-cardinality cost gate
+    // (EagerAggregationRule.pushWorthIt) routes the push from the
+    // fact root's zone sidecar, so build one on li_bkt — footer-scale,
+    // pay-once — and measure what each routing would have cost:
+    //   hand        — the hand-tuned plan (join order + manual pre-agg)
+    //   trans_push  — transparent SQL, gate OFF (minGroupReduction=0):
+    //                 the round-15 behavior, always push
+    //   trans_nopush— transparent SQL, eager agg disabled entirely
+    //   trans_auto  — transparent SQL, default confs: the gate decides
+    //                 from the sidecar's orderkey range (sf100: 600M
+    //                 rows over a ~600M-value range → reduction bound
+    //                 ~1 → refuse; the verdict's break-even analysis)
+    val liLoc = s"$wh/li_bkt"
+    if (!graft.sources.SidecarManifest.has(liLoc, spark, "_graft_index"))
+      graft.sources.MicroBlockIndex.saveSidecar(
+        graft.sources.MicroBlockIndex.build(spark, liLoc, "li_bkt"), liLoc)
+    def pushArm(): DataFrame = {
+      spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      spark.conf.set("spark.graft.eagerAgg.minGroupReduction", "0")
+      transparentArm()
+    }
+    def noPushArm(): DataFrame = {
+      spark.conf.unset("spark.graft.eagerAgg.minGroupReduction")
+      spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+      transparentArm()
+    }
+    def autoArm(): DataFrame = {
+      spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+      spark.conf.unset("spark.graft.eagerAgg.minGroupReduction")
+      transparentArm()
+    }
+
+    def hasPreAggUnderJoin(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if Seq(j.left, j.right).exists(_.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.nonEmpty) => true
+      }.nonEmpty
+    // plan audit: the claim, the forced push, and the auto decision
+    val pdf = pushArm()
+    val claimed = pdf.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation
           if r.relation.isInstanceOf[
             org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
@@ -95,21 +134,22 @@ object Q12Arms {
               org.apache.spark.sql.execution.datasources.HadoopFsRelation]
               .bucketSpec.exists(_.bucketColumnNames == Seq("l_orderkey")) => true
     }.nonEmpty
-    val pushed = opt.collectFirst {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if Seq(j.left, j.right).exists(_.collectFirst {
-            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-          }.nonEmpty) => true
-    }.nonEmpty
+    val pushed = hasPreAggUnderJoin(pdf)
     require(claimed, "transparent arm did not claim the bucket spec")
-    require(pushed, "transparent arm did not push the pre-aggregate")
+    require(pushed, "gate-off transparent arm did not push the pre-aggregate")
+    require(!hasPreAggUnderJoin(noPushArm()), "disabled rule still pushed")
+    val autoPushed = hasPreAggUnderJoin(autoArm())
 
     // row equality once (sorted stringified rows)
     val hv = handArm().orderBy("r_name", "n_name")
       .collect().map(_.toString).toSeq
-    val tv = transparentArm().orderBy("r_name", "n_name")
-      .collect().map(_.toString).toSeq
-    require(hv == tv, s"arms disagree: $hv vs $tv")
+    for ((arm, mk) <- Seq(
+        ("trans_push", pushArm _), ("trans_nopush", noPushArm _),
+        ("trans_auto", autoArm _))) {
+      val tv = mk().orderBy("r_name", "n_name")
+        .collect().map(_.toString).toSeq
+      require(hv == tv, s"$arm disagrees: $hv vs $tv")
+    }
 
     def rep(mk: () => DataFrame): Double = {
       spark.catalog.clearCache()
@@ -127,13 +167,19 @@ object Q12Arms {
     var calm = false
     var hand: Seq[Double] = Nil
     var trans: Seq[Double] = Nil
+    var nopush: Seq[Double] = Nil
+    var auto: Seq[Double] = Nil
     var satStart = -1.0; var satEnd = -1.0; var calmRef = -1.0
     while (attempt < MaxAttempts && !calm) {
       attempt += 1
       satStart = BenchWindow.satProbe(spark)
-      val pairs = (1 to reps).map { _ => (rep(handArm _), rep(transparentArm _)) }
-      hand = pairs.map(_._1).sorted
-      trans = pairs.map(_._2).sorted
+      val quads = (1 to reps).map { _ =>
+        (rep(handArm _), rep(pushArm _), rep(noPushArm _), rep(autoArm _))
+      }
+      hand = quads.map(_._1).sorted
+      trans = quads.map(_._2).sorted
+      nopush = quads.map(_._3).sorted
+      auto = quads.map(_._4).sorted
       satEnd = BenchWindow.satProbe(spark)
       calmRef = BenchWindow.calmRef(spark, math.min(satStart, satEnd))
       calm = BenchWindow.isCalm(calmRef, Seq(satStart, satEnd))
@@ -146,7 +192,9 @@ object Q12Arms {
       s"""{"bench":"q12_arms","sf":"$sfDir","reps":$reps,"buckets":$buckets,""" +
         s""""hand_median_sec":${hand(hand.size / 2)},"hand_reps_sorted":[${hand.mkString(",")}],""" +
         s""""transparent_median_sec":${trans(trans.size / 2)},"transparent_reps_sorted":[${trans.mkString(",")}],""" +
-        s""""claimed":true,"pushed":true,"rows_equal":true,""" +
+        s""""nopush_median_sec":${nopush(nopush.size / 2)},"nopush_reps_sorted":[${nopush.mkString(",")}],""" +
+        s""""auto_median_sec":${auto(auto.size / 2)},"auto_reps_sorted":[${auto.mkString(",")}],""" +
+        s""""claimed":true,"pushed":true,"auto_pushed":$autoPushed,"rows_equal":true,""" +
         s""""sat_probe_start_sec":$satStart,"sat_probe_end_sec":$satEnd,""" +
         s""""sat_calm_ref_sec":$calmRef,"window_noisy":${!calm},""" +
         s""""window_attempts":$attempt,"loadavg":${BenchWindow.loadavg()}}"""

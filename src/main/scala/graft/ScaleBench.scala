@@ -43,6 +43,15 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm
     spark.read.parquet(s"$sfDir/nation.parquet").count() // parquet path warm
+    // noop sink, NOT count(): count() lets ColumnPruning drop projected
+    // and aggregated expressions out of the timed plan (the round-15
+    // Q12Arms discovery — r14's q12 ledger measured a pruned query
+    // while DuckDB computed the full one). The noop write materializes
+    // every output row in full with no driver transfer; the DuckDB
+    // pair (tools/bench_duckdb.py) matches it with a full-query arrow
+    // fetch. Round 16: ALL ledger timings route through this sink.
+    def sink(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     def timed(name: String)(run: => Unit): (String, Double) = {
       val ts = (1 to reps).map { _ =>
         spark.catalog.clearCache()
@@ -73,7 +82,7 @@ object ScaleBench {
       }
     val headlineResults = headlineRun.map { name =>
       val q = SparkEntry.queries(name)
-      timed(name)(q(spark, sfDir).count())
+      timed(name)(sink(q(spark, sfDir)))
     }
     // q1_agg_double rides with the headline loop, not the bucketed-only
     // mode: ONLY_BUCKETED promises "just the probe", and full timed reps
@@ -86,13 +95,12 @@ object ScaleBench {
       // determinism tax the oracle-checked q1 pays (graft routes double
       // aggregation through DECIMAL so results hash-match DuckDB
       // bit-for-bit across partitionings — see Det scaladoc)
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      sink(spark.read.parquet(s"$sfDir/lineitem.parquet")
         .filter(col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity"), sum("l_extendedprice"),
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          avg("l_quantity"), count(lit(1)))
-        .count()
+          avg("l_quantity"), count(lit(1))))
     }
     // q20 over orders BUCKETED BY ITS WINDOW KEY (o_custkey): the
     // partition-by distribution is satisfied by the bucketing, so the
@@ -124,7 +132,7 @@ object ScaleBench {
           .filter(col("rn") <= 3)
           .orderBy("o_custkey", "rn")
         Seq("q20_bucketed_build" -> build,
-          "q20_window_rank_bucketed" -> timed("q20b")(q20b().count())._2)
+          "q20_window_rank_bucketed" -> timed("q20b")(sink(q20b()))._2)
       }
     results = results ++ q20Results
     // q12 on BUCKETED fact tables: pay the clustering write once, then
@@ -200,13 +208,13 @@ object ScaleBench {
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }
     if (sys.env.contains("SPARK_GRAFT_DIAG")) {
-      def t(label: String)(run: => Long): Unit = {
+      def t(label: String)(run: => Unit): Unit = {
         val s0 = System.nanoTime()
-        val n = run
+        run
         val rt = Runtime.getRuntime
         System.gc()
         val live = (rt.totalMemory() - rt.freeMemory()) / 1e9
-        println(f"[diag] $label: ${(System.nanoTime() - s0) / 1e9}%.2fs ($n rows, live-after-gc $live%.1fGB)")
+        println(f"[diag] $label: ${(System.nanoTime() - s0) / 1e9}%.2fs (live-after-gc $live%.1fGB)")
       }
       def q12Double(): DataFrame = {
         val revByOrder = spark.table("li_bkt")
@@ -221,19 +229,18 @@ object ScaleBench {
         revByOrder.join(ordNation, col("l_orderkey") === col("o_orderkey"))
           .groupBy("c_nationkey").agg(sum(col("rev")).as("rev"))
       }
-      t("revByOrder only")(spark.table("li_bkt").groupBy("l_orderkey")
-        .agg(sum(graft.queries.Det.dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
-        .count())
-      t("q12 double-sums")(q12Double().count())
+      t("revByOrder only")(sink(spark.table("li_bkt").groupBy("l_orderkey")
+        .agg(sum(graft.queries.Det.dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))))
+      t("q12 double-sums")(sink(q12Double()))
       (1 to 4).foreach { i =>
         spark.catalog.clearCache()
-        t(s"q12Bucketed rep$i")(q12Bucketed().count())
+        t(s"q12Bucketed rep$i")(sink(q12Bucketed()))
       }
     }
     val bts = (1 to reps).map { _ =>
       spark.catalog.clearCache()
       System.gc() // see timed()
-      val s0 = System.nanoTime(); q12Bucketed().count(); (System.nanoTime() - s0) / 1e9
+      val s0 = System.nanoTime(); sink(q12Bucketed()); (System.nanoTime() - s0) / 1e9
     }.sorted
 
     // The TRANSPARENT arm (round 14): the ORIGINAL q12 SQL, verbatim,
@@ -263,7 +270,7 @@ object ScaleBench {
     val tts = (1 to reps).map { _ =>
       spark.catalog.clearCache()
       System.gc()
-      val s0 = System.nanoTime(); q12Transparent().count(); (System.nanoTime() - s0) / 1e9
+      val s0 = System.nanoTime(); sink(q12Transparent()); (System.nanoTime() - s0) / 1e9
     }.sorted
     val qs = (results ++ Seq(
       "q12_join_multi_bucketed" -> bts(bts.size / 2),

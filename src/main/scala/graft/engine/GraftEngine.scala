@@ -51,6 +51,13 @@ final class GraftEngine(
   def saveIndexSidecar(): Unit =
     MicroBlockIndex.saveSidecar(index, tablePath)
 
+  /** Serve-layer advisories recorded for THIS table (round 16): what
+    * one-time index/view investments the session's degraded serves
+    * suggest — e.g. the high-cardinality COUNT(DISTINCT) fallback's
+    * "build an AggView on this column" ([[graft.sources.Advisor]]). */
+  def advisories: Seq[graft.sources.Advisor.Advisory] =
+    graft.sources.Advisor.advisories(Some(tablePath))
+
   // Building an engine REGISTERS its index with the transparent
   // optimizer rule: when the session has GraftExtensions installed,
   // plain spark.sql / DataFrame queries over this table path get

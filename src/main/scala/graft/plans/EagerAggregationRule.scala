@@ -47,7 +47,10 @@ import org.apache.spark.sql.types.{
   *     pushed SUM(e)/COUNT(e) partials — Σ and N distribute exactly
   *     as above, and the outer Divide(cast(ΣΣ, double), cast(ΣN,
   *     double)) reproduces Average's integral evaluate (a double sum
-  *     of integral values divided by the non-null count). Equal to
+  *     of integral values divided by the non-null count). The SUM
+  *     partial accumulates in DECIMAL(38,0) in BOTH eval modes
+  *     (round 16: a LEGACY long partial wraps mod 2^64 past 2^63
+  *     where the original's double accumulation does not). Equal to
   *     the unrewritten plan whenever the true Σ is
   *     double-representable (|Σe| < 2^53 — where the original's
   *     double row-accumulation is itself order-independent and
@@ -83,7 +86,12 @@ import org.apache.spark.sql.types.{
   *     back clean and the output schema must be byte-identical —
   *     any node above that still wanted a dropped fact column
   *     (a Filter on fact attrs above the join, a non-attr Project)
-  *     refuses the rewrite wholesale.
+  *     refuses the rewrite wholesale;
+  *   - COST (round 16, not correctness): when the fact root's zone
+  *     sidecar bounds the bucket key, the estimated group reduction
+  *     must clear `spark.graft.eagerAgg.minGroupReduction` — see
+  *     [[pushWorthIt]]. Stats-less roots push unconditionally (the
+  *     pre-round-16 behavior).
   *
   * Honest corner (round 15 — HARDENED, because ANSI is Spark 4's
   * DEFAULT): the pre-aggregate also sums fact rows whose key never
@@ -118,7 +126,7 @@ case class EagerAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled || ZoneMapPruneRule.inRule.get()) plan
     else plan.transform {
       case agg: Aggregate =>
-        try EagerAggregationRule.tryRewrite(agg).getOrElse(agg)
+        try EagerAggregationRule.tryRewrite(spark, agg).getOrElse(agg)
         catch { case scala.util.control.NonFatal(_) => agg }
     }
   }
@@ -127,24 +135,28 @@ case class EagerAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object EagerAggregationRule {
 
   /** A fact-side site: the join, which side, the side's whole subtree
-    * (Projects/Filters + scan), and the scan's bucket column name. */
+    * (Projects/Filters + scan), the scan's bucket column name, and the
+    * scan's root path (for the cost gate's sidecar stats probe). */
   private final case class Site(join: Join, leftSide: Boolean,
-      subtree: LogicalPlan, bucketCol: String)
+      subtree: LogicalPlan, bucketCol: String, rootPath: Option[String])
 
   private def attrOnly(p: Project): Boolean =
     p.projectList.forall(_.isInstanceOf[AttributeReference])
 
-  /** The side's bucket column, when the side is [attr-only Project /
-    * Filter]* over a single-bucket-column scan. */
-  private def bucketScanOf(p: LogicalPlan): Option[String] = p match {
-    case pr: Project if attrOnly(pr) => bucketScanOf(pr.child)
-    case f: Filter                   => bucketScanOf(f.child)
-    case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-      h.bucketSpec.collect {
-        case s if s.bucketColumnNames.size == 1 => s.bucketColumnNames.head
-      }
-    case _ => None
-  }
+  /** The side's (bucket column, scan root path), when the side is
+    * [attr-only Project / Filter]* over a single-bucket-column scan. */
+  private def bucketScanOf(p: LogicalPlan): Option[(String, Option[String])] =
+    p match {
+      case pr: Project if attrOnly(pr) => bucketScanOf(pr.child)
+      case f: Filter                   => bucketScanOf(f.child)
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+        h.bucketSpec.collect {
+          case s if s.bucketColumnNames.size == 1 =>
+            (s.bucketColumnNames.head,
+              h.location.rootPaths.headOption.map(_.toString))
+        }
+      case _ => None
+    }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -161,7 +173,8 @@ object EagerAggregationRule {
       case _                                             => false
     }
 
-  private[graft] def tryRewrite(agg: Aggregate): Option[Aggregate] = {
+  private[graft] def tryRewrite(spark: SparkSession,
+      agg: Aggregate): Option[Aggregate] = {
     // 1. every aggregate function in the output must be pushable
     val aggFns = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
@@ -224,8 +237,10 @@ object EagerAggregationRule {
         val here =
           if (j.condition.isDefined)
             Seq(
-              bucketScanOf(j.left).map(k => Site(j, leftSide = true, j.left, k)),
-              bucketScanOf(j.right).map(k => Site(j, leftSide = false, j.right, k)))
+              bucketScanOf(j.left).map { case (k, r) =>
+                Site(j, leftSide = true, j.left, k, r) },
+              bucketScanOf(j.right).map { case (k, r) =>
+                Site(j, leftSide = false, j.right, k, r) })
               .flatten
           else Nil
         here ++ collectSites(j.left) ++ collectSites(j.right)
@@ -234,10 +249,59 @@ object EagerAggregationRule {
     val sites = collectSites(agg.child)
 
     dbg(s"sites: ${sites.size}")
-    sites.view.flatMap(site => tryPushTo(agg, site)).headOption
+    sites.view.flatMap(site => tryPushTo(spark, agg, site)).headOption
   }
 
-  private def tryPushTo(agg: Aggregate, site: Site): Option[Aggregate] = {
+  // reentrancy guard for the cost gate's sidecar stats job: the nested
+  // metadata query re-enters the optimizer, and while its plan has no
+  // bucketed fact joins to push, probing stats from inside the probe
+  // would still double-pay the job
+  private val inGate: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** GROUP-CARDINALITY COST GATE (round 16): the push is near
+    * break-even when the pre-aggregate barely shrinks the fact —
+    * q12's 600M-row / 150M-group fact spends ~10 s building a
+    * 150M-entry hash for a 4× reduction (BENCH_Q12_r15
+    * component_profile). When the fact root's `_graft_index` sidecar
+    * carries trusted integral bounds for the bucket key, the gate
+    * computes a LOWER BOUND on the reduction — rows / (max − min + 1),
+    * since distinct keys ≤ the key range — and refuses the push below
+    * `spark.graft.eagerAgg.minGroupReduction` (default 8; 0 disables
+    * the gate). The bound is conservative in the right direction: a
+    * sparse key (TPC-H orderkey uses 1 in 4 values) under-reports the
+    * true reduction, so a refusal only ever skips a near-break-even
+    * push, while dense dimension-like keys (suppkey: every value used)
+    * report exactly and clear the bar at real 100×-class reductions.
+    * No sidecar / no trusted bounds / non-integral key → true (the
+    * pre-round-16 unconditional push — fixtures and catalog bucketed
+    * tables are untouched). Wrong answer costs extra work, never
+    * wrong rows: both shapes are exact. */
+  private def pushWorthIt(spark: SparkSession, site: Site,
+      k: AttributeReference): Boolean = {
+    if (!integralType(k.dataType) || site.rootPath.isEmpty) return true
+    val minReduction =
+      try spark.conf
+        .get("spark.graft.eagerAgg.minGroupReduction", "8.0").toDouble
+      catch { case scala.util.control.NonFatal(_) => 8.0 }
+    if (minReduction <= 0 || inGate.get()) return true
+    inGate.set(java.lang.Boolean.TRUE)
+    try {
+      ZoneAggRule.keyRangeStats(spark, site.rootPath.get, k.name) match {
+        case Some((rows, mn, mx)) if rows > 0 =>
+          val ndvUB = (BigInt(mx) - BigInt(mn) + 1).min(BigInt(rows))
+            .max(BigInt(1)).toDouble
+          val reductionLB = rows.toDouble / ndvUB
+          dbg(f"gate: rows=$rows range=[$mn,$mx] reductionLB=$reductionLB%.2f min=$minReduction")
+          reductionLB >= minReduction
+        case _ => true
+      }
+    } catch { case scala.util.control.NonFatal(_) => true }
+    finally inGate.set(java.lang.Boolean.FALSE)
+  }
+
+  private def tryPushTo(spark: SparkSession, agg: Aggregate,
+      site: Site): Option[Aggregate] = {
     val s = site.subtree
     val sOut = s.outputSet
     // every aggregate reads only fact columns (or nothing: COUNT(*));
@@ -277,6 +341,7 @@ object EagerAggregationRule {
     }
     if (kAttr.isEmpty) { dbg(s"no kAttr: $factConjuncts"); return None }
     val k = kAttr.get
+    if (!pushWorthIt(spark, site, k)) { dbg("cost gate: reduction too small"); return None }
 
     // 3. build the pre-aggregate: one partial per DISTINCT function
     val distinctFns = scala.collection.mutable.ArrayBuffer
@@ -344,10 +409,13 @@ object EagerAggregationRule {
     // explicit SUM(e)/COUNT(e) in the same query
     def avgOuterOf(avg: Average): Expression = {
       val sumFn = Sum(avg.child)
-      val sumPart =
-        if (ansiIntegral(sumFn)) decimalSumPartial(sumFn).toAttribute
-        else partialFor(AggregateExpression(
-          sumFn, Complete, isDistinct = false)).toAttribute
+      // DECIMAL(38,0) partial in BOTH modes (round-16 ADVICE): a plain
+      // LONG partial under LEGACY wraps mod 2^64 once a group's true
+      // sum passes 2^63, while the un-rewritten Average accumulates in
+      // double (no wrap) — the results would diverge wildly there. The
+      // decimal partial is exact to 10^38 and the combine below casts
+      // to double anyway, so the only cost is the partial's buffer.
+      val sumPart = decimalSumPartial(sumFn).toAttribute
       val cntPart = partialFor(AggregateExpression(
         Count(Seq(avg.child)), Complete, isDistinct = false)).toAttribute
       Divide(

@@ -284,6 +284,33 @@ object ZoneAggRule {
     built
   }
 
+  /** COST-ESTIMATE view for [[EagerAggregationRule]]'s group-
+    * cardinality gate (round 16): (total rows, global integral min,
+    * global max) of `column` across every sidecar-indexed file.
+    * Defined only when EVERY indexed file carries trusted integral
+    * bounds for the column — a partially-covered column yields None
+    * and the caller keeps its legacy behavior. Unlike the serve paths
+    * this is NOT correctness-gated against the live listing: it feeds
+    * a push-vs-don't COST decision whose wrong answer is extra work,
+    * never wrong rows, so a slightly stale sidecar frame is fine.
+    * Rides the same (root, mtime, cols) snapshot memo — one metadata
+    * job per session per root. */
+  private[plans] def keyRangeStats(spark: SparkSession, rootPath: String,
+      column: String): Option[(Long, Long, Long)] =
+    for {
+      mtime <- sidecarMtime(rootPath, spark)
+      snap <- snapshotFor(spark, rootPath, mtime, Seq(column))
+      bounds <- {
+        val perFile = snap.fileRows.keys.map(f => snap.perCol.get((column, f)))
+        if (perFile.isEmpty || perFile.exists(e =>
+            e.isEmpty || e.get._4 > 0 || e.get._5.isEmpty || e.get._6.isEmpty))
+          None
+        else Some((
+          perFile.map(_.get._5.get).min,
+          perFile.map(_.get._6.get).max))
+      }
+    } yield (snap.fileRows.values.sum, bounds._1, bounds._2)
+
   // (root, sidecar mtime, pred) -> (all-true, all-false) file sets as
   // recorded in the sidecar; callers intersect with the live listing
   private val triCache = java.util.Collections.synchronizedMap(

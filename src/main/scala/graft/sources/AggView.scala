@@ -228,7 +228,10 @@ object AggView {
         case _              => (norm(l), None)
       }
     }
-    ViewMeta(gen, lines(1).split(",").toSeq, lines(2),
+    // filter: an EMPTY group list (global view, round 16) serializes
+    // as an empty string, and "".split(",") is Array("") — a phantom
+    // ""-named group column that breaks every downstream resolution
+    ViewMeta(gen, lines(1).split(",").toSeq.filter(_.nonEmpty), lines(2),
       parsed.map(_._1).toSet,
       parsed.collect { case (f, Some(ms)) => f -> ms }.toMap,
       batches)

@@ -361,6 +361,13 @@ object DictionaryIndex {
       tablePath: String, column: String): (Long, Long, Long) = {
     val cov = coverageOf(index, column)
     val all = MicroBlockIndex.listParquetFiles(tablePath)
+    val covered = cov.count(_._2).toLong
+    // DEGRADED serve (any uncovered file = a scan component): advise
+    // the structural fix — an AggView bounded by distinct values —
+    // and under spark.graft.advisor.autoDistinctView build+register
+    // it so later queries serve transparently (round-16 verdict #7)
+    if (covered < all.size)
+      Advisor.onDistinctDegraded(spark, tablePath, column, covered, all.size.toLong)
     val n =
       if (!cov.exists(_._2))
         // nothing covered: the exact aggregate a plain scan plans
@@ -369,7 +376,7 @@ object DictionaryIndex {
           .select(count_distinct(col(column)).as("n"))
           .first.getLong(0)
       else distinctFrom(spark, index, cov, tablePath, column).count()
-    (n, cov.count(_._2).toLong, all.size.toLong)
+    (n, covered, all.size.toLong)
   }
 
   /** Batched [[countDistinct]] — the [[graft.plans.IndexPruning.decideMany]]
@@ -610,14 +617,21 @@ object DictionaryIndex {
 
   /** [[prunedReadEqAuto]] with the MEASURED router. Identical rows on
     * every route (same lossless-cut argument); only the cost model
-    * differs. The first lookup of a session calibrates THIS root: one
-    * median-file traversal prices the scan (CAS-guarded in
-    * [[CostRouter]] — one thread pays it), and the lookup runs
-    * through the dictionary route so its decision job prices itself. */
+    * differs.
+    *
+    * FIRST lookup of a never-measured root (round 16): the decision
+    * comes from ALREADY-LISTED file metadata only — the fixed-threshold
+    * byte model over the one top-level listStatus the route pays anyway
+    * — and the median-file calibration scan moves to a background
+    * daemon thread. The r15 dict_ab measured the old inline calibration
+    * as the regression itself: point_auto 0.295 s vs the best fixed arm
+    * 0.200 s at sf0.1, ~an extra Spark job in the first query's wall
+    * time. Second-and-later lookups route on the measured constants as
+    * before; the dictionary route's decision job still prices itself
+    * whenever it runs. */
   def prunedReadEqMeasured(spark: SparkSession, index: Dataset[FileDict],
       tablePath: String, column: String,
       values: Seq[graft.plans.PredValue]): DataFrame = {
-    CostRouter.calibrateIfNeeded(spark, tablePath)
     def viaDict(): DataFrame = {
       val t0 = System.nanoTime()
       val df = prunedReadEq(spark, index, tablePath, column, values)
@@ -626,13 +640,25 @@ object DictionaryIndex {
       CostRouter.observeDecision(tablePath, (System.nanoTime() - t0) / 1e9)
       df
     }
+    def viaScan(): DataFrame = {
+      val rowFilter =
+        if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
+        else graft.plans.In(column, values).toColumn
+      spark.read.parquet(tablePath).filter(rowFilter)
+    }
+    // a never-calibrated root self-prices in the background WHATEVER
+    // route the seeds pick — otherwise a session-global seed from an
+    // unrelated root would suppress per-root pricing forever (the
+    // mixed cold/hot-storage story round 15 built). No-op once
+    // calibrated; never in the query path.
+    CostRouter.calibrateAsync(spark, tablePath)
     pointLookupRouteMeasured(tablePath) match {
-      case "scan" =>
-        val rowFilter =
-          if (values.size == 1) graft.plans.Cmp("=", column, values.head).toColumn
-          else graft.plans.In(column, values).toColumn
-        spark.read.parquet(tablePath).filter(rowFilter)
-      case _ => viaDict() // "dict", or "calibrate" seeding the EWMA
+      case "scan" => viaScan()
+      case "dict" => viaDict()
+      case _ => // "calibrate": no constants at all yet — the
+        // zero-extra-job fixed-threshold byte model routes the first
+        // query of a fresh session
+        if (pointLookupRoute(tablePath) == "scan") viaScan() else viaDict()
     }
   }
 

@@ -285,8 +285,24 @@ object MicroBlockIndex {
   }
 
   private def lexical(v: Any): Option[String] = v match {
-    case b: Binary => Some(b.toStringUsingUTF8)
-    case _         => None
+    case b: Binary =>
+      // Round-trip gate (round-16 ADVICE): footer binary stats may be
+      // TRUNCATED at a non-codepoint boundary by a non-UTF-8-aware
+      // writer; lossy decoding maps distinct byte prefixes (e.g. a
+      // truncated min '...C3' and its incremented max '...C4') to the
+      // SAME '...�' string, which would let ZoneAggRule's
+      // minStr==maxStr truncation-strictness proof falsely certify a
+      // multi-valued file as single-valued. The proof is sound in BYTE
+      // space, so only stats whose decoded string re-encodes to the
+      // exact original bytes are kept — anything lossy records no
+      // lexical view at all (pruning forfeited, never wrong; the same
+      // refusal discipline as the r14 wrong-domain numeric stats).
+      val bytes = b.getBytes
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      if (java.util.Arrays.equals(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes)) Some(s)
+      else None
+    case _ => None
   }
 
   /** Opt-in EXACT per-file integral sums (round 14): footers carry no

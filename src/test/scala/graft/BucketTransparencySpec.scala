@@ -340,4 +340,57 @@ class BucketTransparencySpec extends AnyFunSuite {
       finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
     }
   }
+
+  test("group-cardinality cost gate: a near-unique key refuses the push, a dense key clears it, stats-less pushes") {
+    // NEAR-UNIQUE bucket key (20k rows, 20k distinct): the zone
+    // sidecar's range bound reports reduction ~1 — below the default
+    // 8× bar, the push must refuse (the q12 150M-groups-from-600M-rows
+    // shape, where the pre-aggregate hash is ~the query's residual)
+    val uniq = spark.range(20000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    Bucketing.writeBucketed(uniq, "bt_gate_uniq", "k", 4)
+    spark.sql("DROP TABLE IF EXISTS bt_gate_uniq")
+    val uniqLoc = warehouseLoc("bt_gate_uniq")
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, uniqLoc, "bt_gate_uniq"),
+      uniqLoc)
+    // DENSE key (40k rows over 500 distinct, every value used): the
+    // range bound reports the TRUE 80× reduction — push fires WITH the
+    // sidecar present
+    val dense = spark.range(40000).select(
+      (col("id") % 500).as("k"), (col("id") % 7).cast("double").as("v"))
+    Bucketing.writeBucketed(dense, "bt_gate_dense", "k", 4)
+    spark.sql("DROP TABLE IF EXISTS bt_gate_dense")
+    val denseLoc = warehouseLoc("bt_gate_dense")
+    graft.sources.MicroBlockIndex.saveSidecar(
+      graft.sources.MicroBlockIndex.build(spark, denseLoc, "bt_gate_dense"),
+      denseLoc)
+    val ord = spark.range(500).select(col("id").as("k"), (col("id") % 9).as("g"))
+    ord.write.mode("overwrite").parquet(warehouseLoc("bt_gate_ord"))
+    spark.read.parquet(warehouseLoc("bt_gate_ord"))
+      .createOrReplaceTempView("bt_gate_ord_v")
+    def q(fact: String): DataFrame = {
+      spark.read.parquet(fact).createOrReplaceTempView("bt_gate_fact_v")
+      spark.sql(
+        """SELECT o.g, SUM(f.v) AS s FROM bt_gate_fact_v f
+          |JOIN bt_gate_ord_v o ON f.k = o.k GROUP BY o.g""".stripMargin)
+    }
+    val refused = q(uniqLoc)
+    assert(!preAggBelowJoin(refused),
+      s"a ~1x-reduction fact must refuse the push:\n${refused.queryExecution.optimizedPlan}")
+    // a refused plan still answers identically to the rule-off run
+    val got = refused.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.eagerAgg.enabled", "false")
+    try assert(got.sameElements(q(uniqLoc).collect().map(_.toString).sorted))
+    finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    assert(preAggBelowJoin(q(denseLoc)),
+      "an 80x-reduction fact must clear the gate and push")
+    // minGroupReduction = 0 disables the gate: even the unique key pushes
+    spark.conf.set("spark.graft.eagerAgg.minGroupReduction", "0")
+    try assert(preAggBelowJoin(q(uniqLoc)),
+      "gate disabled (0) must restore the unconditional push")
+    finally spark.conf.unset("spark.graft.eagerAgg.minGroupReduction")
+    // stats-less root (the main fixture has no _graft_index): unchanged
+    withViews { assert(preAggBelowJoin(spark.sql(eagerSql()))) }
+  }
 }

@@ -127,6 +127,90 @@ class DecimalSumSpec extends AnyFunSuite {
     assert(ok.eval(null).toString == "3689348814741910.3231")
   }
 
+  test("AVG(decimal): rewrite fires and matches the rule-off plan — grouped, global, nulls, negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val data = Seq.tabulate(5000) { i =>
+      val v =
+        if (rnd.nextInt(7) == 0) None
+        else Some(BigDecimal(rnd.nextLong() % 1000000000000L, 4))
+      (i % 41, v.map(_.underlying))
+    }
+    data.toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(18,4)").as("v"))
+      .createOrReplaceTempView("d128_avg")
+    for (q <- Seq(
+        "SELECT g, AVG(v) AS a FROM d128_avg GROUP BY g",
+        "SELECT AVG(v) AS a FROM d128_avg",
+        // AVG alongside SUM/COUNT of the same column — both rewrites
+        // coexist in one Aggregate and share the projected unscaled view
+        "SELECT g, AVG(v) AS a, SUM(v) AS s, COUNT(v) AS c FROM d128_avg GROUP BY g")) {
+      val on = spark.sql(q)
+      assert(usesInt128(on), s"AVG rewrite must fire for: $q")
+      assert(rows(on) == ruleOff(rows(spark.sql(q))), s"values diverged for: $q")
+      assert(on.schema == ruleOff(spark.sql(q).schema))
+    }
+  }
+
+  test("AVG(decimal): empty group is NULL in LEGACY and ANSI (the CheckOverflowInSum(null) trap)") {
+    import spark.implicits._
+    Seq((1, BigDecimal("2.50").underlying)).toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("v"))
+      .createOrReplaceTempView("d128_avg_e")
+    val q = "SELECT AVG(v) AS a FROM d128_avg_e WHERE g = 99"
+    for (ansi <- Seq(false, true)) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val df = spark.sql(q)
+        assert(usesInt128(df), s"rewrite must fire under ansi=$ansi")
+        // an empty-group AVG must be NULL, never an overflow error:
+        // the count guard substitutes the buffer's initial 0 where a
+        // bare NULL sum would make ANSI's CheckOverflowInSum throw
+        assert(df.collect().head.isNullAt(0), s"ansi=$ansi")
+      } finally spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("AVG(decimal) refusals: TRY_AVG, DISTINCT, precision > 18 — and refused queries still answer") {
+    import spark.implicits._
+    Seq((1, BigDecimal("1.5").underlying), (1, BigDecimal("2.5").underlying))
+      .toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(20,2)").as("w"),
+        col("v").cast("decimal(10,2)").as("v"))
+      .createOrReplaceTempView("d128_avg_r")
+    assert(!usesInt128(spark.sql("SELECT TRY_AVG(v) FROM d128_avg_r")))
+    assert(!usesInt128(spark.sql("SELECT AVG(DISTINCT v) FROM d128_avg_r")))
+    assert(!usesInt128(spark.sql("SELECT AVG(w) FROM d128_avg_r")),
+      "precision 20 has no faithful unscaled long")
+    assert(spark.sql("SELECT AVG(w) AS a FROM d128_avg_r")
+      .collect().head.getDecimal(0).toPlainString == "2.000000")
+  }
+
+  test("Partial/Final split: the int128 buffer crosses the exchange — sum and avg over many partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val data = Seq.tabulate(20000)(i =>
+      (i % 13, BigDecimal(rnd.nextLong() % 100000000000L, 4).underlying))
+    // 16 input partitions force real partial aggregates on every core
+    // and a merge on the final side — the (hi, lo, seen) long buffers
+    // must combine exactly across the shuffle
+    val df = data.toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(18,4)").as("v"))
+      .repartition(16)
+    df.createOrReplaceTempView("d128_pf")
+    val q = "SELECT g, SUM(v) AS s, AVG(v) AS a FROM d128_pf GROUP BY g"
+    val on = spark.sql(q)
+    assert(usesInt128(on))
+    val phys = on.queryExecution.executedPlan.toString
+    // both aggregation stages run the int128 function (partial_ prefix
+    // marks the pre-shuffle stage in explain output)
+    assert(phys.contains("partial_sum_unscaled128"),
+      s"partial stage must carry the int128 buffer:\n$phys")
+    assert(phys.split("sum_unscaled128", -1).length > 2,
+      "final stage must merge the int128 buffer")
+    assert(rows(on) == ruleOff(rows(spark.sql(q))))
+  }
+
   test("the q1-shape decimal aggregate over real data matches DuckDB-checked truth") {
     val dir = "/root/testdata/sf0.01"
     val li = graft.engine.Tables.load(spark, dir, "lineitem")

@@ -235,11 +235,15 @@ class DictionarySpec extends AnyFunSuite {
       val bigIdx = DictionaryIndex.build(spark, bigRoot, "b", Seq("k"))
       // seed each root: calibration is PER ROOT, so the big root's
       // (slower, bigger) median file never poisons the small root's
-      // pricing and vice versa — the r14 session-global carried limit
+      // pricing and vice versa — the r14 session-global carried limit.
+      // Round 16: first lookups route on file metadata and calibrate in
+      // the BACKGROUND, so the spec awaits both roots' calibrations.
       DictionaryIndex.prunedReadEqMeasured(
         spark, smallIdx, smallRoot, "k", Seq(PredValue(7L))).collect()
       DictionaryIndex.prunedReadEqMeasured(
         spark, bigIdx, bigRoot, "k", Seq(PredValue(7L))).collect()
+      assert(graft.sources.CostRouter.awaitCalibration(smallRoot))
+      assert(graft.sources.CostRouter.awaitCalibration(bigRoot))
       val (decS, bwS) = DictionaryIndex.routerStats(smallRoot)
       val (decB, bwB) = DictionaryIndex.routerStats(bigRoot)
       assert(decS.exists(_ > 0) && bwS.exists(_ > 0))
@@ -320,7 +324,7 @@ class DictionarySpec extends AnyFunSuite {
     assert(rows(viaDict) == rows(truth))
   }
 
-  test("measured router: first lookup calibrates, later routes follow the learned constants, rows identical") {
+  test("measured router: first lookup routes on metadata and calibrates in background, later routes follow the learned constants, rows identical") {
     val idx = DictionaryIndex.build(spark, dictPath, "li", Seq("l_suppkey"))
     DictionaryIndex.resetRouterStats()
     assert(DictionaryIndex.pointLookupRouteMeasured(dictPath) == "calibrate")
@@ -328,11 +332,15 @@ class DictionarySpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     val truth = spark.read.parquet(dictPath).filter(col("l_suppkey") === 7)
-    // seeding call: runs the dictionary route, prices the decision
-    // job and the scan throughput
+    // first call: routes on already-listed file metadata (the
+    // fixed-threshold model — no extra Spark job in the query path,
+    // the round-16 first-query fix) and fires the BACKGROUND
+    // calibration that prices later lookups
     val first = DictionaryIndex.prunedReadEqMeasured(
       spark, idx, dictPath, "l_suppkey", probe)
     assert(rows(first) == rows(truth))
+    assert(graft.sources.CostRouter.awaitCalibration(dictPath),
+      "background calibration must land")
     val (dec, bps) = DictionaryIndex.routerStats(dictPath)
     assert(dec.exists(_ > 0) && bps.exists(_ > 0),
       "both constants must be measured after the seeding lookup")

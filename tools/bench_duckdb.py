@@ -30,23 +30,23 @@ def main(sf_dir, oracle_path, reps=3, queries=None):
     oracle = json.load(open(oracle_path))
     out = {}
     for name in (queries or HEADLINE):
-        # count-wrapped to mirror graft's `.count()` action: both engines
-        # execute the query but neither pays result materialization /
-        # transfer for wide result sets. Spark's optimizer removes a
-        # trailing ORDER BY under count(); strip it here too so DuckDB
-        # isn't charged for a sort Spark skips — EXCEPT when a LIMIT
-        # follows (top-k is semantically load-bearing in both engines).
+        # FULL query, materialized via arrow (round 16): the old
+        # count(*) wrap let BOTH engines prune work, but asymmetrically
+        # — Spark's ColumnPruning drops aggregate expressions out of a
+        # grouped subquery under count() while DuckDB still computes
+        # them (the round-15 Q12Arms discovery). The honest protocol:
+        # graft writes every output row to the noop sink (full in-engine
+        # materialization, no driver transfer); DuckDB matches with a
+        # full-query arrow fetch (full in-engine columnar
+        # materialization, no per-row Python conversion). Trailing
+        # ORDER BYs now execute on both sides — the noop write pays the
+        # sort too.
         sql = oracle[name]
-        tail = sql.upper().rfind("ORDER BY")
-        if tail >= 0 and "LIMIT" not in sql[tail:].upper() \
-                and ")" not in sql[tail:]:
-            sql = sql[:tail]
-        sql = f"select count(*) from ({sql})"
-        con.execute(sql).fetchall()  # warm
+        con.execute(sql).fetch_arrow_table()  # warm
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            con.execute(sql).fetchall()
+            con.execute(sql).fetch_arrow_table()
             ts.append(time.time() - t0)
         out[name] = statistics.median(ts)
     print(json.dumps({"bench": "scale", "sf": sf_dir, "reps": reps,
