@@ -101,6 +101,18 @@ object Bench {
           var err: Option[String] = None
           val reps = (1 to Reps).map { _ =>
             spark.catalog.clearCache()
+            // Round 16 (measurement honesty, ScaleBench.timed parity):
+            // collect the PREVIOUS query's garbage before starting the
+            // clock. A heavy neighbor leaves the old gen full of
+            // promoted-but-dead Tungsten pages and the next query pays
+            // its GC debt inside the timed region (ScaleBench measured
+            // identical q12 reps at 20s/43s/90s without this, 19-21s
+            // with). In-loop rows ran up to 3-4x their isolated cost
+            // before this (q2_filter_between 3.34s in-loop vs 0.7-0.9s
+            // isolated, same window) — that debt is the bench ORDER's
+            // cost, not the query's. Old totals (rounds <=15) include
+            // the debt and overcount accordingly.
+            System.gc()
             timeOnce {
               if (err.isEmpty) {
                 // noop sink, NOT count(): under count() Catalyst prunes

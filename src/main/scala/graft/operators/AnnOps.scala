@@ -21,7 +21,7 @@ object AnnOps {
     * Not unpersisted (lazy results) — loops should clearCache between
     * runs, as Bench/Verify do. */
   def prep(vecs: DataFrame): DataFrame =
-    vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    Par.repart(vecs)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .persist()
 
@@ -464,8 +464,16 @@ object AnnOps {
   /** recall@K of an approximate method against the exact baseline:
     * per-query rows plus a macro-average row (query_id = -1). */
   def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    // The approx side is ≤ numQueries·k rows BY CONSTRUCTION (it is a
+    // per-query top-k cut), but its Catalyst size estimate is the
+    // corpus-sized pipeline behind it, so the planner picks a
+    // SortMergeJoin — two exchanges + two sorts; and because callers
+    // persist these frames, the SMJ is frozen into the cached plan
+    // where AQE cannot convert it at runtime (guide §3.1: broadcast
+    // the side you KNOW is small). One explicit broadcast removes both
+    // exchanges; the exact side then streams with no shuffle at all.
     val hits = exact.join(
-        approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor")),
+        broadcast(approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))),
         col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
         "left")
       .groupBy("query_id")

@@ -44,8 +44,7 @@ object MixOps {
       shards: Int = 64, seed: String = "mix42"): DataFrame = {
     val spark = docs.sparkSession
 
-    val keyed = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    val keyed = graft.operators.Par.repart(docs)
       .select(col("doc_id"), col("source"),
         graft.functions.TextExpressions.fnv64(
           concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("k"))

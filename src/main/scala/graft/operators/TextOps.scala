@@ -124,8 +124,7 @@ object TextOps {
     * and are absent, matching the oracle. */
   def bigramLmScore(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
     val toks = tokens(col("text"))
-    val pos = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val pos = Par.repart(docs)
       .where(size(toks) >= 2)
       .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
     val wdoc = org.apache.spark.sql.expressions.Window
@@ -161,8 +160,7 @@ object TextOps {
     * full window) are absent from the output in both engines. */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val toks = tokens(col("text"))
-    val grams = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val grams = Par.repart(docs)
       .where(size(toks) >= k)
       .select(col("doc_id"),
         posexplode(shingleHashes(toks, k)).as(Seq("p", "h")))
@@ -236,7 +234,7 @@ object TextOps {
     * `lang` label plus the English score. */
   def langid(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Par.repart(docs)
       .select(col("doc_id"), col("lang"),
         langPredict(toks).as("lang_pred"),
         stopwordRatio(toks, "en").as("en_score"))

@@ -264,8 +264,8 @@ object MultimodalQueries {
     // MediaOpsSpec. The byte-histogram stub now stands ONLY for
     // modalities with no JVM codec at all (MP3/video).
     QueryDef.sql("mm_jpeg", jpegOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -292,8 +292,8 @@ object MultimodalQueries {
     // lossiness is handled by mm_jpeg's quantization-lattice fixture,
     // which makes the transform pipeline exactly lossless).
     QueryDef.sql("mm_gif", gifOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -327,8 +327,8 @@ object MultimodalQueries {
     // so the sampling arithmetic (floor(t*src/dst), bottom-up row
     // un-flip) is verified pixel-exact, not just statistically.
     QueryDef.sql("mm_resize", resizeOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -361,8 +361,8 @@ object MultimodalQueries {
     // compressor. With WAV+BMP+PNG real, the histogram stub below
     // stands only for codec-requiring modalities (MP3/video).
     QueryDef.sql("mm_png", pngOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -392,8 +392,8 @@ object MultimodalQueries {
     // real; the histogram stub stands only where a codec would be
     // required (MP3/video).
     QueryDef.sql("mm_image", bmpOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val fixture = docs.select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -422,8 +422,8 @@ object MultimodalQueries {
     // the fixture. The byte-histogram stub survives only for modalities
     // whose codecs aren't in the container (mm_metadata below).
     QueryDef.sql("mm_decode", decodeOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       val decoded = graft.operators.MediaOps.decodeWavDF(
         wavFixture(docs), "doc_id", "payload")
       decoded.select(
@@ -447,8 +447,8 @@ object MultimodalQueries {
     // mm_resize's pixel-exact check, and the access pattern video
     // frame sampling needs at 100 TB.
     QueryDef.sql("mm_framesample", frameSampleOracle) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
       graft.operators.MediaOps.sampleWavDF(
           wavFixture(docs), "doc_id", "payload", every = 4)
         .select(
@@ -467,8 +467,8 @@ object MultimodalQueries {
       // payload: the document text as bytes — the stand-in for a real
       // media column; metadata is carried as typed columns. Checksum is
       // md5 (hex string): identical across Spark and DuckDB.
-      val withPayload = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val withPayload = graft.operators.Par.repart(
+        Tables.load(s, dir, "documents"), targetBytes = 128L << 10)
         .select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"),
           lit("text/plain").as("modality"),

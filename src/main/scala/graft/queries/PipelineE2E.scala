@@ -80,8 +80,7 @@ object PipelineE2E {
   val all: Seq[QueryDef] = Seq(
     QueryDef.sql("pipe_e2e", oracle) { (s, dir) =>
       val toks = tokens(col("text"))
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Par.repart(Tables.load(s, dir, "documents"))
         .withColumn("n_words", size(toks))
         .withColumn("diversity", size(array_distinct(toks)).cast("double") / size(toks))
         .filter(col("n_words") >= 20 && col("diversity") > 0.2) // quality gate

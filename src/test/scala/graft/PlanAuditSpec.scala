@@ -10,7 +10,16 @@ import graft.engine.{GraftSession, Tables}
   * broadcastable dim would regress silently without these.
   */
 class PlanAuditSpec extends AnyFunSuite {
-  private lazy val spark = GraftSession.local(cores = 8, appName = "graft-audit")
+  private lazy val spark = {
+    val s = GraftSession.local(cores = 8, appName = "graft-audit")
+    // These audits pin the AT-SCALE plan shapes. The round-16 adaptive
+    // repartition width (operators/Par) collapses toy-scale inputs to 1
+    // partition, which trivially satisfies any clustering and removes
+    // the very exchanges the audits count — force the pre-adaptive
+    // width so the pinned shapes stay the at-scale ones.
+    s.conf.set("spark.graft.par.fixedWidth", "8")
+    s
+  }
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =

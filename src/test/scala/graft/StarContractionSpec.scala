@@ -24,7 +24,11 @@ class StarContractionSpec extends AnyFunSuite {
     val n = 10000L
     // each doc pairs ONLY with its neighbor: diameter = n-1
     val chain = spark.range(n - 1).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val (labels, rounds) = DedupOps.starContract(chain)
+    // force the DISTRIBUTED path: this test pins the round bound, which
+    // the small-graph driver union-find (round 16) would bypass
+    spark.conf.set("spark.graft.cluster.driverEdgeMax", "0")
+    val (labels, rounds) = try DedupOps.starContract(chain)
+      finally spark.conf.unset("spark.graft.cluster.driverEdgeMax")
     val bound = 2 * (math.log(n.toDouble) / math.log(2.0))
     assert(rounds <= bound.toInt,
       s"star contraction took $rounds rounds on a diameter-${n - 1} chain (bound ${bound.toInt})")
@@ -64,6 +68,36 @@ class StarContractionSpec extends AnyFunSuite {
     val n = star.count()
     assert(n == star.select("doc_id").distinct().count())
     assert(star.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+
+  test("driver union-find == distributed star contraction (round 16 gate)") {
+    import spark.implicits._
+    // same deterministic mixed graph shape as above, plus non-ASCII
+    // string ids (UTF8String byte order differs from String order —
+    // the driver path must follow Catalyst's ordering for min roots)
+    var seed = 0xDEADBEEFL
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val edges = (0 until 500).map { _ =>
+      (nextInt(300).toLong, nextInt(300).toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    spark.conf.set("spark.graft.cluster.driverEdgeMax", "0")
+    val dist = try DedupOps.duplicateClusters(pairs)
+      finally spark.conf.unset("spark.graft.cluster.driverEdgeMax")
+    val drv = DedupOps.duplicateClusters(pairs) // default gate: driver path
+    assert(drv.exceptAll(dist).isEmpty && dist.exceptAll(drv).isEmpty)
+    // string ids incl. a supplementary-plane char: U+10000 sorts ABOVE
+    // "z" in UTF-8 byte order on both paths
+    val sp = Seq(("z", new String(Character.toChars(0x10000))), ("z", "a"))
+      .toDF("doc_a", "doc_b")
+    spark.conf.set("spark.graft.cluster.driverEdgeMax", "0")
+    val distS = try DedupOps.duplicateClusters(sp).collect().toSet
+      finally spark.conf.unset("spark.graft.cluster.driverEdgeMax")
+    val drvS = DedupOps.duplicateClusters(sp).collect().toSet
+    assert(drvS == distS)
   }
 
   test("string doc_ids and empty input are handled") {
