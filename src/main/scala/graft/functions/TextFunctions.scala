@@ -79,20 +79,21 @@ object TextFunctions {
 
   // ---- embeddings ----------------------------------------------------
 
-  /** Dot product of two float-array columns (codegen'd higher-order
-    * fold — no UDF). Each element is widened to double BEFORE the
-    * multiply: float×float rounds to float precision, and the oracle
-    * (DuckDB over double lists) multiplies in double — per-element
-    * widening + left-fold double accumulation is bit-identical across
-    * engines (float→double is exact; IEEE ops are correctly rounded). */
+  /** Dot product of two float-array columns (native single-loop
+    * expression — round 17 replaced the interpreted
+    * `aggregate(zip_with(...))` higher-order tree, which cost a
+    * Catalyst lambda eval per ELEMENT per candidate pair). Each
+    * element is widened to double BEFORE the multiply: float×float
+    * rounds to float precision, and the oracle (DuckDB over double
+    * lists) multiplies in double — per-element widening + left-fold
+    * double accumulation is bit-identical across engines
+    * (float→double is exact; IEEE ops are correctly rounded). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecExprs.dot_d(a, b)
 
   /** L2 norm of a float-array column (double-widened, see [[dot]]). */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    graft.functions.VecExprs.l2norm_d(a)
 
   /** Cosine similarity given precomputed norms (compute norms once per
     * side before a pairwise join — never inside it). */

@@ -195,9 +195,11 @@ object AnnOps {
     * (query_id, neighbor_id, adist, rank) — adist ascending (an
     * approximate squared L2 on unit vectors, = 2 - 2·cos_approx). */
   /** Unit-normalized view of `embedding` (zero-norm guard mirrors
-    * cosine's 0 convention). */
-  private def unitCol = transform(col("embedding"),
-    x => when(col("nrm") === 0, lit(0.0)).otherwise(x.cast("double") / col("nrm")))
+    * cosine's 0 convention). Native single-loop expression (round 17)
+    * — replaces the per-element interpreted `transform(...)` lambda;
+    * VecExpressionsSpec pins bit-equality with the higher-order tree. */
+  private def unitCol =
+    graft.functions.VecExprs.unit_vec(col("embedding"), col("nrm"))
 
   private def subCol(mi: Int, dsub: Int) = slice(col("u"), mi * dsub + 1, dsub)
 
@@ -260,7 +262,6 @@ object AnnOps {
 
     val withU = base.select(col("vec_id"), col("nrm"), unitCol.as("u"))
       .persist()
-    def subColM(mi: Int) = subCol(mi, dsub)
     def nearest(mi: Int, cents: Seq[(Int, Seq[Double])]) =
       nearestSub(mi, dsub, cents)
 
@@ -274,31 +275,31 @@ object AnnOps {
         (0 until m).map(mi => nearest(mi, codebooks(mi)).as(s"code_$mi")): _*)
       .persist()
 
-    // ADC: queries ride broadcast with their subvectors; the m partial
-    // distances add in FIXED subspace order (deterministic double sum)
+    // ADC: queries ride broadcast with their unit vectors; the m
+    // partial distances add in FIXED subspace order (deterministic
+    // double sum — the fused scorer slices subspaces internally)
     val queries = coded.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id") +:
-        (0 until m).map(mi => subColM(mi).as(s"q_sub_$mi")): _*)
+      .select(col("vec_id").as("query_id"), col("u").as("q_u"))
     adcRank(coded.crossJoin(broadcast(queries)), codebooks, m, k)
   }
 
   /** ADC score + per-query top-k over joined (corpus `vec_id`/`code_*`
-    * × query `query_id`/`q_sub_*`) pairs: each neighbor's centroid per
-    * subspace comes from a plan-shipped id→centroid map literal, the m
+    * × query `query_id`/`q_u`) pairs: each neighbor's centroid per
+    * subspace comes from the plan-shipped codebook constants, the m
     * partial squared-L2 folds add in fixed subspace order, and the cut
     * is the query_id window (adist asc, neighbor_id ties). The ONE
     * scoring definition behind [[pqTopK]] and [[ivfPqTopK]] —
-    * mirroring the oracle side's shared pqAdcParts. */
+    * mirroring the oracle side's shared pqAdcParts. Round 17: the
+    * per-subspace `aggregate(zip_with(...))` trees (interpreted per
+    * element, per candidate pair — the measured ann_pq/ann_ivfpq
+    * per-task hotspot) fused into one native expression with
+    * bit-identical IEEE fold order (VecExpressionsSpec). */
   private def adcRank(pairs: DataFrame,
       codebooks: Map[Int, Seq[(Int, Seq[Double])]], m: Int, k: Int): DataFrame = {
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    val centMap = (0 until m).map { mi =>
-      typedLit(codebooks(mi).map { case (id, c) => id -> c }.toMap)
-    }
-    val adist = (0 until m).map { mi =>
-      d2(col(s"q_sub_$mi"), element_at(centMap(mi), col(s"code_$mi")))
-    }.reduceLeft(_ + _)
+    val adist = graft.functions.VecExprs.pq_adc_dist(
+      col("q_u"), (0 until m).map(mi => col(s"code_$mi")),
+      (0 until m).map(mi => codebooks(mi).map(_._1)),
+      (0 until m).map(mi => codebooks(mi).map(_._2)))
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
     pairs
       .filter(col("vec_id") =!= col("query_id"))
@@ -394,8 +395,7 @@ object AnnOps {
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("cluster"))
     val queries = withU.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id") +:
-        (0 until m).map(mi => subCol(mi, dsub).as(s"q_sub_$mi")): _*)
+      .select(col("vec_id").as("query_id"), col("u").as("q_u"))
     // nprobe×Q rows: ride a broadcast so the coded corpus never shuffles
     val probeQ = broadcast(probes.join(queries, "query_id"))
     adcRank(coded.join(probeQ, Seq("cluster")), codebooks, m, k)
@@ -429,30 +429,28 @@ object AnnOps {
     val statRows = withU.select(posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val mins = typedLit((0 until dim).map(i => statRows(i)._1))
-    val maxs = typedLit((0 until dim).map(i => statRows(i)._2))
-    def mn(i: org.apache.spark.sql.Column) = element_at(mins, (i + 1).cast("int"))
-    def mx(i: org.apache.spark.sql.Column) = element_at(maxs, (i + 1).cast("int"))
+    val minsSeq = (0 until dim).map(i => statRows(i)._1)
+    val maxsSeq = (0 until dim).map(i => statRows(i)._2)
 
     // encode: code_d = clamp(floor((u_d - min_d) / (max_d - min_d) * L))
-    // — scan-local; a constant dimension (max == min) codes to 0
-    val codeArr = transform(col("u"), (x, i) =>
-      when(mx(i) === mn(i), lit(0L))
-        .otherwise(least(lit(levels - 1L), greatest(lit(0L),
-          floor((x - mn(i)) / (mx(i) - mn(i)) * lit(levels.toDouble))))))
-    val coded = withU.select(col("vec_id"), col("u"), codeArr.as("codes"))
+    // — scan-local; a constant dimension (max == min) codes to 0.
+    // Round 17: fused native expression (was a per-element interpreted
+    // transform(...) with two element_at grid lookups per slot);
+    // VecExpressionsSpec pins bit-equality with the higher-order tree.
+    val coded = withU.select(col("vec_id"), col("u"),
+      graft.functions.VecExprs.sq_encode(col("u"), minsSeq, maxsSeq, levels)
+        .as("codes"))
 
     // ADC scoring: midpoint dequantization of the neighbor codes vs the
-    // exact query vector, squared-L2 left-folded in array order
-    val deq = transform(col("codes"), (c, i) =>
-      when(mx(i) === mn(i), mn(i))
-        .otherwise(mn(i) +
-          (c.cast("double") + lit(0.5)) * (mx(i) - mn(i)) / lit(levels.toDouble)))
+    // exact query vector, squared-L2 left-folded in array order. Fused
+    // native expression (round 17): the old dequantize-transform +
+    // zip_with + aggregate tree evaluated interpreted lambdas per
+    // ELEMENT per candidate PAIR — the measured ann_sq per-task
+    // hotspot (anti-scaling 8>32 cores at sf0.1).
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("u").as("q_u"))
-    val adist = aggregate(
-      zip_with(col("q_u"), deq, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, v) => acc + v)
+    val adist = graft.functions.VecExprs.sq_adc_dist(
+      col("q_u"), col("codes"), minsSeq, maxsSeq, levels)
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
     coded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

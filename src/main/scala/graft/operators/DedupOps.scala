@@ -337,10 +337,10 @@ object DedupOps {
   def minhashEstPairs(docs: DataFrame, numPerms: Int = 64,
       rowsPerBand: Int = 4): DataFrame = {
     val prepped = signatureTable(docs, numPerms, rowsPerBand).persist()
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // fused native agreement count (round 17) — was an interpreted
+    // per-element aggregate(zip_with(...)) per candidate pair
+    val matches =
+      graft.functions.VecExprs.sig_match_count(col("sig_a"), col("sig_b"))
     bucketPairs(prepped, "bands")
       .join(prepped.select(col("doc_id").as("doc_a"),
         col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
@@ -392,10 +392,10 @@ object DedupOps {
       col("sig").as("inc_sig"), explode(col("bands")).as("bkey"))
     val storeBands = store.select(col("doc_id").as("base_id"),
       col("sig").as("base_sig"), explode(col("bands")).as("bkey"))
-    val estExpr = (aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numPerms).as("est_jaccard")
+    // fused native agreement count (round 17, same as minhashEstPairs)
+    val estExpr =
+      (graft.functions.VecExprs.sig_match_count(col("sig_a"), col("sig_b"))
+        .cast("double") / numPerms).as("est_jaccard")
     // estimate computed BEFORE the multi-band dedup: the exchange that
     // dedups candidate pairs then carries (long, long, double) rows —
     // pair-sized AND narrow — instead of two 8·numPerms-byte signatures
