@@ -145,7 +145,14 @@ object Bench {
     // > 1.5× the persisted idle reference) is RE-MEASURED instead of
     // written, up to MaxAttempts; only an all-noisy run writes, and
     // then flagged "window_noisy":true — never a silent sick artifact.
-    val MaxAttempts = 3
+    // Retry budget 3→5 with progressive backoff (round 17): r16's
+    // artifact shipped window_noisy:true after three attempts 30 s
+    // apart — too short to outlast a multi-minute load spike, so the
+    // headline total carried load noise two rounds running. Five
+    // attempts with 30/60/120/180 s pauses cost NOTHING in a calm
+    // window (first attempt accepts) and give a sick one ~6 extra
+    // minutes to clear.
+    val MaxAttempts = 5
     val loadStart = graft.BenchWindow.loadavg()
     var attempt = 0
     var calm = false
@@ -162,7 +169,7 @@ object Bench {
         System.err.println(
           s"bench window NOISY (attempt $attempt: sat=${samples.mkString(",")} " +
           s"ref=$calmRef) — pausing and re-measuring")
-        Thread.sleep(30000)
+        Thread.sleep(30000L * (1L << math.min(attempt - 1, 2)))
       }
     }
     val (probeStart, satStart, satMid, probeEnd, satEnd, results) = m

@@ -460,8 +460,18 @@ object AnnOps {
   }
 
   /** recall@K of an approximate method against the exact baseline:
-    * per-query rows plus a macro-average row (query_id = -1). */
-  def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    * per-query rows plus a macro-average row (query_id = -1).
+    *
+    * `approxRowsHint`: the CALLER-KNOWN upper bound on the approx
+    * side's rows (numQueries·k for any per-query top-k cut — the
+    * caller has both numbers statically; this method does not). The
+    * explicit broadcast below bypasses Spark's 10 MB estimate check,
+    * so it is cost-gated on the hint (same pattern as the
+    * driverEdgeMax collect gate): within the bound → broadcast; above
+    * it or unknown (< 0) → plain join, which degrades to a shuffle
+    * join instead of an unbounded driver collect (ADVICE r16). */
+  def recallAtK(method: String, exact: DataFrame, approx: DataFrame, k: Int,
+      approxRowsHint: Long = -1L): DataFrame = {
     // The approx side is ≤ numQueries·k rows BY CONSTRUCTION (it is a
     // per-query top-k cut), but its Catalyst size estimate is the
     // corpus-sized pipeline behind it, so the planner picks a
@@ -470,8 +480,15 @@ object AnnOps {
     // where AQE cannot convert it at runtime (guide §3.1: broadcast
     // the side you KNOW is small). One explicit broadcast removes both
     // exchanges; the exact side then streams with no shuffle at all.
+    val maxRows = exact.sparkSession.conf
+      .get("spark.graft.recall.broadcastMaxRows", (4L << 20).toString).toLong
+    val approxSlim =
+      approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))
+    val buildSide =
+      if (approxRowsHint >= 0 && approxRowsHint <= maxRows) broadcast(approxSlim)
+      else approxSlim
     val hits = exact.join(
-        broadcast(approx.select(col("query_id").as("a_query"), col("neighbor_id").as("a_neighbor"))),
+        buildSide,
         col("query_id") === col("a_query") && col("neighbor_id") === col("a_neighbor"),
         "left")
       .groupBy("query_id")

@@ -566,6 +566,12 @@ object DedupOps {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
+    // value equality for the probe: BigDecimal.equals is SCALE-sensitive
+    // (0 != 0.0) — both sides are decimal(38,0) sums today, but the
+    // probe must not silently break if the cast type ever changes
+    // (ADVICE r16)
+    def sigEq(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
     // Initial orientation: large-id → small-id, the canonical form both
     // steps emit (the invariant above). bucketPairs hands pairs in
     // (doc_a < doc_b) order, which is the MIRROR of the fixpoint form —
@@ -594,7 +600,10 @@ object DedupOps {
     val driverMax = edges.sparkSession.conf
       .get("spark.graft.cluster.driverEdgeMax", "65536").toLong
     if (edgeSig._1 > 0 && edgeSig._1 <= driverMax) {
-      val dt = pairs.schema("doc_a").dataType
+      // dt from the POST-COERCION edge schema (what collect() actually
+      // returns), not the input column: greatest(doc_a, doc_b) may have
+      // widened coercible-but-different input types (ADVICE r16)
+      val dt = edges.schema("src").dataType
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(dt)
       val toInternal =
@@ -618,7 +627,11 @@ object DedupOps {
           if (ord.compare(ra, rb) < 0) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val out = parent.keysIterator.map { n =>
+      // snapshot keys before mapping: find() path-compresses (mutates
+      // map VALUES) mid-iteration — safe for HashMap today since the
+      // key set never changes, but don't lean on that (ADVICE r16)
+      val ks = parent.keys.toArray
+      val out = ks.map { n =>
         org.apache.spark.sql.Row(toExternal(n), toExternal(find(n)))
       }.toSeq
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -642,7 +655,7 @@ object DedupOps {
       // Star-forest fixpoint check: both steps are deterministic set
       // maps, so set equality ⇔ count equal AND no new edges; the
       // (count, checksum) probe gates the exact check (see sig above).
-      converged = nextSig == edgeSig && next.except(edges).isEmpty
+      converged = sigEq(nextSig, edgeSig) && next.except(edges).isEmpty
       edges = next
       edgeSig = nextSig
     }

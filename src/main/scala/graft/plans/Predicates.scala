@@ -9,18 +9,29 @@ import org.apache.spark.sql.functions.{col, lit}
   * numeric (ints/doubles/timestamp epochs) or strings.
   */
 sealed trait Pred {
-  /** Render as a Spark Column for actual row-level filtering. */
+  /** Render as a Spark Column for actual row-level filtering.
+    *
+    * Literal typing (round 17): `PredValue.num` is stored as Double,
+    * but `intcol = lit(3.0)` analyzes to `cast(intcol as double) =
+    * 3.0` — the cast sits ON THE COLUMN, so the parquet scan gets
+    * `PushedFilters: [IsNotNull]` only and row-group/page skipping is
+    * lost (measured: the dict_ab auto arm re-read every kept page per
+    * rep). An exactly-integral double renders as a LONG literal
+    * instead: Spark compares `intcol = 3L` by widening the LITERAL
+    * (UnwrapCastInBinaryComparison), the predicate pushes down, and
+    * the comparison result is identical for every op — an integral
+    * double and its long compare equal against any numeric column. */
   def toColumn: Column = this match {
     case And(l, r)          => l.toColumn && r.toColumn
     case Or(l, r)           => l.toColumn || r.toColumn
-    case Between(c, lo, hi) => col(c).between(lit(lo.value), lit(hi.value))
-    case In(c, vs)          => col(c).isin(vs.map(_.value): _*)
-    case Cmp("=", c, v)     => col(c) === lit(v.value)
-    case Cmp("!=", c, v)    => col(c) =!= lit(v.value)
-    case Cmp("<", c, v)     => col(c) < lit(v.value)
-    case Cmp("<=", c, v)    => col(c) <= lit(v.value)
-    case Cmp(">", c, v)     => col(c) > lit(v.value)
-    case Cmp(">=", c, v)    => col(c) >= lit(v.value)
+    case Between(c, lo, hi) => col(c).between(lit(lo.litValue), lit(hi.litValue))
+    case In(c, vs)          => col(c).isin(vs.map(_.litValue): _*)
+    case Cmp("=", c, v)     => col(c) === lit(v.litValue)
+    case Cmp("!=", c, v)    => col(c) =!= lit(v.litValue)
+    case Cmp("<", c, v)     => col(c) < lit(v.litValue)
+    case Cmp("<=", c, v)    => col(c) <= lit(v.litValue)
+    case Cmp(">", c, v)     => col(c) > lit(v.litValue)
+    case Cmp(">=", c, v)    => col(c) >= lit(v.litValue)
     case Cmp(op, _, _)      => throw new IllegalArgumentException(s"op $op")
     case NullCheck(c, false) => col(c).isNull
     case NullCheck(c, true)  => col(c).isNotNull
@@ -50,6 +61,14 @@ final case class NullCheck(column: String, negated: Boolean) extends Pred
 final case class PredValue(num: Option[Double], str: Option[String],
     tsStr: Option[String] = None) {
   def value: Any = tsStr.orElse(num).orElse(str).orNull
+  /** [[value]] with exactly-integral doubles narrowed to Long so the
+    * rendered literal pushes down to parquet (see [[Pred.toColumn]]).
+    * 2^53 bounds the doubles whose long conversion is exact. */
+  def litValue: Any = value match {
+    case d: Double if tsStr.isEmpty && d == math.rint(d) &&
+        math.abs(d) <= 9007199254740992.0 => d.toLong
+    case other => other
+  }
 }
 object PredValue {
   def apply(d: Double): PredValue = PredValue(Some(d), None)

@@ -43,7 +43,10 @@ object AnnQueries {
     AnnOps.ivfTopK(base, IvfK, IvfIters, IvfProbe, IvfScale, NumQueries, K)
   private def recallOf(method: String, exact: org.apache.spark.sql.DataFrame,
       approx: org.apache.spark.sql.DataFrame) =
-    AnnOps.recallAtK(method, exact, approx, K)
+    // every approx frame here is a per-query top-K cut: ≤ NumQueries·K
+    // rows — the statically-known bound the broadcast gate prices
+    AnnOps.recallAtK(method, exact, approx, K,
+      approxRowsHint = NumQueries.toLong * K)
 
   val all: Seq[QueryDef] = Seq(
 

@@ -449,25 +449,64 @@ object RelationalQueries {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      // Exact percentile, but NOT over raw rows: Spark's percentile is
-      // an object-hash aggregate (a per-group value->count map, no
-      // codegen) — feeding it 100 TB of rows pays that object path per
-      // row (measured at sf100: 4.7x DuckDB marginal). Pre-aggregate
-      // to (group, value) COUNTS with a codegen'd hash agg — shuffle
-      // bounded by distinct values, not rows — then run the SAME
-      // percentile with its frequency argument over the counts: the
-      // value->count map it builds is identical, so the interpolated
-      // result (and the oracle hash) is bit-for-bit unchanged.
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_extendedprice")
-        .agg(count(lit(1)).as("freq"))
-        .groupBy("l_returnflag")
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.5), col("freq")).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9), col("freq")).as("p90"),
-          min(col("l_extendedprice")).as("lo"),
-          max(col("l_extendedprice")).as("hi"))
-        .orderBy("l_returnflag")
+      // Exact percentile WITHOUT the object-agg merge. Two stages:
+      //   1. (round 14) pre-aggregate to (group, value) COUNTS with a
+      //      codegen'd hash agg — shuffle bounded by distinct values,
+      //      not rows (the 100 TB lever: rows never reach percentile
+      //      machinery);
+      //   2. (round 17) replace Spark's `percentile` itself — an
+      //      ObjectHashAggregate that builds, merges and sorts a
+      //      value→count OpenHashMap per group in ONE task per group
+      //      (measured: 2.1 s at sf0.1, 17 tasks with one holding the
+      //      whole merge) — with a sort-based cumulative-count window
+      //      plus a codegen'd conditional-min aggregate.
+      // The interpolation replicates PercentileBase.getPercentile
+      // BIT-FOR-BIT: position = (N−1)·p; lower/higher = floor/ceil;
+      // lowerKey/higherKey = first value whose cumulative count
+      // reaches lower+1 / higher+1 (distinct values sort ascending, so
+      // MIN over the qualifying suffix IS the binary-search key);
+      // result = lowerKey when higher==lower or the keys collide, else
+      // (higher−pos)·lowerKey + (pos−lower)·higherKey — the same IEEE
+      // ops in the same order, so the oracle hash is unchanged
+      // (RelationalQueriesSpec pins rewrite == percentile() equality).
+      {
+        val price = col("l_extendedprice")
+        val counts = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_extendedprice")
+          .agg(count(lit(1)).as("freq"))
+        // cumulative count over distinct values (RANGE==ROWS: values
+        // are distinct per group by construction). The group total N
+        // rides the SAME window pass as an unbounded-frame sum — one
+        // exchange + one sort, no self-join, no duplicated subtree.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        val cum = counts.select(col("l_returnflag"), price, col("freq"),
+          sum(col("freq")).over(w).as("cum"),
+          sum(col("freq")).over(wAll).as("n"))
+        def pos(p: Double) = (col("n") - 1).cast("double") * lit(p)
+        def keys(p: Double, tag: String) = Seq(
+          min(when(col("cum") >= floor(pos(p)) + 1, price)).as(s"lk$tag"),
+          min(when(col("cum") >= ceil(pos(p)) + 1, price)).as(s"hk$tag"))
+        def interp(p: Double, tag: String) = {
+          val (lk, hk) = (col(s"lk$tag"), col(s"hk$tag"))
+          when(ceil(pos(p)) === floor(pos(p)), lk)
+            .when(hk === lk, lk)
+            .otherwise(
+              (ceil(pos(p)).cast("double") - pos(p)) * lk +
+                (pos(p) - floor(pos(p)).cast("double")) * hk)
+        }
+        cum
+          .groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"),
+            (keys(0.5, "50") ++ keys(0.9, "90") ++
+              Seq(min(price).as("lo"), max(price).as("hi"))): _*)
+          .select(col("l_returnflag"),
+            interp(0.5, "50").as("p50"), interp(0.9, "90").as("p90"),
+            col("lo"), col("hi"))
+          .orderBy("l_returnflag")
+      }
     },
 
     // q28: ROLLUP — hierarchical subtotal aggregation.
@@ -1034,11 +1073,39 @@ object RelationalQueries {
         |  COUNT(*) AS n_ancestors
         |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "customer").createOrReplaceTempView("q51_customer")
+      // Round 17 (guide §1.2 "remove unnecessary passes"): UnionLoop
+      // materializes a frontier PER ITERATION — each one is a fixed
+      // ~2-job driver round-trip, and with single halvings the job
+      // count is the tree DEPTH (measured: 35 jobs / ~1 s of task time
+      // at sf0.1 — pure orchestration overhead). Each iteration now
+      // walks FOUR halvings: a frontier row explodes into the next ≤4
+      // ancestor rows, only the last marked live (= next frontier);
+      // intermediate rows are emitted exactly once with live=false, so
+      // the anc row set — and the aggregate the oracle hashes — is
+      // IDENTICAL (probe: 35→~17 jobs, rows bit-equal; the recursion
+      // depth stays semantic, just batched 4-per-materialization).
       s.sql(
-        """WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
-          |  SELECT c_custkey, c_custkey, 0 FROM q51_customer
+        """WITH RECURSIVE anc(c_custkey, ancestor, depth, live) AS (
+          |  SELECT c_custkey, c_custkey, 0, true FROM q51_customer
           |  UNION ALL
-          |  SELECT c_custkey, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 1
+          |  SELECT c_custkey, s.a, s.d, s.live FROM (
+          |    SELECT c_custkey, explode(CASE
+          |      WHEN ancestor DIV 8 > 1 THEN array(
+          |        struct(ancestor DIV 2  AS a, depth + 1 AS d, false AS live),
+          |        struct(ancestor DIV 4  AS a, depth + 2 AS d, false AS live),
+          |        struct(ancestor DIV 8  AS a, depth + 3 AS d, false AS live),
+          |        struct(ancestor DIV 16 AS a, depth + 4 AS d, true  AS live))
+          |      WHEN ancestor DIV 4 > 1 THEN array(
+          |        struct(ancestor DIV 2 AS a, depth + 1 AS d, false AS live),
+          |        struct(ancestor DIV 4 AS a, depth + 2 AS d, false AS live),
+          |        struct(ancestor DIV 8 AS a, depth + 3 AS d, true  AS live))
+          |      WHEN ancestor DIV 2 > 1 THEN array(
+          |        struct(ancestor DIV 2 AS a, depth + 1 AS d, false AS live),
+          |        struct(ancestor DIV 4 AS a, depth + 2 AS d, true  AS live))
+          |      ELSE array(
+          |        struct(ancestor DIV 2 AS a, depth + 1 AS d, true AS live))
+          |      END) AS s
+          |    FROM anc WHERE live AND ancestor > 1)
           |)
           |SELECT c_custkey, CAST(MAX(depth) AS INT) AS depth,
           |  COUNT(*) AS n_ancestors

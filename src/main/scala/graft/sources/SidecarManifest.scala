@@ -109,8 +109,12 @@ object SidecarManifest {
       val it = cache.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == r) it.remove()
     }
+    DictionaryIndex.invalidateBytes(rootPath)
   }
 
   /** Drop every memo (test isolation / explicit register calls). */
-  def invalidateAll(): Unit = cache.clear()
+  def invalidateAll(): Unit = {
+    cache.clear()
+    DictionaryIndex.invalidateAllBytes()
+  }
 }

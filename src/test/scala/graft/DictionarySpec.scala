@@ -359,6 +359,55 @@ class DictionarySpec extends AnyFunSuite {
     DictionaryIndex.resetRouterStats()
   }
 
+  test("Pred.toColumn pushes integral literals down to parquet; rows identical to the double rendering") {
+    import graft.plans.Between
+    // the round-17 fix: PredValue stores numbers as Double, and the
+    // old `lit(3.0)` rendering put a cast ON THE COLUMN — PushedFilters
+    // carried only IsNotNull, so every serve path re-read pages its
+    // predicate should have skipped
+    def pushed(p: graft.plans.Pred): String =
+      spark.read.parquet(dictPath).filter(p.toColumn)
+        .queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PushedFilters"))
+        .mkString
+    assert(pushed(Cmp("=", "l_suppkey", PredValue(3L)))
+      .contains("EqualTo(l_suppkey,3)"))
+    assert(pushed(In("l_suppkey", Seq(PredValue(3L), PredValue(5L))))
+      .contains("In(l_suppkey"))
+    assert(pushed(Between("l_suppkey", PredValue(2L), PredValue(4L)))
+      .contains("GreaterThanOrEqual(l_suppkey,2)"))
+    // row identity vs the double-literal filter, integral and fractional
+    def cnt(c: org.apache.spark.sql.Column) =
+      spark.read.parquet(dictPath).filter(c).count()
+    assert(cnt(Cmp("<=", "l_suppkey", PredValue(4L)).toColumn) ==
+      cnt(col("l_suppkey") <= lit(4.0)))
+    assert(cnt(Cmp("<", "l_quantity", PredValue(25.5)).toColumn) ==
+      cnt(col("l_quantity") < lit(25.5)))
+    // a fractional literal must stay a double (truncation would move
+    // the cut line)
+    assert(PredValue(25.5).litValue == 25.5)
+    assert(PredValue(4L).litValue == 4L)
+    // timestamp literals keep their string rendering
+    assert(PredValue.ts("1995-01-01").litValue == "1995-01-01 00:00:00")
+  }
+
+  test("tableBytes memoizes per root and invalidates with the sidecar manifest") {
+    import spark.implicits._
+    val out = scratch("bytes-memo")
+    Seq.tabulate(100)(i => (i.toLong, s"x$i")).toDF("id", "s")
+      .write.mode("overwrite").parquet(out)
+    graft.sources.SidecarManifest.invalidate(out)
+    val b1 = DictionaryIndex.tableBytes(out)
+    assert(b1 > 0L)
+    // grow the table; the memo serves the stale total (cost-only
+    // signal) until a writer invalidates the root
+    Seq.tabulate(100)(i => (i.toLong, s"y$i" * 50)).toDF("id", "s")
+      .write.mode("append").parquet(out)
+    assert(DictionaryIndex.tableBytes(out) == b1, "memo must hit")
+    graft.sources.SidecarManifest.invalidate(out)
+    assert(DictionaryIndex.tableBytes(out) > b1, "invalidate must drop the memo")
+  }
+
   test("cost router sees nested bytes on a hive-partitioned layout") {
     import spark.implicits._
     val out = scratch("route-part")

@@ -72,4 +72,37 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dim join should broadcast")
   }
+
+  test("q27 window rewrite == Spark percentile(), bit for bit, and no object agg") {
+    import org.apache.spark.sql.functions._
+    // The round-17 rewrite replaces the ObjectHashAggregate percentile
+    // merge with a cum-count window + conditional-min interpolation.
+    // Pin BOTH: (a) bit-identical values vs percentile() on the same
+    // data — the oracle-hash contract; (b) the plan carries no
+    // ObjectHashAggregate (the single-task merge is gone).
+    val got = SparkEntry.queries("q27_percentile")(spark, dir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"q27 must not fall back to the object-agg percentile merge:\n${plan.take(1200)}")
+    val rows = got.collect()
+    val exp = graft.engine.Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5), col("freq")).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9), col("freq")).as("p90"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("l_returnflag").collect()
+    assert(rows.length == exp.length && rows.length >= 3)
+    rows.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      (1 to 4).foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(g.getDouble(i)) ==
+          java.lang.Double.doubleToRawLongBits(e.getDouble(i)),
+          s"q27 ${g.getString(0)} col $i: ${g.getDouble(i)} != ${e.getDouble(i)}")
+      }
+    }
+  }
 }
