@@ -258,22 +258,35 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // NOT countDistinct(a), countDistinct(b) in one agg: two distinct
-      // aggregates plan through Expand — every input row TRIPLES before
-      // the partial agg, so 100 TB of lineitem becomes 300 TB through
-      // the first stage (measured at sf100: 5.8x DuckDB marginal).
-      // Split per distinct key instead: each branch dedups map-side
-      // with a codegen'd hash agg, reads exactly two columns, and
-      // shuffles only the post-dedup (flag, key) pairs; the three
-      // 3-row results broadcast-join back. Same result, same oracle.
-      val li = t(s, dir, "lineitem")
-      val nRows = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
-      val nParts = li.select("l_returnflag", "l_partkey").distinct()
-        .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
-      val nSupps = li.select("l_returnflag", "l_suppkey").distinct()
-        .groupBy("l_returnflag").agg(count(lit(1)).as("n_supps"))
-      nRows.join(nParts, "l_returnflag").join(nSupps, "l_returnflag")
-        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
-        .orderBy("l_returnflag")
+      // aggregates plan through Spark's 3-WAY Expand — every input row
+      // TRIPLES before the partial agg (measured at sf100 in r10: 5.8x
+      // DuckDB marginal). Rounds 10-16 split into three branches (two
+      // distinct-pair dedups + a count) joined back — right shuffle
+      // volume, but THREE scans of the fact table; the honest cold-cache
+      // sf100 ledger row paid them all (33.4 s vs DuckDB 3.6 s).
+      // Round 17: ONE scan through a hand-built 2-set GROUPING SETS
+      // expand — (flag, partkey) and (flag, suppkey) pairs pre-aggregate
+      // map-side in one pass (rows x2 through the partial agg, but only
+      // 3 columns wide), the distinct counts are the per-set group
+      // counts, and the row total rides the partkey set's pair counts
+      // (sum of per-pair counts = rows), so no third branch exists.
+      // Counts are exact integers - same result, same oracle hash
+      // (Q16Probe: rows identical; cold 29.9->14.4 s at sf100, warm
+      // parity; FileScan count 3->1 in the plan).
+      t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+      s.sql(
+        """WITH pairs AS (
+          |  SELECT l_returnflag, l_partkey, l_suppkey,
+          |         grouping(l_partkey) AS g_part, COUNT(1) AS cnt
+          |  FROM q16_lineitem
+          |  GROUP BY GROUPING SETS ((l_returnflag, l_partkey),
+          |                          (l_returnflag, l_suppkey))
+          |)
+          |SELECT l_returnflag,
+          |  COUNT(CASE WHEN g_part = 0 AND l_partkey IS NOT NULL THEN 1 END) AS n_parts,
+          |  COUNT(CASE WHEN g_part = 1 AND l_suppkey IS NOT NULL THEN 1 END) AS n_supps,
+          |  SUM(CASE WHEN g_part = 0 THEN cnt ELSE 0 END) AS n_rows
+          |FROM pairs GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
     // q17: CASE WHEN conditional aggregation (pivot-style).

@@ -73,6 +73,28 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "dim join should broadcast")
   }
 
+  test("q16 grouping-sets rewrite == decomposed distinct counts, single scan") {
+    import org.apache.spark.sql.functions._
+    // Round-17 single-scan form vs the r10-r16 three-branch plan it
+    // replaced: identical rows (exact integer counts), and the plan
+    // must read lineitem ONCE (the 3-scan cold-cache cost was the
+    // worst sf100 ledger row).
+    val got = SparkEntry.queries("q16_count_distinct")(spark, dir)
+    val scans = got.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"q16 must scan lineitem once, saw $scans scans")
+    val li = graft.engine.Tables.load(spark, dir, "lineitem")
+    val nRows = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+    val nParts = li.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
+    val nSupps = li.select("l_returnflag", "l_suppkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_supps"))
+    val exp = nRows.join(nParts, "l_returnflag").join(nSupps, "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq == exp)
+  }
+
   test("q27 window rewrite == Spark percentile(), bit for bit, and no object agg") {
     import org.apache.spark.sql.functions._
     // The round-17 rewrite replaces the ObjectHashAggregate percentile
